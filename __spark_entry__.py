@@ -3,36 +3,61 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in helium_etl_lite_spark/ — queries register into
+helium_etl_lite_spark.registry via the modules in
+helium_etl_lite_spark/queries/ (one per SURVEY.md §2.4 section).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from helium_etl_lite_spark import registry  # noqa: E402
+from helium_etl_lite_spark.tables import Tables  # noqa: E402
+
+registry.load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: pricing summary over the
+    5-table star (scan → broadcast-dim join → hash agg → window top-k →
+    sort), exercising the full relational pipeline in one plan."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    star = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+    )
+    per_nation = star.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    w = W.partitionBy("r_name").orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    return (
+        per_nation.withColumn("rank_in_region", F.row_number().over(w))
+        .where(F.col("rank_in_region") <= 3)
+        .orderBy("r_name", "rank_in_region")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every exact-checkable query."""
+    return dict(registry.ORACLES)

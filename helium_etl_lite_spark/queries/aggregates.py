@@ -1,0 +1,274 @@
+"""§2.4.D — aggregations.
+
+Serving-layer analog: the reference's schema exists precisely for
+per-gateway/per-block reward sums (rewards_gateway_idx / rewards_block_idx,
+migrations/V1__create_rewards.sql:11-12). All aggregates here are
+Spark's two-phase hash aggregate: partial (map-side combine) → shuffle
+on group keys → final. That partial/final split is what makes group-by
+scale linearly at 100 TB.
+
+FP discipline: sums of integral-valued doubles (l_quantity) are exact;
+sums of cent-valued doubles are rounded on both sides; variance-family
+stats are computed over small-magnitude columns (l_discount) so
+rounding at 6 decimals is far outside either engine's error bars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_groupby_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_hash(spark, sf_dir):
+    # TPC-H Q1-shaped pricing summary (per-gateway-sum analog, SURVEY §2.2).
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL sketch is engine-specific
+def agg_approx_count_distinct(spark, sf_dir):
+    # HLL++ sketch: one pass, fixed memory — the 100 TB way to count
+    # uniques (exact distinct would shuffle every key).
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_avg_stddev_var",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc,
+           ROUND(VAR_SAMP(l_discount), 6) AS var_disc,
+           ROUND(AVG(l_quantity), 6) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_avg_stddev_var(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(c_acctbal), 2) AS total_bal, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    joined = t.customer.join(
+        F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+    ).join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_collect_list_set",
+    oracle="""
+    SELECT r_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+           COUNT(*) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def agg_collect_list_set(spark, sf_dir):
+    # Array aggregation; emitted as a sorted joined string so the
+    # oracle comparison is type- and order-stable.
+    t = Tables(spark, sf_dir)
+    joined = t.region.join(t.nation, t.nation.n_regionkey == t.region.r_regionkey)
+    return joined.groupBy("r_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    # Exact percentile: full sort within group — fine on integral
+    # quantities; at 100 TB prefer approx_percentile (t-digest).
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "agg_partial_final",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, COUNT(*) AS cnt, SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_parts, MAX(cnt) AS max_cnt,
+           SUM(qty) AS total_qty, MIN(cnt) AS min_cnt
+    FROM per_part
+    """,
+)
+def agg_partial_final(spark, sf_dir):
+    # Two-level aggregation: the inner group-by runs partial+final hash
+    # agg (map-side combine before the shuffle — check the plan for
+    # HashAggregate(partial) / HashAggregate(final)); the outer is a
+    # global reduce of the small intermediate.
+    t = Tables(spark, sf_dir)
+    per_part = t.lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("qty")
+    )
+    return per_part.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("qty").alias("total_qty"),
+        F.min("cnt").alias("min_cnt"),
+    )

@@ -1,0 +1,250 @@
+"""§2.4.C — joins.
+
+ETL-layer analog: the reference's only join-like operator is the
+Filters-mode semi-join (reference src/block_processor.rs:80-121, lists
+built in src/filter.rs:26-38) with first-match-wins semantics
+(`continue 'rloop` at :93/:113) — expressed here as left_semi, and its
+complement as left_anti. The serving-layer schema implies the rest
+(migrations/V1__create_rewards.sql:11-12, V3:46-47).
+
+Scale notes: dims (region/nation/supplier) are broadcast — no shuffle;
+fact-fact joins shuffle on the join key and rely on AQE for skew. The
+theta join is banded so it does not degenerate into a full cross
+product at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof_join import asof_join
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    # Explicit broadcast: dimension ships to every executor, zero shuffle
+    # — the distributed analog of the reference loading its small filters
+    # table into memory once (src/follower.rs:49-57).
+    return t.nation.join(
+        F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_sortmerge_large",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderdate, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def join_sortmerge_large(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    # Two large sides: Spark shuffles both on the key (sort-merge or
+    # shuffled-hash under AQE). Filter applied pre-join so less shuffles.
+    o = t.orders.where(F.col("o_orderstatus") == "O")
+    return t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON o_custkey = c_custkey AND o_totalprice > 250000
+    """,
+)
+def join_left_right_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    # Left outer with a join-side predicate (kept in the ON clause so
+    # non-matching customers survive). right-outer is the mirrored plan;
+    # Spark canonicalizes one into the other.
+    return t.customer.join(
+        t.orders,
+        (t.orders.o_custkey == t.customer.c_custkey) & (t.orders.o_totalprice > 250000),
+        "left",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+         e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT s.user_id AS signup_user, e.user_id AS error_user
+    FROM s FULL OUTER JOIN e ON s.user_id = e.user_id
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("signup_user"))
+        .distinct()
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("error_user"))
+        .distinct()
+    )
+    return s.join(e, s.signup_user == e.error_user, "full")
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    # E11: the Filters-mode membership probe
+    # (reference src/block_processor.rs:80-121). Semi-join emits each
+    # left row at most once — same first-match-wins semantics as the
+    # reference's `continue 'rloop`.
+    t = Tables(spark, sf_dir)
+    big = t.orders.where(F.col("o_totalprice") > 200000)
+    return t.customer.join(
+        big, t.customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    # Filters-mode complement: rows with NO match in the probe set.
+    t = Tables(spark, sf_dir)
+    jumbo = t.orders.where(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        jumbo, t.customer.c_custkey == jumbo.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, p_partkey, s_acctbal, p_retailprice
+    FROM supplier JOIN part
+      ON s_acctbal >= p_retailprice AND s_acctbal < p_retailprice + 1100
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    # Banded non-equi join (broadcast nested loop on the small side).
+    # The band keeps candidate pairs bounded — an open-ended theta join
+    # would be quadratic at 100 TB.
+    s, p = t.supplier, t.part
+    return s.join(
+        F.broadcast(p),
+        (s.s_acctbal >= p.p_retailprice) & (s.s_acctbal < p.p_retailprice + 1100),
+    ).select("s_suppkey", "p_partkey", "s_acctbal", "p_retailprice")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_asof_event_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, ts, user_id, o_orderkey, o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_event_order(spark, sf_dir):
+    # As-of join: latest order at-or-before each event, per user
+    # (operators/asof_join.py).
+    t = Tables(spark, sf_dir)
+    out = asof_join(
+        t.events.select("event_id", "ts", "user_id"),
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        left_id="event_id",
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "ts", "user_id", "o_orderkey", "o_orderdate")
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway_star(spark, sf_dir):
+    # 5-table star join: fact joins shuffle once on orderkey/custkey,
+    # nation/region broadcast. This is the flagship's core.
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

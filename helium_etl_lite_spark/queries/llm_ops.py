@@ -1,0 +1,313 @@
+"""§2.4.J — LLM-data-pipeline extensions over documents/embeddings:
+dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+similarity search (brute-force + LSH ANN), text analysis (tokenize,
+quality, token counting, fingerprint, lang-ID), multimodal plumbing.
+
+Implementations live in operators/{dedup,knn,text,multimodal}.py; this
+module binds them to the declared-query contract with DuckDB oracles
+wherever the operator is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup, knn, multimodal, text
+from ..registry import query
+from ..tables import Tables
+
+STOP_LIST_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+@query(
+    "text_tokenize_stats",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY token
+    """,
+)
+def text_tokenize_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "text_dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def text_dedup_exact(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return dedup.exact_dedup(t.documents)
+
+
+@query("text_dedup_minhash")  # rows-only: xxhash64-based signatures are engine-specific
+def text_dedup_minhash(spark, sf_dir):
+    # Keeper assignment, not all-pairs: O(N) output, no quadratic
+    # candidate blow-up on a self-similar corpus.
+    t = Tables(spark, sf_dir)
+    return dedup.minhash_dedup_assign(t.documents, num_perm=16, bands=8, jaccard_threshold=0.7)
+
+
+@query("text_dedup_simhash")  # rows-only: engine-specific hash bits
+def text_dedup_simhash(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return dedup.simhash_near_pairs(t.documents, max_hamming=8)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS block,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6)
+               AS jaccard
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.85
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(t.documents, block_col="lang", threshold=0.85)
+
+
+@query(
+    "vec_knn_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+         scored AS (
+           SELECT q_id, vec_id,
+                  round(list_dot_product(qe, e)
+                        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+                    AS cos_sim
+           FROM v, q WHERE vec_id <> q_id)
+    SELECT q_id, vec_id, cos_sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def vec_knn_cosine(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    out = knn.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+    return out.select("q_id", "vec_id", "cos_sim", "rn")
+
+
+@query(
+    "vec_dedup_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+                    AS cos_sim
+           FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+    """,
+)
+def vec_dedup_cosine(spark, sf_dir):
+    # Embedding-cosine near-dup pairs. Exact all-pairs here; at 100 TB
+    # the candidate set comes from LSH buckets (operators/knn.py) and
+    # only candidates get verified.
+    t = Tables(spark, sf_dir)
+    v = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", F.round(knn.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
+    )
+    return pairs.where(F.col("cos_sim") >= 0.3)
+
+
+@query("vec_ann_lsh")  # rows-only: approximate by construction
+def vec_ann_lsh(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return knn.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=8)
+
+
+@query(
+    "vec_cluster_assign",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+         scored AS (
+           SELECT vec_id, centroid_id,
+                  round(list_distance(e, ce) ** 2, 6) AS sq_dist_check,
+                  round(list_aggregate(
+                    list_transform(list_zip(e, ce),
+                                   p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS sq_dist
+           FROM v, c)
+    SELECT vec_id, centroid_id, sq_dist FROM (
+      SELECT vec_id, centroid_id, sq_dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sq_dist ASC, centroid_id ASC) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def vec_cluster_assign(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return knn.assign_nearest_centroid(emb, emb.where(F.col("vec_id") < 8))
+
+
+@query(
+    "text_lang_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents),
+         stats AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+                   FROM documents GROUP BY lang)
+    SELECT r.lang, r.doc_id, r.n_chars, r.rn, s.n_docs, s.total_chars
+    FROM ranked r JOIN stats s ON r.lang = s.lang
+    WHERE r.rn <= 3
+    """,
+)
+def text_lang_topk(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    d = t.documents
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = d.select("lang", "doc_id", "n_chars").withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 3
+    )
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    return ranked.join(F.broadcast(stats), "lang").select(
+        "lang", "doc_id", "n_chars", "rn", "n_docs", "total_chars"
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         feat AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(length(text) AS BIGINT) AS n_chars_computed,
+                  round(CAST(len(list_filter(toks, x -> list_contains({STOP_LIST_SQL}, x)))
+                             AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+                  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                    AS type_token_ratio,
+                  round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                             AS DOUBLE) / len(toks), 6) AS avg_token_len
+           FROM t)
+    SELECT doc_id, n_tokens, n_chars_computed, stopword_ratio, type_token_ratio,
+           avg_token_len,
+           round(least(n_tokens / 100.0, 1.0) * (1.0 - stopword_ratio)
+                 * type_token_ratio, 6) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return text.quality_features(t.documents)
+
+
+@query(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_pieces,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_pieces,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return text.token_count_regex(t.documents)
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(regexp_extract_all(text, '.'),
+                                         ch -> CAST(ord(ch) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return text.rolling_fingerprint(t.documents)
+
+
+@query(
+    "text_lang_id_ngram",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['the', 'fast', 'key', 'order'])) AS DOUBLE) AS s_en,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['la', 'el', 'de', 'que'])) AS DOUBLE) AS s_es,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['zh', 'shi', 'de', 'le'])) AS DOUBLE) AS s_zh,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['le', 'la', 'et', 'les'])) AS DOUBLE) AS s_fr,
+             CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['der', 'die', 'und', 'das'])) AS DOUBLE) AS s_de
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_de >= greatest(s_en, s_es, s_zh, s_fr) THEN 'de'
+                WHEN s_en >= greatest(s_es, s_zh, s_fr) THEN 'en'
+                WHEN s_es >= greatest(s_zh, s_fr) THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id_ngram(spark, sf_dir):
+    # Pandas-UDF heuristic scorer; the oracle replays the same argmax
+    # (first-lexicographic tiebreak) in SQL.
+    t = Tables(spark, sf_dir)
+    return text.lang_id_heuristic(t.documents)
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 640 AS BIGINT) AS width,
+           CAST((length(text) * 7) % 480 AS BIGINT) AS height,
+           CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames,
+           printf('%08x', (length(text) * 2654435761) % 4294967296) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark, sf_dir):
+    # Binary-column plumbing: encode → opaque payload + metadata struct
+    # → mapInPandas decode (STUB kernel, real Arrow/schema/partitioning).
+    t = Tables(spark, sf_dir)
+    assets = multimodal.to_binary_assets(t.documents)
+    return multimodal.decode_assets(assets)

@@ -1,0 +1,89 @@
+"""§2.4.A — scans / sources / sinks.
+
+ETL-layer analogs: the reference's RPC block/txn source
+(reference src/block_processor.rs:29,58,130) becomes declarative reads
+with projection/predicate pushdown; its append sinks
+(src/reward.rs:38-44, src/transaction.rs:24-27) become parquet writes.
+At 100 TB these scans rely on Catalyst pushing filters/columns into the
+parquet reader (verify with .explain: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def scan_parquet(spark, sf_dir):
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+
+
+@query(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def scan_projection_pushdown(spark, sf_dir):
+    # Column pruning reaches the parquet reader: ReadSchema lists only
+    # these two columns (the reference prunes by construction,
+    # src/reward.rs:38-44).
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "scan_predicate_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def scan_predicate_pushdown(spark, sf_dir):
+    # Filter pushed into the scan (PushedFilters: [GreaterThanOrEqual(...)])
+    # → row-group pruning at scale.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    )
+
+
+@query("sink_roundtrip_parquet")  # rows-only: writes a temp table, re-reads it
+def sink_roundtrip_parquet(spark, sf_dir):
+    # Append-sink analog of the reference's rewards INSERT loop
+    # (src/reward.rs:38-44) — but columnar and batched.
+    out = tempfile.mkdtemp(prefix="sink_roundtrip_") + "/t"
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "source_json_lines",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def source_json_lines(spark, sf_dir):
+    # JSON-document ingestion, the analog of parsing JSON-RPC payloads
+    # (reference src/block_processor.rs:50-56; jsonb fields
+    # migrations/V3__create_transactions.sql:41).
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )

@@ -1,0 +1,141 @@
+"""Unit tests for the reusable operators (SURVEY §5.2): tiny literal
+DataFrames, golden edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_etl_lite_spark.operators import dedup, knn, multimodal, text
+from helium_etl_lite_spark.operators.asof_join import asof_join
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the quick brown fox", "en"),          # exact dup of 1
+        (3, "the quick brown foxes", "en"),        # near dup
+        (4, "completely different words here now", "en"),
+        (5, "otra frase totalmente distinta", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestAsofJoin:
+    def test_picks_latest_at_or_before(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 20, 150)], "id long, key long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(10, 90, 7), (10, 200, 8), (10, 205, 9), (20, 160, 10)],
+            "key long, ts long, val long",
+        )
+        out = asof_join(
+            left, right, left_id="id", left_on="key", right_on="key",
+            left_ts="ts", right_ts="ts", right_tiebreak="val",
+        ).select("id", "val").collect()
+        got = {r["id"]: r["val"] for r in out}
+        assert got[1] == 7       # only ts=90 <= 100
+        assert got[2] == 9       # ts=205 == 205 inclusive
+        assert got[3] is None    # no right row at or before 150 for key 20
+
+    def test_tie_breaks_deterministically(self, spark):
+        left = spark.createDataFrame([(1, 10, 100)], "id long, key long, ts long")
+        right = spark.createDataFrame(
+            [(10, 100, 1), (10, 100, 2)], "key long, ts long, val long"
+        )
+        out = asof_join(
+            left, right, left_id="id", left_on="key", right_on="key",
+            left_ts="ts", right_ts="ts", right_tiebreak="val",
+        ).collect()
+        assert len(out) == 1 and out[0]["val"] == 2  # highest tiebreak wins
+
+
+class TestDedup:
+    def test_exact_dedup_groups_identical_text(self, spark, docs):
+        out = dedup.exact_dedup(docs).collect()
+        by_keeper = {r["keeper_doc_id"]: r["n_copies"] for r in out}
+        assert by_keeper[1] == 2          # docs 1,2 collapse
+        assert len(out) == 4              # 5 docs → 4 distinct texts
+
+    def test_minhash_lsh_finds_planted_near_dup(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, num_perm=16, bands=8, jaccard_threshold=0.5)
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        assert (1, 2) in got              # exact dup always survives
+        assert (1, 3) in got or (2, 3) in got  # near dup (jaccard 0.6)
+        assert all(a < b for a, b in got)
+
+    def test_simhash_hamming_zero_for_identical(self, spark, docs):
+        pairs = dedup.simhash_near_pairs(docs, max_hamming=8)
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+        assert got[(1, 2)] == 0
+
+    def test_ngram_jaccard_respects_blocking(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.1)
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert not any(5 in p for p in got)  # es doc never pairs with en docs
+
+
+class TestKnn:
+    @pytest.fixture()
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_topk_orders_by_cosine(self, spark, vecs):
+        out = knn.cosine_topk(vecs, vecs.where(F.col("vec_id") == 0), k=3).collect()
+        ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rn"])]
+        assert ranked == [1, 2, 3]
+
+    def test_centroid_assignment(self, spark, vecs):
+        out = knn.assign_nearest_centroid(vecs, vecs.where(F.col("vec_id") <= 1))
+        got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+        assert got[0] == 0 and got[1] == 1
+        assert got[2] in (0, 1) and got[3] == 1  # 3 is closer to 1 than to 0
+
+    def test_lsh_buckets_deterministic(self, spark, vecs):
+        b1 = {r["vec_id"]: r["bucket"] for r in knn.hyperplane_lsh_buckets(vecs, 8, 3).collect()}
+        b2 = {r["vec_id"]: r["bucket"] for r in knn.hyperplane_lsh_buckets(vecs, 8, 3).collect()}
+        assert b1 == b2
+        assert all(len(v) == 8 for v in b1.values())
+
+
+class TestText:
+    def test_quality_features(self, spark, docs):
+        out = {r["doc_id"]: r for r in text.quality_features(docs).collect()}
+        assert out[1]["n_tokens"] == 4
+        assert out[1]["stopword_ratio"] == 0.25          # 'the' of 4 tokens
+        assert out[1]["type_token_ratio"] == 1.0
+        assert out[2]["quality_score"] == out[1]["quality_score"]
+
+    def test_fingerprint_stable_and_distinct(self, spark, docs):
+        out = {r["doc_id"]: r["fingerprint"] for r in text.rolling_fingerprint(docs).collect()}
+        assert out[1] == out[2]            # identical text → identical fp
+        assert out[1] != out[3]
+
+    def test_lang_id_runs(self, spark, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id_heuristic(docs).collect()}
+        assert set(out) == {1, 2, 3, 4, 5}
+        assert all(isinstance(v, str) for v in out.values())
+
+
+class TestMultimodal:
+    def test_binary_roundtrip_schema(self, spark, docs):
+        assets = multimodal.to_binary_assets(docs)
+        decoded = multimodal.decode_assets(assets)
+        assert decoded.columns == ["doc_id", "n_bytes", "width", "height", "n_frames", "checksum"]
+        rows = {r["doc_id"]: r for r in decoded.collect()}
+        assert rows[1]["n_bytes"] == len("the quick brown fox")
+        assert rows[1]["width"] == rows[1]["n_bytes"] % 640
+        assert rows[1]["checksum"] == rows[2]["checksum"]
+
+    def test_real_decoder_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode_image(b"xx")
