@@ -1,0 +1,93 @@
+"""Live ingest twin (SURVEY §3.1 "Spark design"): Structured Streaming
+over a block feed, one micro-batch = one atomic commit of
+rewards (+transactions) + cursor — the distributed analog of the
+reference's per-block BEGIN..COMMIT (src/follower.rs:100,
+src/block_processor.rs:44-47).
+
+Source here is a file stream of block JSON (the JSON-RPC fetch analog:
+each file is a batch of BlockRaw documents, FIXTURES.md §A1). The
+transform functions are the SAME ones the batch follower uses
+(etl/transforms.py) — foreachBatch hands us a batch DataFrame, so batch
+and streaming stay semantically identical by construction.
+
+Exactly-once: the streaming checkpoint replays a failed micro-batch;
+sinks are idempotent (per-block-range dynamic overwrite + hash dedup),
+so replay converges — checkpoint offsets + idempotent sink is the
+standard Spark exactly-once recipe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..etl.pipeline import CursorStore, FollowerConfig
+from ..etl.schemas import BLOCK_SCHEMA
+from ..etl.transforms import build_outputs
+
+
+def start_block_stream(
+    spark: SparkSession,
+    blocks_dir: str,
+    txns: DataFrame,
+    config: FollowerConfig,
+    filters: DataFrame | None = None,
+    trigger_once: bool = True,
+):
+    """Start the streaming query; returns the StreamingQuery.
+
+    trigger_once=True drains everything available then stops (the
+    testable form); in production use a processingTime trigger — the
+    reference's 10 s tick (src/main.rs:55) maps to
+    trigger(processingTime='10 seconds').
+    """
+    cursor = CursorStore(spark, os.path.join(config.out_dir, "_meta", "follower_info"))
+
+    def process_batch(batch_blocks: DataFrame, batch_id: int) -> None:
+        if batch_blocks.isEmpty():
+            return
+        out = build_outputs(config.mode, batch_blocks, txns, filters)
+        # Per-block dynamic overwrite = idempotent micro-batch replay
+        # (see etl/pipeline.py for the partition-granularity rationale).
+        (
+            out["rewards"]
+            .repartition("block")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("block")
+            .parquet(os.path.join(config.out_dir, "rewards"))
+        )
+        if "transactions" in out:
+            (
+                out["transactions"]
+                .dropDuplicates(["hash"])
+                .repartition("block")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("block")
+                .parquet(os.path.join(config.out_dir, "transactions"))
+            )
+        # cursor bump after data is durable (E18)
+        tip = batch_blocks.agg(F.max("height")).collect()[0][0]
+        prev = cursor.read()
+        first_block = prev[1] if prev else tip
+        if prev is None or tip > prev[0]:
+            cursor.write(tip, first_block)
+
+    stream = (
+        spark.readStream.schema(BLOCK_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(blocks_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(config.out_dir, "_checkpoint"))
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

@@ -1,0 +1,193 @@
+"""Pipeline-parity tests (SURVEY §5.3): fixture chain → all three modes
+→ golden semantics; kill-and-resume idempotence; cursor monotonicity;
+backfill epoch walk; streaming twin equivalence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_etl_lite_spark.etl import fixtures, transforms
+from helium_etl_lite_spark.etl.pipeline import (
+    CursorStore,
+    FollowerConfig,
+    IncrementalFollower,
+    backfill_epoch_walk,
+    get_first_block,
+)
+from helium_etl_lite_spark.etl.schemas import SENTINEL
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    return fixtures.make_chain(spark, first_block=1000, n_blocks=120)
+
+
+@pytest.fixture(scope="module")
+def filters(spark):
+    return fixtures.make_filters(spark)
+
+
+class TestTransforms:
+    def test_rewards_mode_semantics(self, spark, chain):
+        blocks, txns = chain
+        out = transforms.build_outputs("rewards", blocks, txns)
+        rewards = out["rewards"].collect()
+        assert "transactions" not in out
+        assert len(rewards) > 0
+        # transaction_hash carries the BLOCK hash (reference quirk,
+        # src/block_processor.rs:73)
+        assert all(r["transaction_hash"].startswith("blockhash-") for r in rewards)
+        # sentinel defaulting: securities → no gateway, overages → no account
+        assert any(r["gateway"] == SENTINEL for r in rewards)
+        assert any(r["account"] == SENTINEL for r in rewards)
+        assert all(r["account"] is not None and r["gateway"] is not None for r in rewards)
+
+    def test_explode_count_conservation(self, spark, chain):
+        # property: output rows == Σ len(rewards) over rewards_v2 txns
+        blocks, txns = chain
+        out = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+        expected = 0
+        heights = {r["height"] for r in blocks.select("height").collect()}
+        for row in txns.where(F.col("type") == "rewards_v2").collect():
+            payload = json.loads(row["fields"])
+            # only txns whose block is in range count (all are, here)
+            expected += len(payload["rewards"])
+        assert out.count() == expected
+        # empty rewards arrays contribute zero rows but don't error
+        assert heights  # chain non-empty sanity
+
+    def test_early_epoch_aggregated_shape(self, spark, chain):
+        blocks, txns = chain
+        out = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+        early = out.where(F.col("type") == "rewards_v2").collect()
+        assert len(early) == 5  # the account-aggregated early-epoch rows
+        assert all(r["gateway"] == SENTINEL for r in early)
+
+    def test_full_mode_double_writes_rewards_txn(self, spark, chain):
+        blocks, txns = chain
+        out = transforms.build_outputs("full", blocks, txns)
+        # rewards_v2 lands exploded in rewards AND opaque in transactions
+        # (reference src/block_processor.rs:72 + :127-141)
+        assert out["rewards"].count() > 0
+        txn_types = {r["type"] for r in out["transactions"].select("type").distinct().collect()}
+        assert "rewards_v2" in txn_types and "payment_v2" in txn_types
+        # fields is valid JSON for every row
+        bad = out["transactions"].where(F.get_json_object("fields", "$") .isNull()).count()
+        assert bad == 0
+
+    def test_filters_mode_first_match_wins_once(self, spark, chain, filters):
+        blocks, txns = chain
+        all_rewards = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+        filtered = transforms.build_outputs("filters", blocks, txns, filters)["rewards"]
+        n_all, n_filtered = all_rewards.count(), filtered.count()
+        assert 0 < n_filtered < n_all
+        # a reward matching BOTH an account and a gateway filter appears
+        # exactly once: no row in filtered occurs more often than in the
+        # unfiltered output
+        both = (
+            filtered.groupBy(filtered.columns).count()
+            .join(
+                all_rewards.groupBy(all_rewards.columns).count().withColumnRenamed("count", "base"),
+                on=[c for c in filtered.columns],
+            )
+        )
+        assert both.where(F.col("count") > F.col("base")).count() == 0
+        # filtered ⊆ all (property from SURVEY §5.4)
+        assert filtered.exceptAll(all_rewards).count() == 0
+        # every filtered row matches at least one filter value
+        vals = {r["value"] for r in filters.collect()}
+        for r in filtered.collect():
+            assert r["account"] in vals or r["gateway"] in vals
+
+    def test_unknown_txn_type_fails_batch(self, spark):
+        blocks, txns = fixtures.make_chain(
+            spark, first_block=1000, n_blocks=120, include_unknown_type=True
+        )
+        out = transforms.build_outputs("full", blocks, txns)
+        # count() would let Catalyst prune the validated column entirely;
+        # collect() materializes it, which is what any sink write does.
+        with pytest.raises(Exception, match="unknown transaction type"):
+            out["transactions"].collect()
+
+
+class TestFollower:
+    def test_catch_up_and_cursor(self, spark, chain, tmp_path):
+        blocks, txns = chain
+        cfg = FollowerConfig(mode="rewards", backfill=True, out_dir=str(tmp_path / "out"))
+        f = IncrementalFollower(spark, blocks, txns, cfg)
+        n = f.catch_up()
+        assert n == 120
+        height, first = f.cursor.read()
+        assert first == 1000
+        assert height == 1119  # tip
+        # second pass is a no-op (cursor at tip)
+        assert f.catch_up() == 0
+
+    def test_replay_is_idempotent(self, spark, chain, tmp_path):
+        blocks, txns = chain
+        out_dir = str(tmp_path / "out")
+        cfg = FollowerConfig(mode="rewards", backfill=True, out_dir=out_dir)
+        f = IncrementalFollower(spark, blocks, txns, cfg)
+        f.catch_up()
+        expected = spark.read.parquet(os.path.join(out_dir, "rewards")).count()
+        # simulate crash-after-data-before-cursor: rewind cursor, rerun
+        f.cursor.write(1059, 1000)
+        assert f.catch_up() == 60
+        got = spark.read.parquet(os.path.join(out_dir, "rewards")).count()
+        assert got == expected  # replay replaced, never duplicated
+
+    def test_bounded_batches(self, spark, chain, tmp_path):
+        blocks, txns = chain
+        cfg = FollowerConfig(
+            mode="rewards", backfill=True, out_dir=str(tmp_path / "out"),
+            max_blocks_per_batch=50,
+        )
+        f = IncrementalFollower(spark, blocks, txns, cfg)
+        assert f.run_once() == 50
+        assert f.cursor.read()[0] == 1049
+        assert f.catch_up() == 70
+
+    def test_no_backfill_starts_at_tip(self, spark, chain, tmp_path):
+        blocks, txns = chain
+        cfg = FollowerConfig(mode="rewards", backfill=False, out_dir=str(tmp_path / "out"))
+        f = IncrementalFollower(spark, blocks, txns, cfg)
+        height, first = f.init_cursor()
+        assert first == 1119 and height == 1118  # cursor = first-1
+
+    def test_backfill_discovery(self, spark, chain):
+        blocks, txns = chain
+        assert get_first_block(spark, blocks, txns) == 1000
+        # the literal epoch-hop walk lands at (or before) the first
+        # epoch boundary reachable from the tip
+        oldest = backfill_epoch_walk(blocks, txns, tip=1119)
+        assert oldest <= 1020  # hops rew-1110 → start_epoch 1080 → ... → 1000-ish
+        assert oldest >= 1000
+
+
+class TestStreamingTwin:
+    def test_stream_matches_batch(self, spark, chain, tmp_path):
+        from helium_etl_lite_spark.streaming.ingest import start_block_stream
+
+        blocks, txns = chain
+        # write the block feed as JSON files (the RPC-source analog)
+        feed_dir = str(tmp_path / "feed")
+        blocks.coalesce(4).write.mode("overwrite").json(feed_dir)
+
+        out_dir = str(tmp_path / "stream_out")
+        cfg = FollowerConfig(mode="rewards", out_dir=out_dir)
+        q = start_block_stream(spark, feed_dir, txns, cfg, trigger_once=True)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(os.path.join(out_dir, "rewards"))
+        want = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+        assert got.count() == want.count()
+        assert got.select("block", "account", "gateway", "amount", "type").exceptAll(
+            want.select("block", "account", "gateway", "amount", "type")
+        ).count() == 0
+        # cursor reached the tip
+        cur = CursorStore(spark, os.path.join(out_dir, "_meta", "follower_info")).read()
+        assert cur[0] == 1119
