@@ -1,0 +1,72 @@
+"""Plan-shape regression tests (SURVEY §4, the 100 TB posture):
+pushdown reaches the scan, dims broadcast, aggregates combine map-side,
+row-level pipelines stay inside WholeStageCodegen."""
+
+from __future__ import annotations
+
+from helium_etl_lite_spark import registry
+from helium_etl_lite_spark.plans.explain_tools import (
+    assert_broadcast_join,
+    assert_partial_aggregate,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_whole_stage_codegen,
+    count_shuffles,
+)
+
+registry.load_all()
+
+
+def q(name, spark, sf_dir):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def test_predicate_reaches_parquet_scan(spark, sf_dir):
+    df = q("scan_predicate_pushdown", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = q("scan_projection_pushdown", spark, sf_dir)
+    assert_read_schema_only(df, {"l_orderkey", "l_extendedprice"})
+
+
+def test_filter_query_prunes_and_pushes(spark, sf_dir):
+    df = q("filter_equality", spark, sf_dir)
+    assert_pushed_filter(df, "event_type")
+    assert_read_schema_only(df, {"event_id", "user_id", "event_type"})
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert_broadcast_join(q("join_broadcast_dim", spark, sf_dir))
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = q("join_multiway_star", spark, sf_dir)
+    assert_broadcast_join(df)
+    # the star should shuffle only for the fact-fact joins + final agg,
+    # not once per dimension
+    assert count_shuffles(df) <= 5
+
+
+def test_groupby_has_map_side_combine(spark, sf_dir):
+    df = q("agg_groupby_hash", spark, sf_dir)
+    assert_partial_aggregate(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_semi_join_filters_is_broadcast(spark, sf_dir):
+    from helium_etl_lite_spark.etl import fixtures, transforms
+
+    blocks, txns = fixtures.make_chain(spark, n_blocks=30)
+    filters = fixtures.make_filters(spark)
+    out = transforms.build_outputs("filters", blocks, txns, filters)["rewards"]
+    assert_broadcast_join(out)
+
+
+def test_scalar_pipeline_is_codegen(spark, sf_dir):
+    # row-level function suites must stay in one codegen stage: no
+    # exchanges at all
+    df = q("str_funcs", spark, sf_dir)
+    assert_whole_stage_codegen(df)
+    assert count_shuffles(df) == 0
