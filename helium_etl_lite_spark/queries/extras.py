@@ -1,0 +1,136 @@
+"""Bonus relational coverage beyond the §2.4 checklist: pivot,
+scalar/EXISTS subqueries, additional window functions — operators a
+user of the serving layer (SURVEY §2.2) reaches for next."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_F,
+           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    # pivot = groupBy + pivoted conditional sums; with explicit pivot
+    # values Spark skips the extra distinct-values job (required at
+    # scale — never let pivot scan for its own columns).
+    t = Tables(spark, sf_dir)
+    out = (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.coalesce(F.sum("l_quantity"), F.lit(0.0)))
+    )
+    return out.select(
+        "l_returnflag", F.col("F").alias("qty_F"), F.col("O").alias("qty_O")
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_in_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def subquery_in_exists(spark, sf_dir):
+    # IN + correlated EXISTS — Catalyst rewrites both into semi-joins;
+    # the declarative form stays shuffle-minimal at scale.
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """
+    )
+
+
+@query(
+    "win_cume_dist_nth",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_biggest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_cume_dist_nth(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_biggest"),
+    )
+
+
+@query(
+    "exists_in_block_range",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM events
+    WHERE event_id BETWEEN 100 AND 5000
+    GROUP BY user_id
+    """,
+)
+def exists_in_block_range(spark, sf_dir):
+    # The serving-layer range-scan pattern (rewards_block_idx analog,
+    # reference migrations/V1:11): slice by a monotone key, aggregate.
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.where(F.col("event_id").between(100, 5000))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every query module so registrations run."""
     from .queries import (  # noqa: F401
         aggregates,
+        extras,
         filters,
         joins,
         llm_ops,

@@ -21,6 +21,15 @@ NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 def get_spark(app_name: str = "helium_etl_lite_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Python workers inherit PYTHONPATH from the driver env, not from
+    # runtime sys.path edits — make this package importable on workers
+    # even when the driver script runs from elsewhere.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

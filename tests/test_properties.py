@@ -1,0 +1,98 @@
+"""Property-based tests (SURVEY §5.4): algebraic identities and
+conservation laws checked against independent Python models on
+hypothesis-generated inputs. Example counts are kept small — every
+example is a Spark job."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from helium_etl_lite_spark.etl import fixtures, transforms
+from helium_etl_lite_spark.operators.asof_join import asof_join
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+small_ints = st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=12)
+
+
+class TestSetOpAlgebra:
+    @SETTINGS
+    @given(a=small_ints, b=small_ints)
+    def test_set_ops_match_multiset_model(self, spark, a, b):
+        da = spark.createDataFrame([(x,) for x in a] or [(None,)], "v int").where(
+            F.col("v").isNotNull()
+        )
+        db = spark.createDataFrame([(x,) for x in b] or [(None,)], "v int").where(
+            F.col("v").isNotNull()
+        )
+        assert da.unionByName(db).count() == len(a) + len(b)
+        assert {r["v"] for r in da.union(db).distinct().collect()} == set(a) | set(b)
+        assert {r["v"] for r in da.intersect(db).collect()} == set(a) & set(b)
+        got_except = Counter(r["v"] for r in da.exceptAll(db).collect())
+        assert got_except == Counter(a) - Counter(b)
+
+
+class TestPipelineConservation:
+    @SETTINGS
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def test_explode_conservation_any_seed(self, spark, seed):
+        import json
+
+        blocks, txns = fixtures.make_chain(spark, first_block=500, n_blocks=35, seed=seed)
+        out = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+        expected = sum(
+            len(json.loads(r["fields"])["rewards"])
+            for r in txns.where(F.col("type") == "rewards_v2").collect()
+        )
+        assert out.count() == expected
+
+    @SETTINGS
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def test_filters_output_subset_of_rewards(self, spark, seed):
+        blocks, txns = fixtures.make_chain(spark, first_block=500, n_blocks=35, seed=seed)
+        filters = fixtures.make_filters(spark)
+        full = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+        filt = transforms.build_outputs("filters", blocks, txns, filters)["rewards"]
+        assert filt.exceptAll(full).count() == 0
+
+
+class TestAsofModel:
+    @SETTINGS
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=8
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=8
+        ),
+    )
+    def test_asof_matches_python_model(self, spark, left, right):
+        left_rows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+        right_rows = [(k, ts, i) for i, (k, ts) in enumerate(right)]
+        ldf = spark.createDataFrame(left_rows, "id long, key long, ts long")
+        rdf = spark.createDataFrame(
+            right_rows or [(None, None, None)], "key long, ts long, val long"
+        ).where(F.col("key").isNotNull())
+        out = asof_join(
+            ldf, rdf, left_id="id", left_on="key", right_on="key",
+            left_ts="ts", right_ts="ts", right_tiebreak="val",
+        )
+        got = {r["id"]: r["val"] for r in out.collect()}
+
+        def model(k, ts):
+            cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+            return max(cands)[1] if cands else None
+
+        want = {i: model(k, ts) for i, k, ts in left_rows}
+        assert got == want
+        assert out.count() == len(left_rows)  # exactly one output row per left row
