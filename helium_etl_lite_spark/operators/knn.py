@@ -99,6 +99,90 @@ def hyperplane_lsh_buckets(
     return v.withColumn("bucket", F.concat(*bits)).drop("e")
 
 
+def lloyd_refine(
+    vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One distributed Lloyd iteration: assign every vector to its
+    nearest centroid, then recompute each centroid as the element-wise
+    mean of its members.
+
+    The mean is a posexplode → groupBy(centroid, pos) avg → re-assemble,
+    i.e. two hash aggregations — fully partial-aggregated map-side, no
+    driver-side math, so a 100 TB corpus refines with one shuffle of
+    (n_centroids × dim) partial sums. Returns (centroid_id, embedding).
+    """
+    assigned = assign_nearest_centroid(vectors, centroids, id_col, vec_col)
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e"))
+    members = assigned.select("vec_id", "centroid_id").join(v, "vec_id")
+    dims = members.select("centroid_id", F.posexplode("e").alias("pos", "val"))
+    means = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform("pm", lambda s: s.getField("m")).alias("embedding"),
+        )
+    )
+
+
+def ivf_build(
+    vectors: DataFrame, n_lists: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index: centroids (seeded deterministically from the first
+    `n_lists` ids, refined by one Lloyd pass) + inverted lists — every
+    vector tagged with its `list_id`.
+
+    At 100 TB the inverted-list table is written partitioned by
+    `list_id`, so a probe touches only nprobe/n_lists of the data and
+    candidate generation is an equi-join on the partition key.
+    """
+    seeds = vectors.where(F.col(id_col) < n_lists)
+    cents = lloyd_refine(vectors, seeds, id_col, vec_col)
+    inv = assign_nearest_centroid(
+        vectors,
+        cents.select(F.col("centroid_id").alias(id_col), F.col("embedding").alias(vec_col)),
+        id_col,
+        vec_col,
+    )
+    lists = inv.select("vec_id", F.col("centroid_id").alias("list_id"))
+    return cents, lists
+
+
+def ann_topk_ivf(
+    vectors: DataFrame, queries: DataFrame, k: int, n_lists: int = 8, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF probe: score only vectors whose
+    inverted list is among the query's `nprobe` nearest centroids.
+
+    Scale shape: centroids broadcast (n_lists × dim, tiny); the probe is
+    an equi-join on list_id against a list_id-partitioned table — the
+    cross join of brute force never materializes.
+    """
+    cents, lists = ivf_build(vectors, n_lists, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qe"))
+    qc = q.join(F.broadcast(cents.select("centroid_id", _as_double("embedding").alias("ce"))))
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.round(sq_dist, 6).asc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qe", F.col("centroid_id").alias("list_id"))
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e"))
+    cand = lists.join(F.broadcast(probes), "list_id").where(F.col("vec_id") != F.col("q_id"))
+    scored = cand.join(v, "vec_id").select(
+        "q_id", "vec_id", F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
 def ann_topk_lsh(
     vectors: DataFrame, queries: DataFrame, k: int, n_planes: int = 12, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",

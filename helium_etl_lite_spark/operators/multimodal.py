@@ -63,6 +63,64 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, max_byte long, n_distinct_bytes long"
+)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over the binary payload via
+    Arrow-batched mapInPandas — the shape a real embedding/feature
+    kernel takes (numpy over the raw bytes, one batch at a time,
+    no shuffle; output is a narrow fixed-width row per asset)."""
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [a.size for a in arrs],
+                    "mean_byte": [round(float(a.mean()), 6) if a.size else 0.0 for a in arrs],
+                    "max_byte": [int(a.max()) if a.size else 0 for a in arrs],
+                    "n_distinct_bytes": [int(np.unique(a).size) for a in arrs],
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(features, schema=FEATURES_SCHEMA)
+
+
+def resize_assets(decoded: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFrame:
+    """Fit-in-box resize of the decoded dimensions: pure column
+    arithmetic (no UDF — the geometry math is JVM-side and codegen'd;
+    only the pixel resample itself would need a kernel, which is the
+    STUB part at this container's library surface)."""
+    w = F.greatest(F.col("width"), F.lit(1))
+    h = F.greatest(F.col("height"), F.lit(1))
+    scale = F.least(F.lit(1.0), F.lit(float(max_w)) / w, F.lit(float(max_h)) / h)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(scale, 6).alias("scale"),
+        F.floor(w * scale).cast("long").alias("out_w"),
+        F.floor(h * scale).cast("long").alias("out_h"),
+    )
+
+
+def sample_frames(decoded: DataFrame, every_n: int = 4, fps: float = 24.0) -> DataFrame:
+    """Frame sampling: explode every `every_n`-th frame index of each
+    asset into its own row with a timestamp — the generate/UNNEST shape
+    (SURVEY E5) applied to media. Row count scales with frames kept,
+    not frames decoded; at 100 TB the sampled explode is what keeps the
+    downstream decode cost sublinear in video length."""
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return decoded.select(
+        "doc_id", "n_frames", F.explode(idx).alias("frame_idx")
+    ).withColumn("frame_ts", F.round(F.col("frame_idx") / F.lit(fps), 6))
+
+
 def real_decode_image(payload: bytes):
     """Placeholder for the real decoder; requires PIL which is not in
     this container."""

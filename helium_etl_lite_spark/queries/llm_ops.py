@@ -145,6 +145,15 @@ def vec_ann_lsh(spark, sf_dir):
     return knn.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 5), k=10, n_planes=8)
 
 
+@query("vec_ann_ivf")  # rows-only: approximate by construction (probe subset)
+def vec_ann_ivf(spark, sf_dir):
+    # IVF probe: Lloyd-refined centroids + inverted lists; candidates
+    # come from an equi-join on list_id, never a cross join.
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return knn.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 5), k=10, n_lists=8, nprobe=3)
+
+
 @query(
     "vec_cluster_assign",
     oracle="""
@@ -311,3 +320,71 @@ def multimodal_decode_stub(spark, sf_dir):
     t = Tables(spark, sf_dir)
     assets = multimodal.to_binary_assets(t.documents)
     return multimodal.decode_assets(assets)
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH ch AS (SELECT doc_id,
+                       list_transform(regexp_extract_all(text, '.'), c -> ord(c)) AS codes
+                FROM documents)
+    SELECT doc_id,
+           CAST(len(codes) AS BIGINT) AS n_bytes,
+           round(CAST(list_aggregate(codes, 'sum') AS DOUBLE) / len(codes), 6) AS mean_byte,
+           CAST(list_aggregate(codes, 'max') AS BIGINT) AS max_byte,
+           CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes
+    FROM ch
+    """,
+)
+def multimodal_feature_extract(spark, sf_dir):
+    # Feature kernel over raw bytes (numpy in Arrow batches). The oracle
+    # replays it char-wise in SQL — exact because the corpus is ASCII
+    # (byte == codepoint; verified in tests).
+    t = Tables(spark, sf_dir)
+    return multimodal.extract_features(multimodal.to_binary_assets(t.documents))
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      CAST(length(text) % 640 AS BIGINT) AS width,
+                      CAST((length(text) * 7) % 480 AS BIGINT) AS height
+               FROM documents),
+         s AS (SELECT *,
+                      least(1.0, 320.0 / greatest(width, 1), 240.0 / greatest(height, 1))
+                        AS raw_scale
+               FROM d)
+    SELECT doc_id, width, height,
+           round(raw_scale, 6) AS scale,
+           CAST(floor(greatest(width, 1) * raw_scale) AS BIGINT) AS out_w,
+           CAST(floor(greatest(height, 1) * raw_scale) AS BIGINT) AS out_h
+    FROM s
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    # Geometry is pure column arithmetic (JVM-side, codegen); only the
+    # pixel resample would be a kernel.
+    t = Tables(spark, sf_dir)
+    decoded = multimodal.decode_assets(multimodal.to_binary_assets(t.documents))
+    return multimodal.resize_assets(decoded, max_w=320, max_h=240)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames
+               FROM documents)
+    SELECT doc_id, n_frames,
+           CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx,
+           round(CAST(unnest(generate_series(0, n_frames - 1, 4)) AS DOUBLE) / 24.0, 6)
+             AS frame_ts
+    FROM d
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    # Every-4th-frame sampling as an explode of a sequence (E5 shape on
+    # media metadata).
+    t = Tables(spark, sf_dir)
+    decoded = multimodal.decode_assets(multimodal.to_binary_assets(t.documents))
+    return multimodal.sample_frames(decoded, every_n=4, fps=24.0)

@@ -106,6 +106,27 @@ class TestKnn:
         assert b1 == b2
         assert all(len(v) == 8 for v in b1.values())
 
+    def test_lloyd_refine_moves_centroid_to_member_mean(self, spark, vecs):
+        # seed = vec 0 only → every vector assigns to it → refined
+        # centroid is the mean of all four embeddings.
+        cents = knn.lloyd_refine(vecs, vecs.where(F.col("vec_id") == 0)).collect()
+        assert len(cents) == 1
+        got = cents[0]["embedding"]
+        assert [round(x, 6) for x in got] == [0.225, 0.275, 0.0]
+
+    def test_ivf_probe_finds_true_neighbor(self, spark, vecs):
+        # With every list probed, IVF must agree with brute force.
+        out = knn.ann_topk_ivf(
+            vecs, vecs.where(F.col("vec_id") == 0), k=3, n_lists=2, nprobe=2
+        ).collect()
+        ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rn"])]
+        assert ranked[0] == 1  # nearest neighbor survives the probe
+
+    def test_ivf_lists_cover_all_vectors(self, spark, vecs):
+        _, lists = knn.ivf_build(vecs, n_lists=2)
+        assert lists.count() == vecs.count()
+        assert lists.select("vec_id").distinct().count() == vecs.count()
+
 
 class TestText:
     def test_quality_features(self, spark, docs):
@@ -139,3 +160,31 @@ class TestMultimodal:
     def test_real_decoder_is_stubbed(self):
         with pytest.raises(NotImplementedError):
             multimodal.real_decode_image(b"xx")
+
+    def test_feature_extract_byte_stats(self, spark, docs):
+        feats = {r["doc_id"]: r for r in
+                 multimodal.extract_features(multimodal.to_binary_assets(docs)).collect()}
+        text = "the quick brown fox"
+        assert feats[1]["n_bytes"] == len(text)
+        assert feats[1]["mean_byte"] == round(sum(text.encode()) / len(text), 6)
+        assert feats[1]["max_byte"] == max(text.encode())
+        assert feats[1]["n_distinct_bytes"] == len(set(text.encode()))
+
+    def test_resize_fits_box_and_preserves_aspect(self, spark):
+        decoded = spark.createDataFrame(
+            [(1, 640, 480), (2, 100, 50), (3, 0, 0)],
+            "doc_id long, width long, height long",
+        )
+        out = {r["doc_id"]: r for r in multimodal.resize_assets(decoded, 320, 240).collect()}
+        assert (out[1]["out_w"], out[1]["out_h"]) == (320, 240)   # downscale 0.5
+        assert (out[2]["out_w"], out[2]["out_h"]) == (100, 50)    # no upscale
+        assert out[3]["out_w"] >= 0                               # zero dims safe
+
+    def test_frame_sample_strides(self, spark):
+        decoded = spark.createDataFrame([(1, 9), (2, 1)], "doc_id long, n_frames long")
+        out = multimodal.sample_frames(decoded, every_n=4).collect()
+        by_doc: dict[int, list[int]] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert sorted(by_doc[1]) == [0, 4, 8]
+        assert sorted(by_doc[2]) == [0]
