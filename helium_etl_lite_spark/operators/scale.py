@@ -1,0 +1,142 @@
+"""Scale techniques: skew-salted joins, binned range joins, bucketed
+co-located joins.
+
+These are the three shuffle-shaping tools a 100 TB deployment reaches
+for when the default plans degrade (SURVEY §7 "100 TB posture"):
+
+- **Salting** — a hot key (one gateway earning most rewards, one user
+  emitting most events) funnels a whole shuffle partition to one task.
+  Salting splits the hot key across `n_salts` sub-partitions and
+  replicates the other side per salt. AQE's skew-join handles moderate
+  skew automatically; salting is the explicit fix when a single key
+  exceeds what one task can hold.
+
+- **Binned range join** — Spark executes a pure range predicate as a
+  broadcast nested-loop join (O(N·M) comparisons). Bucketing both
+  sides into coarse bins turns it into an equi-join on bin id (hash
+  shuffle, then a cheap residual filter) — the standard interval-join
+  strategy, and the same trick Databricks' range-join hint applies.
+
+- **Bucketed tables** — pre-shuffling both fact tables into the same
+  bucket layout on the join key makes every future join on that key
+  shuffle-free (scan → sort-merge join with zero Exchange). This is
+  the parquet/bucketBy analog of the reference's B-tree indexes
+  (migrations/V1:11-12): pay the layout cost once at write time,
+  query it forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to a skewed `key` distribution on `skewed`.
+
+    The skewed side gets a deterministic per-row salt (xxhash64 of the
+    whole row — no RNG, so retried tasks re-salt identically); `other`
+    is replicated once per salt value. The join key becomes
+    (key, salt): the hot key now spreads over `n_salts` reducers.
+    Result is exactly the plain join — salting only reshapes the
+    shuffle. Output keeps `skewed`'s join column.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumnRenamed(key, f"__{key}_r")
+    joined = left.join(
+        right,
+        (left[key] == right[f"__{key}_r"]) & (left["__salt"] == right["__salt"]),
+        how,
+    )
+    return joined.drop("__salt", f"__{key}_r")
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to right intervals with
+    `right_lo <= left_point <= right_hi`, as an equi-join on bin ids.
+
+    Each interval is exploded over the bins it overlaps
+    (floor(lo/w) … floor(hi/w)); each point lands in exactly one bin;
+    the residual BETWEEN filter removes false candidates within the
+    bin. Cost moves from O(N·M) nested-loop comparisons to a hash
+    shuffle on bin id + O(candidates). Choose `bin_width` near the
+    typical interval length so intervals explode into O(1) bins.
+
+    `left_point`, `right_lo`, `right_hi` must be numeric (cast
+    timestamps to epoch seconds first).
+    """
+    lbin = F.floor(F.col(left_point) / F.lit(bin_width))
+    rbins = F.sequence(
+        F.floor(F.col(right_lo) / F.lit(bin_width)),
+        F.floor(F.col(right_hi) / F.lit(bin_width)),
+    )
+    lf = left.withColumn("__bin", lbin)
+    rf = right.withColumn("__bin", F.explode(rbins))
+    out = lf.join(rf, "__bin", how).where(
+        F.col(left_point).between(F.col(right_lo), F.col(right_hi))
+    )
+    return out.drop("__bin")
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Persist `df` bucketed+sorted by `key` (the pay-once layout), and
+    return the re-read table. Joins between tables bucketed the same
+    way on `key` plan with no Exchange on either side."""
+    # The in-memory catalog forgets tables between sessions but their
+    # warehouse directories survive; clear both or saveAsTable raises
+    # LOCATION_ALREADY_EXISTS.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int = 8,
+    name_prefix: str = "bkt",
+) -> DataFrame:
+    """Write both sides bucketed on `key`, join the bucketed tables.
+    The join itself is shuffle-free; tests assert zero Exchange."""
+    lt = write_bucketed(spark, left, f"{name_prefix}_l", key, n_buckets)
+    rt = write_bucketed(spark, right, f"{name_prefix}_r", key, n_buckets)
+    # merge hint: a small side would otherwise win a broadcast join,
+    # which hides the property under test — bucketed SMJ needs neither
+    # a shuffle nor a broadcast.
+    return lt.join(rt.hint("merge"), key)

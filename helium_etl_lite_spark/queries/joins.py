@@ -248,3 +248,73 @@ def join_multiway_star(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(o_totalprice), 2) AS order_total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    # Salted fact-fact join: same result as the plain equi-join (the
+    # oracle IS the plain join) — salting only reshapes the shuffle so
+    # a hot orderkey spreads over n_salts reducers.
+    from ..operators.scale import salted_join
+
+    t = Tables(spark, sf_dir)
+    joined = salted_join(
+        t.lineitem.withColumnRenamed("l_orderkey", "okey"),
+        t.orders.withColumnRenamed("o_orderkey", "okey"),
+        "okey",
+        n_salts=8,
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+    )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           COUNT(*) AS n_in_window,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    # Interval join (all events within the hour after each signup),
+    # executed as an equi-join on coarse time bins + residual BETWEEN —
+    # the scale path for range predicates (the naive plan is a
+    # broadcast nested-loop join).
+    from ..operators.scale import binned_range_join
+
+    t = Tables(spark, sf_dir)
+    # full-precision epoch seconds (unix_timestamp would truncate the
+    # microseconds the oracle compares at)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    ev = t.events.select("user_id", epoch("ts").alias("pt"))
+    windows = (
+        t.events.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            epoch("ts").alias("lo"),
+            (epoch("ts") + F.lit(3600.0)).alias("hi"),
+        )
+    )
+    pairs = binned_range_join(ev, windows, "pt", "lo", "hi", bin_width=3600.0)
+    return pairs.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

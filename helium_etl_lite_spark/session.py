@@ -42,6 +42,12 @@ def get_spark(app_name: str = "helium_etl_lite_spark", cpus: int | None = None) 
         .config(NANOS_AS_LONG, "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # saveAsTable targets (bucketed layouts) land outside the repo;
+        # static conf, so it only applies to sessions this factory creates.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/helium_spark_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,89 @@
+"""Scale-technique operators (operators/scale.py): salted skew join,
+binned range join, bucketed co-located join. Each must be result-
+equivalent to its naive counterpart; bucketing must also remove the
+shuffle from the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_etl_lite_spark.operators import scale
+from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+
+@pytest.fixture()
+def facts(spark):
+    # key 1 is hot: 6 of 8 rows.
+    rows = [(1, i * 1.0) for i in range(6)] + [(2, 10.0), (3, 20.0)]
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, name string")
+
+
+class TestSaltedJoin:
+    def test_matches_plain_inner_join(self, spark, facts, dim):
+        plain = sorted((r["k"], r["v"], r["name"]) for r in facts.join(dim, "k").collect())
+        salted = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in scale.salted_join(facts, dim, "k", n_salts=4).collect()
+        )
+        assert salted == plain and len(salted) == 7
+
+    def test_left_join_keeps_unmatched(self, spark, facts, dim):
+        out = scale.salted_join(facts, dim, "k", n_salts=4, how="left")
+        assert out.count() == facts.count()
+        assert out.where(F.col("name").isNull()).select("k").distinct().collect()[0]["k"] == 3
+
+    def test_no_duplicate_rows_from_replication(self, spark, facts, dim):
+        # Each fact row must match its dim row exactly once despite the
+        # dim side being exploded n_salts times.
+        out = scale.salted_join(facts, dim, "k", n_salts=8)
+        assert out.where(F.col("k") == 2).count() == 1
+
+
+class TestBinnedRangeJoin:
+    @pytest.fixture()
+    def points(self, spark):
+        return spark.createDataFrame([(i, float(i)) for i in range(20)], "pid long, pt double")
+
+    @pytest.fixture()
+    def intervals(self, spark):
+        # spans bin boundaries (width 5): [3,7], [4,4], [15,19], [30,40]
+        rows = [(100, 3.0, 7.0), (200, 4.0, 4.0), (300, 15.0, 19.0), (400, 30.0, 40.0)]
+        return spark.createDataFrame(rows, "iid long, lo double, hi double")
+
+    def test_matches_theta_join(self, spark, points, intervals):
+        theta = sorted(
+            (r["pid"], r["iid"])
+            for r in points.join(
+                intervals, (F.col("pt") >= F.col("lo")) & (F.col("pt") <= F.col("hi"))
+            ).collect()
+        )
+        binned = sorted(
+            (r["pid"], r["iid"])
+            for r in scale.binned_range_join(
+                points, intervals, "pt", "lo", "hi", bin_width=5.0
+            ).collect()
+        )
+        assert binned == theta
+        assert len(binned) > 0
+
+    def test_interval_spanning_many_bins(self, spark, points, intervals):
+        out = scale.binned_range_join(points, intervals, "pt", "lo", "hi", bin_width=2.0)
+        got = {(r["pid"], r["iid"]) for r in out.collect()}
+        assert (15, 300) in got and (19, 300) in got  # whole [15,19] covered
+
+
+class TestBucketedJoin:
+    def test_join_is_shuffle_free_and_correct(self, spark, facts, dim):
+        out = scale.bucketed_join(spark, facts, dim, "k", n_buckets=4, name_prefix="t_bkt")
+        plan = formatted_plan(out)
+        assert "Exchange" not in plan, plan
+        got = sorted((r["k"], r["name"]) for r in out.select("k", "name").collect())
+        assert got == sorted(
+            (r["k"], r["name"]) for r in facts.join(dim, "k").select("k", "name").collect()
+        )
