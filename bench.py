@@ -42,9 +42,13 @@ def main():
     registry.load_all()
     spark = get_spark("bench")
     try:
-        # warm the JVM + parquet footers so per-query times measure the
-        # query, not session startup.
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        # warm the JVM + parquet footers of every input so per-query
+        # times measure the query, not session startup / first-touch IO.
+        for table in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
 
         timings: dict[str, float] = {}
         for name in HEADLINE:

@@ -17,7 +17,7 @@ bit_count) — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,9 +152,13 @@ def minhash_dedup_assign(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    bucket_min = band_rows.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_min"))
+    # Per-bucket min as a window, not agg+self-join: the self-join form
+    # recomputes the whole signature subtree for both sides; the window
+    # computes bucket_min in the same pass with one shuffle on
+    # (band, bucket).
+    wb = Window.partitionBy("band", "bucket")
     candidate_keeper = (
-        band_rows.join(bucket_min, ["band", "bucket"])
+        band_rows.withColumn("bucket_min", F.min(id_col).over(wb))
         .groupBy(id_col)
         .agg(F.min("bucket_min").alias("cand_keeper"))
     )

@@ -63,9 +63,10 @@ def join_broadcast_dim(spark, sf_dir):
 )
 def join_sortmerge_large(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    # Two large sides: Spark shuffles both on the key (sort-merge or
-    # shuffled-hash under AQE). Filter applied pre-join so less shuffles.
-    o = t.orders.where(F.col("o_orderstatus") == "O")
+    # Two large sides: both shuffle on the key. The merge hint pins the
+    # strategy this query declares (at test scale the filtered orders
+    # side would fit under the broadcast ceiling and hide the SMJ).
+    o = t.orders.where(F.col("o_orderstatus") == "O").hint("merge")
     return t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderdate", "o_totalprice"
     )

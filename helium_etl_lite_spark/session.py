@@ -37,6 +37,12 @@ def get_spark(app_name: str = "helium_etl_lite_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64 MB broadcast ceiling: a dimension table this size is still a
+        # cheap one-time transfer per executor at cluster scale, and it
+        # keeps mid-size dims (orders-scale) off the shuffle path. Facts
+        # beyond it still sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(NANOS_AS_LONG, "true")
