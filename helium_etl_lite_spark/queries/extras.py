@@ -134,3 +134,45 @@ def exists_in_block_range(spark, sf_dir):
             F.max("event_id").alias("last_event"),
         )
     )
+
+
+@query(
+    "rollup_time_hypertable",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS bucket_hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+      (date_trunc('day', ts), event_type)
+    )
+    """,
+)
+def rollup_time_hypertable(spark, sf_dir):
+    # Hypertable-style continuous aggregate: the same fact stream rolled
+    # up at hour and day granularity in one pass (grouping sets → one
+    # shuffle, partial aggs map-side). At 100 TB this materializes
+    # incrementally per time partition; the shape is identical.
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT date_trunc('DAY', ts) AS bucket_day,
+               CASE WHEN GROUPING(date_trunc('HOUR', ts)) = 0
+                    THEN date_trunc('HOUR', ts) END AS bucket_hour,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_trunc('DAY', ts), date_trunc('HOUR', ts), event_type),
+          (date_trunc('DAY', ts), event_type)
+        )
+        """
+    )
