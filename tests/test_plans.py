@@ -70,3 +70,20 @@ def test_scalar_pipeline_is_codegen(spark, sf_dir):
     df = q("str_funcs", spark, sf_dir)
     assert_whole_stage_codegen(df)
     assert count_shuffles(df) == 0
+
+
+def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
+    # The whole point of the bin trick: the interval predicate must ride
+    # an equi-join on __bin, not a BroadcastNestedLoopJoin.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_range_binned", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_skew_salted", spark, sf_dir))
+    assert "__salt" in plan  # the join runs on (key, salt)
