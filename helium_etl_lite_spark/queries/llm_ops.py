@@ -388,3 +388,95 @@ def multimodal_frame_sample(spark, sf_dir):
     t = Tables(spark, sf_dir)
     decoded = multimodal.decode_assets(multimodal.to_binary_assets(t.documents))
     return multimodal.sample_frames(decoded, every_n=4, fps=24.0)
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+         df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    # TF-IDF end-to-end as pure built-ins: one explode, two hash aggs,
+    # a broadcast join on the (small) vocabulary, a scalar doc count.
+    # At 100 TB the df table is vocabulary-sized — always the broadcast
+    # side; the token explode never re-shuffles the corpus twice.
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.count()  # scalar; one tiny job, not per-row
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+
+
+@query(
+    "sessionize_gap30",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap30(spark, sf_dir):
+    # Gap-based sessionization (30-min inactivity closes a session):
+    # lag → new-session flag → running sum = session id → per-session
+    # agg. Exact-oracle twin of the rows-only session_window query; the
+    # same two window passes shuffle once on user_id.
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    marked = t.events.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+            )
+            <= 1800.0,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(wrun))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -87,3 +87,27 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
 
     plan = formatted_plan(q("join_skew_salted", spark, sf_dir))
     assert "__salt" in plan  # the join runs on (key, salt)
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
+    # The at-scale layout: facts partitioned by a coarse key. A literal
+    # predicate must prune partitions at planning time; a selective dim
+    # filter must prune them at runtime (DPP), not after the scan.
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+    from helium_etl_lite_spark.tables import load_table
+
+    part_dir = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(part_dir)
+    part = spark.read.parquet(part_dir)
+
+    static = part.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = formatted_plan(static)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+    dim = spark.createDataFrame([("F", "final")], "o_orderstatus string, label string")
+    dyn = part.join(dim.where(F.col("label") == "final"), "o_orderstatus")
+    dplan = formatted_plan(dyn)
+    assert "dynamicpruning" in dplan.lower(), dplan
