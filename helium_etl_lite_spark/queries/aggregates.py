@@ -272,3 +272,17 @@ def agg_partial_final(spark, sf_dir):
         F.sum("qty").alias("total_qty"),
         F.min("cnt").alias("min_cnt"),
     )
+
+
+@query("agg_percentile_approx")  # rows-only: t-digest-style sketch is engine-specific
+def agg_percentile_approx(spark, sf_dir):
+    # Quantile sketch: fixed memory per group, mergeable across
+    # partitions — the scale path where exact percentile would sort
+    # every group. Accuracy knob = max relative error inverse.
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

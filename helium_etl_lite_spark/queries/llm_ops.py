@@ -480,3 +480,19 @@ def sessionize_gap30(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query("sample_split_train_test")  # rows-only: split hash (xxhash64) is engine-specific
+def sample_split_train_test(spark, sf_dir):
+    # Deterministic corpus split: bucket = xxhash64(doc_id, salt) mod 100
+    # → 90/10 train/test. Stable across runs, partitionings and
+    # cluster sizes (pure function of the key — no RNG state), so the
+    # same doc never migrates between splits as the corpus grows.
+    t = Tables(spark, sf_dir)
+    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(100))
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )

@@ -188,3 +188,18 @@ class TestMultimodal:
             by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
         assert sorted(by_doc[1]) == [0, 4, 8]
         assert sorted(by_doc[2]) == [0]
+
+
+class TestSplit:
+    def test_train_test_split_deterministic_and_partition_invariant(self, spark, sf_dir):
+        from helium_etl_lite_spark.registry import QUERIES, load_all
+
+        load_all()
+        fn = QUERIES["sample_split_train_test"]
+        a = {(r["doc_id"], r["split"]) for r in fn(spark, sf_dir).collect()}
+        b = {(r["doc_id"], r["split"])
+             for r in fn(spark, sf_dir).repartition(13).collect()}
+        assert a == b                      # pure function of the key
+        n = len(a)
+        n_train = sum(1 for _, s in a if s == "train")
+        assert 0.8 * n <= n_train <= 0.97 * n   # ~90% within hash tolerance
