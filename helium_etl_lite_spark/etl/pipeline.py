@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +37,59 @@ from .transforms import build_outputs
 # block ranges ONLY if batch boundaries are aligned to range boundaries
 # (the replay unit must cover whole partitions), or use a Delta/Iceberg
 # MERGE keyed on (block, hash) instead.
+
+
+def write_block_range_idempotent(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    lo: int,
+    hi: int,
+    range_size: int = 1000,
+) -> None:
+    """Idempotently land the batch's [lo, hi] block slice into a table
+    partitioned by coarse `block_range` (block // range_size).
+
+    Per-BLOCK partitioning would mean one directory per block — millions
+    of tiny partitions at chain scale, a filesystem-metadata bottleneck
+    (observed 20× slowdown in tools/bench_etl.py). Coarse ranges keep
+    partition count bounded; idempotence across partial-range replays is
+    preserved by read-merge-write: rows of the touched ranges that lie
+    OUTSIDE [lo, hi] are carried over, rows inside are replaced wholesale.
+    Replaying any slice therefore converges to the same table (the
+    reference's per-block BEGIN..COMMIT, src/follower.rs:100, at range
+    granularity). Multi-partition overwrite is not atomic on plain
+    parquet — a transactional table format (Delta/Iceberg) upgrades that
+    without changing this dataflow.
+    """
+    r_lo, r_hi = lo // range_size, hi // range_size
+    new = df.withColumn(
+        "block_range", F.floor(F.col("block") / F.lit(range_size)).cast("long")
+    )
+    try:
+        old = (
+            spark.read.parquet(path)
+            .where(
+                F.col("block_range").between(r_lo, r_hi)
+                & ~F.col("block").between(lo, hi)
+            )
+            .withColumn("block_range", F.col("block_range").cast("long"))
+            .select(*new.columns)
+            # materialize before the overwrite below deletes the files
+            # this plan reads (write-into-own-source); the sliver is at
+            # most two partial ranges, so this stays small.
+            .localCheckpoint(eager=True)
+        )
+        merged = new.unionByName(old)
+    except AnalysisException:
+        merged = new  # first write; nothing to merge
+    (
+        merged.repartition("block_range")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("block_range")
+        .parquet(path)
+    )
 
 
 class CursorStore:
@@ -69,6 +123,7 @@ class FollowerConfig:
     backfill: bool = False
     out_dir: str = "/tmp/helium_out"
     max_blocks_per_batch: int | None = None  # None = whole lag in one job
+    block_range_size: int = 1000   # blocks per output partition directory
 
 
 class IncrementalFollower:
@@ -144,27 +199,24 @@ class IncrementalFollower:
         blocks = self.blocks.where(F.col("height").between(lo, hi))
         out = build_outputs(self.config.mode, blocks, self.txns, self.filters)
 
-        # Idempotent per-block overwrite (dynamic partition overwrite):
-        # replaying any range replaces exactly those blocks' partitions.
-        (
-            out["rewards"]
-            .repartition("block")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("block")
-            .parquet(os.path.join(self.config.out_dir, "rewards"))
+        write_block_range_idempotent(
+            self.spark,
+            out["rewards"],
+            os.path.join(self.config.out_dir, "rewards"),
+            lo,
+            hi,
+            self.config.block_range_size,
         )
         if "transactions" in out:
             # PK(hash) idempotence (migrations/V3:43): dedup within the
-            # batch, dynamic-overwrite the block partitions.
-            (
-                out["transactions"]
-                .dropDuplicates(["hash"])
-                .repartition("block")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("block")
-                .parquet(os.path.join(self.config.out_dir, "transactions"))
+            # batch before the idempotent range write.
+            write_block_range_idempotent(
+                self.spark,
+                out["transactions"].dropDuplicates(["hash"]),
+                os.path.join(self.config.out_dir, "transactions"),
+                lo,
+                hi,
+                self.config.block_range_size,
             )
 
 

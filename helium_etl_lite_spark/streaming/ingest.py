@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..etl.pipeline import CursorStore, FollowerConfig
+from ..etl.pipeline import CursorStore, FollowerConfig, write_block_range_idempotent
 from ..etl.schemas import BLOCK_SCHEMA
 from ..etl.transforms import build_outputs
 
@@ -49,28 +49,30 @@ def start_block_stream(
         if batch_blocks.isEmpty():
             return
         out = build_outputs(config.mode, batch_blocks, txns, filters)
-        # Per-block dynamic overwrite = idempotent micro-batch replay
-        # (see etl/pipeline.py for the partition-granularity rationale).
-        (
-            out["rewards"]
-            .repartition("block")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("block")
-            .parquet(os.path.join(config.out_dir, "rewards"))
+        # Idempotent block-range write = micro-batch replay converges
+        # (see write_block_range_idempotent for the granularity rationale).
+        bounds = batch_blocks.agg(
+            F.min("height").alias("lo"), F.max("height").alias("hi")
+        ).collect()[0]
+        lo, tip = bounds["lo"], bounds["hi"]
+        write_block_range_idempotent(
+            spark,
+            out["rewards"],
+            os.path.join(config.out_dir, "rewards"),
+            lo,
+            tip,
+            config.block_range_size,
         )
         if "transactions" in out:
-            (
-                out["transactions"]
-                .dropDuplicates(["hash"])
-                .repartition("block")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("block")
-                .parquet(os.path.join(config.out_dir, "transactions"))
+            write_block_range_idempotent(
+                spark,
+                out["transactions"].dropDuplicates(["hash"]),
+                os.path.join(config.out_dir, "transactions"),
+                lo,
+                tip,
+                config.block_range_size,
             )
         # cursor bump after data is durable (E18)
-        tip = batch_blocks.agg(F.max("height")).collect()[0][0]
         prev = cursor.read()
         first_block = prev[1] if prev else tip
         if prev is None or tip > prev[0]:
