@@ -283,3 +283,55 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node's label converges to the smallest node id reachable from
+    it. Returns (id, component).
+
+    The loop is driver-side control only — each iteration is one
+    distributed join + aggregate, and lineage is truncated with
+    localCheckpoint so the plan does not grow with iterations (the
+    standard Spark iterative-algorithm pattern; at 100 TB the same loop
+    runs with checkpoint dirs on durable storage). Iterations needed =
+    graph diameter; near-dup clusters are shallow, so convergence is
+    fast and checked each round with one count.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    undirected = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        undirected.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # each node proposes its label to every neighbor; keep the min
+        # of (own label, best proposal)
+        proposals = (
+            undirected.join(labels, undirected["a"] == labels["id"])
+            .select(F.col("b").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(proposals)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

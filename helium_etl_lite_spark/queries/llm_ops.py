@@ -496,3 +496,38 @@ def sample_split_train_test(spark, sf_dir):
         bucket.alias("bucket"),
         F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE
+      t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+                   AS jaccard
+          FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.85),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    # Transitive closure of the near-dup graph: LSH/Jaccard pairs catch
+    # A~B and B~C, but a dedup keeper must unify {A,B,C}. Iterative
+    # min-label propagation (driver-controlled loop, lineage truncated
+    # per round) — the oracle replays it as a recursive CTE.
+    t = Tables(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(t.documents, block_col="lang", threshold=0.85)
+    comp = dedup.connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    return comp.select("id", "component")

@@ -203,3 +203,25 @@ class TestSplit:
         n = len(a)
         n_train = sum(1 for _, s in a if s == "train")
         assert 0.8 * n <= n_train <= 0.97 * n   # ~90% within hash tolerance
+
+
+class TestConnectedComponents:
+    def test_chain_and_island_merge(self, spark):
+        # chain 1-2-3 plus island 10-11: closure must unify the chain
+        # even though (1,3) is not an edge.
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = dedup.connected_components(edges, "doc_a", "doc_b")
+        got = {r["id"]: r["component"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_path_converges(self, spark):
+        # path of length 12 → needs ~log rounds of propagation, well
+        # under max_iter; min label must reach the far end.
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+        )
+        out = dedup.connected_components(edges, "doc_a", "doc_b")
+        comps = {r["component"] for r in out.collect()}
+        assert comps == {0}
