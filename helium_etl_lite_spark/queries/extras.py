@@ -176,3 +176,45 @@ def rollup_time_hypertable(spark, sf_dir):
         )
         """
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    # wide → long reshape; Spark's UNPIVOT is a single Expand node (one
+    # scan), where the naive UNION ALL form scans the fact three times.
+    t = Tables(spark, sf_dir)
+    return t.lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    # Spark 4 VariantType: parse once into a binary variant, extract
+    # typed fields without re-parsing text per access — the open-schema
+    # `fields` column (reference migrations/V3:41) at scale.
+    t = Tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long").alias("k_val"),
+    )
