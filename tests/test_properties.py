@@ -96,3 +96,58 @@ class TestAsofModel:
         want = {i: model(k, ts) for i, k, ts in left_rows}
         assert got == want
         assert out.count() == len(left_rows)  # exactly one output row per left row
+
+
+class TestScaleOpEquivalence:
+    @SETTINGS
+    @given(
+        facts=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=20
+        ),
+        dims=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+        n_salts=st.integers(1, 6),
+    )
+    def test_salted_join_equals_plain_join(self, spark, facts, dims, n_salts):
+        from helium_etl_lite_spark.operators.scale import salted_join
+
+        f = spark.createDataFrame(facts or [(None, None)], "k int, v int").where(
+            F.col("k").isNotNull()
+        )
+        d = spark.createDataFrame([(k, k * 10) for k in dims] or [(None, None)],
+                                  "k int, w int").where(F.col("k").isNotNull())
+        plain = sorted((r["k"], r["v"], r["w"]) for r in f.join(d, "k").collect())
+        salted = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(f, d, "k", n_salts=n_salts).collect()
+        )
+        assert salted == plain
+
+    @SETTINGS
+    @given(
+        points=st.lists(st.integers(0, 50), min_size=0, max_size=15),
+        intervals=st.lists(
+            st.tuples(st.integers(0, 50), st.integers(0, 20)), min_size=0, max_size=8
+        ),
+        bin_width=st.sampled_from([1.0, 3.0, 7.0, 100.0]),
+    )
+    def test_binned_range_join_equals_theta_join(self, spark, points, intervals, bin_width):
+        from helium_etl_lite_spark.operators.scale import binned_range_join
+
+        p = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(points)] or [(None, None)],
+            "pid int, pt double",
+        ).where(F.col("pid").isNotNull())
+        iv = spark.createDataFrame(
+            [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(intervals)]
+            or [(None, None, None)],
+            "iid int, lo double, hi double",
+        ).where(F.col("iid").isNotNull())
+        theta = sorted(
+            (r["pid"], r["iid"])
+            for r in p.join(iv, (F.col("pt") >= F.col("lo")) & (F.col("pt") <= F.col("hi"))).collect()
+        )
+        binned = sorted(
+            (r["pid"], r["iid"])
+            for r in binned_range_join(p, iv, "pt", "lo", "hi", bin_width).collect()
+        )
+        assert binned == theta
