@@ -46,7 +46,15 @@ def salted_join(
     (key, salt): the hot key now spreads over `n_salts` reducers.
     Result is exactly the plain join — salting only reshapes the
     shuffle. Output keeps `skewed`'s join column.
+
+    Only left-shaped joins are valid: the replicated `other` side means
+    right/full outer would emit each unmatched right row once PER SALT.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}; "
+            "an outer right side would duplicate unmatched rows per salt"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(

@@ -87,3 +87,10 @@ class TestBucketedJoin:
         assert got == sorted(
             (r["k"], r["name"]) for r in facts.join(dim, "k").select("k", "name").collect()
         )
+
+
+def test_salted_join_rejects_right_outer(spark):
+    f = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    d = spark.createDataFrame([(1, "a")], "k long, name string")
+    with pytest.raises(ValueError, match="per salt"):
+        scale.salted_join(f, d, "k", how="right")
