@@ -202,13 +202,15 @@ def join_cross(spark, sf_dir):
     """,
 )
 def join_asof_event_order(spark, sf_dir):
-    # As-of join: latest order at-or-before each event, per user
-    # (operators/asof_join.py).
+    # As-of join: latest order at-or-before each event, per user. The
+    # merge variant (union + sort + carry-forward) — O(L+R) rows, one
+    # shuffle, no per-key pair blowup (operators/asof_join.py).
+    from ..operators.asof_join import asof_join_union
+
     t = Tables(spark, sf_dir)
-    out = asof_join(
+    out = asof_join_union(
         t.events.select("event_id", "ts", "user_id"),
         t.orders.select("o_custkey", "o_orderkey", "o_orderdate"),
-        left_id="event_id",
         left_on="user_id",
         right_on="o_custkey",
         left_ts="ts",

@@ -225,3 +225,37 @@ class TestConnectedComponents:
         out = dedup.connected_components(edges, "doc_a", "doc_b")
         comps = {r["component"] for r in out.collect()}
         assert comps == {0}
+
+
+class TestAsofJoinUnion:
+    def test_matches_pairwise_variant(self, spark):
+        from helium_etl_lite_spark.operators.asof_join import asof_join_union
+
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 20, 150), (4, 30, 50)],
+            "id long, key long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(10, 90, 7), (10, 200, 8), (10, 205, 9), (20, 160, 10)],
+            "key long, ts long, val long",
+        )
+        out = asof_join_union(
+            left, right, left_on="key", right_on="key",
+            left_ts="ts", right_ts="ts", right_tiebreak="val",
+        ).collect()
+        got = {r["id"]: r["val"] for r in out}
+        assert got == {1: 7, 2: 9, 3: None, 4: None}
+        assert len(out) == 4  # left-outer: every left row exactly once
+
+    def test_tiebreak_picks_max(self, spark):
+        from helium_etl_lite_spark.operators.asof_join import asof_join_union
+
+        left = spark.createDataFrame([(1, 10, 100)], "id long, key long, ts long")
+        right = spark.createDataFrame(
+            [(10, 100, 1), (10, 100, 2)], "key long, ts long, val long"
+        )
+        out = asof_join_union(
+            left, right, left_on="key", right_on="key",
+            left_ts="ts", right_ts="ts", right_tiebreak="val",
+        ).collect()
+        assert len(out) == 1 and out[0]["val"] == 2
