@@ -100,3 +100,49 @@ class TestStatefulStreaming:
         assert latest[1] == (3, 7.0)   # state carried across micro-batches
         assert latest[2] == (1, 5.0)
         assert latest[3] == (1, 7.0)
+
+
+class TestStreamingWindows:
+    def test_tumbling_window_stream_matches_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, i % 3, 30), float(i)) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        feed = str(tmp_path / "wfeed")
+        df.coalesce(2).write.mode("overwrite").json(feed)
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_agg")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # complete mode keeps every window's latest state; with no
+        # late data the streaming result must equal the batch aggregate
+        # (append-mode emission timing is covered by the ingest twin).
+        got = {
+            (r["w"]["start"], r["n"], r["total"])
+            for r in spark.sql("SELECT * FROM win_agg").collect()
+        }
+        want = {
+            (r["w"]["start"], r["n"], r["total"])
+            for r in df.groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got == want
