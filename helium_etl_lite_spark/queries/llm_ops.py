@@ -531,3 +531,52 @@ def dedup_cluster_components(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(t.documents, block_col="lang", threshold=0.85)
     comp = dedup.connected_components(pairs, src_col="doc_a", dst_col="doc_b")
     return comp.select("id", "component")
+
+
+@query(
+    "sample_balance_buckets",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+      FROM documents)
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           MIN(doc_id) AS sample_doc
+    FROM scored GROUP BY lang, decile
+    """,
+)
+def sample_balance_buckets(spark, sf_dir):
+    # Curriculum/balancing prep: bucket the corpus into global length
+    # deciles, count per (lang, decile) cell — the table a balanced
+    # sampler draws from. ntile is a single global sort; at 100 TB the
+    # same cut-points come from approx quantiles instead.
+    t = Tables(spark, sf_dir)
+    w = W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    scored = t.documents.select(
+        "doc_id", "lang", F.ntile(10).over(w).alias("decile")
+    )
+    return scored.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("sample_doc"),
+    )
+
+
+@query("vec_kmeans")  # rows-only: iterative refinement, not SQL-expressible
+def vec_kmeans(spark, sf_dir):
+    # Full distributed k-means: deterministic seeds, 3 Lloyd rounds
+    # (assign → element-wise mean re-center), final assignment stats.
+    # Each round is two hash aggregations; nothing iterates per-row in
+    # Python and lineage stays flat (operators/knn.py lloyd_refine).
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    cents = emb.where(F.col("vec_id") < 8)
+    for _ in range(3):
+        refined = knn.lloyd_refine(emb, cents)
+        cents = refined.select(
+            F.col("centroid_id").alias("vec_id"), F.col("embedding")
+        ).localCheckpoint(eager=True)
+    assigned = knn.assign_nearest_centroid(emb, cents)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("sq_dist"), 3).alias("inertia"),
+    )
