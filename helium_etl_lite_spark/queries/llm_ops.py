@@ -580,3 +580,94 @@ def vec_kmeans(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.sum("sq_dist"), 3).alias("inertia"),
     )
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS clean_text,
+           length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS clean_len
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark, sf_dir):
+    # Canonical cleaning pass (case-fold, trim, collapse runs of
+    # spaces) — the normalization step before hashing/dedup. Pure
+    # built-in string kernels, fully codegen'd; no Python in the path.
+    t = Tables(spark, sf_dir)
+    clean = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return t.documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+@query(
+    "text_vocab_prune",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+    SELECT token, df,
+           CASE WHEN df >= 5 THEN 'keep' ELSE 'prune' END AS verdict
+    FROM df
+    """,
+)
+def text_vocab_prune(spark, sf_dir):
+    # Vocabulary pruning by document frequency: the table that gates
+    # which tokens survive featurization. One explode + one agg; the
+    # vocab output is dimension-sized (broadcastable downstream).
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return df.select(
+        "token",
+        "df",
+        F.when(F.col("df") >= 5, F.lit("keep")).otherwise(F.lit("prune")).alias("verdict"),
+    )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id, lang,
+             regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS ctext,
+             n_chars
+      FROM documents
+      WHERE n_chars >= 50),
+         dedup AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(ctext)) AS keeper
+      FROM cleaned),
+         kept AS (SELECT doc_id, lang, ctext FROM dedup WHERE doc_id = keeper)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(ctext)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    # End-to-end curation in ONE plan: length filter → normalize →
+    # exact-dedup (keep min doc_id per content hash, as a window so the
+    # surviving rows keep their columns) → per-language corpus stats.
+    # This is the composition a real data pipeline runs nightly; every
+    # stage is a built-in, so Catalyst fuses filter+normalize into the
+    # scan and the dedup window shares its shuffle with nothing else.
+    t = Tables(spark, sf_dir)
+    clean = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    cleaned = (
+        t.documents.where(F.col("n_chars") >= 50)
+        .select("doc_id", "lang", clean.alias("ctext"))
+    )
+    wdup = W.partitionBy(F.sha2(F.col("ctext"), 256))
+    kept = (
+        cleaned.withColumn("keeper", F.min("doc_id").over(wdup))
+        .where(F.col("doc_id") == F.col("keeper"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("ctext")).cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
