@@ -263,17 +263,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact token-set Jaccard for all same-block pairs. The block key
-    bounds the quadratic term; at scale use minhash_lsh_pairs instead."""
+    bounds the quadratic term; at scale use minhash_lsh_pairs instead.
+
+    Parallelism note: a plain self-join on `block` gives one reduce
+    partition per block — a handful of CPU-heavy straggler tasks when
+    blocks are few and wide (AQE's skew split won't fire: the skew is
+    compute, not bytes). Salting the left side over 16 sub-partitions
+    spreads each block's pair work across the cluster; results are
+    identical (each pair still meets exactly once).
+    """
+    n_salts = 16
     toksets = docs.select(
         F.col(id_col), F.col(block_col).alias("block"), _token_set(text_col).alias("toks")
     )
-    a, b = toksets.alias("a"), toksets.alias("b")
+    a = toksets.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+    b = toksets.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    a, b = a.alias("a"), b.alias("b")
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -304,7 +319,13 @@ def connected_components(
     fast and checked each round with one count.
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    undirected = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the edge list ONCE: `edges` may be an expensive plan
+    # (e.g. an LSH/Jaccard candidate generator), and without truncation
+    # every propagation round would recompute it from scratch (observed
+    # 4x wall-clock on the near-dup graph at sf0.1).
+    undirected = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         undirected.select(F.col("a").alias("id"))
         .distinct()

@@ -130,7 +130,11 @@ def vec_dedup_cosine(spark, sf_dir):
     v = t.embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    # The `<` predicate plans as a nested-loop join; the stream side
+    # arrives as ONE file split, so without an explicit repartition the
+    # whole O(N²) scoring runs in a single task (observed 75 s serial →
+    # ~3 s parallel at sf0.1).
+    a = v.repartition(32).select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
         "vec_a", "vec_b", F.round(knn.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
