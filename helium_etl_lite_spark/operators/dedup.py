@@ -273,8 +273,16 @@ def ngram_jaccard_pairs(
     identical (each pair still meets exactly once).
     """
     n_salts = 16
+    # Pairwise cost engineering: (1) tokens are hashed to longs ONCE per
+    # doc, so the O(pairs) intersect compares 8-byte ints, not strings
+    # (identical Jaccard barring an xxhash64 collision); (2) |A∪B| is
+    # derived as |A|+|B|−|A∩B| from per-doc sizes, halving the per-pair
+    # array work.
     toksets = docs.select(
-        F.col(id_col), F.col(block_col).alias("block"), _token_set(text_col).alias("toks")
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.transform(_token_set(text_col), lambda t: F.xxhash64(t)).alias("toks"),
+        F.size(_token_set(text_col)).alias("n_toks"),
     )
     a = toksets.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
     b = toksets.withColumn(
@@ -282,7 +290,7 @@ def ngram_jaccard_pairs(
     )
     a, b = a.alias("a"), b.alias("b")
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
-    union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
+    union = (F.col("a.n_toks") + F.col("b.n_toks")).cast("double") - inter
     return (
         a.join(
             b,
