@@ -61,8 +61,12 @@ def text_dedup_minhash(spark, sf_dir):
 
 @query("text_dedup_simhash")  # rows-only: engine-specific hash bits
 def text_dedup_simhash(spark, sf_dir):
+    # max_hamming=3: on this corpus the pair count grows monotonically
+    # with distance (weakly discriminative small vocab), so a loose
+    # threshold returns noise, not near-dups (measured: h<=8 matches
+    # 31% of ALL pairs at sf0.1, h<=3 about 2%).
     t = Tables(spark, sf_dir)
-    return dedup.simhash_near_pairs(t.documents, max_hamming=8)
+    return dedup.simhash_near_pairs(t.documents, max_hamming=3)
 
 
 @query(

@@ -259,3 +259,11 @@ class TestAsofJoinUnion:
             left_ts="ts", right_ts="ts", right_tiebreak="val",
         ).collect()
         assert len(out) == 1 and out[0]["val"] == 2
+
+
+class TestArrowFeatureParity:
+    def test_arrow_and_pandas_kernels_agree(self, spark, docs):
+        assets = multimodal.to_binary_assets(docs)
+        via_pandas = {tuple(r) for r in multimodal.extract_features(assets).collect()}
+        via_arrow = {tuple(r) for r in multimodal.extract_features_arrow(assets).collect()}
+        assert via_arrow == via_pandas and len(via_arrow) == 5
