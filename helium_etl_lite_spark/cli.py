@@ -1,0 +1,156 @@
+"""CLI — the reference's operator surface (`helium-etl-lite start` /
+`migrate` driven by settings.toml, reference src/main.rs:19-23,
+src/settings.rs:33-48) re-expressed for the Spark engine.
+
+Commands:
+  migrate   initialize the output layout + schema manifest (the refinery
+            migrations analog, reference src/migrate.rs:4-18)
+  once      one catch-up pass: process (cursor, tip] and exit
+  start     follow loop: catch up, then poll every `tick_seconds`
+            (reference's 10 s tokio tick, src/main.rs:55-63), ctrl-c to
+            stop gracefully (src/main.rs:48-52)
+
+Config (TOML, reference settings.toml keys where they translate):
+  blocks_path / txns_path   parquet or JSON-lines chain source
+                            (node_addr analog — this engine reads landed
+                            block data; a JSON-RPC client would slot in
+                            behind sources/block_source.py's RpcClient)
+  out_dir                   output tables root (database_url analog)
+  mode                      rewards | full | filters
+  backfill                  true/false (same semantics as reference)
+  filters_path              parquet with (type, value) for filters mode
+  tick_seconds              poll interval for `start` (default 10)
+  block_range_size          output partition granularity (default 1000)
+
+Usage:
+  python -m helium_etl_lite_spark.cli migrate --config settings.toml
+  python -m helium_etl_lite_spark.cli once    --config settings.toml
+  python -m helium_etl_lite_spark.cli start   --config settings.toml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+import tomllib
+
+from .etl.pipeline import FollowerConfig, IncrementalFollower
+from .etl.schemas import (
+    BLOCK_SCHEMA,
+    REWARDS_OUT_SCHEMA,
+    TRANSACTIONS_OUT_SCHEMA,
+    TXN_SCHEMA,
+)
+from .session import get_spark
+
+
+def load_config(path: str) -> dict:
+    with open(path, "rb") as f:
+        cfg = tomllib.load(f)
+    for key in ("blocks_path", "txns_path", "out_dir"):
+        if key not in cfg:
+            raise SystemExit(f"config missing required key: {key}")
+    if str(cfg.get("mode", "rewards")) not in ("rewards", "full", "filters"):
+        raise SystemExit(f"invalid mode: {cfg.get('mode')!r}")
+    return cfg
+
+
+def _sources(spark, cfg):
+    fmt = "json" if str(cfg["blocks_path"]).endswith((".json", ".jsonl")) or cfg.get(
+        "source_format"
+    ) == "json" else "parquet"
+    reader_b = spark.read.schema(BLOCK_SCHEMA)
+    reader_t = spark.read.schema(TXN_SCHEMA)
+    if fmt == "json":
+        return reader_b.json(cfg["blocks_path"]), reader_t.json(cfg["txns_path"])
+    return reader_b.parquet(cfg["blocks_path"]), reader_t.parquet(cfg["txns_path"])
+
+
+def _follower(spark, cfg) -> IncrementalFollower:
+    blocks, txns = _sources(spark, cfg)
+    filters = None
+    if cfg.get("mode") == "filters":
+        if "filters_path" not in cfg:
+            raise SystemExit("filters mode requires filters_path")
+        filters = spark.read.parquet(cfg["filters_path"])
+    fc = FollowerConfig(
+        mode=str(cfg.get("mode", "rewards")),
+        backfill=bool(cfg.get("backfill", False)),
+        out_dir=str(cfg["out_dir"]),
+        max_blocks_per_batch=cfg.get("max_blocks_per_batch"),
+        block_range_size=int(cfg.get("block_range_size", 1000)),
+    )
+    return IncrementalFollower(spark, blocks, txns, fc, filters=filters)
+
+
+def cmd_migrate(spark, cfg) -> None:
+    """Create the output layout + a schema manifest — idempotent, like
+    re-running refinery migrations."""
+    out = str(cfg["out_dir"])
+    os.makedirs(out, exist_ok=True)
+    manifest = {
+        "rewards": REWARDS_OUT_SCHEMA.simpleString(),
+        "transactions": TRANSACTIONS_OUT_SCHEMA.simpleString(),
+        "follower_info": "struct<height:bigint,first_block:bigint>",
+        "partitioning": f"block_range = block div {cfg.get('block_range_size', 1000)}",
+    }
+    with open(os.path.join(out, "_schema_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(f"migrate: layout ready at {out}")
+
+
+def cmd_once(spark, cfg) -> int:
+    f = _follower(spark, cfg)
+    n = f.catch_up()
+    height, first = f.cursor.read()
+    print(f"once: loaded {n} blocks; cursor at {height} (first_block {first})")
+    return n
+
+
+def cmd_start(spark, cfg) -> None:
+    stop = {"flag": False}
+
+    def on_sigint(sig, frame):  # graceful shutdown (reference src/main.rs:48-52)
+        stop["flag"] = True
+        print("start: shutdown requested; finishing current pass")
+
+    signal.signal(signal.SIGINT, on_sigint)
+    tick = float(cfg.get("tick_seconds", 10))
+    f = _follower(spark, cfg)
+    while not stop["flag"]:
+        n = f.catch_up()
+        if n:
+            height, _ = f.cursor.read()
+            print(f"start: +{n} blocks, cursor {height}")
+        # sleep in small slices so ctrl-c is responsive
+        deadline = time.monotonic() + tick
+        while not stop["flag"] and time.monotonic() < deadline:
+            time.sleep(0.2)
+    print("start: stopped")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="helium_etl_lite_spark")
+    p.add_argument("command", choices=["migrate", "once", "start"])
+    p.add_argument("--config", required=True, help="TOML config path")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config)
+    spark = get_spark(f"helium-cli-{args.command}")
+    try:
+        if args.command == "migrate":
+            cmd_migrate(spark, cfg)
+        elif args.command == "once":
+            cmd_once(spark, cfg)
+        else:
+            cmd_start(spark, cfg)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""CLI parity surface (helium_etl_lite_spark/cli.py): the reference's
+`migrate`/`start` commands + settings.toml config (src/main.rs:19-23).
+cmd_* functions are driven with the shared test session; `main()` owns
+its own session lifecycle so it is exercised only for config errors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from helium_etl_lite_spark import cli
+from helium_etl_lite_spark.etl import fixtures
+
+
+@pytest.fixture(scope="module")
+def chain_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_chain")
+    blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=60)
+    bp, tp = str(root / "blocks"), str(root / "txns")
+    blocks.write.mode("overwrite").parquet(bp)
+    txns.write.mode("overwrite").parquet(tp)
+    return bp, tp, str(root)
+
+
+def write_config(path, bp, tp, out_dir, **extra):
+    lines = [
+        f'blocks_path = "{bp}"',
+        f'txns_path = "{tp}"',
+        f'out_dir = "{out_dir}"',
+    ]
+    for k, v in extra.items():
+        if isinstance(v, bool):
+            lines.append(f"{k} = {'true' if v else 'false'}")
+        elif isinstance(v, (int, float)):
+            lines.append(f"{k} = {v}")
+        else:
+            lines.append(f'{k} = "{v}"')
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_migrate_writes_schema_manifest(spark, chain_dirs, tmp_path):
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg = cli.load_config(write_config(tmp_path / "s.toml", bp, tp, out, mode="rewards"))
+    cli.cmd_migrate(spark, cfg)
+    manifest = json.load(open(os.path.join(out, "_schema_manifest.json")))
+    assert "rewards" in manifest and "block" in manifest["rewards"]
+    assert manifest["partitioning"].startswith("block_range")
+
+
+def test_once_catches_up_and_is_idempotent(spark, chain_dirs, tmp_path):
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg = cli.load_config(
+        write_config(tmp_path / "s.toml", bp, tp, out, mode="full", backfill=True)
+    )
+    assert cli.cmd_once(spark, cfg) == 60
+    assert cli.cmd_once(spark, cfg) == 0  # already at tip
+    rewards = spark.read.parquet(os.path.join(out, "rewards"))
+    assert rewards.count() > 0
+
+
+def test_config_validation_errors(tmp_path, chain_dirs):
+    bp, tp, _ = chain_dirs
+    bad = tmp_path / "bad.toml"
+    bad.write_text('blocks_path = "x"\n')  # missing txns_path/out_dir
+    with pytest.raises(SystemExit, match="missing required key"):
+        cli.load_config(str(bad))
+    bad2 = write_config(tmp_path / "bad2.toml", bp, tp, "/tmp/x", mode="nope")
+    with pytest.raises(SystemExit, match="invalid mode"):
+        cli.load_config(bad2)
