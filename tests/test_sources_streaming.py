@@ -146,3 +146,27 @@ class TestStreamingWindows:
             .collect()
         }
         assert got == want
+
+
+class TestStreamingFiltersMode:
+    def test_filters_stream_matches_batch(self, spark, tmp_path):
+        from helium_etl_lite_spark.etl.pipeline import FollowerConfig
+        from helium_etl_lite_spark.streaming.ingest import start_block_stream
+
+        blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=40)
+        filters = fixtures.make_filters(spark)
+        feed_dir = str(tmp_path / "feed")
+        blocks.coalesce(4).write.mode("overwrite").json(feed_dir)
+
+        out_dir = str(tmp_path / "out")
+        cfg = FollowerConfig(mode="filters", out_dir=out_dir)
+        q = start_block_stream(
+            spark, feed_dir, txns, cfg, filters=filters, trigger_once=True
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(os.path.join(out_dir, "rewards"))
+        want = transforms.build_outputs("filters", blocks, txns, filters)["rewards"]
+        cols = ["block", "account", "gateway", "amount", "type"]
+        assert got.count() == want.count()
+        assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
