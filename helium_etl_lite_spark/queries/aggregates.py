@@ -286,3 +286,28 @@ def agg_percentile_approx(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    # arg-min/arg-max: the key of the extreme row in one aggregation
+    # pass (no join-back, no window) — min_by/max_by are single-pass,
+    # partial-aggregable, exactly what the per-gateway "which txn earned
+    # most" serving query needs at scale.
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -679,3 +679,38 @@ def pipeline_corpus_curation(spark, sf_dir):
         F.sum(F.length("ctext")).cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("min_doc"),
     )
+
+
+@query(
+    "text_fuzzy_levenshtein",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT a.token AS tok_a, b.token AS tok_b,
+           CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
+    FROM vocab a JOIN vocab b
+      ON substr(a.token, 1, 1) = substr(b.token, 1, 1) AND a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= 2
+    """,
+)
+def text_fuzzy_levenshtein(spark, sf_dir):
+    # Typo-candidate pairs over the vocabulary: block on first letter
+    # (bounds the quadratic), edit distance <= 2. The vocab is
+    # dimension-sized even at 100 TB, so this self-join is broadcast
+    # territory; the corpus-sized work is only the distinct-token agg.
+    t = Tables(spark, sf_dir)
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    )
+    a = vocab.select(F.col("token").alias("tok_a"))
+    b = vocab.select(F.col("token").alias("tok_b"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.substring("tok_a", 1, 1) == F.substring("tok_b", 1, 1))
+        & (F.col("tok_a") < F.col("tok_b")),
+    )
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
+    ).where(F.col("dist") <= 2)
