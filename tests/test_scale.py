@@ -94,3 +94,39 @@ def test_salted_join_rejects_right_outer(spark):
     d = spark.createDataFrame([(1, "a")], "k long, name string")
     with pytest.raises(ValueError, match="per salt"):
         scale.salted_join(f, d, "k", how="right")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The README's skew claim, demonstrated: one hot key dominating a
+    sort-merge join gets split by AQE (skew=true in the final adaptive
+    plan) instead of serializing on one reducer."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+        rest = spark.range(1000).select((F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+        dim = spark.range(60).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = hot.union(rest).join(dim.hint("merge"), "k")
+        assert len(j.collect()) == 201000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
