@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import signal
 import sys
@@ -57,6 +58,26 @@ def load_config(path: str) -> dict:
     if str(cfg.get("mode", "rewards")) not in ("rewards", "full", "filters"):
         raise SystemExit(f"invalid mode: {cfg.get('mode')!r}")
     return cfg
+
+
+def setup_logger(cfg) -> logging.Logger:
+    """File logger when [log].log_dir is configured (the reference's
+    flexi_logger-to-file setup, src/main.rs:70-89); stderr otherwise."""
+    logger = logging.getLogger("helium_etl_lite_spark")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    log_dir = (cfg.get("log") or {}).get("log_dir")
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        handler: logging.Handler = logging.FileHandler(
+            os.path.join(log_dir, "helium_etl_lite_spark.log")
+        )
+    else:
+        handler = logging.StreamHandler()
+    handler.setFormatter(fmt)
+    logger.addHandler(handler)
+    return logger
 
 
 def _sources(spark, cfg):
@@ -87,7 +108,7 @@ def _follower(spark, cfg) -> IncrementalFollower:
     return IncrementalFollower(spark, blocks, txns, fc, filters=filters)
 
 
-def cmd_migrate(spark, cfg) -> None:
+def cmd_migrate(spark, cfg, log=None) -> None:
     """Create the output layout + a schema manifest — idempotent, like
     re-running refinery migrations."""
     out = str(cfg["out_dir"])
@@ -100,23 +121,26 @@ def cmd_migrate(spark, cfg) -> None:
     }
     with open(os.path.join(out, "_schema_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
-    print(f"migrate: layout ready at {out}")
+    (log or setup_logger(cfg)).info(f"migrate: layout ready at {out}")
 
 
-def cmd_once(spark, cfg) -> int:
+def cmd_once(spark, cfg, log=None) -> int:
     f = _follower(spark, cfg)
     n = f.catch_up()
     height, first = f.cursor.read()
-    print(f"once: loaded {n} blocks; cursor at {height} (first_block {first})")
+    (log or setup_logger(cfg)).info(
+        f"once: loaded {n} blocks; cursor at {height} (first_block {first})"
+    )
     return n
 
 
-def cmd_start(spark, cfg) -> None:
+def cmd_start(spark, cfg, log=None) -> None:
+    log = log or setup_logger(cfg)
     stop = {"flag": False}
 
     def on_sigint(sig, frame):  # graceful shutdown (reference src/main.rs:48-52)
         stop["flag"] = True
-        print("start: shutdown requested; finishing current pass")
+        log.info("start: shutdown requested; finishing current pass")
 
     signal.signal(signal.SIGINT, on_sigint)
     tick = float(cfg.get("tick_seconds", 10))
@@ -125,12 +149,12 @@ def cmd_start(spark, cfg) -> None:
         n = f.catch_up()
         if n:
             height, _ = f.cursor.read()
-            print(f"start: +{n} blocks, cursor {height}")
+            log.info(f"start: +{n} blocks, cursor {height}")
         # sleep in small slices so ctrl-c is responsive
         deadline = time.monotonic() + tick
         while not stop["flag"] and time.monotonic() < deadline:
             time.sleep(0.2)
-    print("start: stopped")
+    log.info("start: stopped")
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -72,3 +72,15 @@ def test_config_validation_errors(tmp_path, chain_dirs):
     bad2 = write_config(tmp_path / "bad2.toml", bp, tp, "/tmp/x", mode="nope")
     with pytest.raises(SystemExit, match="invalid mode"):
         cli.load_config(bad2)
+
+
+def test_log_dir_writes_file(spark, chain_dirs, tmp_path):
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    log_dir = str(tmp_path / "logs")
+    cfg = cli.load_config(write_config(tmp_path / "s.toml", bp, tp, out, mode="rewards"))
+    cfg["log"] = {"log_dir": log_dir}  # [log] table analog
+    cli.cmd_migrate(spark, cfg)
+    log_file = os.path.join(log_dir, "helium_etl_lite_spark.log")
+    assert os.path.exists(log_file)
+    assert "migrate: layout ready" in open(log_file).read()
