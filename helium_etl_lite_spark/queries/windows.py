@@ -1,7 +1,9 @@
 """§2.4.E — window functions.
 
-Serving-layer analogs: top-k gateways by rewards, block-delta lag
-(SURVEY §2.2). Windows shuffle once on partitionBy keys then sort
+Serving-layer analogs: top-k gateways by rewards (rewards_gateway_idx,
+reference migrations/V1__create_rewards.sql:12), block-delta lag over
+the height sequence the cursor walks (reference src/follower.rs:86,
+SURVEY §2.2). Windows shuffle once on partitionBy keys then sort
 within partitions; at 100 TB the partition key must be high-cardinality
 (per-customer/per-user here) — a global window (no partitionBy) would
 serialize on one task and is avoided everywhere.
