@@ -191,3 +191,49 @@ class TestStreamingTwin:
         # cursor reached the tip
         cur = CursorStore(spark, os.path.join(out_dir, "_meta", "follower_info")).read()
         assert cur[0] == 1119
+
+
+class TestRangeIdempotentWriter:
+    def _df(self, spark, blocks):
+        return spark.createDataFrame([(b, b * 10.0) for b in blocks], "block long, v double")
+
+    def test_partial_replay_spanning_two_ranges(self, spark, tmp_path):
+        from helium_etl_lite_spark.etl.pipeline import write_block_range_idempotent
+
+        path = str(tmp_path / "t")
+        # initial load: blocks 0..39 over ranges 0..3 (range_size=10)
+        write_block_range_idempotent(spark, self._df(spark, range(40)), path, 0, 39, 10)
+        assert spark.read.parquet(path).count() == 40
+        # replay 15..24 (second half of range 1 + first half of range 2)
+        # with changed values: untouched blocks keep old rows, replayed
+        # blocks get exactly one new row each.
+        new = spark.createDataFrame([(b, -1.0) for b in range(15, 25)], "block long, v double")
+        write_block_range_idempotent(spark, new, path, 15, 24, 10)
+        got = spark.read.parquet(path)
+        assert got.count() == 40
+        import pyspark.sql.functions as F
+
+        assert got.where(F.col("v") == -1.0).count() == 10
+        assert got.where((F.col("block") == 14) & (F.col("v") == 140.0)).count() == 1
+        assert got.where((F.col("block") == 25) & (F.col("v") == 250.0)).count() == 1
+
+    def test_boundary_aligned_replay(self, spark, tmp_path):
+        from helium_etl_lite_spark.etl.pipeline import write_block_range_idempotent
+
+        path = str(tmp_path / "t2")
+        write_block_range_idempotent(spark, self._df(spark, range(20)), path, 0, 19, 10)
+        # exact-range replay (10..19): no carry-over needed, still converges
+        new = spark.createDataFrame([(b, -2.0) for b in range(10, 20)], "block long, v double")
+        write_block_range_idempotent(spark, new, path, 10, 19, 10)
+        got = spark.read.parquet(path)
+        assert got.count() == 20
+        import pyspark.sql.functions as F
+
+        assert got.where(F.col("v") == -2.0).count() == 10
+
+    def test_first_write_without_existing_table(self, spark, tmp_path):
+        from helium_etl_lite_spark.etl.pipeline import write_block_range_idempotent
+
+        path = str(tmp_path / "t3")
+        write_block_range_idempotent(spark, self._df(spark, [5, 6]), path, 5, 6, 10)
+        assert spark.read.parquet(path).count() == 2
