@@ -274,16 +274,18 @@ def agg_partial_final(spark, sf_dir):
     )
 
 
-@query("agg_percentile_approx")  # rows-only: t-digest-style sketch is engine-specific
+@query("agg_percentile_approx")  # rows-only: sketch quantiles are engine-specific
 def agg_percentile_approx(spark, sf_dir):
     # Quantile sketch: fixed memory per group, mergeable across
     # partitions — the scale path where exact percentile would sort
     # every group. Accuracy knob = max relative error inverse.
+    # Scalar columns (not one array column) so row canonicalizers can
+    # sort/hash the result.
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

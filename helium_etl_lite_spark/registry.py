@@ -40,8 +40,91 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's per-round correctness gate checks the first 50 queries in
+# registration order (round 1 covered the first 50: aggregates/extras/
+# filters/joins + llm_ops head — CORRECTNESS_r01.json).  To accumulate
+# hard-signal coverage across rounds, queries not yet driver-verified
+# (or changed since their last verdict) are pinned to the FRONT of the
+# registry here; everything else keeps module registration order behind
+# them.  Update this list each round from CORRECTNESS_r{N}.json.
+FRONT_OF_WINDOW: list[str] = [
+    # changed this round → needs a fresh verdict
+    "agg_percentile_approx",  # r01 ERR (array column); now scalar p50/p95/p99
+    "vec_dedup_cosine",  # rewritten: LSH-bucketed candidates + exact verify
+    "sample_balance_buckets",  # rewritten: distributed decile boundaries
+    "multimodal_decode_stub",  # now backed by a real PPM/BMP decoder
+    # never driver-verified (r01 graded "untested"): §2.4.A scans
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "scan_predicate_pushdown",
+    "sink_roundtrip_parquet",
+    "source_json_lines",
+    # §2.4.E windows
+    "win_row_number_topk_per_group",
+    "win_rank_dense_rank",
+    "win_lag_lead",
+    "win_running_sum_frame",
+    "win_sliding_avg_range_frame",
+    "win_first_last_value",
+    # §2.4.F sorts/limits/set ops
+    "sort_multi_key",
+    "limit_topk",
+    "distinct_dedup",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    # §2.4.G scalar functions
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "map_funcs",
+    "json_funcs",
+    "hash_funcs",
+    "hash_funcs_xxhash64",
+    "cast_try_cast",
+    # §2.4.H streaming-shaped
+    "stream_tumbling_window_agg",
+    "stream_sliding_window_agg",
+    "stream_session_window",
+    "stream_watermark_late_drop",
+    "stream_dedup_by_key",
+    "stream_cursor_incremental",
+    "stream_stateful_running_count",
+    # §2.4.I UDF surface
+    "udf_scalar_python",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg",
+    "udtf_flatten",
+    # unchecked llm_ops tail (exact-oracle rows first — strongest signal)
+    "text_lang_topk",
+    "text_quality_score",
+    "text_token_count_regex",
+    "text_fingerprint_rolling",
+    "text_lang_id_ngram",
+    "text_tfidf",
+    "sessionize_gap30",
+    "pipeline_corpus_curation",
+    # ---- 50-query window boundary falls here; the rest queue for r3 ----
+    "text_clean_normalize",
+    "text_vocab_prune",
+    "text_fuzzy_levenshtein",
+    "dedup_cluster_components",
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "vec_ann_ivf",
+    "vec_cluster_assign",
+    "vec_kmeans",
+    "sample_split_train_test",
+]
+
+
 def load_all() -> None:
-    """Import every query module so registrations run."""
+    """Import every query module so registrations run, then order the
+    registry so not-yet-driver-verified queries land inside the gate's
+    50-query window (see FRONT_OF_WINDOW)."""
     from .queries import (  # noqa: F401
         aggregates,
         extras,
@@ -55,3 +138,13 @@ def load_all() -> None:
         udfs,
         windows,
     )
+
+    ordered: dict[str, QueryFn] = {}
+    for name in FRONT_OF_WINDOW:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
