@@ -99,6 +99,79 @@ def hyperplane_lsh_buckets(
     return v.withColumn("bucket", F.concat(*bits)).drop("e")
 
 
+def cosine_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    n_tasks: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine-similarity self-join (all pairs >= threshold) as a
+    balanced block-pair equi-join — no nested-loop join anywhere.
+
+    Why not LSH candidates here: banded hyperplane LSH prunes only when
+    near-threshold pairs are rare or the threshold is high. Measured on
+    this corpus (sf0.01): 719 of 990 qualifying pairs sit in
+    [0.30, 0.35) with the minimum at 0.30007, and k-means radii are
+    ~80 deg (unclustered sphere) — at arccos(0.3) = 72.5 deg per-plane
+    collision probability is 0.597, so any band config with ~zero miss
+    probability replicates more than the N^2/2 pairs it avoids. Exact
+    low-threshold similarity on unclustered data is intrinsically
+    all-pairs; the scalable form is to *balance* it:
+
+    - every vector gets a deterministic block ``blk = xxhash64(id) mod B``;
+    - the B(B+1)/2 unordered block pairs (i <= j) are enumerated by
+      exploding each vector to its pair keys (left: blk_a = blk,
+      blk_b in [blk, B); right: blk_b = blk, blk_a in [0, blk]);
+    - a shuffle equi-join on (blk_a, blk_b) lands each block pair in its
+      own task: per-task working set is ~2N/B vectors, replication is
+      ~B/2 per side — choose B ~ sqrt(cores) so tasks fit memory at any
+      corpus size. Norms are computed once per vector BEFORE
+      replication, not once per pair.
+
+    For real near-dup thresholds (>= ~0.8) use ann_topk_lsh /
+    minhash_lsh_pairs, which are genuinely subquadratic.
+    """
+    B = n_blocks
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("e"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    left = v.select(
+        F.col("vid").alias("id_l"), F.col("e").alias("e_l"), F.col("nrm").alias("n_l"),
+        F.col("blk").alias("blk_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("blk_b"),
+    )
+    right = v.select(
+        F.col("vid").alias("id_r"), F.col("e").alias("e_r"), F.col("nrm").alias("n_r"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
+        F.col("blk").alias("blk_b"),
+    )
+    # Pin the scoring parallelism: an explicit repartition BY KEY with a
+    # user-chosen partition count is exempt from AQE coalescing, which
+    # would otherwise fold these byte-tiny but CPU-heavy shuffle
+    # partitions into one task. n_blocks >> sqrt(n_tasks) keeps the
+    # B(B+1)/2 keys spread evenly over the tasks.
+    left = left.repartition(n_tasks, "blk_a", "blk_b")
+    # Cross-block pairs meet exactly once in their (min_blk, max_blk)
+    # task; same-block pairs meet twice ((x,y) and (y,x)) — keep one.
+    joined = left.join(right, ["blk_a", "blk_b"]).where(
+        (F.col("blk_a") != F.col("blk_b")) | (F.col("id_l") < F.col("id_r"))
+    )
+    scored = joined.select(
+        F.least("id_l", "id_r").alias("vec_a"),
+        F.greatest("id_l", "id_r").alias("vec_b"),
+        # dot/(sqrt*sqrt) in the same operation order as the DuckDB
+        # oracle so 6-decimal rounding matches bit-for-bit.
+        F.round(dot(F.col("e_l"), F.col("e_r")) / (F.col("n_l") * F.col("n_r")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.where(F.col("cos_sim") >= threshold)
+
+
 def lloyd_refine(
     vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -127,23 +127,16 @@ def vec_knn_cosine(spark, sf_dir):
     """,
 )
 def vec_dedup_cosine(spark, sf_dir):
-    # Embedding-cosine near-dup pairs. Exact all-pairs here; at 100 TB
-    # the candidate set comes from LSH buckets (operators/knn.py) and
-    # only candidates get verified.
+    # Embedding-cosine near-dup pairs, exact at threshold 0.3. The plan
+    # is a balanced block-pair equi-join (operators/knn.py
+    # cosine_pairs_blocked) — NOT a nested-loop theta join: every block
+    # pair is its own task, per-task working set is ~2N/B vectors, and
+    # norms are computed once per vector before replication. See the
+    # operator docstring for why LSH candidates cannot give exact
+    # results at this low a threshold on this corpus; the subquadratic
+    # near-dup paths at real thresholds are minhash/simhash/ann LSH.
     t = Tables(spark, sf_dir)
-    v = t.embeddings.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    # The `<` predicate plans as a nested-loop join; the stream side
-    # arrives as ONE file split, so without an explicit repartition the
-    # whole O(N²) scoring runs in a single task (observed 75 s serial →
-    # ~3 s parallel at sf0.1).
-    a = v.repartition(32).select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", F.round(knn.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
-    )
-    return pairs.where(F.col("cos_sim") >= 0.3)
+    return knn.cosine_pairs_blocked(t.embeddings, threshold=0.3, n_blocks=8)
 
 
 @query("vec_ann_lsh")  # rows-only: approximate by construction
@@ -556,16 +549,50 @@ def dedup_cluster_components(spark, sf_dir):
 def sample_balance_buckets(spark, sf_dir):
     # Curriculum/balancing prep: bucket the corpus into global length
     # deciles, count per (lang, decile) cell — the table a balanced
-    # sampler draws from. ntile is a single global sort; at 100 TB the
-    # same cut-points come from approx quantiles instead.
+    # sampler draws from.
+    #
+    # Exact ntile semantics WITHOUT a global single-task sort. The total
+    # order is (n_chars, doc_id) — strict, since doc_id is unique — so a
+    # row's decile is a pure function of its global rank. Distributed
+    # rank in two passes:
+    #   1. groupBy (n_chars, doc_id div W) → counts: a tiny control
+    #      table (≤ N/W · |lengths| keys), prefix-summed driver-side
+    #      (control plane, like a broadcast dim) into per-key offsets.
+    #   2. broadcast-join offsets back; row_number within each
+    #      (n_chars, bucket) partition — bounded by W rows, so no hot
+    #      key can recreate the single-task sort — gives
+    #      global_rank = offset + local_rn.
+    # Decile = SQL ntile formula on the 0-based rank: first N mod 10
+    # buckets take ceil(N/10) rows, the rest floor(N/10).
     t = Tables(spark, sf_dir)
-    w = W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    scored = t.documents.select(
-        "doc_id", "lang", F.ntile(10).over(w).alias("decile")
+    WIDTH = 100_000  # rank-partition width: caps any window partition
+    d = t.documents.select(
+        "doc_id", "lang", "n_chars", (F.col("doc_id") / WIDTH).cast("long").alias("rb")
     )
-    return scored.groupBy("lang", "decile").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("sample_doc"),
+    counts = sorted(
+        (r["n_chars"], r["rb"], r["cnt"])
+        for r in d.groupBy("n_chars", "rb").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    total = sum(c for _, _, c in counts)
+    offsets, acc = [], 0
+    for n_chars, rb, cnt in counts:
+        offsets.append((n_chars, rb, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, ["n_chars", "rb", "offset"])
+    q, rem = divmod(total, 10)
+    w = W.partitionBy("n_chars", "rb").orderBy(F.col("doc_id").asc())
+    ranked = (
+        d.join(F.broadcast(off_df), ["n_chars", "rb"])
+        .withColumn("r0", F.col("offset") + F.row_number().over(w) - 1)
+    )
+    cut = rem * (q + 1)
+    decile = F.when(
+        F.col("r0") < cut, (F.col("r0") / (q + 1)).cast("long") + 1
+    ).otherwise(rem + ((F.col("r0") - cut) / max(q, 1)).cast("long") + 1)
+    return (
+        ranked.withColumn("decile", decile.cast("int"))
+        .groupBy("lang", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("sample_doc"))
     )
 
 

@@ -82,6 +82,54 @@ def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_vec_dedup_cosine_avoids_nested_loop(spark, sf_dir):
+    # Exact all-pairs cosine must ride the balanced block-pair equi-join
+    # (operators/knn.py cosine_pairs_blocked), never a nested-loop theta
+    # join: at 100 TB a BNLJ is a single-task cartesian scale-killer.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("vec_dedup_cosine", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vec_dedup_cosine_matches_all_pairs(spark, sf_dir):
+    # The blocked equi-join form is exact: identical pair set + scores
+    # to the reference all-pairs theta join at the declared threshold.
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.operators import knn
+    from helium_etl_lite_spark.tables import Tables
+
+    emb = Tables(spark, sf_dir).embeddings
+    blocked = q("vec_dedup_cosine", spark, sf_dir)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    all_pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(knn.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+    )
+    assert blocked.exceptAll(all_pairs).count() == 0
+    assert all_pairs.exceptAll(blocked).count() == 0
+
+
+def test_balance_buckets_has_no_global_sort(spark, sf_dir):
+    # Exact ntile without the single-task global sort: every Exchange in
+    # the plan must be hash/range-partitioned, never SinglePartition.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("sample_balance_buckets", spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
 def test_salted_join_keys_include_salt(spark, sf_dir):
     from helium_etl_lite_spark.plans.explain_tools import formatted_plan
 
