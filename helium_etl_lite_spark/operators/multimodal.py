@@ -1,26 +1,122 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the decode kernel is a
-clearly-marked deterministic fake (STUB) — but every piece of Spark
-plumbing is real and tested: the binary column, the metadata struct,
-the mapInPandas batch iteration, the output schema, and the
-partitioning story (payloads stay columnar in parquet; decode is a
-narrow map — no shuffle, scales linearly with executors at 100 TB).
+The decode kernel is REAL for the formats a pure-numpy parser can
+handle — binary netpbm (P6 PPM / P5 PGM, including 16-bit samples and
+header comments) and uncompressed 24/32-bit BI_RGB BMP. Payloads whose
+magic bytes match none of those fall back to deterministic
+metadata-from-bytes (clearly marked 'opaque'); JPEG/PNG/MP4 would slot
+into the same dispatch once PIL/ffmpeg exist in the image. All Spark
+plumbing is identical either way: binary column, metadata struct,
+Arrow-batched mapInPandas, no shuffle — decode is a narrow map that
+scales linearly with executors at 100 TB.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Optional
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, width long, height long, n_frames long, checksum string"
+    "doc_id long, fmt string, n_bytes long, width long, height long, "
+    "channels long, maxval long, n_frames long, mean_pixel double, checksum string"
 )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (pure numpy — no PIL/ffmpeg in this container)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_tokens(data: bytes, n: int):
+    """Yield the first n whitespace-separated header tokens after the
+    magic, honoring netpbm '#' comments; returns (tokens, offset of the
+    pixel plane = one whitespace byte after the last token)."""
+    toks, i = [], 2  # skip 2-byte magic
+    while len(toks) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(data[i:j]))
+        i = j
+    return toks, i + 1  # single whitespace terminates the header
+
+
+def decode_netpbm(data: bytes) -> dict:
+    """Binary PPM (P6, 3 channels) / PGM (P5, 1 channel). Handles
+    maxval > 255 (two-byte big-endian samples) and header comments."""
+    channels = 3 if data[:2] == b"P6" else 1
+    (width, height, maxval), off = _ppm_tokens(data, 3)
+    bps = 2 if maxval > 255 else 1
+    n_samples = width * height * channels
+    plane = data[off : off + n_samples * bps]
+    if len(plane) < n_samples * bps:
+        raise ValueError("truncated netpbm pixel plane")
+    px = np.frombuffer(plane, dtype=">u2" if bps == 2 else np.uint8)
+    return {
+        "fmt": "ppm" if channels == 3 else "pgm",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "maxval": maxval,
+        "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+    }
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Uncompressed BI_RGB BMP, 24 or 32 bpp, bottom-up or top-down,
+    with the 4-byte row padding stripped before pixel stats."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    channels = bpp // 8
+    abs_h = abs(height)
+    row_bytes = (width * channels + 3) & ~3
+    rows = np.frombuffer(data[off : off + row_bytes * abs_h], dtype=np.uint8)
+    if rows.size < row_bytes * abs_h:
+        raise ValueError("truncated BMP pixel array")
+    # strip per-row padding; row order (bottom-up vs top-down) does not
+    # change pixel stats
+    px = rows.reshape(abs_h, row_bytes)[:, : width * channels]
+    return {
+        "fmt": "bmp",
+        "width": width,
+        "height": abs_h,
+        "channels": channels,
+        "maxval": 255,
+        "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+    }
+
+
+def decode_image(data: bytes) -> Optional[dict]:
+    """Dispatch on magic bytes; None for payloads no installed decoder
+    understands (the honest 'opaque' path — PIL/ffmpeg would extend
+    this dict of magics)."""
+    if data[:2] in (b"P6", b"P5"):
+        return decode_netpbm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    return None
 
 
 def to_binary_assets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -37,28 +133,92 @@ def to_binary_assets(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def decode_assets(assets: DataFrame) -> DataFrame:
-    """'Decode' each binary payload into frame metadata via mapInPandas.
+def encode_ppm(docs: DataFrame, width: int = 24, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Render each document's bytes as a real binary PPM (P6) payload:
+    fixed width, height = ceil(n_bytes / (3*width)), pixel plane =
+    text bytes zero-padded to width*height*3. A deterministic synthetic
+    image per doc — what a fixture-generation stage produces when the
+    corpus has no real media — and a REAL image: any netpbm tool (or
+    decode_assets below) parses it.
+    """
 
-    STUB: a real implementation would call PIL/ffmpeg here; the
-    container has neither, so dimensions are derived deterministically
-    from the payload length (oracle-checkable). Batch shape, schema and
-    Arrow transfer are the real thing.
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: str) -> bytes:
+            raw = text.encode("utf-8")
+            h = max(1, -(-len(raw) // (3 * width)))
+            plane = raw.ljust(width * h * 3, b"\x00")
+            return b"P6\n%d %d\n255\n" % (width, h) + plane
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Decode each binary payload into image/frame metadata via
+    Arrow-batched mapInPandas.
+
+    REAL decode for netpbm (P6/P5) and uncompressed BMP — header parse,
+    maxval handling, row-padding strip, pixel-plane stats (decode_image
+    above, pure numpy). Payloads with no recognized magic take the
+    deterministic metadata-from-bytes fallback, labeled fmt='opaque'
+    (that path is the honest stand-in for formats whose codecs aren't
+    in this container). One narrow map, no shuffle, either way.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n,
-                    "width": n % 640,
-                    "height": (n * 7) % 480,
-                    "n_frames": n % 24 + 1,
-                    "checksum": pdf["payload"].map(lambda b: format(len(b) * 2654435761 % (1 << 32), "08x")),
-                }
-            )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                img = decode_image(b)
+                if img is not None:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "fmt": img["fmt"],
+                            "n_bytes": len(b),
+                            "width": img["width"],
+                            "height": img["height"],
+                            "channels": img["channels"],
+                            "maxval": img["maxval"],
+                            "n_frames": 1,
+                            "mean_pixel": img["mean_pixel"],
+                            "checksum": format(
+                                len(b) * 2654435761 % (1 << 32), "08x"
+                            ),
+                        }
+                    )
+                else:
+                    n = len(b)
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "fmt": "opaque",
+                            "n_bytes": n,
+                            "width": n % 640,
+                            "height": (n * 7) % 480,
+                            "channels": 1,
+                            "maxval": 255,
+                            "n_frames": n % 24 + 1,
+                            "mean_pixel": round(float(arr.mean()), 6) if n else 0.0,
+                            "checksum": format(n * 2654435761 % (1 << 32), "08x"),
+                        }
+                    )
+            yield pd.DataFrame(rows)
 
     return assets.select("doc_id", "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
 
@@ -155,7 +315,3 @@ def sample_frames(decoded: DataFrame, every_n: int = 4, fps: float = 24.0) -> Da
     ).withColumn("frame_ts", F.round(F.col("frame_idx") / F.lit(fps), 6))
 
 
-def real_decode_image(payload: bytes):
-    """Placeholder for the real decoder; requires PIL which is not in
-    this container."""
-    raise NotImplementedError("image decode requires PIL/ffmpeg (not installed); see decode_assets")

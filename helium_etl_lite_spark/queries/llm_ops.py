@@ -306,21 +306,39 @@ def text_lang_id_ngram(spark, sf_dir):
 @query(
     "multimodal_decode_stub",
     oracle="""
+    WITH ch AS (SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_raw,
+                       coalesce(list_aggregate(
+                         list_transform(regexp_extract_all(text, '.'), c -> ord(c)),
+                         'sum'), 0) AS byte_sum
+                FROM documents),
+         g AS (SELECT *, greatest(CAST(ceil(n_raw / 72.0) AS BIGINT), 1) AS h FROM ch)
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(length(text) % 640 AS BIGINT) AS width,
-           CAST((length(text) * 7) % 480 AS BIGINT) AS height,
-           CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames,
-           printf('%08x', (length(text) * 2654435761) % 4294967296) AS checksum
-    FROM documents
+           'ppm' AS fmt,
+           11 + length(CAST(h AS VARCHAR)) + 72 * h AS n_bytes,
+           CAST(24 AS BIGINT) AS width,
+           h AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(255 AS BIGINT) AS maxval,
+           CAST(1 AS BIGINT) AS n_frames,
+           round(CAST(byte_sum AS DOUBLE) / (72 * h), 6) AS mean_pixel
+    FROM g
     """,
 )
 def multimodal_decode_stub(spark, sf_dir):
-    # Binary-column plumbing: encode → opaque payload + metadata struct
-    # → mapInPandas decode (STUB kernel, real Arrow/schema/partitioning).
+    # Real image decode path (name is the historical contract key): each
+    # document is rendered as a genuine binary PPM (P6) payload —
+    # 24 px wide, text bytes zero-padded into the pixel plane — then the
+    # pure-numpy netpbm decoder parses header + plane back out inside an
+    # Arrow-batched mapInPandas kernel. The oracle recomputes geometry
+    # and pixel mean from n_chars/byte sums (exact: ASCII corpus, zero
+    # padding adds nothing to the sum).
     t = Tables(spark, sf_dir)
-    assets = multimodal.to_binary_assets(t.documents)
-    return multimodal.decode_assets(assets)
+    assets = multimodal.encode_ppm(t.documents, width=24)
+    return multimodal.decode_assets(assets).select(
+        "doc_id", "fmt", "n_bytes", "width", "height",
+        "channels", "maxval", "n_frames", "mean_pixel",
+    )
 
 
 @query(

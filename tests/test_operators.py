@@ -151,15 +151,73 @@ class TestMultimodal:
     def test_binary_roundtrip_schema(self, spark, docs):
         assets = multimodal.to_binary_assets(docs)
         decoded = multimodal.decode_assets(assets)
-        assert decoded.columns == ["doc_id", "n_bytes", "width", "height", "n_frames", "checksum"]
+        assert decoded.columns == [
+            "doc_id", "fmt", "n_bytes", "width", "height",
+            "channels", "maxval", "n_frames", "mean_pixel", "checksum",
+        ]
         rows = {r["doc_id"]: r for r in decoded.collect()}
+        assert rows[1]["fmt"] == "opaque"  # text payload, no image magic
         assert rows[1]["n_bytes"] == len("the quick brown fox")
         assert rows[1]["width"] == rows[1]["n_bytes"] % 640
         assert rows[1]["checksum"] == rows[2]["checksum"]
 
-    def test_real_decoder_is_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            multimodal.real_decode_image(b"xx")
+    def test_decode_ppm_p6(self):
+        # 2x2 RGB, one comment line, pixel plane = 12 known bytes
+        plane = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+        img = multimodal.decode_image(b"P6\n# fixture\n2 2\n255\n" + plane)
+        assert img == {
+            "fmt": "ppm", "width": 2, "height": 2, "channels": 3,
+            "maxval": 255, "mean_pixel": round(sum(plane) / 12, 6),
+        }
+
+    def test_decode_pgm_16bit(self):
+        # 3x1 grayscale with maxval 65535 → big-endian 2-byte samples
+        import struct
+
+        samples = (0, 1000, 65535)
+        img = multimodal.decode_image(
+            b"P5\n3 1\n65535\n" + struct.pack(">3H", *samples)
+        )
+        assert img["fmt"] == "pgm" and img["channels"] == 1
+        assert (img["width"], img["height"], img["maxval"]) == (3, 1, 65535)
+        assert img["mean_pixel"] == round(sum(samples) / 3, 6)
+
+    def test_decode_bmp_24bpp_row_padding(self):
+        # 3x2 bottom-up 24bpp: row stride pads 9 bytes → 12; padding
+        # must not leak into the pixel mean.
+        import struct
+
+        rows = [bytes(range(9)) + b"\xff\xff\xff",       # row + junk padding
+                bytes(range(100, 109)) + b"\xff\xff\xff"]
+        pixel_array = b"".join(rows)
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(pixel_array), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0,
+                          len(pixel_array), 2835, 2835, 0, 0)
+        )
+        img = multimodal.decode_image(header + pixel_array)
+        true_px = list(range(9)) + list(range(100, 109))
+        assert (img["fmt"], img["width"], img["height"], img["channels"]) == ("bmp", 3, 2, 3)
+        assert img["mean_pixel"] == round(sum(true_px) / len(true_px), 6)
+
+    def test_decode_truncated_image_raises(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_netpbm(b"P6\n4 4\n255\n\x00\x01")  # plane too short
+        assert multimodal.decode_image(b"GIF89a....") is None  # unknown magic
+
+    def test_encode_decode_ppm_roundtrip(self, spark, docs):
+        # encode_ppm renders text bytes into a real P6 payload; the real
+        # decoder must recover the declared geometry and the exact mean
+        # (text bytes + zero padding over width*height*3).
+        decoded = {r["doc_id"]: r for r in
+                   multimodal.decode_assets(multimodal.encode_ppm(docs, width=4)).collect()}
+        text = "the quick brown fox"
+        raw = text.encode()
+        h = -(-len(raw) // 12)
+        assert decoded[1]["fmt"] == "ppm"
+        assert decoded[1]["width"] == 4 and decoded[1]["height"] == h
+        assert decoded[1]["mean_pixel"] == round(sum(raw) / (4 * h * 3), 6)
+        assert decoded[1]["n_frames"] == 1
 
     def test_feature_extract_byte_stats(self, spark, docs):
         feats = {r["doc_id"]: r for r in
