@@ -46,38 +46,67 @@ def write_block_range_idempotent(
     lo: int,
     hi: int,
     range_size: int = 1000,
+    heights: DataFrame | None = None,
 ) -> None:
-    """Idempotently land the batch's [lo, hi] block slice into a table
-    partitioned by coarse `block_range` (block // range_size).
+    """Idempotently land a batch's block slice into a table partitioned
+    by coarse `block_range` (block // range_size).
 
     Per-BLOCK partitioning would mean one directory per block — millions
     of tiny partitions at chain scale, a filesystem-metadata bottleneck
     (observed 20× slowdown in tools/bench_etl.py). Coarse ranges keep
     partition count bounded; idempotence across partial-range replays is
-    preserved by read-merge-write: rows of the touched ranges that lie
-    OUTSIDE [lo, hi] are carried over, rows inside are replaced wholesale.
+    preserved by read-merge-write: carried-over rows of the touched
+    ranges are kept, rows the batch claims are replaced wholesale.
     Replaying any slice therefore converges to the same table (the
     reference's per-block BEGIN..COMMIT, src/follower.rs:100, at range
     granularity). Multi-partition overwrite is not atomic on plain
     parquet — a transactional table format (Delta/Iceberg) upgrades that
-    without changing this dataflow.
+    without changing this dataflow; until then read_committed() below
+    gives readers the cursor-bounded consistent view.
+
+    What counts as "claimed" matters for correctness:
+    - heights=None: the batch claims the contiguous span [lo, hi] — old
+      rows inside the span are dropped. ONLY valid when the batch really
+      contains every block of the span (the batch follower's
+      `where(height between lo, hi)` does).
+    - heights=<DataFrame of block heights>: the batch claims exactly
+      that height SET — old rows are anti-joined against it. Required
+      for micro-batches with no contiguity guarantee (a file-stream
+      batch holding heights {100, 300} must not delete blocks 101-299
+      that a previous batch landed).
     """
-    r_lo, r_hi = lo // range_size, hi // range_size
     new = df.withColumn(
         "block_range", F.floor(F.col("block") / F.lit(range_size)).cast("long")
     )
     try:
-        old = (
-            spark.read.parquet(path)
-            .where(
+        old_all = spark.read.parquet(path).withColumn(
+            "block_range", F.col("block_range").cast("long")
+        )
+        if heights is None:
+            r_lo, r_hi = lo // range_size, hi // range_size
+            old = old_all.where(
                 F.col("block_range").between(r_lo, r_hi)
                 & ~F.col("block").between(lo, hi)
             )
-            .withColumn("block_range", F.col("block_range").cast("long"))
-            .select(*new.columns)
+        else:
+            claimed = heights.select(
+                F.col(heights.columns[0]).cast("long").alias("__claimed_block")
+            ).distinct()
+            touched = claimed.select(
+                F.floor(F.col("__claimed_block") / F.lit(range_size))
+                .cast("long")
+                .alias("block_range")
+            ).distinct()
+            old = old_all.join(F.broadcast(touched), "block_range", "left_semi").join(
+                F.broadcast(claimed),
+                F.col("block") == F.col("__claimed_block"),
+                "left_anti",
+            )
+        old = (
+            old.select(*new.columns)
             # materialize before the overwrite below deletes the files
-            # this plan reads (write-into-own-source); the sliver is at
-            # most two partial ranges, so this stays small.
+            # this plan reads (write-into-own-source); the carried sliver
+            # is bounded by the touched ranges' non-replaced rows.
             .localCheckpoint(eager=True)
         )
         merged = new.unionByName(old)
@@ -92,27 +121,74 @@ def write_block_range_idempotent(
     )
 
 
+def read_committed(
+    spark: SparkSession, out_dir: str, table: str = "rewards", range_size: int = 1000
+) -> DataFrame:
+    """The consistent-read view: rows at or below the committed cursor.
+
+    Data lands BEFORE the cursor advances, so between the two writes a
+    raw reader could observe blocks beyond the cursor (the reference's
+    Postgres transaction hides that window). Filtering by the cursor
+    restores the reference's visibility rule — readers never see a
+    block the follower hasn't committed — and the predicate prunes
+    `block_range` partitions, so it costs a metadata lookup, not a scan.
+    """
+    cur = CursorStore(spark, os.path.join(out_dir, "_meta", "follower_info")).read()
+    df = spark.read.parquet(os.path.join(out_dir, table))
+    if cur is None:
+        return df.where(F.lit(False))
+    height = cur[0]
+    return df.where(F.col("block_range") <= height // range_size).where(
+        F.col("block") <= height
+    )
+
+
 class CursorStore:
     """follower_info analog (reference migrations/V2, src/follower.rs:115-142):
-    single-row (height, first_block) table, persisted as parquet with an
-    atomic directory swap."""
+    single-row (height, first_block) table, persisted as parquet.
+
+    Crash-safe on a local/POSIX filesystem: `overwrite` alone deletes
+    the directory before rewriting it, so a crash mid-write loses the
+    cursor entirely (and a backfill=False restart would silently re-seed
+    at tip, skipping every block in between). Instead the new cursor is
+    written to a `.tmp` directory and published with two renames
+    (current → `.old`, `.tmp` → current); at every instant at least one
+    of current/.old holds a complete previous cursor, and read() falls
+    back to `.old` for the microsecond rename window. (On an object
+    store, swap this for a conditional-put of a single manifest file.)
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
-    def read(self) -> tuple[int, int] | None:
+    def _read_dir(self, path: str) -> tuple[int, int] | None:
         try:
-            rows = self.spark.read.schema(FOLLOWER_INFO_SCHEMA).parquet(self.path).collect()
+            rows = self.spark.read.schema(FOLLOWER_INFO_SCHEMA).parquet(path).collect()
         except Exception:
             return None
         if not rows:
             return None
         return rows[0]["height"], rows[0]["first_block"]
 
+    def read(self) -> tuple[int, int] | None:
+        got = self._read_dir(self.path)
+        if got is not None:
+            return got
+        return self._read_dir(self.path + ".old")
+
     def write(self, height: int, first_block: int) -> None:
+        import shutil
+
+        tmp, old = self.path + ".tmp", self.path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
         df = self.spark.createDataFrame([(height, first_block)], FOLLOWER_INFO_SCHEMA)
-        df.coalesce(1).write.mode("overwrite").parquet(self.path)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 @dataclass
@@ -155,6 +231,16 @@ class IncrementalFollower:
         existing = self.cursor.read()
         if existing is not None:
             return existing
+        # Cursor lost but data landed (e.g. the pre-atomic-write store
+        # died mid-overwrite): re-derive the position from the output
+        # table instead of re-seeding at tip, which would silently skip
+        # every block between the lost cursor and the tip. Re-deriving
+        # can only UNDER-estimate (filters mode drops rewardless
+        # blocks), and replay of those blocks is idempotent.
+        recovered = self._recover_from_output()
+        if recovered is not None:
+            self.cursor.write(*recovered)
+            return recovered
         if self.config.backfill:
             first = get_first_block(self.spark, self.blocks, self.txns)
         else:
@@ -163,6 +249,18 @@ class IncrementalFollower:
         # `first` (reference src/follower.rs:37).
         self.cursor.write(first - 1, first)
         return first - 1, first
+
+    def _recover_from_output(self) -> tuple[int, int] | None:
+        try:
+            landed = self.spark.read.parquet(os.path.join(self.config.out_dir, "rewards"))
+            row = landed.agg(
+                F.max("block").alias("mx"), F.min("block").alias("mn")
+            ).collect()[0]
+        except Exception:
+            return None
+        if row["mx"] is None:
+            return None
+        return int(row["mx"]), int(row["mn"])
 
     def _tip(self) -> int:
         # E1: chain-tip probe (reference src/follower.rs:76).

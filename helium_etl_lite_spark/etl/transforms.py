@@ -57,13 +57,26 @@ def extract_rewards(envelopes: DataFrame, txns: DataFrame) -> DataFrame:
     Join strategy: payloads are keyed by hash — at 100 TB this is a
     shuffle-on-hash equi-join (the reference does an N+1 RPC per txn;
     one distributed join replaces all of them).
+
+    Fail-stop parity (E22): the reference aborts the whole block when a
+    transactions::get fails (src/block_processor.rs:58-67, 130-135). An
+    inner join would silently contribute zero rewards for a rewards_v2
+    envelope whose payload row is missing — so this joins LEFT and
+    raise_errors on the orphan, aborting the batch like the Rust does.
     """
     rv2 = envelopes.where(F.col("txn_type") == "rewards_v2")
     payloads = txns.select(
         F.col("hash").alias("txn_hash"),
         F.from_json("fields", REWARDS_V2_FIELDS_SCHEMA).alias("f"),
     )
-    joined = rv2.join(payloads, "txn_hash")
+    joined = rv2.join(payloads, "txn_hash", "left").withColumn(
+        "f",
+        F.when(F.col("f").isNotNull(), F.col("f")).otherwise(
+            F.raise_error(
+                F.concat(F.lit("missing rewards_v2 payload for txn "), F.col("txn_hash"))
+            )
+        ),
+    )
     exploded = joined.select(
         "block",
         "time",
@@ -121,12 +134,21 @@ def build_transactions(envelopes: DataFrame, txns: DataFrame) -> DataFrame:
     src/transaction.rs:16-34)."""
     payloads = txns.select(F.col("hash").alias("txn_hash"), F.col("fields"))
     return (
-        envelopes.join(payloads, "txn_hash")
+        envelopes.join(payloads, "txn_hash", "left")
         .select(
             F.col("block").cast("long").alias("block"),
             F.col("txn_hash").alias("hash"),
             F.col("txn_type").alias("type"),
-            F.col("fields"),
+            # fail-stop on a missing payload, like the reference's
+            # transactions::get error aborting the block
+            # (src/block_processor.rs:130-135)
+            F.when(F.col("fields").isNotNull(), F.col("fields"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(F.lit("missing payload for txn "), F.col("txn_hash"))
+                )
+            )
+            .alias("fields"),
         )
     )
 

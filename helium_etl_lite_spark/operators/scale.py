@@ -89,7 +89,18 @@ def binned_range_join(
 
     `left_point`, `right_lo`, `right_hi` must be numeric (cast
     timestamps to epoch seconds first).
+
+    Inner joins only: the residual BETWEEN runs as a post-join filter,
+    which for any outer variant evaluates to NULL on the null-extended
+    rows and silently drops them (outer degenerates to inner), and a
+    left row matching several bins without a residual hit would be
+    dropped instead of null-extended. Supporting outer correctly means
+    folding the BETWEEN into the join condition and deduping per left
+    row — not worth it while every caller is inner (same stance as
+    salted_join).
     """
+    if how != "inner":
+        raise ValueError(f"binned_range_join supports how='inner' only, got {how!r}")
     lbin = F.floor(F.col(left_point) / F.lit(bin_width))
     rbins = F.sequence(
         F.floor(F.col(right_lo) / F.lit(bin_width)),

@@ -48,13 +48,20 @@ def start_block_stream(
     def process_batch(batch_blocks: DataFrame, batch_id: int) -> None:
         if batch_blocks.isEmpty():
             return
+        # Re-reading the micro-batch more than once (bounds agg + two
+        # writes + the replace-set) must see one consistent snapshot.
+        batch_blocks = batch_blocks.localCheckpoint(eager=True)
         out = build_outputs(config.mode, batch_blocks, txns, filters)
-        # Idempotent block-range write = micro-batch replay converges
-        # (see write_block_range_idempotent for the granularity rationale).
         bounds = batch_blocks.agg(
             F.min("height").alias("lo"), F.max("height").alias("hi")
         ).collect()[0]
         lo, tip = bounds["lo"], bounds["hi"]
+        # The file stream gives NO contiguity guarantee (files are
+        # grouped by listing order): a batch holding heights {100, 300}
+        # must replace exactly those heights, not the whole [100, 300]
+        # span — a span-delete would wipe blocks another batch already
+        # committed. So the idempotent write replaces per height SET.
+        heights = batch_blocks.select(F.col("height").alias("block"))
         write_block_range_idempotent(
             spark,
             out["rewards"],
@@ -62,6 +69,7 @@ def start_block_stream(
             lo,
             tip,
             config.block_range_size,
+            heights=heights,
         )
         if "transactions" in out:
             write_block_range_idempotent(
@@ -71,10 +79,13 @@ def start_block_stream(
                 lo,
                 tip,
                 config.block_range_size,
+                heights=heights,
             )
-        # cursor bump after data is durable (E18)
+        # cursor bump after data is durable (E18). first_block = the
+        # first block actually processed (the batch MIN on the first
+        # batch — reference src/follower.rs:35-39), never the tip.
         prev = cursor.read()
-        first_block = prev[1] if prev else tip
+        first_block = prev[1] if prev else lo
         if prev is None or tip > prev[0]:
             cursor.write(tip, first_block)
 
