@@ -11,10 +11,11 @@ Commands:
             stop gracefully (src/main.rs:48-52)
 
 Config (TOML, reference settings.toml keys where they translate):
-  blocks_path / txns_path   parquet or JSON-lines chain source
-                            (node_addr analog — this engine reads landed
-                            block data; a JSON-RPC client would slot in
-                            behind sources/block_source.py's RpcClient)
+  node_addr                 live blockchain-node JSON-RPC endpoint
+                            (reference src/settings.rs:33) — follows the
+                            chain via HttpRpcClient when set
+  blocks_path / txns_path   parquet or JSON-lines chain source (landed
+                            block data; used when node_addr is absent)
   out_dir                   output tables root (database_url analog)
   mode                      rewards | full | filters
   backfill                  true/false (same semantics as reference)
@@ -52,7 +53,11 @@ from .session import get_spark
 def load_config(path: str) -> dict:
     with open(path, "rb") as f:
         cfg = tomllib.load(f)
-    for key in ("blocks_path", "txns_path", "out_dir"):
+    if "node_addr" in cfg:
+        required = ("out_dir",)  # live JSON-RPC source (reference settings.toml)
+    else:
+        required = ("blocks_path", "txns_path", "out_dir")
+    for key in required:
         if key not in cfg:
             raise SystemExit(f"config missing required key: {key}")
     if str(cfg.get("mode", "rewards")) not in ("rewards", "full", "filters"):
@@ -91,21 +96,46 @@ def _sources(spark, cfg):
     return reader_b.parquet(cfg["blocks_path"]), reader_t.parquet(cfg["txns_path"])
 
 
-def _follower(spark, cfg) -> IncrementalFollower:
-    blocks, txns = _sources(spark, cfg)
-    filters = None
-    if cfg.get("mode") == "filters":
-        if "filters_path" not in cfg:
-            raise SystemExit("filters mode requires filters_path")
-        filters = spark.read.parquet(cfg["filters_path"])
-    fc = FollowerConfig(
+def _filters(spark, cfg):
+    if cfg.get("mode") != "filters":
+        return None
+    if "filters_path" not in cfg:
+        raise SystemExit("filters mode requires filters_path")
+    return spark.read.parquet(cfg["filters_path"])
+
+
+def _follower_config(cfg) -> FollowerConfig:
+    return FollowerConfig(
         mode=str(cfg.get("mode", "rewards")),
         backfill=bool(cfg.get("backfill", False)),
         out_dir=str(cfg["out_dir"]),
         max_blocks_per_batch=cfg.get("max_blocks_per_batch"),
         block_range_size=int(cfg.get("block_range_size", 1000)),
     )
-    return IncrementalFollower(spark, blocks, txns, fc, filters=filters)
+
+
+def _follower(spark, cfg) -> IncrementalFollower:
+    blocks, txns = _sources(spark, cfg)
+    return IncrementalFollower(
+        spark, blocks, txns, _follower_config(cfg), filters=_filters(spark, cfg)
+    )
+
+
+def _catch_up(spark, cfg) -> tuple[int, tuple[int, int]]:
+    """One catch-up pass via the configured source: live JSON-RPC when
+    node_addr is set (reference settings.node_addr, src/settings.rs:33),
+    landed block files otherwise. Returns (blocks loaded, cursor)."""
+    if "node_addr" in cfg:
+        from .etl.pipeline import CursorStore, rpc_catch_up
+        from .sources.block_source import HttpRpcClient
+
+        client = HttpRpcClient(str(cfg["node_addr"]))
+        n = rpc_catch_up(spark, client, _follower_config(cfg), filters=_filters(spark, cfg))
+        cur = CursorStore(spark, os.path.join(str(cfg["out_dir"]), "_meta", "follower_info")).read()
+        return n, cur
+    f = _follower(spark, cfg)
+    n = f.catch_up()
+    return n, f.cursor.read()
 
 
 def cmd_migrate(spark, cfg, log=None) -> None:
@@ -125,9 +155,7 @@ def cmd_migrate(spark, cfg, log=None) -> None:
 
 
 def cmd_once(spark, cfg, log=None) -> int:
-    f = _follower(spark, cfg)
-    n = f.catch_up()
-    height, first = f.cursor.read()
+    n, (height, first) = _catch_up(spark, cfg)
     (log or setup_logger(cfg)).info(
         f"once: loaded {n} blocks; cursor at {height} (first_block {first})"
     )
@@ -144,12 +172,10 @@ def cmd_start(spark, cfg, log=None) -> None:
 
     signal.signal(signal.SIGINT, on_sigint)
     tick = float(cfg.get("tick_seconds", 10))
-    f = _follower(spark, cfg)
     while not stop["flag"]:
-        n = f.catch_up()
+        n, cur = _catch_up(spark, cfg)
         if n:
-            height, _ = f.cursor.read()
-            log.info(f"start: +{n} blocks, cursor {height}")
+            log.info(f"start: +{n} blocks, cursor {cur[0]}")
         # sleep in small slices so ctrl-c is responsive
         deadline = time.monotonic() + tick
         while not stop["flag"] and time.monotonic() < deadline:

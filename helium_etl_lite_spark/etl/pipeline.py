@@ -318,6 +318,78 @@ class IncrementalFollower:
             )
 
 
+def rpc_catch_up(
+    spark: SparkSession,
+    client,
+    config: FollowerConfig,
+    filters: DataFrame | None = None,
+    max_fetch_per_pass: int = 500,
+) -> int:
+    """Catch up against a live JSON-RPC node (the reference's main loop,
+    src/follower.rs:69-98): probe the tip, fetch the lagging range via
+    RpcBlockSource, and run the same follower over it. Returns blocks
+    loaded. The per-pass fetch bound keeps driver memory flat while
+    catching up from far behind."""
+    from ..sources.block_source import RpcBlockSource
+
+    store = CursorStore(spark, os.path.join(config.out_dir, "_meta", "follower_info"))
+    cur = store.read()
+    if cur is None:
+        first = rpc_get_first_block(client) if config.backfill else client.height()
+        store.write(first - 1, first)  # cursor = first-1 (src/follower.rs:37)
+        cur = (first - 1, first)
+    height, _first = cur
+    total = 0
+    tip = client.height()
+    while tip > height:
+        bound = config.max_blocks_per_batch or max_fetch_per_pass
+        hi = min(tip, height + bound)
+        src = RpcBlockSource(spark, client, height + 1, hi)
+        follower = IncrementalFollower(spark, src.blocks(), src.txns(), config, filters=filters)
+        n = follower.run_once()
+        if n == 0:
+            break
+        total += n
+        height += n
+        tip = client.height()  # the chain may have advanced meanwhile
+    return total
+
+
+def rpc_get_first_block(client, max_hops: int = 100_000) -> int:
+    """E20 against a live node: the literal backward epoch walk
+    (reference src/follower.rs:144-194) — hop rewards_v2.start_epoch
+    pointers from the tip; on a fetch failure outside the last epoch,
+    re-enter at last_safe-1 and walk block-by-block; on a failure inside
+    it, the last safe height is the oldest block the node holds."""
+    height = client.height()
+    last_safe = height
+    in_last_epoch = False
+    for _ in range(max_hops):
+        try:
+            block = client.get_block_raw(height)
+        except Exception:
+            if in_last_epoch:
+                return last_safe  # src/follower.rs:159
+            in_last_epoch = True  # src/follower.rs:160-167
+            height = last_safe - 1
+            if height < 1:
+                return last_safe
+            continue
+        hop = None
+        if not in_last_epoch:
+            for t in block["transactions"]:
+                if t["type"] == "rewards_v2":
+                    payload = client.get_transaction(t["hash"])
+                    epoch = payload.get("start_epoch")
+                    if epoch is not None:
+                        hop = epoch if hop is None else min(hop, epoch)
+        last_safe = height
+        height = hop if hop is not None else height - 1  # src/follower.rs:176,189-190
+        if height < 1:
+            return last_safe
+    return last_safe
+
+
 def get_first_block(spark: SparkSession, blocks: DataFrame, txns: DataFrame) -> int:
     """E20: backfill boundary discovery (reference src/follower.rs:144-194).
 

@@ -16,13 +16,17 @@ DataFrames so the rest of the pipeline is declarative; three shapes:
   (cursor, tip] range then parallelizes it as a DataFrame, replacing
   the reference's per-txn round trips with one createDataFrame.
 
-No network access exists in this container, so RpcClient is a protocol
-with an in-memory test double (FakeRpcClient); a production client
-would wrap helium-jsonrpc's HTTP calls behind the same three methods.
+RpcClient is a protocol with two implementations: HttpRpcClient (a
+stdlib-urllib JSON-RPC 2.0 client speaking the blockchain-node API the
+reference's helium-jsonrpc crate wraps) and FakeRpcClient (in-memory
+test double; also what the HTTP client's tests serve from behind a
+local http.server stub).
 """
 
 from __future__ import annotations
 
+import json as _json
+import urllib.request
 from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +85,59 @@ class RpcClient(Protocol):
     def height(self) -> int: ...                       # blocks::height
     def get_block_raw(self, height: int) -> dict: ...  # blocks::get_raw
     def get_transaction(self, hash: str) -> dict: ...  # transactions::get
+
+
+class RpcError(RuntimeError):
+    """JSON-RPC failure (transport or error response) — the Jrpc arm of
+    the reference's error enum (src/error.rs:5-15)."""
+
+
+class HttpRpcClient:
+    """JSON-RPC 2.0 over HTTP with stdlib urllib only — the production
+    implementation of RpcClient (reference src/follower.rs:26 builds the
+    same client from settings.node_addr).
+
+    Method names follow the public blockchain-node API surface the
+    helium-jsonrpc crate calls: block_height / block_get /
+    transaction_get. Results are accepted both bare and wrapped
+    ({"height": N} vs N) since node versions differ.
+    """
+
+    def __init__(self, node_addr: str, timeout: float = 30.0):
+        self.url = node_addr if "://" in node_addr else f"http://{node_addr}"
+        self.timeout = timeout
+        self._next_id = 0
+
+    def _call(self, method: str, params: dict | None = None):
+        self._next_id += 1
+        body: dict = {"jsonrpc": "2.0", "id": str(self._next_id), "method": method}
+        if params is not None:
+            body["params"] = params
+        req = urllib.request.Request(
+            self.url,
+            data=_json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = _json.loads(resp.read().decode("utf-8"))
+        except OSError as e:  # connection refused, timeout, HTTP error…
+            raise RpcError(f"{method}: transport failure: {e}") from e
+        if payload.get("error"):
+            raise RpcError(f"{method}: {payload['error']}")
+        if "result" not in payload:
+            raise RpcError(f"{method}: malformed response (no result)")
+        return payload["result"]
+
+    def height(self) -> int:
+        result = self._call("block_height")
+        return int(result["height"] if isinstance(result, dict) else result)
+
+    def get_block_raw(self, height: int) -> dict:
+        return self._call("block_get", {"height": height})
+
+    def get_transaction(self, hash: str) -> dict:
+        return self._call("transaction_get", {"hash": hash})
 
 
 class FakeRpcClient:

@@ -63,6 +63,103 @@ class TestSources:
         assert got.exceptAll(want).count() == 0
 
 
+def _serve_jsonrpc(blocks_by_h, txns_by_hash):
+    """Minimal blockchain-node JSON-RPC stub on a loopback port."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n))
+            method, params = req["method"], req.get("params") or {}
+            try:
+                if method == "block_height":
+                    result = {"height": max(blocks_by_h)}
+                elif method == "block_get":
+                    result = blocks_by_h[params["height"]]
+                elif method == "transaction_get":
+                    result = txns_by_hash[params["hash"]]
+                else:
+                    raise KeyError(method)
+                body = {"jsonrpc": "2.0", "id": req["id"], "result": result}
+            except KeyError:
+                body = {
+                    "jsonrpc": "2.0",
+                    "id": req["id"],
+                    "error": {"code": -32602, "message": "not found"},
+                }
+            data = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+class TestHttpRpc:
+    def test_http_client_and_rpc_follow(self, spark, tmp_path):
+        import pytest
+
+        from helium_etl_lite_spark.etl.pipeline import (
+            FollowerConfig,
+            rpc_catch_up,
+            rpc_get_first_block,
+        )
+        from helium_etl_lite_spark.sources.block_source import HttpRpcClient, RpcError
+
+        blocks, txns, blocks_by_h, txns_by_hash = _chain_as_dicts(spark)
+        srv = _serve_jsonrpc(blocks_by_h, txns_by_hash)
+        try:
+            client = HttpRpcClient(f"127.0.0.1:{srv.server_address[1]}")
+            # the three reference calls, over real HTTP
+            assert client.height() == 1039
+            assert client.get_block_raw(1000)["height"] == 1000
+            with pytest.raises(RpcError, match="not found"):
+                client.get_block_raw(999_999)
+            # E20 epoch walk against the live endpoint finds the oldest
+            # block the node holds
+            assert rpc_get_first_block(client) == 1000
+            # full backfill+catch-up through the same follower pipeline
+            out_dir = str(tmp_path / "rpc_out")
+            cfg = FollowerConfig(mode="rewards", backfill=True, out_dir=out_dir)
+            assert rpc_catch_up(spark, client, cfg) == 40
+            want = transforms.build_outputs("rewards", blocks, txns)["rewards"]
+            got = spark.read.parquet(os.path.join(out_dir, "rewards"))
+            assert got.count() == want.count()
+            assert got.select(*want.columns).exceptAll(want).count() == 0
+            assert rpc_catch_up(spark, client, cfg) == 0  # at tip: no-op
+        finally:
+            srv.shutdown()
+
+    def test_cli_once_over_node_addr(self, spark, tmp_path):
+        from helium_etl_lite_spark import cli
+
+        _, _, blocks_by_h, txns_by_hash = _chain_as_dicts(spark)
+        srv = _serve_jsonrpc(blocks_by_h, txns_by_hash)
+        try:
+            out_dir = str(tmp_path / "cli_rpc_out")
+            cfg_path = tmp_path / "settings.toml"
+            cfg_path.write_text(
+                f'node_addr = "127.0.0.1:{srv.server_address[1]}"\n'
+                f'out_dir = "{out_dir}"\n'
+                'mode = "rewards"\n'
+                "backfill = true\n"
+            )
+            cfg = cli.load_config(str(cfg_path))
+            assert cli.cmd_once(spark, cfg) == 40
+            assert spark.read.parquet(os.path.join(out_dir, "rewards")).count() > 0
+        finally:
+            srv.shutdown()
+
+
 class TestStatefulStreaming:
     def test_running_totals_with_state(self, spark, tmp_path):
         from helium_etl_lite_spark.streaming.stateful import running_totals_stream
