@@ -6,9 +6,10 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set: one per plan shape that matters at scale — scan+filter
 pushdown, the flagship star join, large sort-merge join, hash agg,
 window top-k, as-of join, streaming-shaped session window, minhash
-dedup, and brute-force knn. Each query is executed with a count-style
-terminal action so results materialize fully but don't serialize to the
-driver.
+dedup, brute-force knn, the blocked exact cosine self-join, and the
+one-plan corpus curation pipeline. Each query is executed with a
+count-style terminal action so results materialize fully but don't
+serialize to the driver.
 """
 
 from __future__ import annotations
@@ -34,6 +35,8 @@ HEADLINE = [
     "stream_session_window",
     "text_dedup_minhash",
     "vec_knn_cosine",
+    "vec_dedup_cosine",
+    "pipeline_corpus_curation",
 ]
 
 
