@@ -759,3 +759,136 @@ def text_fuzzy_levenshtein(spark, sf_dir):
         "tok_b",
         F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
     ).where(F.col("dist") <= 2)
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents),
+      big AS (
+        SELECT doc_id, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM tok),
+      base AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_distinct_tokens
+        FROM tok GROUP BY doc_id),
+      top_tok AS (
+        SELECT doc_id, MAX(c) AS top_tok_count FROM (
+          SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+      top_big AS (
+        SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+          SELECT doc_id, tok || ' ' || nxt AS bigram, COUNT(*) AS c
+          FROM big WHERE nxt IS NOT NULL GROUP BY doc_id, bigram)
+        GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+           round(1.0 - CAST(b.n_distinct_tokens AS DOUBLE) / b.n_tokens, 6)
+             AS dup_token_frac,
+           round(CAST(t.top_tok_count AS DOUBLE) / b.n_tokens, 6)
+             AS top_token_frac,
+           round(CAST(g.top_bigram_count AS DOUBLE) / (b.n_tokens - 1), 6)
+             AS top_bigram_frac
+    FROM base b JOIN top_tok t ON b.doc_id = t.doc_id
+                JOIN top_big g ON b.doc_id = g.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition quality signals: duplicate-token fraction,
+    # most-frequent-token fraction, most-frequent-bigram fraction —
+    # the filters that catch boilerplate/spam in a pretraining corpus.
+    # Everything is keyed by doc_id (high cardinality), so each of the
+    # three aggregations is an ordinary two-phase hash agg at 100 TB;
+    # the bigram window partitions per document (bounded by doc length).
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = tok.withColumn("nxt", F.lead("tok").over(w))
+    base = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+    top_tok = (
+        tok.groupBy("doc_id", "tok").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_tok_count"))
+    )
+    top_big = (
+        big.where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy("doc_id", "bigram").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_count"))
+    )
+    return (
+        base.join(top_tok, "doc_id").join(top_big, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("top_tok_count") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(F.col("top_bigram_count") / (F.col("n_tokens") - 1), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com at 10.0.' || (doc_id % 256) || '.1 now' AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw,
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(raw,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    # C4-style PII scrub pass: detect + mask emails and IPv4 addresses
+    # with JVM-side regexp_replace (row-local, codegen'd, shuffle-free —
+    # linear at 100 TB). The corpus is synthetic word soup, so a
+    # deterministic PII suffix is seeded per doc first; the oracle seeds
+    # identically, proving detection AND masking match. Patterns stay in
+    # the Java-regex/RE2 common dialect so both engines agree.
+    EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+    IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    t = Tables(spark, sf_dir)
+    seeded = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.lit(".1 now"),
+        ).alias("raw"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(IPV4), 0)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("raw", EMAIL, "<EMAIL>"), IPV4, "<IP>"
+        ).alias("scrubbed"),
+    )

@@ -118,6 +118,8 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_cluster_assign",
     "vec_kmeans",
     "sample_split_train_test",
+    "text_repetition_stats",  # new in r2
+    "text_pii_scrub",  # new in r2
 ]
 
 
