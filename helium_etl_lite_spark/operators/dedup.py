@@ -291,12 +291,23 @@ def ngram_jaccard_pairs(
     a, b = a.alias("a"), b.alias("b")
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     union = (F.col("a.n_toks") + F.col("b.n_toks")).cast("double") - inter
+    # Jaccard size filter (exactness-preserving prune): |∩| ≤ min(|A|,|B|)
+    # and |∪| ≥ max(|A|,|B|), so J ≥ t forces t·|B| ≤ |A| and t·|A| ≤ |B|.
+    # Checking the size ratio BEFORE the O(|A|+|B|) intersect skips most
+    # pairs for pennies. Integer arithmetic (scaled by 1e6) so an exact
+    # boundary like |A|=17, |B|=20, t=0.85 never falls to FP rounding.
+    t_scaled = int(round(threshold * 1_000_000))
+    size_ok = (
+        (F.col("a.n_toks") * 1_000_000 >= F.lit(t_scaled) * F.col("b.n_toks"))
+        & (F.col("b.n_toks") * 1_000_000 >= F.lit(t_scaled) * F.col("a.n_toks"))
+    )
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
