@@ -9,6 +9,10 @@ Commands:
   start     follow loop: catch up, then poll every `tick_seconds`
             (reference's 10 s tokio tick, src/main.rs:55-63), ctrl-c to
             stop gracefully (src/main.rs:48-52)
+  sql       run ad-hoc SQL over the serving views (rewards /
+            transactions / follower_info — what a reference user does
+            with psql against the Postgres tables):
+            ... sql --config settings.toml -e "SELECT ..."
 
 Config (TOML, reference settings.toml keys where they translate):
   node_addr                 live blockchain-node JSON-RPC endpoint
@@ -183,18 +187,40 @@ def cmd_start(spark, cfg, log=None) -> None:
     log.info("start: stopped")
 
 
+def cmd_sql(spark, cfg, sql_text: str, log=None) -> int:
+    """Serving-layer escape hatch: register the output tables under the
+    reference's names (cursor-bounded committed view) and run one SQL
+    statement, printing up to 1000 rows. Returns the row count."""
+    from . import serving
+
+    serving.register_views(spark, str(cfg["out_dir"]))
+    out = spark.sql(sql_text)
+    rows = out.limit(1000).collect()
+    header = "\t".join(out.columns)
+    print(header)
+    for r in rows:
+        print("\t".join("NULL" if v is None else str(v) for v in r))
+    (log or setup_logger(cfg)).info(f"sql: {len(rows)} rows")
+    return len(rows)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="helium_etl_lite_spark")
-    p.add_argument("command", choices=["migrate", "once", "start"])
+    p.add_argument("command", choices=["migrate", "once", "start", "sql"])
     p.add_argument("--config", required=True, help="TOML config path")
+    p.add_argument("-e", "--execute", help="SQL statement (sql command)")
     args = p.parse_args(argv)
     cfg = load_config(args.config)
+    if args.command == "sql" and not args.execute:
+        raise SystemExit("sql command requires -e/--execute")
     spark = get_spark(f"helium-cli-{args.command}")
     try:
         if args.command == "migrate":
             cmd_migrate(spark, cfg)
         elif args.command == "once":
             cmd_once(spark, cfg)
+        elif args.command == "sql":
+            cmd_sql(spark, cfg, args.execute)
         else:
             cmd_start(spark, cfg)
     finally:

@@ -1,0 +1,109 @@
+"""Serving layer (SURVEY §2.2): the relational query surface the
+reference's Postgres schema + indexes exist for, over THIS engine's
+output tables.
+
+A helium-etl-lite user points psql at `rewards` / `transactions` /
+`follower_info` (migrations V1-V3) and runs block-range sums, gateway
+top-k, hash lookups and JSONB extraction. register_views() exposes the
+same three names to Spark SQL; the canned helpers below are the
+patterns each reference index was built for:
+
+| reference index                   | helper                      |
+|-----------------------------------|-----------------------------|
+| rewards_block_idx (V1:11)         | rewards_in_block_range      |
+| rewards_gateway_idx (V1:12)       | gateway_earnings_topk       |
+| transactions_pkey (V3:43)         | transaction_by_hash         |
+| transaction_type/block (V3:46-47) | transactions_by_type        |
+
+Consistency: by default views are registered over read_committed(), so
+a query never observes blocks past the follower's cursor — the same
+isolation the reference gets from Postgres transactions. Pass
+committed=False for raw (uncommitted-tail-visible) reads.
+
+Scale: the views are plain partitioned parquet; block predicates prune
+`block_range` directories, gateway/type predicates push to parquet row
+groups — the B-tree indexes' job, done by layout + pushdown instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .etl.pipeline import CursorStore, read_committed
+from .etl.schemas import FOLLOWER_INFO_SCHEMA
+
+SENTINEL = "1Wh4bh"
+
+
+def register_views(
+    spark: SparkSession,
+    out_dir: str,
+    committed: bool = True,
+    range_size: int = 1000,
+) -> dict[str, DataFrame]:
+    """Expose the output tables under the reference's table names.
+    `transactions` is registered only when the pipeline mode produced it
+    (full mode). Returns the DataFrames keyed by view name."""
+    views: dict[str, DataFrame] = {}
+
+    def load(table: str) -> DataFrame:
+        if committed:
+            return read_committed(spark, out_dir, table, range_size)
+        return spark.read.parquet(os.path.join(out_dir, table))
+
+    views["rewards"] = load("rewards")
+    try:
+        views["transactions"] = load("transactions")
+    except Exception:
+        pass  # rewards/filters mode: no transactions table
+    cur = CursorStore(spark, os.path.join(out_dir, "_meta", "follower_info")).read()
+    views["follower_info"] = spark.createDataFrame(
+        [cur] if cur is not None else [], FOLLOWER_INFO_SCHEMA
+    )
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return views
+
+
+def rewards_in_block_range(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+    """rewards_block_idx pattern: range scan + per-block sums. The
+    BETWEEN predicate prunes block_range partitions before any IO."""
+    return spark.sql(
+        f"""
+        SELECT block, SUM(amount) AS total_amount, COUNT(*) AS n_rewards
+        FROM rewards WHERE block BETWEEN {int(lo)} AND {int(hi)}
+        GROUP BY block ORDER BY block
+        """
+    )
+
+
+def gateway_earnings_topk(spark: SparkSession, k: int = 10) -> DataFrame:
+    """rewards_gateway_idx pattern: per-gateway earnings, top-k. The
+    top-k plans as TakeOrderedAndProject (per-partition heaps)."""
+    return spark.sql(
+        f"""
+        SELECT gateway, SUM(amount) AS earned, COUNT(*) AS n_rewards
+        FROM rewards WHERE gateway <> '{SENTINEL}'
+        GROUP BY gateway ORDER BY earned DESC, gateway LIMIT {int(k)}
+        """
+    )
+
+
+def transaction_by_hash(spark: SparkSession, hash: str) -> DataFrame:
+    """transactions_pkey pattern: point lookup."""
+    return spark.table("transactions").where(F.col("hash") == hash)
+
+
+def transactions_by_type(
+    spark: SparkSession, txn_type: str, json_path: str | None = None
+) -> DataFrame:
+    """transaction_type_idx pattern: slice by type, optionally
+    extracting a field from the opaque JSON payload (the jsonb column,
+    migrations/V3:41)."""
+    out = spark.table("transactions").where(F.col("type") == txn_type)
+    if json_path is not None:
+        out = out.withColumn("field", F.get_json_object("fields", json_path))
+    return out

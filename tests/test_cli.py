@@ -84,3 +84,21 @@ def test_log_dir_writes_file(spark, chain_dirs, tmp_path):
     log_file = os.path.join(log_dir, "helium_etl_lite_spark.log")
     assert os.path.exists(log_file)
     assert "migrate: layout ready" in open(log_file).read()
+
+
+def test_sql_command_over_serving_views(spark, chain_dirs, tmp_path, capsys):
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg = cli.load_config(
+        write_config(tmp_path / "s.toml", bp, tp, out, mode="full", backfill=True)
+    )
+    cli.cmd_once(spark, cfg)
+    n = cli.cmd_sql(
+        spark, cfg,
+        "SELECT gateway, SUM(amount) AS earned FROM rewards "
+        "WHERE gateway <> '1Wh4bh' GROUP BY gateway ORDER BY earned DESC LIMIT 5",
+    )
+    assert n == 5
+    printed = capsys.readouterr().out
+    assert printed.splitlines()[0] == "gateway\tearned"
+    assert len(printed.splitlines()) == 6

@@ -35,11 +35,11 @@ def served(spark, tmp_path_factory):
     transactions = spark.read.parquet(os.path.join(out_dir, "transactions"))
     rewards.createOrReplaceTempView("srv_rewards")
     transactions.createOrReplaceTempView("srv_transactions")
-    return rewards, transactions
+    return rewards, transactions, out_dir
 
 
 def test_block_range_scan_per_epoch_sums(spark, served):
-    rewards, _ = served
+    rewards, _, _ = served
     out = spark.sql(
         """
         SELECT block div 30 AS epoch, SUM(amount) AS total, COUNT(*) AS n
@@ -52,7 +52,7 @@ def test_block_range_scan_per_epoch_sums(spark, served):
 
 
 def test_per_gateway_earnings_topk(spark, served):
-    rewards, _ = served
+    rewards, _, _ = served
     top = (
         rewards.where(F.col("gateway") != SENTINEL)
         .groupBy("gateway")
@@ -66,7 +66,7 @@ def test_per_gateway_earnings_topk(spark, served):
 
 
 def test_txn_point_lookup_by_hash(spark, served):
-    _, transactions = served
+    _, transactions, _ = served
     some = transactions.limit(1).collect()[0]
     got = transactions.where(F.col("hash") == some["hash"]).collect()
     assert len(got) == 1  # PK semantics: exactly one row per hash
@@ -74,7 +74,7 @@ def test_txn_point_lookup_by_hash(spark, served):
 
 
 def test_type_slice_with_json_extraction(spark, served):
-    _, transactions = served
+    _, transactions, _ = served
     pays = spark.sql(
         """
         SELECT hash,
@@ -89,10 +89,61 @@ def test_type_slice_with_json_extraction(spark, served):
 
 
 def test_sentinel_rows_present_in_early_epoch(spark, served):
-    rewards, _ = served
+    rewards, _, _ = served
     # README.md:108-111 shape: early-epoch account-aggregated rewards
     # carry the sentinel gateway and type 'rewards_v2'.
     early = rewards.where(
         (F.col("gateway") == SENTINEL) & (F.col("type") == "rewards_v2")
     )
     assert early.count() > 0
+
+
+class TestServingModule:
+    def test_register_views_and_helpers(self, spark, served, tmp_path_factory):
+        from helium_etl_lite_spark import serving
+
+        _, _, out_dir = served
+        views = serving.register_views(spark, out_dir)
+        assert set(views) == {"rewards", "transactions", "follower_info"}
+        fi = spark.table("follower_info").collect()
+        assert fi[0]["height"] == 1119 and fi[0]["first_block"] == 1000
+
+        ranged = serving.rewards_in_block_range(spark, 1000, 1059).collect()
+        assert all(1000 <= r["block"] <= 1059 for r in ranged)
+        assert all(r["total_amount"] > 0 for r in ranged)
+
+        top = serving.gateway_earnings_topk(spark, k=3).collect()
+        assert len(top) == 3
+        assert top[0]["earned"] >= top[1]["earned"] >= top[2]["earned"]
+        assert all(r["gateway"] != SENTINEL for r in top)
+
+        one_hash = spark.table("transactions").select("hash").first()["hash"]
+        assert serving.transaction_by_hash(spark, one_hash).count() == 1
+
+        rv2 = serving.transactions_by_type(
+            spark, "rewards_v2", json_path="$.start_epoch"
+        )
+        got = rv2.select("field").first()
+        assert got["field"] is not None and got["field"].isdigit()
+
+    def test_committed_views_hide_uncommitted_tail(self, spark, tmp_path):
+        from helium_etl_lite_spark import serving
+        from helium_etl_lite_spark.etl import fixtures
+
+        blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=60)
+        out_dir = str(tmp_path / "out")
+        f = IncrementalFollower(
+            spark, blocks, txns,
+            FollowerConfig(mode="rewards", backfill=True, out_dir=out_dir,
+                           max_blocks_per_batch=30),
+        )
+        assert f.run_once() == 30  # commits 1000..1029
+        f._process_range(1030, 1059)  # data landed, cursor NOT bumped
+        serving.register_views(spark, out_dir)
+        assert spark.sql(
+            "SELECT COUNT(*) AS n FROM rewards WHERE block > 1029"
+        ).first()["n"] == 0  # committed view: invisible
+        serving.register_views(spark, out_dir, committed=False)
+        assert spark.sql(
+            "SELECT COUNT(*) AS n FROM rewards WHERE block > 1029"
+        ).first()["n"] > 0  # raw view: visible
