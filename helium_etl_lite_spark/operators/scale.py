@@ -1,7 +1,7 @@
 """Scale techniques: skew-salted joins, binned range joins, bucketed
-co-located joins.
+co-located joins, distributed exact ntile.
 
-These are the three shuffle-shaping tools a 100 TB deployment reaches
+These are the shuffle-shaping tools a 100 TB deployment reaches
 for when the default plans degrade (SURVEY §7 "100 TB posture"):
 
 - **Salting** — a hot key (one gateway earning most rewards, one user
@@ -27,8 +27,58 @@ for when the default plans degrade (SURVEY §7 "100 TB posture"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def distributed_ntile(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+    bucket_width: int = 100_000,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact `ntile(n) OVER (ORDER BY value_col, id_col)` without the
+    single-task global sort that a partition-less window costs.
+
+    Requires `id_col` unique, so the total order is strict and a row's
+    tile is a pure function of its global rank. Two passes:
+
+    1. groupBy (value_col, id_col div bucket_width) → counts: a control
+       table bounded by #distinct-values × #id-buckets, prefix-summed
+       driver-side (control plane, like collecting a broadcast dim)
+       into per-key starting ranks.
+    2. broadcast the offsets back; row_number within each composite key
+       — every window partition is capped at bucket_width rows no
+       matter how skewed value_col is — then the SQL ntile formula on
+       the 0-based global rank (first N mod n tiles take ceil(N/n)).
+    """
+    rb = (F.col(id_col) / bucket_width).cast("long")
+    d = df.withColumn("__rb", rb)
+    counts = sorted(
+        (r["__v"], r["__rb"], r["__cnt"])
+        for r in d.groupBy(F.col(value_col).alias("__v"), "__rb")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    total = sum(c for _, _, c in counts)
+    offsets, acc = [], 0
+    for v, b, cnt in counts:
+        offsets.append((v, b, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, [value_col, "__rb", "__offset"])
+    q, rem = divmod(total, n_tiles)
+    w = Window.partitionBy(value_col, "__rb").orderBy(F.col(id_col).asc())
+    ranked = d.join(F.broadcast(off_df), [value_col, "__rb"]).withColumn(
+        "__r0", F.col("__offset") + F.row_number().over(w) - 1
+    )
+    cut = rem * (q + 1)
+    tile = F.when(
+        F.col("__r0") < cut, (F.col("__r0") / (q + 1)).cast("long") + 1
+    ).otherwise(rem + ((F.col("__r0") - cut) / max(q, 1)).cast("long") + 1)
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__rb", "__offset", "__r0")
 
 
 def salted_join(

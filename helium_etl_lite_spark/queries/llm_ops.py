@@ -567,50 +567,17 @@ def dedup_cluster_components(spark, sf_dir):
 def sample_balance_buckets(spark, sf_dir):
     # Curriculum/balancing prep: bucket the corpus into global length
     # deciles, count per (lang, decile) cell — the table a balanced
-    # sampler draws from.
-    #
-    # Exact ntile semantics WITHOUT a global single-task sort. The total
-    # order is (n_chars, doc_id) — strict, since doc_id is unique — so a
-    # row's decile is a pure function of its global rank. Distributed
-    # rank in two passes:
-    #   1. groupBy (n_chars, doc_id div W) → counts: a tiny control
-    #      table (≤ N/W · |lengths| keys), prefix-summed driver-side
-    #      (control plane, like a broadcast dim) into per-key offsets.
-    #   2. broadcast-join offsets back; row_number within each
-    #      (n_chars, bucket) partition — bounded by W rows, so no hot
-    #      key can recreate the single-task sort — gives
-    #      global_rank = offset + local_rn.
-    # Decile = SQL ntile formula on the 0-based rank: first N mod 10
-    # buckets take ceil(N/10) rows, the rest floor(N/10).
+    # sampler draws from. Exact ntile semantics WITHOUT the single-task
+    # global sort: operators/scale.py distributed_ntile (control-table
+    # prefix offsets + bounded per-key windows; property-tested against
+    # Spark's own ntile).
+    from ..operators.scale import distributed_ntile
+
     t = Tables(spark, sf_dir)
-    WIDTH = 100_000  # rank-partition width: caps any window partition
-    d = t.documents.select(
-        "doc_id", "lang", "n_chars", (F.col("doc_id") / WIDTH).cast("long").alias("rb")
-    )
-    counts = sorted(
-        (r["n_chars"], r["rb"], r["cnt"])
-        for r in d.groupBy("n_chars", "rb").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    total = sum(c for _, _, c in counts)
-    offsets, acc = [], 0
-    for n_chars, rb, cnt in counts:
-        offsets.append((n_chars, rb, acc))
-        acc += cnt
-    off_df = spark.createDataFrame(offsets, ["n_chars", "rb", "offset"])
-    q, rem = divmod(total, 10)
-    w = W.partitionBy("n_chars", "rb").orderBy(F.col("doc_id").asc())
-    ranked = (
-        d.join(F.broadcast(off_df), ["n_chars", "rb"])
-        .withColumn("r0", F.col("offset") + F.row_number().over(w) - 1)
-    )
-    cut = rem * (q + 1)
-    decile = F.when(
-        F.col("r0") < cut, (F.col("r0") / (q + 1)).cast("long") + 1
-    ).otherwise(rem + ((F.col("r0") - cut) / max(q, 1)).cast("long") + 1)
-    return (
-        ranked.withColumn("decile", decile.cast("int"))
-        .groupBy("lang", "decile")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("sample_doc"))
+    d = t.documents.select("doc_id", "lang", "n_chars")
+    tiled = distributed_ntile(d, "n_chars", "doc_id", n_tiles=10, out_col="decile")
+    return tiled.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("sample_doc")
     )
 
 

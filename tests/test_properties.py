@@ -151,3 +151,77 @@ class TestScaleOpEquivalence:
             for r in binned_range_join(p, iv, "pt", "lo", "hi", bin_width).collect()
         )
         assert binned == theta
+
+
+class TestScaleOperatorEquivalence:
+    @SETTINGS
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=2, max_value=40),
+        n_blocks=st.integers(min_value=1, max_value=7),
+        threshold=st.sampled_from([-1.0, 0.0, 0.3, 0.9]),
+    )
+    def test_blocked_cosine_pairs_equal_brute_force(self, spark, seed, n, n_blocks, threshold):
+        # cosine_pairs_blocked must return EXACTLY the brute-force pair
+        # set for any corpus, block count and threshold (including -1.0
+        # = all pairs) — blocking is a physical rewrite, not a heuristic.
+        import random
+
+        from helium_etl_lite_spark.operators.knn import cosine, cosine_pairs_blocked
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in cosine_pairs_blocked(
+                vecs, threshold=threshold, n_blocks=n_blocks, n_tasks=8
+            ).collect()
+        }
+        a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        want = {
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a", "vec_b",
+                F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= threshold)
+            .collect()
+        }
+        assert got == want
+
+    @SETTINGS
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=1, max_value=60),
+        n_tiles=st.sampled_from([2, 3, 10]),
+        bucket_width=st.sampled_from([1, 7, 100]),
+    )
+    def test_distributed_ntile_equals_spark_ntile(self, spark, seed, n, n_tiles, bucket_width):
+        # distributed_ntile must reproduce ntile(n) OVER (ORDER BY v, id)
+        # bit-for-bit for any data (heavy ties included), tile count and
+        # bucket width — including bucket_width=1 (every id its own
+        # window partition) and widths larger than the id range.
+        import random
+
+        from pyspark.sql import Window
+
+        from helium_etl_lite_spark.operators.scale import distributed_ntile
+
+        rng = random.Random(seed)
+        rows = [(i, rng.randint(0, 5)) for i in range(n)]  # heavy ties in v
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            (r["id"], r["tile"])
+            for r in distributed_ntile(
+                df, "v", "id", n_tiles=n_tiles, bucket_width=bucket_width
+            ).collect()
+        }
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
+        }
+        assert got == want

@@ -107,6 +107,20 @@ def main():
         try:
             sdf = registry.QUERIES[name](spark, sf_dir)
             spark_cols = sdf.columns
+            # The driver's canonicalizer pandas-sorts rows by every
+            # column and crashes on unhashable cells (round 1's one ERR:
+            # an array column). Enforce flat scalar outputs here so that
+            # class of failure is caught before the driver sees it.
+            complex_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(f"FAIL  {name}: non-scalar output columns {complex_cols} "
+                      "(driver canonicalizer cannot sort/hash these)")
+                n_fail += 1
+                continue
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
