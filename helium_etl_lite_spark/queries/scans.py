@@ -72,6 +72,41 @@ def sink_roundtrip_parquet(spark, sf_dir):
 
 
 @query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           c_name || ', "' || c_mktsegment || '"' AS tricky
+    FROM customer
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    # CSV source coverage (the remaining text wire format next to
+    # JSON-lines): write → read back with an EXPLICIT schema — never
+    # inference, which is a second full pass over the data at 100 TB.
+    # A synthesized column embeds commas AND quotes so the exact oracle
+    # proves quoting/escaping round-trips losslessly.
+    out = tempfile.mkdtemp(prefix="source_csv_") + "/t"
+    df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.concat(
+            F.col("c_name"), F.lit(', "'), F.col("c_mktsegment"), F.lit('"')
+        ).alias("tricky"),
+    )
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_acctbal double, "
+            "c_mktsegment string, tricky string"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+
+
+@query(
     "source_json_lines",
     oracle="""
     SELECT event_id,

@@ -120,6 +120,7 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_split_train_test",
     "text_repetition_stats",  # new in r2
     "text_pii_scrub",  # new in r2
+    "source_csv_roundtrip",  # new in r2
 ]
 
 

@@ -225,3 +225,35 @@ class TestScaleOperatorEquivalence:
             for r in df.withColumn("t", F.ntile(n_tiles).over(w)).collect()
         }
         assert got == want
+
+
+FUZZ_SETTINGS = settings(max_examples=300, deadline=None)  # pure Python, cheap
+
+
+class TestDecoderRobustness:
+    @FUZZ_SETTINGS
+    @given(data=st.binary(min_size=0, max_size=200))
+    def test_decode_image_never_crashes_on_fuzz(self, data):
+        # decode_image must return a dict, None, or raise ValueError —
+        # never an unhandled IndexError/struct.error/infinite loop — on
+        # arbitrary bytes (a corrupted-payload batch must fail cleanly,
+        # not kill the executor kernel).
+        from helium_etl_lite_spark.operators.multimodal import decode_image
+
+        try:
+            out = decode_image(data)
+        except ValueError:
+            return
+        assert out is None or isinstance(out, dict)
+
+    @FUZZ_SETTINGS
+    @given(data=st.binary(min_size=0, max_size=200))
+    def test_decode_image_never_crashes_on_magic_prefix_fuzz(self, data):
+        from helium_etl_lite_spark.operators.multimodal import decode_image
+
+        for magic in (b"P6\n", b"P5\n", b"BM"):
+            try:
+                out = decode_image(magic + data)
+            except ValueError:
+                continue
+            assert out is None or isinstance(out, dict)
