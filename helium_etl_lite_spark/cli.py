@@ -166,7 +166,9 @@ def cmd_once(spark, cfg, log=None) -> int:
     return n
 
 
-def cmd_start(spark, cfg, log=None) -> None:
+def cmd_start(spark, cfg, log=None, max_ticks: int | None = None) -> None:
+    """Follow loop. max_ticks bounds the number of poll passes (tests);
+    None = run until ctrl-c like the reference."""
     log = log or setup_logger(cfg)
     stop = {"flag": False}
 
@@ -177,9 +179,22 @@ def cmd_start(spark, cfg, log=None) -> None:
     signal.signal(signal.SIGINT, on_sigint)
     tick = float(cfg.get("tick_seconds", 10))
     while not stop["flag"]:
-        n, cur = _catch_up(spark, cfg)
-        if n:
-            log.info(f"start: +{n} blocks, cursor {cur[0]}")
+        try:
+            n, cur = _catch_up(spark, cfg)
+        except Exception as exc:
+            # fail-stop per pass, retry next tick (reference logs the
+            # block error and re-polls, src/follower.rs:86-93) — a
+            # flaky node or a bad batch must not kill the follower;
+            # the idempotent sink makes the retry converge.
+            log.error(f"start: pass failed ({exc}); retrying next tick")
+            n = 0
+        else:
+            if n:
+                log.info(f"start: +{n} blocks, cursor {cur[0]}")
+        if max_ticks is not None:
+            max_ticks -= 1
+            if max_ticks <= 0:
+                break
         # sleep in small slices so ctrl-c is responsive
         deadline = time.monotonic() + tick
         while not stop["flag"] and time.monotonic() < deadline:

@@ -139,6 +139,33 @@ class TestHttpRpc:
         finally:
             srv.shutdown()
 
+    def test_start_survives_rpc_failures(self, spark, tmp_path, caplog):
+        # A flaky node must not kill the follow loop: the pass fails,
+        # logs, and retries next tick (reference src/follower.rs:86-93).
+        import logging
+
+        from helium_etl_lite_spark import cli
+
+        _, _, blocks_by_h, txns_by_hash = _chain_as_dicts(spark)
+        srv = _serve_jsonrpc(blocks_by_h, {})  # every txn fetch will fail
+        try:
+            out_dir = str(tmp_path / "flaky_out")
+            cfg_path = tmp_path / "settings.toml"
+            cfg_path.write_text(
+                f'node_addr = "127.0.0.1:{srv.server_address[1]}"\n'
+                f'out_dir = "{out_dir}"\n'
+                'mode = "rewards"\n'
+                "backfill = true\n"
+                "tick_seconds = 0.1\n"
+            )
+            cfg = cli.load_config(str(cfg_path))
+            log = logging.getLogger("helium_etl_lite_spark_test_flaky")
+            with caplog.at_level(logging.ERROR, logger=log.name):
+                cli.cmd_start(spark, cfg, log=log, max_ticks=2)  # returns, no raise
+            assert any("retrying next tick" in r.message for r in caplog.records)
+        finally:
+            srv.shutdown()
+
     def test_cli_once_over_node_addr(self, spark, tmp_path):
         from helium_etl_lite_spark import cli
 
