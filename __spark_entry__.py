@@ -34,16 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     t = Tables(spark, "/root/testdata/sf0.001")
+    # manual partial-agg pushdown: reduce lineitem per orderkey before
+    # the orders join (see join_multiway_star for the rationale)
+    li = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev"),
+        F.sum("l_quantity").alias("order_qty"),
+        F.count(F.lit(1)).alias("order_items"),
+    )
     star = (
-        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        li.join(t.orders, li.l_orderkey == t.orders.o_orderkey)
         .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
         .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
         .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
     )
     per_nation = star.groupBy("r_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.sum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("order_rev"), 2).alias("revenue"),
+        F.sum("order_qty").alias("sum_qty"),
+        F.sum("order_items").alias("n_items"),
     )
     w = W.partitionBy("r_name").orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     return (
