@@ -205,3 +205,46 @@ def stream_stateful_running_count(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("total_value"),
         F.max("ts").alias("last_seen"),
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 10 MINUTE
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_interval_join(spark, sf_dir):
+    # Stream-stream interval join (batch twin): each signup joined to
+    # the same user's purchases in the following 10 minutes. The join
+    # key is user_id EQUALITY plus a time-range residual — exactly the
+    # condition Structured Streaming requires for a watermarked
+    # stream-stream join (state eviction needs the equi key + bound);
+    # the live form is readStream x readStream with withWatermark on
+    # both sides (tests/test_sources_streaming.py proves equivalence).
+    # As a batch plan it's a hash join on user_id, never a BNLJ.
+    t = Tables(spark, sf_dir)
+    s = t.events.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    p = t.events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select("user_id", "signup_id", "purchase_id", "purchase_value")
+    )

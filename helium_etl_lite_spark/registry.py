@@ -121,6 +121,7 @@ FRONT_OF_WINDOW: list[str] = [
     "text_repetition_stats",  # new in r2
     "text_pii_scrub",  # new in r2
     "source_csv_roundtrip",  # new in r2
+    "stream_stream_interval_join",  # new in r2
 ]
 
 

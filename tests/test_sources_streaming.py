@@ -294,3 +294,70 @@ class TestStreamingFiltersMode:
         cols = ["block", "account", "gateway", "amount", "type"]
         assert got.count() == want.count()
         assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_stream_matches_batch(self, spark, tmp_path):
+        # The real watermarked stream-stream join must produce exactly
+        # the batch twin's rows (stream_stream_interval_join query).
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        signups, purchases = [], []
+        for u in range(6):
+            signups.append((100 + u, base + dt.timedelta(minutes=u * 7), u))
+            # one purchase inside the 10-min window, one outside
+            purchases.append((200 + u, base + dt.timedelta(minutes=u * 7 + 5), u, 10.0 * u))
+            purchases.append((300 + u, base + dt.timedelta(minutes=u * 7 + 25), u, 99.0))
+        s_df = spark.createDataFrame(signups, "event_id long, ts timestamp, user_id long")
+        p_df = spark.createDataFrame(
+            purchases, "event_id long, ts timestamp, user_id long, value double"
+        )
+        s_feed, p_feed = str(tmp_path / "s_feed"), str(tmp_path / "p_feed")
+        s_df.coalesce(2).write.mode("overwrite").json(s_feed)
+        p_df.coalesce(2).write.mode("overwrite").json(p_feed)
+
+        s = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .json(s_feed)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("signup_id"),
+                F.col("ts").alias("s_ts"),
+            )
+        )
+        p = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .json(p_feed)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+        )
+        joined = s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        ).select("user_id", "signup_id", "purchase_id", "purchase_value")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["signup_id"], r["purchase_id"], r["purchase_value"])
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+        want = {(u, 100 + u, 200 + u, 10.0 * u) for u in range(6)}
+        assert got == want  # in-window purchases only, each exactly once
