@@ -50,9 +50,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 FRONT_OF_WINDOW: list[str] = [
     # changed this round → needs a fresh verdict
     "agg_percentile_approx",  # r01 ERR (array column); now scalar p50/p95/p99
-    "vec_dedup_cosine",  # rewritten: LSH-bucketed candidates + exact verify
+    "vec_dedup_cosine",  # rewritten: blocked equi-join all-pairs
     "sample_balance_buckets",  # rewritten: distributed decile boundaries
     "multimodal_decode_stub",  # now backed by a real PPM/BMP decoder
+    "join_multiway_star",  # rewritten: manual partial-agg pushdown
     # never driver-verified (r01 graded "untested"): §2.4.A scans
     "scan_parquet",
     "scan_projection_pushdown",
@@ -105,8 +106,8 @@ FRONT_OF_WINDOW: list[str] = [
     "text_lang_id_ngram",
     "text_tfidf",
     "sessionize_gap30",
-    "pipeline_corpus_curation",
     # ---- 50-query window boundary falls here; the rest queue for r3 ----
+    "pipeline_corpus_curation",
     "text_clean_normalize",
     "text_vocab_prune",
     "text_fuzzy_levenshtein",
