@@ -85,7 +85,11 @@ def text_dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     t = Tables(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(t.documents, block_col="lang", threshold=0.85)
+    # BLAS incidence-matrix kernel (operators/dedup.py
+    # ngram_jaccard_pairs_blas): identical pairs+scores to the JVM
+    # array_intersect form (tested), ~25x faster on this bounded-vocab
+    # corpus (21s -> 0.8s at sf0.1).
+    return dedup.ngram_jaccard_pairs_blas(t.documents, block_col="lang", threshold=0.85)
 
 
 @query(
@@ -547,7 +551,7 @@ def dedup_cluster_components(spark, sf_dir):
     # min-label propagation (driver-controlled loop, lineage truncated
     # per round) — the oracle replays it as a recursive CTE.
     t = Tables(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(t.documents, block_col="lang", threshold=0.85)
+    pairs = dedup.ngram_jaccard_pairs_blas(t.documents, block_col="lang", threshold=0.85)
     comp = dedup.connected_components(pairs, src_col="doc_a", dst_col="doc_b")
     return comp.select("id", "component")
 

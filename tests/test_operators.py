@@ -325,3 +325,18 @@ class TestArrowFeatureParity:
         via_pandas = {tuple(r) for r in multimodal.extract_features(assets).collect()}
         via_arrow = {tuple(r) for r in multimodal.extract_features_arrow(assets).collect()}
         assert via_arrow == via_pandas and len(via_arrow) == 5
+
+
+class TestJaccardBlasKernel:
+    def test_blas_kernel_matches_jvm_form(self, spark, sf_dir):
+        # The incidence-matrix kernel is a physical rewrite: identical
+        # pair set AND identical 6-decimal scores to the JVM
+        # array_intersect form on the real corpus.
+        from helium_etl_lite_spark.operators import dedup
+        from helium_etl_lite_spark.tables import Tables
+
+        docs = Tables(spark, sf_dir).documents
+        jvm = dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.85)
+        blas = dedup.ngram_jaccard_pairs_blas(docs, block_col="lang", threshold=0.85)
+        assert jvm.exceptAll(blas).count() == 0
+        assert blas.exceptAll(jvm).count() == 0
