@@ -54,6 +54,8 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_balance_buckets",  # rewritten: distributed decile boundaries
     "multimodal_decode_stub",  # now backed by a real PPM/BMP decoder
     "join_multiway_star",  # rewritten: manual partial-agg pushdown
+    "dedup_ngram_jaccard",  # rewritten: incidence-matrix BLAS kernel
+    "dedup_cluster_components",  # pair-gen switched to the BLAS kernel
     # never driver-verified (r01 graded "untested"): §2.4.A scans
     "scan_parquet",
     "scan_projection_pushdown",
@@ -104,9 +106,9 @@ FRONT_OF_WINDOW: list[str] = [
     "text_token_count_regex",
     "text_fingerprint_rolling",
     "text_lang_id_ngram",
+    # ---- 50-query window boundary falls here; the rest queue for r3 ----
     "text_tfidf",
     "sessionize_gap30",
-    # ---- 50-query window boundary falls here; the rest queue for r3 ----
     "pipeline_corpus_curation",
     "text_clean_normalize",
     "text_vocab_prune",
