@@ -313,3 +313,30 @@ def agg_argminmax(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS price_per_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    # Bivariate statistics: correlation, sample covariance and the OLS
+    # slope in ONE grouped pass — all three are partial-aggregable
+    # moment sketches (sum, sum x, sum y, sum xy, sum x^2), so the
+    # map-side combine ships five doubles per group no matter the
+    # corpus size. Rounded on both sides: the moment accumulation
+    # order differs between engines at the 1e-10 level.
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("price_per_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
