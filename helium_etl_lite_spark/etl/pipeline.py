@@ -110,8 +110,24 @@ def write_block_range_idempotent(
             .localCheckpoint(eager=True)
         )
         merged = new.unionByName(old)
+        # Dynamic overwrite only rewrites partitions PRESENT in merged.
+        # A touched range where the claimed blocks now produce no rows
+        # and no carried-over rows remain would keep its stale files
+        # forever (ADVICE r2) — enumerate the touched ranges and delete
+        # any that merged no longer populates. Control-plane sized: the
+        # distinct() below column-prunes to block_range only, and the
+        # touched set is bounded by the batch's span / range_size.
+        if heights is None:
+            touched_ranges = set(range(lo // range_size, hi // range_size + 1))
+        else:
+            touched_ranges = {r["block_range"] for r in touched.collect()}
+        present_ranges = {
+            r["block_range"] for r in merged.select("block_range").distinct().collect()
+        }
+        stale_ranges = sorted(touched_ranges - present_ranges)
     except AnalysisException:
-        merged = new  # first write; nothing to merge
+        merged = new  # first write; nothing to merge, nothing stale
+        stale_ranges = []
     (
         merged.repartition("block_range")
         .write.mode("overwrite")
@@ -119,6 +135,14 @@ def write_block_range_idempotent(
         .partitionBy("block_range")
         .parquet(path)
     )
+    # After the write so a crash replay re-derives and re-deletes them
+    # (idempotent). Hadoop FS API, so the same path works on HDFS/object
+    # stores, not just local files.
+    for rng in stale_ranges:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/block_range={rng}")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
 
 
 def read_committed(
@@ -200,6 +224,11 @@ class FollowerConfig:
     out_dir: str = "/tmp/helium_out"
     max_blocks_per_batch: int | None = None  # None = whole lag in one job
     block_range_size: int = 1000   # blocks per output partition directory
+    # True = snapshot-manifest sink (etl/snapshot.py): data + cursor
+    # publish in ONE atomic rename, the reference's BEGIN..COMMIT
+    # (src/follower.rs:100) made literal instead of approximated by
+    # write-ordering + idempotent replay.
+    atomic: bool = False
 
 
 class IncrementalFollower:
@@ -228,6 +257,22 @@ class IncrementalFollower:
 
     # -- cursor init (reference src/follower.rs:27-41) ------------------
     def init_cursor(self) -> tuple[int, int]:
+        if self.config.atomic:
+            from .snapshot import SnapshotStore
+
+            m = SnapshotStore(self.config.out_dir).current()
+            if m is not None:
+                return m["height"], m["first_block"]
+            # No lost-cursor recovery path: unpublished data is invisible
+            # by construction, so the manifest IS the only truth.
+            if self.config.backfill:
+                first = get_first_block(self.spark, self.blocks, self.txns)
+            else:
+                first = self._tip()
+            SnapshotStore(self.config.out_dir).publish(
+                {"version": 1, "height": first - 1, "first_block": first, "tables": {}}
+            )
+            return first - 1, first
         existing = self.cursor.read()
         if existing is not None:
             return existing
@@ -276,10 +321,14 @@ class IncrementalFollower:
         upper = tip
         if self.config.max_blocks_per_batch is not None:
             upper = min(tip, height + self.config.max_blocks_per_batch)
-        self._process_range(height + 1, upper)
-        # cursor advances only after data is durable (E18; the ordering
-        # that substitutes for the reference's BEGIN..COMMIT).
-        self.cursor.write(upper, first_block)
+        if self.config.atomic:
+            self._commit_range_atomic(height + 1, upper, first_block)
+        else:
+            self._process_range(height + 1, upper)
+            # cursor advances only after data is durable (E18; the
+            # ordering that substitutes for the reference's
+            # BEGIN..COMMIT).
+            self.cursor.write(upper, first_block)
         return upper - height
 
     def catch_up(self) -> int:
@@ -290,6 +339,27 @@ class IncrementalFollower:
             if n == 0:
                 return total
             total += n
+
+    def _commit_range_atomic(self, lo: int, hi: int, first_block: int) -> None:
+        # E14-E18 as ONE transaction: every output table and the cursor
+        # advance publish together in the manifest swap.
+        from .snapshot import commit_batch_atomic
+
+        blocks = self.blocks.where(F.col("height").between(lo, hi))
+        out = build_outputs(self.config.mode, blocks, self.txns, self.filters)
+        tables = {"rewards": out["rewards"]}
+        if "transactions" in out:
+            tables["transactions"] = out["transactions"].dropDuplicates(["hash"])
+        commit_batch_atomic(
+            self.spark,
+            self.config.out_dir,
+            tables,
+            lo,
+            hi,
+            height=hi,
+            first_block=first_block,
+            range_size=self.config.block_range_size,
+        )
 
     def _process_range(self, lo: int, hi: int) -> None:
         # Incremental slice: the height predicate prunes partitions at

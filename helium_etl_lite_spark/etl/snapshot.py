@@ -1,0 +1,275 @@
+"""Single-transaction atomic commit for data + cursor (VERDICT r1/r2
+stretch item): a minimal snapshot-manifest table format.
+
+The reference gets per-block atomicity from a Postgres transaction that
+writes rewards/transactions AND advances follower_info together
+(src/follower.rs:100, src/block_processor.rs:44-47). The plain-parquet
+sink orders data-write → cursor-write and relies on idempotent replay,
+which leaves a window where a RAW reader sees data ahead of the cursor
+(read_committed() masks it). This module closes that window the way
+modern lakehouse formats do (Delta's _delta_log, Iceberg's metadata
+pointer), scaled down to exactly what the follower needs:
+
+- Data files are APPEND-ONLY under versioned partition directories:
+      {root}/{table}/v={version}/block_range={r}/part-*.parquet
+  A writer never deletes or rewrites a published file, so there is no
+  write-into-own-source hazard (the plain sink needs localCheckpoint
+  for that) and readers of the previous snapshot are never torn.
+
+- One manifest JSON per version maps each partition to the version that
+  owns it, AND carries the cursor:
+      {"version": 7, "height": 1099, "first_block": 1000,
+       "tables": {"rewards": {"0": 3, "1": 7}, ...}}
+  `_snapshots/CURRENT` names the live version and is published with an
+  atomic `os.replace` — the ONLY mutation in the whole commit. Data and
+  cursor therefore become visible in the same instant: the reference's
+  BEGIN..COMMIT, as one rename. (POSIX/HDFS rename is atomic; on S3
+  swap the pointer swap for a conditional PUT of CURRENT.)
+
+- Deleting a partition whose blocks were all replayed-away is METADATA
+  ONLY: the key leaves the manifest; the files get vacuumed later. The
+  plain sink needs an explicit directory delete for the same case
+  (write_block_range_idempotent).
+
+- Crash anywhere before the CURRENT swap leaves the previous snapshot
+  (data + cursor together) fully intact; the half-written v-dir is
+  orphaned, invisible, and overwritten by the replay, which recomputes
+  the same version number. Crash after the swap is a completed commit.
+
+Replay convergence, crash atomicity and metadata-deletes are pinned by
+tests/test_snapshot.py.
+
+Scale posture: the manifest is O(#partitions) (= chain height /
+range_size; ~1e3-1e5 entries), read/written driver-side once per batch
+— control plane, like Delta's log replay. Data IO is identical to the
+plain sink (same partition layout, same pushdown), plus old versions
+linger until vacuum() — bounded by keep_versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotStore:
+    """Manifest bookkeeping: read CURRENT, publish a new version."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, "_snapshots")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.dir, f"snap-{version:012d}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.dir, "CURRENT")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def current(self) -> dict | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def publish(self, manifest: dict) -> None:
+        """The commit point. Everything before the final os.replace is
+        invisible to readers; the replace itself is atomic."""
+        os.makedirs(self.dir, exist_ok=True)
+        version = manifest["version"]
+        mpath = self._manifest_path(version)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mpath + ".tmp", mpath)
+        cpath = os.path.join(self.dir, "CURRENT")
+        with open(cpath + ".tmp", "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cpath + ".tmp", cpath)  # <- the transaction commits here
+
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Delete data directories no version in the keep-window
+        references. Safe once no reader holds a snapshot older than the
+        window (same contract as Delta VACUUM). Returns removed paths."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep = set()
+        kept_manifests = []
+        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+            try:
+                with open(self._manifest_path(v)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue
+            kept_manifests.append(v)
+            for table, parts in m["tables"].items():
+                for owner in parts.values():
+                    keep.add((table, int(owner)))
+        removed = []
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table.startswith("_") or not os.path.isdir(tdir):
+                continue
+            for vdir in os.listdir(tdir):
+                if not vdir.startswith("v="):
+                    continue
+                v = int(vdir[2:])
+                if (table, v) not in keep and v < cur:
+                    path = os.path.join(tdir, vdir)
+                    shutil.rmtree(path)
+                    removed.append(path)
+        for f_ in os.listdir(self.dir):
+            if f_.startswith("snap-") and f_.endswith(".json"):
+                v = int(f_[5:-5])
+                if kept_manifests and v < min(kept_manifests):
+                    os.remove(os.path.join(self.dir, f_))
+        return removed
+
+
+def _read_version_ranges(
+    spark: SparkSession, root: str, table: str, by_version: dict[int, list[int]]
+) -> DataFrame | None:
+    """Union the listed (version → ranges) partition dirs; basePath
+    recovers block_range as a column from the directory names."""
+    dfs = []
+    for ver, ranges in sorted(by_version.items()):
+        base = os.path.join(root, table, f"v={ver}")
+        paths = [os.path.join(base, f"block_range={r}") for r in sorted(ranges)]
+        dfs.append(spark.read.option("basePath", base).parquet(*paths))
+    if not dfs:
+        return None
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def read_snapshot(spark: SparkSession, root: str, table: str) -> DataFrame | None:
+    """The committed-read view: exactly the current manifest's files.
+    Returns None when no snapshot (or no such table) exists. There is
+    nothing to filter by cursor — data ahead of the cursor is not in the
+    manifest, so it does not exist for readers."""
+    manifest = SnapshotStore(root).current()
+    if manifest is None or table not in manifest["tables"]:
+        return None
+    parts = manifest["tables"][table]
+    if not parts:
+        return None
+    by_version: dict[int, list[int]] = {}
+    for r, ver in parts.items():
+        by_version.setdefault(int(ver), []).append(int(r))
+    return _read_version_ranges(spark, root, table, by_version)
+
+
+def commit_batch_atomic(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, DataFrame],
+    lo: int,
+    hi: int,
+    height: int,
+    first_block: int,
+    range_size: int = 1000,
+    heights: DataFrame | None = None,
+) -> dict:
+    """Land a batch into every output table AND advance the cursor as
+    ONE atomic commit. Claim semantics match
+    write_block_range_idempotent: heights=None claims the whole span
+    [lo, hi]; heights=<df> claims exactly that block set.
+
+    Returns the published manifest."""
+    store = SnapshotStore(root)
+    cur = store.current()
+    version = (cur["version"] + 1) if cur else 1
+    cur_tables: dict[str, dict] = dict(cur["tables"]) if cur else {}
+
+    claimed = None
+    if heights is not None:
+        claimed = heights.select(
+            F.col(heights.columns[0]).cast("long").alias("__claimed_block")
+        ).distinct()
+        touched_ranges = {
+            int(r["__r"])
+            for r in claimed.select(
+                F.floor(F.col("__claimed_block") / F.lit(range_size))
+                .cast("long")
+                .alias("__r")
+            )
+            .distinct()
+            .collect()
+        }
+    else:
+        touched_ranges = set(range(lo // range_size, hi // range_size + 1))
+
+    new_tables: dict[str, dict] = {}
+    for table, df in tables.items():
+        parts = dict(cur_tables.get(table, {}))
+        new = df.withColumn(
+            "block_range", F.floor(F.col("block") / F.lit(range_size)).cast("long")
+        )
+        # Carry-over: current rows of the touched ranges that the batch
+        # does NOT claim. Read straight from the owning version dirs —
+        # append-only storage means this never races the write below.
+        by_version: dict[int, list[int]] = {}
+        for r in touched_ranges:
+            ver = parts.get(str(r))
+            if ver is not None:
+                by_version.setdefault(int(ver), []).append(r)
+        old = _read_version_ranges(spark, root, table, by_version)
+        if old is not None:
+            if claimed is None:
+                survivors = old.where(~F.col("block").between(lo, hi))
+            else:
+                survivors = old.join(
+                    F.broadcast(claimed),
+                    F.col("block") == F.col("__claimed_block"),
+                    "left_anti",
+                )
+            merged = new.unionByName(survivors.select(*new.columns))
+        else:
+            merged = new
+        vdir = os.path.join(root, table, f"v={version}")
+        # overwrite: a replay after a crash-before-publish recomputes
+        # the same version number and rewrites its orphan directory.
+        (
+            merged.repartition("block_range")
+            .write.mode("overwrite")
+            .partitionBy("block_range")
+            .parquet(vdir)
+        )
+        # Which ranges did the write actually produce? Directory names
+        # are authoritative (and an empty merged batch yields none).
+        present = {
+            int(d[len("block_range="):])
+            for d in os.listdir(vdir)
+            if d.startswith("block_range=")
+        }
+        for r in touched_ranges:
+            parts.pop(str(r), None)
+        for r in present:
+            parts[str(r)] = version
+        new_tables[table] = parts
+    for table, parts in cur_tables.items():
+        if table not in new_tables:
+            new_tables[table] = parts
+
+    manifest = {
+        "version": version,
+        "height": int(height),
+        "first_block": int(first_block),
+        "tables": new_tables,
+    }
+    store.publish(manifest)
+    return manifest

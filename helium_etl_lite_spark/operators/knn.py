@@ -39,15 +39,30 @@ def cosine(a, b):
 
 
 def cosine_topk(
-    vectors: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tasks: int = 32,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among `vectors`.
 
-    Queries are broadcast (Q is small); the scan over N vectors stays
-    fully parallel and shuffle-free until the final per-query top-k,
-    which is a window over q_id — Q partitions, each tiny.
+    Queries are broadcast (Q is small) so the O(N·Q) scoring never
+    shuffles the big side — but the scoring parallelism is exactly the
+    stream side's partition count, and a small parquet table arrives as
+    ONE split, so without an explicit repartition the whole cross
+    product runs in a single task (r2's +85% bench regression; the same
+    defect fixed in vec_dedup in round 1 was never ported here).
+    The explicit-count `repartition(n_tasks)` is a round-robin shuffle
+    of just N vector rows — O(N), tiny next to O(N·Q) scoring — and an
+    explicit count keeps AQE from coalescing the byte-small but
+    CPU-heavy partitions back into one task.
+    The final per-query top-k is a window over q_id — Q partitions,
+    each tiny.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e"))
+    v = v.repartition(n_tasks)
     q = queries.select(F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qe"))
     pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     scored = pairs.select(
@@ -60,10 +75,20 @@ def cosine_topk(
 
 
 def assign_nearest_centroid(
-    vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tasks: int = 32,
 ) -> DataFrame:
-    """Nearest-centroid assignment by squared L2 (broadcast centroids)."""
+    """Nearest-centroid assignment by squared L2 (broadcast centroids).
+
+    Same single-split hazard as `cosine_topk`: the broadcast join's
+    parallelism is the stream side's split count, so repartition the
+    vectors before fanning out O(N·C) distance evaluations.
+    """
     v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e"))
+    v = v.repartition(n_tasks)
     c = centroids.select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("ce"))
     sq_dist = F.aggregate(
         F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),

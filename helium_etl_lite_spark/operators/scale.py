@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def distributed_ntile(
@@ -38,6 +39,7 @@ def distributed_ntile(
     n_tiles: int = 10,
     bucket_width: int = 100_000,
     out_col: str = "tile",
+    max_control_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact `ntile(n) OVER (ORDER BY value_col, id_col)` without the
     single-task global sort that a partition-less window costs.
@@ -46,33 +48,65 @@ def distributed_ntile(
     tile is a pure function of its global rank. Two passes:
 
     1. groupBy (value_col, id_col div bucket_width) → counts: a control
-       table bounded by #distinct-values × #id-buckets, prefix-summed
-       driver-side (control plane, like collecting a broadcast dim)
-       into per-key starting ranks.
-    2. broadcast the offsets back; row_number within each composite key
-       — every window partition is capped at bucket_width rows no
-       matter how skewed value_col is — then the SQL ntile formula on
-       the 0-based global rank (first N mod n tiles take ceil(N/n)).
+       table bounded by #distinct-values × #id-buckets (guarded by
+       `max_control_rows` — a high-cardinality value_col would
+       otherwise grow it toward N and melt the control plane).
+       Prefix-summed driver-side (control plane, like collecting a
+       broadcast dim) — but the ORDERING comes from Spark
+       (`orderBy(...).collect()`), so there is no Python-`sorted()`-vs-
+       Spark-ordering disagreement for any orderable value_col type
+       (nulls order first, as asc_nulls_first), and no SinglePartition
+       window exchange appears anywhere in the plan.
+    2. broadcast the offsets back (null-safe on value_col, so NULL
+       values tile like any other key instead of silently dropping);
+       row_number within each composite key — every window partition is
+       capped at bucket_width rows no matter how skewed value_col is —
+       then the SQL ntile formula on the 0-based global rank (first
+       N mod n tiles take ceil(N/n)).
+
+    Empty input yields an empty result with the same schema (+out_col).
     """
     rb = (F.col(id_col) / bucket_width).cast("long")
     d = df.withColumn("__rb", rb)
-    counts = sorted(
-        (r["__v"], r["__rb"], r["__cnt"])
-        for r in d.groupBy(F.col(value_col).alias("__v"), "__rb")
+    counts = (
+        d.groupBy(F.col(value_col).alias("__v"), "__rb")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()
+        .persist()
     )
-    total = sum(c for _, _, c in counts)
+    n_keys = counts.count()
+    if n_keys > max_control_rows:
+        counts.unpersist()
+        raise ValueError(
+            f"distributed_ntile control table has {n_keys} "
+            f"(value, id-bucket) keys > max_control_rows={max_control_rows}; "
+            f"value_col={value_col!r} is too high-cardinality for the "
+            "bounded-control-plane assumption — pre-bucket it (e.g. "
+            "round/width_bucket) or raise the bound deliberately"
+        )
+    ordered_counts = counts.orderBy(
+        F.col("__v").asc_nulls_first(), F.col("__rb").asc()
+    ).collect()
+    counts.unpersist()
+    total = sum(r["__cnt"] for r in ordered_counts)
     offsets, acc = [], 0
-    for v, b, cnt in counts:
-        offsets.append((v, b, acc))
-        acc += cnt
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, [value_col, "__rb", "__offset"])
+    for r in ordered_counts:
+        offsets.append((r["__v"], r["__rb"], acc))
+        acc += r["__cnt"]
+    off_schema = T.StructType(
+        [
+            T.StructField("__v", df.schema[value_col].dataType),
+            T.StructField("__rb_o", T.LongType()),
+            T.StructField("__offset", T.LongType()),
+        ]
+    )
+    off = df.sparkSession.createDataFrame(offsets, off_schema)
     q, rem = divmod(total, n_tiles)
     w = Window.partitionBy(value_col, "__rb").orderBy(F.col(id_col).asc())
-    ranked = d.join(F.broadcast(off_df), [value_col, "__rb"]).withColumn(
-        "__r0", F.col("__offset") + F.row_number().over(w) - 1
+    cond = d[value_col].eqNullSafe(off["__v"]) & (d["__rb"] == off["__rb_o"])
+    ranked = (
+        d.join(F.broadcast(off), cond)
+        .drop("__v", "__rb_o")
+        .withColumn("__r0", F.col("__offset") + F.row_number().over(w) - 1)
     )
     cut = rem * (q + 1)
     tile = F.when(

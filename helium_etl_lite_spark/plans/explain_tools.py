@@ -69,8 +69,17 @@ def assert_partial_aggregate(df: DataFrame) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the plan. Counts only the
+    details-section headers ("(12) Exchange"), not the tree rendering of
+    the same node, so one shuffle counts once."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Broadcast" not in line)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange\b", line.strip())
+    )
 
 
 def assert_whole_stage_codegen(df: DataFrame) -> None:

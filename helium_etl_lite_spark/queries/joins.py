@@ -238,26 +238,44 @@ def join_multiway_star(spark, sf_dir):
     # 5-table star join: fact joins shuffle once on orderkey/custkey,
     # nation/region broadcast. This is the flagship's core.
     #
-    # Manual partial-agg pushdown: lineitem reduces to one row per
-    # orderkey BEFORE joining orders — Catalyst doesn't push aggregates
-    # through joins, and the reduction shrinks the first shuffle by the
-    # lineitems-per-order factor (~4x; measured ~30% on the query at
-    # sf0.1, more at scale where the shuffle dominates). Identical
-    # results: sum-of-sums and sum-of-counts re-associate exactly.
+    # Manual partial-agg pushdown, applied at EVERY join level —
+    # Catalyst doesn't push aggregates through joins, so do it by hand;
+    # sums re-associate exactly, so results are identical:
+    #   1. lineitem → one row per orderkey before the orders join
+    #      (shrinks the big shuffle by the lineitems-per-order factor).
+    #   2. after the orders join → one row per custkey. groupBy(custkey)
+    #      partial-aggregates map-side and its output is already hash-
+    #      partitioned on custkey, which the customer join then reuses —
+    #      no extra exchange, far fewer shuffled bytes.
+    #   3. after the customer join → one row per nationkey, so the
+    #      broadcast dim joins and the final agg touch ~#nations rows,
+    #      not #orders. At 1000 executors the dims' broadcast cost is
+    #      unchanged but the probe work drops to noise.
     t = Tables(spark, sf_dir)
     li = t.lineitem.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev"),
         F.count(F.lit(1)).alias("order_items"),
     )
+    by_cust = (
+        li.join(t.orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("order_rev").alias("cust_rev"), F.sum("order_items").alias("cust_items"))
+    )
+    by_nation = (
+        by_cust.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            by_cust.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("cust_rev").alias("nat_rev"), F.sum("cust_items").alias("nat_items"))
+    )
     return (
-        li.join(t.orders, li.l_orderkey == t.orders.o_orderkey)
-        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
-        .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        by_nation.join(F.broadcast(t.nation), by_nation.c_nationkey == t.nation.n_nationkey)
         .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("order_rev"), 2).alias("revenue"),
-            F.sum("order_items").alias("n_items"),
+            F.round(F.sum("nat_rev"), 2).alias("revenue"),
+            F.sum("nat_items").alias("n_items"),
         )
     )
 

@@ -193,7 +193,8 @@ def vec_cluster_assign(spark, sf_dir):
              row_number() OVER (PARTITION BY lang
                                 ORDER BY n_chars DESC, doc_id ASC) AS rn
       FROM documents),
-         stats AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+         stats AS (SELECT lang, COUNT(*) AS n_docs,
+                          CAST(SUM(n_chars) AS BIGINT) AS total_chars
                    FROM documents GROUP BY lang)
     SELECT r.lang, r.doc_id, r.n_chars, r.rn, s.n_docs, s.total_chars
     FROM ranked r JOIN stats s ON r.lang = s.lang
@@ -456,8 +457,9 @@ def text_tfidf(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM marked)
     SELECT user_id, session_id,
            COUNT(*) AS n_events,

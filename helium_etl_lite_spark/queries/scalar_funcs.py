@@ -101,7 +101,7 @@ def date_funcs(spark, sf_dir):
            round(sqrt(l_quantity), 6) AS sqrt_qty,
            pow(l_quantity, 2) AS qty_sq,
            l_orderkey % 7 AS key_mod,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )

@@ -135,7 +135,7 @@ def win_running_sum_frame(spark, sf_dir):
            ROUND(AVG(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg_price,
-           SUM(1) OVER (
+           COUNT(*) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_size
     FROM orders

@@ -49,17 +49,43 @@ def register_views(
     (full mode). Returns the DataFrames keyed by view name."""
     views: dict[str, DataFrame] = {}
 
+    from .etl.snapshot import SnapshotStore, read_snapshot
+
+    snapshot_manifest = SnapshotStore(out_dir).current()
+
     def load(table: str) -> DataFrame:
+        if snapshot_manifest is not None:
+            # Atomic-sink output: the manifest IS the committed view —
+            # uncommitted data isn't reachable from it at all, so no
+            # cursor filter is needed (or meaningful).
+            df = read_snapshot(spark, out_dir, table)
+            if df is None:
+                from pyspark.errors import AnalysisException
+
+                raise AnalysisException(
+                    f"[PATH_NOT_FOUND] no committed snapshot entry for table {table}"
+                )
+            return df
         if committed:
             return read_committed(spark, out_dir, table, range_size)
         return spark.read.parquet(os.path.join(out_dir, table))
 
     views["rewards"] = load("rewards")
+    # Only a missing table path means "mode produced no transactions";
+    # any other failure (corrupt files, bad out_dir, cursor errors) must
+    # surface, not silently drop the view (ADVICE r2).
+    from pyspark.errors import AnalysisException
+
     try:
         views["transactions"] = load("transactions")
-    except Exception:
-        pass  # rewards/filters mode: no transactions table
-    cur = CursorStore(spark, os.path.join(out_dir, "_meta", "follower_info")).read()
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        # rewards/filters mode: no transactions table
+    if snapshot_manifest is not None:
+        cur = (snapshot_manifest["height"], snapshot_manifest["first_block"])
+    else:
+        cur = CursorStore(spark, os.path.join(out_dir, "_meta", "follower_info")).read()
     views["follower_info"] = spark.createDataFrame(
         [cur] if cur is not None else [], FOLLOWER_INFO_SCHEMA
     )

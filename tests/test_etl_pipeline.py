@@ -362,3 +362,51 @@ class TestFailStopParity:
         out = transforms.build_outputs("full", blocks, broken)["transactions"]
         with pytest.raises(Exception, match="missing payload"):
             out.collect()
+
+
+class TestStaleRangeDeletion:
+    # ADVICE r2 (medium): dynamic partition overwrite only rewrites
+    # partitions present in `merged` — a touched range whose rows are
+    # all claimed away must be explicitly deleted, or stale rows
+    # silently survive replay.
+
+    def _df(self, spark, blocks):
+        return spark.createDataFrame([(b, b * 10.0) for b in blocks], "block long, v double")
+
+    def test_span_replay_emptying_a_range_deletes_partition(self, spark, tmp_path):
+        from helium_etl_lite_spark.etl.pipeline import write_block_range_idempotent
+
+        path = str(tmp_path / "t6")
+        write_block_range_idempotent(spark, self._df(spark, range(20)), path, 0, 19, 10)
+        empty = spark.createDataFrame([], "block long, v double")
+        write_block_range_idempotent(spark, empty, path, 10, 19, 10)
+        got = spark.read.parquet(path)
+        assert got.count() == 10
+        assert got.where(F.col("block") >= 10).count() == 0
+        assert not os.path.exists(os.path.join(path, "block_range=1"))
+
+    def test_height_set_emptying_a_range_deletes_partition(self, spark, tmp_path):
+        from helium_etl_lite_spark.etl.pipeline import write_block_range_idempotent
+
+        path = str(tmp_path / "t7")
+        write_block_range_idempotent(spark, self._df(spark, range(20)), path, 0, 19, 10)
+        empty = spark.createDataFrame([], "block long, v double")
+        heights = spark.createDataFrame([(h,) for h in range(10, 20)], "block long")
+        write_block_range_idempotent(spark, empty, path, 10, 19, 10, heights=heights)
+        got = spark.read.parquet(path)
+        assert got.count() == 10
+        assert not os.path.exists(os.path.join(path, "block_range=1"))
+
+    def test_partial_claim_keeps_partition(self, spark, tmp_path):
+        # Claiming only half a range must keep the survivors (and the
+        # partition directory).
+        from helium_etl_lite_spark.etl.pipeline import write_block_range_idempotent
+
+        path = str(tmp_path / "t8")
+        write_block_range_idempotent(spark, self._df(spark, range(20)), path, 0, 19, 10)
+        empty = spark.createDataFrame([], "block long, v double")
+        heights = spark.createDataFrame([(h,) for h in range(10, 15)], "block long")
+        write_block_range_idempotent(spark, empty, path, 10, 14, 10, heights=heights)
+        got = spark.read.parquet(path)
+        assert got.count() == 15
+        assert os.path.exists(os.path.join(path, "block_range=1"))

@@ -1,6 +1,9 @@
 """Oracle-differential tests (SURVEY §5.1): every registered query runs
 through Spark AND its DuckDB oracle at sf0.001; results must match on
-row count, column names, and values (floats within 1e-9).
+row count, column names, pandas dtype CLASS (int widths normalized —
+the driver hash-compares via pandas, so int-vs-float dtype drift is a
+real FAIL even when values agree; see r2's three false-greens), and
+values (floats within 1e-9).
 
 This is a local replica of the driver's correctness gate so mismatches
 surface before the driver runs at sf0.01.
@@ -26,14 +29,11 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = registry.QUERIES[name](spark, sf_dir)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
     if name not in registry.ORACLES:
         # rows-only contract: must run and be a stable, non-erroring plan
-        assert isinstance(spark_rows, list)
+        assert isinstance(sdf.collect(), list)
         return
-    res = duck.execute(registry.ORACLES[name])
-    duck_cols = [c[0] for c in res.description]
-    duck_rows = res.fetchall()
-    problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = duck.execute(registry.ORACLES[name]).df()
+    problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"

@@ -130,3 +130,39 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+class TestDistributedNtileEdges:
+    # ADVICE r2: empty input crashed createDataFrame inference, NULL
+    # value rows were silently dropped by the equality join, and a
+    # high-cardinality value_col could collect an unbounded control
+    # table. All three are now defined behavior.
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "id long, v long")
+        out = scale.distributed_ntile(df, "v", "id", n_tiles=4)
+        assert out.count() == 0
+        assert "tile" in out.columns
+
+    def test_null_values_kept_and_tiled_first(self, spark):
+        from pyspark.sql import Window
+
+        rows = [(0, None), (1, 3), (2, None), (3, 1), (4, 2), (5, 1)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            (r["id"], r["tile"])
+            for r in scale.distributed_ntile(df, "v", "id", n_tiles=3).collect()
+        }
+        # Spark ASC ordering is nulls-first, so plain ntile is the oracle.
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(3).over(w)).collect()
+        }
+        assert got == want
+        assert len(got) == 6  # no row dropped
+
+    def test_cardinality_guard_raises(self, spark):
+        df = spark.createDataFrame([(i, i) for i in range(50)], "id long, v long")
+        with pytest.raises(ValueError, match="max_control_rows"):
+            scale.distributed_ntile(df, "v", "id", n_tiles=4, max_control_rows=10)

@@ -1,0 +1,219 @@
+"""Snapshot-manifest atomic sink (etl/snapshot.py): data + cursor must
+commit in ONE atomic publish — the reference's per-block Postgres
+transaction (src/follower.rs:100, src/block_processor.rs:44-47) as a
+manifest swap. Pins: crash atomicity (nothing before the CURRENT swap
+is visible), replay convergence, metadata-only deletes, vacuum safety,
+and follower/serving integration."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_etl_lite_spark.etl import fixtures
+from helium_etl_lite_spark.etl.pipeline import FollowerConfig, IncrementalFollower
+from helium_etl_lite_spark.etl.snapshot import (
+    SnapshotStore,
+    commit_batch_atomic,
+    read_snapshot,
+)
+
+
+def _df(spark, blocks, v=None):
+    return spark.createDataFrame(
+        [(b, (v if v is not None else b * 10.0)) for b in blocks], "block long, v double"
+    )
+
+
+class TestCommitProtocol:
+    def test_two_commits_merge(self, spark, tmp_path):
+        root = str(tmp_path / "s1")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(20))}, 0, 19, height=19, first_block=0,
+            range_size=10,
+        )
+        m = commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(20, 25))}, 20, 24, height=24,
+            first_block=0, range_size=10,
+        )
+        assert m["version"] == 2 and m["height"] == 24
+        got = read_snapshot(spark, root, "t")
+        assert got.count() == 25
+        # untouched ranges still owned by v1, new range by v2
+        assert m["tables"]["t"]["0"] == 1 and m["tables"]["t"]["2"] == 2
+
+    def test_replay_overwrites_claimed_blocks(self, spark, tmp_path):
+        root = str(tmp_path / "s2")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(20))}, 0, 19, height=19, first_block=0,
+            range_size=10,
+        )
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(5, 15), v=-1.0)}, 5, 14, height=19,
+            first_block=0, range_size=10,
+        )
+        got = read_snapshot(spark, root, "t")
+        assert got.count() == 20
+        assert got.where(F.col("v") == -1.0).count() == 10
+        assert got.where((F.col("block") == 4) & (F.col("v") == 40.0)).count() == 1
+        assert got.where((F.col("block") == 15) & (F.col("v") == 150.0)).count() == 1
+
+    def test_crash_before_publish_invisible_and_replay_converges(self, spark, tmp_path):
+        # Simulate the crash window: data files written for the next
+        # version but the manifest never published. Readers must see the
+        # old snapshot — data AND cursor — then replay must converge.
+        root = str(tmp_path / "s3")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(10))}, 0, 9, height=9, first_block=0,
+            range_size=10,
+        )
+        # orphan v=2 data, as if we crashed before publish()
+        orphan = _df(spark, range(10, 20), v=-9.0).withColumn(
+            "block_range", F.floor(F.col("block") / 10).cast("long")
+        )
+        orphan.write.mode("overwrite").partitionBy("block_range").parquet(
+            os.path.join(root, "t", "v=2")
+        )
+        m = SnapshotStore(root).current()
+        assert m["version"] == 1 and m["height"] == 9  # cursor did NOT advance
+        assert read_snapshot(spark, root, "t").count() == 10  # orphan invisible
+        # replay the batch: same version number, orphan dir overwritten
+        m2 = commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(10, 20))}, 10, 19, height=19,
+            first_block=0, range_size=10,
+        )
+        assert m2["version"] == 2
+        got = read_snapshot(spark, root, "t")
+        assert got.count() == 20
+        assert got.where(F.col("v") == -9.0).count() == 0
+
+    def test_emptied_range_is_metadata_delete(self, spark, tmp_path):
+        root = str(tmp_path / "s4")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(20))}, 0, 19, height=19, first_block=0,
+            range_size=10,
+        )
+        empty = spark.createDataFrame([], "block long, v double")
+        m = commit_batch_atomic(
+            spark, root, {"t": empty}, 10, 19, height=19, first_block=0, range_size=10,
+        )
+        assert "1" not in m["tables"]["t"]
+        assert read_snapshot(spark, root, "t").count() == 10
+        # the old files still exist (vacuum's job, not commit's)
+        assert os.path.isdir(os.path.join(root, "t", "v=1", "block_range=1"))
+
+    def test_height_set_claim(self, spark, tmp_path):
+        root = str(tmp_path / "s5")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(30))}, 0, 29, height=29, first_block=0,
+            range_size=10,
+        )
+        heights = spark.createDataFrame([(3,), (27,)], "block long")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, [3, 27], v=-3.0)}, 3, 27, height=29,
+            first_block=0, range_size=10, heights=heights,
+        )
+        got = read_snapshot(spark, root, "t")
+        assert got.count() == 30
+        assert got.where(F.col("v") == -3.0).count() == 2
+        # gap blocks inside the span survive (height-SET, not span, claim)
+        assert got.where((F.col("block") == 15) & (F.col("v") == 150.0)).count() == 1
+
+    def test_vacuum_removes_unreferenced_keeps_referenced(self, spark, tmp_path):
+        root = str(tmp_path / "s6")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(10))}, 0, 9, height=9, first_block=0,
+            range_size=10,
+        )
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(10), v=-1.0)}, 0, 9, height=9,
+            first_block=0, range_size=10,
+        )
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(10), v=-2.0)}, 0, 9, height=9,
+            first_block=0, range_size=10,
+        )
+        removed = SnapshotStore(root).vacuum(keep_versions=1)
+        # v1 and v2 fully superseded by v3 → both data dirs removed
+        assert os.path.join(root, "t", "v=1") in removed
+        assert os.path.join(root, "t", "v=2") in removed
+        assert read_snapshot(spark, root, "t").where(F.col("v") == -2.0).count() == 10
+
+    def test_vacuum_keeps_mixed_ownership(self, spark, tmp_path):
+        root = str(tmp_path / "s7")
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(20))}, 0, 19, height=19, first_block=0,
+            range_size=10,
+        )
+        commit_batch_atomic(
+            spark, root, {"t": _df(spark, range(10, 20), v=-1.0)}, 10, 19, height=19,
+            first_block=0, range_size=10,
+        )
+        removed = SnapshotStore(root).vacuum(keep_versions=1)
+        # v1 still owns range 0 → must NOT be vacuumed
+        assert removed == []
+        got = read_snapshot(spark, root, "t")
+        assert got.count() == 20
+
+
+class TestFollowerAtomic:
+    def test_follower_atomic_end_to_end_matches_plain(self, spark, tmp_path):
+        blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=60)
+        plain_dir, atomic_dir = str(tmp_path / "plain"), str(tmp_path / "atomic")
+        IncrementalFollower(
+            spark, blocks, txns, FollowerConfig(mode="full", out_dir=plain_dir,
+                                                block_range_size=20, backfill=True)
+        ).catch_up()
+        IncrementalFollower(
+            spark, blocks, txns, FollowerConfig(mode="full", out_dir=atomic_dir,
+                                                block_range_size=20, atomic=True,
+                                                backfill=True)
+        ).catch_up()
+        plain_rewards = spark.read.parquet(os.path.join(plain_dir, "rewards"))
+        atomic_rewards = read_snapshot(spark, atomic_dir, "rewards")
+        key = ["block", "transaction_hash", "gateway", "account", "amount"]
+        assert sorted(map(tuple, plain_rewards.select(*key).collect())) == sorted(
+            map(tuple, atomic_rewards.select(*key).collect())
+        )
+        atomic_txns = read_snapshot(spark, atomic_dir, "transactions")
+        plain_txns = spark.read.parquet(os.path.join(plain_dir, "transactions"))
+        assert atomic_txns.count() == plain_txns.count()
+        m = SnapshotStore(atomic_dir).current()
+        assert m["height"] == 1059 and m["first_block"] == 1000
+
+    def test_follower_atomic_incremental_batches(self, spark, tmp_path):
+        blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=60)
+        out_dir = str(tmp_path / "inc")
+        f = IncrementalFollower(
+            spark, blocks, txns,
+            FollowerConfig(mode="rewards", out_dir=out_dir, block_range_size=20,
+                           max_blocks_per_batch=25, atomic=True, backfill=True),
+        )
+        f.catch_up()
+        m = SnapshotStore(out_dir).current()
+        assert m["height"] == 1059
+        # one seed publish + ceil(60/25)=3 batch commits
+        assert m["version"] == 4
+        got = read_snapshot(spark, out_dir, "rewards")
+        from helium_etl_lite_spark.etl.transforms import build_outputs
+
+        expected = build_outputs("rewards", blocks, txns)["rewards"].count()
+        assert got.count() == expected
+
+    def test_serving_views_read_snapshot(self, spark, tmp_path):
+        from helium_etl_lite_spark import serving
+
+        blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=40)
+        out_dir = str(tmp_path / "serve")
+        IncrementalFollower(
+            spark, blocks, txns,
+            FollowerConfig(mode="full", out_dir=out_dir, block_range_size=20,
+                           atomic=True, backfill=True),
+        ).catch_up()
+        views = serving.register_views(spark, out_dir)
+        assert set(views) == {"rewards", "transactions", "follower_info"}
+        fi = views["follower_info"].collect()
+        assert fi[0]["height"] == 1039
+        assert spark.sql("SELECT COUNT(*) c FROM rewards").collect()[0]["c"] > 0
