@@ -865,3 +865,232 @@ def text_pii_scrub(spark, sf_dir):
             F.regexp_replace("raw", EMAIL, "<EMAIL>"), IPV4, "<IP>"
         ).alias("scrubbed"),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           (doc_id * 1103515245 + 12345) % 1000 AS bucket
+    FROM documents
+    WHERE (doc_id * 1103515245 + 12345) % 1000
+          < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    # Per-stratum (language) sampling at different rates — the standard
+    # corpus-mixture knob (e.g. upweight English 50%, others 20%).
+    # Membership is a pure function of doc_id (an LCG step mod 1000), so
+    # the sample is partition-invariant, reproducible across runs and
+    # engines, and needs no RNG state. The multiply fits int64 for
+    # doc_id < 8.4e9; beyond that use pmod(xxhash64(doc_id), 1000) (same
+    # shape, not DuckDB-reproducible). The filter pushes to the scan —
+    # sampling 20% of 100 TB reads all rows but shuffles nothing.
+    t = Tables(spark, sf_dir)
+    bucket = (F.col("doc_id") * 1103515245 + 12345) % 1000
+    rate = F.when(F.col("lang") == "en", 500).otherwise(200)
+    return (
+        t.documents.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+         z AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                      unnest(toks[2:len(toks)]) AS w2 FROM t),
+         bg AS (SELECT w1 || ' ' || w2 AS bigram FROM z),
+         c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+    SELECT bigram, CAST(cnt AS BIGINT) AS cnt
+    FROM c ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    # Corpus-level top-k bigrams: the vocabulary/statistics pass of a
+    # tokenizer-training or contamination-check pipeline. transform()
+    # builds each doc's bigram list JVM-side (no UDF), the count is a
+    # two-phase hash agg, and the top-k is orderBy+limit — Spark plans
+    # TakeOrderedAndProject (per-partition heaps, no global sort, no
+    # SinglePartition window). The (cnt DESC, bigram ASC) tiebreak makes
+    # the cut deterministic. The size>=2 filter mirrors DuckDB's empty
+    # generate_series (Spark's sequence(0,-1) would DESCEND instead).
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bi = d.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+         tot AS (SELECT COUNT(*) AS n FROM tok),
+         scored AS (SELECT t.doc_id, -ln(v.c / CAST(tot.n AS DOUBLE)) AS nll
+                    FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_perplexity_unigram(spark, sf_dir):
+    # Perplexity-proxy quality score: per-doc mean negative log-prob
+    # under the corpus's own unigram LM — the cheap first-pass filter
+    # before a real-LM scorer. Two hash aggs build the vocab (bounded:
+    # O(|vocab|)), which then broadcast-joins back to the token stream;
+    # the per-doc agg shuffles on doc_id. No Python in the loop.
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # control plane: one scalar
+    scored = tok.join(F.broadcast(vocab), "token").select(
+        "doc_id", (-F.log(F.col("c") / F.lit(float(total)))).alias("nll")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+@query(
+    "vec_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+               FROM v),
+         q AS (SELECT vec_id, scale,
+                      list_transform(e, x -> floor(x / scale)) AS qs
+               FROM s WHERE scale > 0)
+    SELECT vec_id, round(scale, 6) AS scale_r,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_min(qs) AS BIGINT) AS q_min,
+           CAST(list_max(qs) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def vec_quantize_int8(spark, sf_dir):
+    # Symmetric int8 quantization plumbing (scale = max|x|/127,
+    # q = floor(x/scale)) — the storage-shrink step before an ANN index
+    # ships to serving. Output is the flat audit summary (scale +
+    # quantized checksum/min/max) rather than the int8 array, keeping
+    # the contract scalar; the same transform() writes the array column
+    # in a real pipeline. Every step is float-exact across engines
+    # (float→double widening, max, division, floor — no rounding-mode
+    # traps), all JVM higher-order functions, zero shuffles.
+    t = Tables(spark, sf_dir)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = t.embeddings.select("vec_id", e.alias("e"))
+    scale = F.array_max(F.transform("e", F.abs)) / F.lit(127.0)
+    s = v.select("vec_id", "e", scale.alias("scale")).where(F.col("scale") > 0)
+    qs = F.transform("e", lambda x: F.floor(x / F.col("scale")))
+    q = s.select("vec_id", "scale", qs.alias("qs"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate("qs", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qs").alias("q_min"),
+        F.array_max("qs").alias("q_max"),
+    )
+
+
+@query(
+    "feature_user_activity",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_error,
+           round(SUM(value), 2) AS total_value,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def feature_user_activity(spark, sf_dir):
+    # Per-entity feature vector (counts by type, monetary sum, activity
+    # span) — the featurization pass of a behavioral training set. One
+    # hash agg on user_id; conditional counts fold into the same pass
+    # (no pivot, no second scan); COUNT(DISTINCT date) plans as the
+    # standard two-shuffle expand, everything else partial-aggregates
+    # map-side.
+    t = Tables(spark, sf_dir)
+
+    def n_of(tp):
+        return F.sum(F.when(F.col("event_type") == tp, 1).otherwise(0)).cast("long")
+
+    return t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_of("click").alias("n_click"),
+        n_of("purchase").alias("n_purchase"),
+        n_of("error").alias("n_error"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count_distinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "text_dedup_keep_longest",
+    oracle="""
+    WITH h AS (SELECT doc_id, n_chars,
+                      sha256(lower(trim(text))) AS text_hash
+               FROM documents),
+         r AS (SELECT text_hash, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY text_hash
+                                         ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+               FROM h)
+    SELECT text_hash, doc_id AS keeper_doc_id, n_chars AS keeper_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def text_dedup_keep_longest(spark, sf_dir):
+    # Exact dedup with the keep-LONGEST policy (argmax by (n_chars,
+    # doc_id) per hash group) — corpus curation usually keeps the most
+    # complete copy, not the lowest id. Same linear two-phase shape as
+    # text_dedup_exact; the keeper pick is a window over the hash key,
+    # so the only shuffle is on text_hash.
+    t = Tables(spark, sf_dir)
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    d = t.documents.select("doc_id", "n_chars", h.alias("text_hash"))
+    w = W.partitionBy("text_hash").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wc = W.partitionBy("text_hash")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "text_hash",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_chars").alias("keeper_chars"),
+            "n_copies",
+        )
+    )

@@ -73,6 +73,13 @@ FRONT_OF_WINDOW: list[str] = [
     "multimodal_feature_extract",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # new in r3 (exact oracles, verified by the local replica)
+    "sample_stratified",
+    "text_ngram_topk",
+    "text_perplexity_unigram",
+    "vec_quantize_int8",
+    "feature_user_activity",
+    "text_dedup_keep_longest",
     # ---- everything below re-confirms prior driver greens (window is 50;
     # ---- remaining slots fill in module registration order anyway, but
     # ---- pin the heaviest-value re-confirms explicitly first)
