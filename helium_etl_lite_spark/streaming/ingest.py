@@ -10,10 +10,13 @@ transform functions are the SAME ones the batch follower uses
 (etl/transforms.py) — foreachBatch hands us a batch DataFrame, so batch
 and streaming stay semantically identical by construction.
 
-Exactly-once: the streaming checkpoint replays a failed micro-batch;
-sinks are idempotent (per-block-range dynamic overwrite + hash dedup),
-so replay converges — checkpoint offsets + idempotent sink is the
-standard Spark exactly-once recipe.
+Exactly-once, two recipes:
+- default: checkpoint offsets + IDEMPOTENT sink (per-height-set
+  replace + hash dedup) — replay converges. The standard Spark recipe.
+- config.atomic: checkpoint offsets + TRANSACTIONAL sink — each
+  micro-batch is one snapshot-manifest swap landing data and cursor
+  together (etl/snapshot.py), the foreachBatch analog of writing to
+  Delta with txnAppId/txnVersion.
 """
 
 from __future__ import annotations
@@ -62,6 +65,33 @@ def start_block_stream(
         # span — a span-delete would wipe blocks another batch already
         # committed. So the idempotent write replaces per height SET.
         heights = batch_blocks.select(F.col("height").alias("block"))
+        if config.atomic:
+            # Exactly-once via transaction instead of idempotence: the
+            # checkpoint replays a failed micro-batch, and the snapshot
+            # sink makes the replayed commit a single manifest swap that
+            # lands data + cursor together (etl/snapshot.py). The cursor
+            # only moves forward — a replayed old batch re-lands its
+            # data but cannot regress the height.
+            from ..etl.snapshot import SnapshotStore, commit_batch_atomic
+
+            m = SnapshotStore(config.out_dir).current()
+            first_block = m["first_block"] if m else lo
+            new_height = max(tip, m["height"]) if m else tip
+            tables = {"rewards": out["rewards"]}
+            if "transactions" in out:
+                tables["transactions"] = out["transactions"].dropDuplicates(["hash"])
+            commit_batch_atomic(
+                spark,
+                config.out_dir,
+                tables,
+                lo,
+                tip,
+                height=new_height,
+                first_block=first_block,
+                range_size=config.block_range_size,
+                heights=heights,
+            )
+            return
         write_block_range_idempotent(
             spark,
             out["rewards"],

@@ -217,3 +217,36 @@ class TestFollowerAtomic:
         fi = views["follower_info"].collect()
         assert fi[0]["height"] == 1039
         assert spark.sql("SELECT COUNT(*) c FROM rewards").collect()[0]["c"] > 0
+
+
+class TestStreamingAtomic:
+    def test_stream_atomic_matches_batch_and_commits_cursor(self, spark, tmp_path):
+        # foreachBatch + snapshot sink: each micro-batch is one manifest
+        # swap; after draining, data equals the batch transform and the
+        # manifest cursor is at the max ingested height.
+        from helium_etl_lite_spark.etl import transforms
+        from helium_etl_lite_spark.streaming.ingest import start_block_stream
+
+        blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=40)
+        feed_dir = str(tmp_path / "feed")
+        blocks.coalesce(4).write.mode("overwrite").json(feed_dir)
+
+        out_dir = str(tmp_path / "out")
+        cfg = FollowerConfig(
+            mode="full", out_dir=out_dir, block_range_size=20, atomic=True
+        )
+        q = start_block_stream(spark, feed_dir, txns, cfg, trigger_once=True)
+        q.awaitTermination(120)
+
+        m = SnapshotStore(out_dir).current()
+        assert m is not None and m["height"] == 1039
+        # several micro-batches (maxFilesPerTrigger=4 over 4 files may
+        # still batch together; at least one commit happened)
+        assert m["version"] >= 1
+        got = read_snapshot(spark, out_dir, "rewards")
+        want = transforms.build_outputs("full", blocks, txns)["rewards"]
+        cols = ["block", "account", "gateway", "amount", "type"]
+        assert got.count() == want.count()
+        assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+        txns_out = read_snapshot(spark, out_dir, "transactions")
+        assert txns_out is not None and txns_out.count() > 0
