@@ -237,24 +237,26 @@ def simhash_near_pairs(
         id_col, "simhash", "cc.chunk", "cc.key"
     )
     l, r = blocked.alias("l"), blocked.alias("r")
-    cand = (
+    # Verify (bit_count of xor — a few cycles) BEFORE the distinct: a
+    # pair found via k shared chunks appears k times, and deduping the
+    # raw candidate stream shuffles every false candidate too. Filtering
+    # first shrinks the distinct's input to just the verified pairs
+    # (~2% of candidates at h<=3 on this corpus), same result.
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .where(ham <= max_hamming)
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            ham.alias("hamming"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 
