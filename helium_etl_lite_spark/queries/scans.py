@@ -57,7 +57,16 @@ def scan_predicate_pushdown(spark, sf_dir):
     )
 
 
-@query("sink_roundtrip_parquet")  # rows-only: writes a temp table, re-reads it
+@query(
+    "sink_roundtrip_parquet",
+    # The write is a side effect; the CONTRACT is losslessness — what
+    # comes back must be exactly the filtered projection that went in,
+    # which the source-side SQL states directly.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
 def sink_roundtrip_parquet(spark, sf_dir):
     # Append-sink analog of the reference's rewards INSERT loop
     # (src/reward.rs:38-44) — but columnar and batched.

@@ -54,6 +54,7 @@ FRONT_OF_WINDOW: list[str] = [
     "win_sliding_avg_range_frame",  # oracle: COUNT(*) OVER — SUM(1) HUGEINT vs bigint
     # changed this round → needs a fresh verdict
     "vec_knn_cosine",  # scan side repartitioned before the broadcast join
+    "sink_roundtrip_parquet",  # upgraded rows-only → exact losslessness oracle
     # never driver-verified after r1 ∪ r2 windows (VERDICT r2 list of 18)
     "agg_corr_covar",
     "source_csv_roundtrip",
