@@ -109,7 +109,9 @@ def write_block_range_idempotent(
             # is bounded by the touched ranges' non-replaced rows.
             .localCheckpoint(eager=True)
         )
-        merged = new.unionByName(old)
+        # Two actions consume merged (the overwrite and the stale-range
+        # probe below) — persist so the batch transform runs once.
+        merged = new.unionByName(old).persist()
         # Dynamic overwrite only rewrites partitions PRESENT in merged.
         # A touched range where the claimed blocks now produce no rows
         # and no carried-over rows remain would keep its stale files
@@ -128,13 +130,16 @@ def write_block_range_idempotent(
     except AnalysisException:
         merged = new  # first write; nothing to merge, nothing stale
         stale_ranges = []
-    (
-        merged.repartition("block_range")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("block_range")
-        .parquet(path)
-    )
+    try:
+        (
+            merged.repartition("block_range")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("block_range")
+            .parquet(path)
+        )
+    finally:
+        merged.unpersist()
     # After the write so a crash replay re-derives and re-deletes them
     # (idempotent). Hadoop FS API, so the same path works on HDFS/object
     # stores, not just local files.
