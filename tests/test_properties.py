@@ -195,6 +195,42 @@ class TestScaleOperatorEquivalence:
     @SETTINGS
     @given(
         seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=2, max_value=40),
+        n_blocks=st.integers(min_value=1, max_value=7),
+        threshold=st.sampled_from([-1.0, 0.0, 0.3, 0.9]),
+    )
+    def test_blocked_cosine_np_kernel_bit_identical(self, spark, seed, n, n_blocks, threshold):
+        # The numpy kernel twin must be BIT-identical to the JVM form —
+        # same pairs AND same rounded values — for any corpus, block
+        # count and threshold. Sequential accumulation + JVM-side
+        # rounding make this an equality, not an approximation.
+        import random
+
+        from helium_etl_lite_spark.operators.knn import (
+            cosine_pairs_blocked,
+            cosine_pairs_blocked_np,
+        )
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        jvm = {
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in cosine_pairs_blocked(
+                vecs, threshold=threshold, n_blocks=n_blocks, n_tasks=8
+            ).collect()
+        }
+        np_form = {
+            (r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in cosine_pairs_blocked_np(
+                vecs, threshold=threshold, n_blocks=n_blocks
+            ).collect()
+        }
+        assert np_form == jvm
+
+    @SETTINGS
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
         n=st.integers(min_value=1, max_value=60),
         n_tiles=st.sampled_from([2, 3, 10]),
         bucket_width=st.sampled_from([1, 7, 100]),
