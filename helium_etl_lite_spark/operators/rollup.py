@@ -1,0 +1,98 @@
+"""Incremental rollup maintenance — TimescaleDB-style continuous
+aggregates (the `rollup_time_hypertable` query's batch shape, kept
+fresh per-batch instead of recomputed from scratch).
+
+Design: REFRESH, not merge-in-place. A naive "merge the batch's partial
+aggregates into the stored rollup" double-counts the moment a batch is
+replayed (crash between rollup write and source commit, streaming
+checkpoint replay, a backfill re-run) — the rollup would no longer be a
+pure function of the source. Instead, each update:
+
+1. derives the TOUCHED time buckets from the batch (control-plane
+   small: one distinct over the batch's bucket column);
+2. recomputes exactly those buckets from the source table — the bucket
+   predicate prunes source partitions, so cost is O(touched buckets),
+   not O(history);
+3. replaces those buckets' rows in the rollup table via the same
+   idempotent height-set range writer the follower uses
+   (write_block_range_idempotent with bucket-as-block) — including
+   deleting rollup rows for a bucket whose events disappeared.
+
+The result is idempotent (any replay converges), late-data-correct (a
+late event refreshes its old bucket), and incremental. This is the
+invalidation-based refresh TimescaleDB/Materialize use, expressed in
+two Spark jobs per batch.
+
+100 TB posture: the rollup table is partitioned by coarse bucket range;
+a batch touches O(its time span / width) buckets; the recompute scans
+only those buckets' source partitions (partition pruning — keep the
+source partitioned by the same time column). Aggregates here are the
+mergeable set (count/sum/min/max); distinct-counting at scale belongs
+in a mergeable sketch column (HLL), not an exact COUNT DISTINCT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..etl.pipeline import write_block_range_idempotent
+
+
+def bucket_of(time_col: str, width_sec: int):
+    """Epoch-second bucket start for a timestamp column (timestamp_ntz
+    safe: route through timestamp, not unix_timestamp — sub-second
+    truncation differs)."""
+    epoch = F.col(time_col).cast("timestamp").cast("double")
+    return (F.floor(epoch / F.lit(width_sec)) * width_sec).cast("long")
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    source: DataFrame,
+    batch: DataFrame,
+    path: str,
+    time_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket_width_sec: int = 3600,
+    range_size: int = 24,
+) -> list[int]:
+    """Refresh the persisted rollup at `path` for every bucket the batch
+    touches. `source` must already contain the batch's rows (land the
+    facts first, then refresh — same ordering as data-then-cursor).
+    Returns the refreshed bucket ids (epoch seconds).
+    """
+    bucket = bucket_of(time_col, bucket_width_sec)
+    touched_rows = batch.select(bucket.alias("bucket")).distinct().collect()
+    touched = sorted(int(r["bucket"]) for r in touched_rows)
+    if not touched:
+        return []
+    recomputed = (
+        source.withColumn("bucket", bucket)
+        .where(F.col("bucket").isin(touched))
+        .groupBy("bucket", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumnRenamed("bucket", "block")
+    )
+    heights = spark.createDataFrame([(b,) for b in touched], "block long")
+    write_block_range_idempotent(
+        spark,
+        recomputed,
+        path,
+        lo=touched[0],
+        hi=touched[-1],
+        range_size=range_size * bucket_width_sec,
+        heights=heights,
+    )
+    return touched
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """The rollup table with its bucket column restored."""
+    return spark.read.parquet(path).withColumnRenamed("block", "bucket")

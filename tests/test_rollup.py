@@ -1,0 +1,98 @@
+"""Incremental rollup maintenance (operators/rollup.py): refresh-based
+continuous aggregates must equal the from-scratch rollup after any
+batch sequence, converge under replay, and handle late data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from helium_etl_lite_spark.operators import rollup
+
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    # rows: (event_id, minutes_offset, event_type, value)
+    return spark.createDataFrame(
+        [(i, BASE + dt.timedelta(minutes=m), t, v) for i, m, t, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def _full_rollup(source):
+    b = rollup.bucket_of("ts", 3600)
+    return source.withColumn("bucket", b).groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _as_set(df):
+    return {
+        (r["bucket"], r["event_type"], r["n_events"], r["total_value"],
+         r["min_value"], r["max_value"])
+        for r in df.collect()
+    }
+
+
+class TestIncrementalRollup:
+    def test_incremental_equals_full_recompute(self, spark, tmp_path):
+        path = str(tmp_path / "r1")
+        batches = [
+            _events(spark, [(0, 0, "click", 1.0), (1, 10, "view", 2.0)]),
+            _events(spark, [(2, 70, "click", 3.0), (3, 80, "click", 4.0)]),
+            # third batch is LATE data into the first hour's bucket
+            _events(spark, [(4, 5, "click", 9.0), (5, 130, "view", 5.0)]),
+        ]
+        landed = None
+        for batch in batches:
+            landed = batch if landed is None else landed.unionByName(batch)
+            rollup.refresh_rollup(spark, landed, batch, path)
+        got = _as_set(rollup.read_rollup(spark, path))
+        want = _as_set(_full_rollup(landed))
+        assert got == want
+        # late data really did rewrite the old bucket
+        first_bucket = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
+        assert any(b == first_bucket and t == "click" and n == 2
+                   for b, t, n, *_ in got)
+
+    def test_replay_converges(self, spark, tmp_path):
+        path = str(tmp_path / "r2")
+        b1 = _events(spark, [(0, 0, "click", 1.0), (1, 70, "view", 2.0)])
+        rollup.refresh_rollup(spark, b1, b1, path)
+        once = _as_set(rollup.read_rollup(spark, path))
+        # replay the same batch (crash-retry / checkpoint replay)
+        rollup.refresh_rollup(spark, b1, b1, path)
+        assert _as_set(rollup.read_rollup(spark, path)) == once
+
+    def test_refresh_scopes_to_touched_buckets(self, spark, tmp_path):
+        path = str(tmp_path / "r3")
+        all_events = _events(
+            spark, [(0, 0, "click", 1.0), (1, 70, "view", 2.0), (2, 130, "click", 3.0)]
+        )
+        rollup.refresh_rollup(spark, all_events, all_events, path)
+        # a batch touching only hour 2 must refresh exactly that bucket
+        late = _events(spark, [(3, 135, "click", 7.0)])
+        touched = rollup.refresh_rollup(
+            spark, all_events.unionByName(late), late, path
+        )
+        assert touched == [int(BASE.replace(tzinfo=dt.timezone.utc).timestamp()) + 7200]
+        got = _as_set(rollup.read_rollup(spark, path))
+        want = _as_set(_full_rollup(all_events.unionByName(late)))
+        assert got == want
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "r4")
+        b1 = _events(spark, [(0, 0, "click", 1.0)])
+        rollup.refresh_rollup(spark, b1, b1, path)
+        before = _as_set(rollup.read_rollup(spark, path))
+        empty = _events(spark, [])
+        assert rollup.refresh_rollup(spark, b1, empty, path) == []
+        assert _as_set(rollup.read_rollup(spark, path)) == before
