@@ -57,27 +57,37 @@ def refresh_rollup(
     value_col: str = "value",
     bucket_width_sec: int = 3600,
     range_size: int = 24,
+    distinct_col: str | None = None,
 ) -> list[int]:
     """Refresh the persisted rollup at `path` for every bucket the batch
     touches. `source` must already contain the batch's rows (land the
     facts first, then refresh — same ordering as data-then-cursor).
     Returns the refreshed bucket ids (epoch seconds).
+
+    `distinct_col` adds a `distinct_sketch` column: an HLL sketch
+    (binary, Apache DataSketches via hll_sketch_agg) instead of an exact
+    COUNT DISTINCT — the sketch is mergeable, so downstream re-rollups
+    (hour → day) union sketches instead of rescanning facts, which exact
+    distinct counts cannot do. read_rollup() exposes the estimate.
     """
     bucket = bucket_of(time_col, bucket_width_sec)
     touched_rows = batch.select(bucket.alias("bucket")).distinct().collect()
     touched = sorted(int(r["bucket"]) for r in touched_rows)
     if not touched:
         return []
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("total_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_sketch"))
     recomputed = (
         source.withColumn("bucket", bucket)
         .where(F.col("bucket").isin(touched))
         .groupBy("bucket", *keys)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("total_value"),
-            F.min(value_col).alias("min_value"),
-            F.max(value_col).alias("max_value"),
-        )
+        .agg(*aggs)
         .withColumnRenamed("bucket", "block")
     )
     heights = spark.createDataFrame([(b,) for b in touched], "block long")
@@ -94,5 +104,34 @@ def refresh_rollup(
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
-    """The rollup table with its bucket column restored."""
-    return spark.read.parquet(path).withColumnRenamed("block", "bucket")
+    """The rollup table with its bucket column restored; if a distinct
+    sketch was maintained, its cardinality estimate is materialized as
+    `n_distinct_est` (the sketch column stays for further merging)."""
+    df = spark.read.parquet(path).withColumnRenamed("block", "bucket")
+    if "distinct_sketch" in df.columns:
+        df = df.withColumn(
+            "n_distinct_est", F.hll_sketch_estimate("distinct_sketch")
+        )
+    return df
+
+
+def merge_rollup(df: DataFrame, keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Re-rollup to a coarser grain WITHOUT touching the fact table —
+    the payoff of keeping only mergeable aggregates: counts/sums add,
+    mins/maxes fold, HLL sketches union. `df` must carry a `bucket`
+    column plus the rollup columns; group however the caller bucketed
+    it (e.g. floor(bucket/86400)*86400 for hour → day)."""
+    aggs = [
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+    if "distinct_sketch" in df.columns:
+        aggs.append(F.hll_union_agg("distinct_sketch").alias("distinct_sketch"))
+    out = df.groupBy("bucket", *keys).agg(*aggs)
+    if "distinct_sketch" in df.columns:
+        out = out.withColumn(
+            "n_distinct_est", F.hll_sketch_estimate("distinct_sketch")
+        )
+    return out

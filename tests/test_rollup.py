@@ -96,3 +96,31 @@ class TestIncrementalRollup:
         empty = _events(spark, [])
         assert rollup.refresh_rollup(spark, b1, empty, path) == []
         assert _as_set(rollup.read_rollup(spark, path)) == before
+
+
+class TestSketchRollup:
+    def test_hll_sketch_maintained_and_mergeable(self, spark, tmp_path):
+        path = str(tmp_path / "r5")
+        rows = []
+        # 3 hours; user u appears in hours u % 3 and (u+1) % 3
+        for u in range(30):
+            for h in (u % 3, (u + 1) % 3):
+                rows.append((len(rows), h * 60 + (u % 50), "click", 1.0, u))
+        src = spark.createDataFrame(
+            [(i, BASE + dt.timedelta(minutes=m), t, v, u) for i, m, t, v, u in rows],
+            "event_id long, ts timestamp, event_type string, value double, user_id long",
+        )
+        rollup.refresh_rollup(spark, src, src, path, distinct_col="user_id")
+        got = rollup.read_rollup(spark, path)
+        # per-hour estimates: exact at this cardinality (HLL is exact in
+        # sparse mode for small sets)
+        per_hour = {r["bucket"]: r["n_distinct_est"] for r in got.collect()}
+        assert all(v == 20 for v in per_hour.values()) and len(per_hour) == 3
+        # merge hour -> day WITHOUT the fact table: union of sketches
+        # must count every distinct user exactly once
+        day = rollup.merge_rollup(
+            got.withColumn("bucket", (F.floor(F.col("bucket") / 86400) * 86400))
+        )
+        r = day.collect()[0]
+        assert r["n_distinct_est"] == 30
+        assert r["n_events"] == 60
