@@ -232,12 +232,40 @@ def cmd_sql(spark, cfg, sql_text: str, log=None) -> int:
     return len(rows)
 
 
+def cmd_vacuum(cfg, keep_versions: int, log=None) -> list[str]:
+    """Reclaim snapshot-sink data directories no kept version references
+    (atomic = true sinks only). Needs no SparkSession — pure manifest
+    bookkeeping."""
+    from .etl.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(cfg["out_dir"]))
+    if store.current_version() is None:
+        raise SystemExit("vacuum: no snapshot store at out_dir (atomic sink only)")
+    removed = store.vacuum(keep_versions=keep_versions)
+    (log or setup_logger(cfg)).info(
+        f"vacuum: removed {len(removed)} version dirs (kept last {keep_versions})"
+    )
+    return removed
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="helium_etl_lite_spark")
-    p.add_argument("command", choices=["migrate", "once", "start", "sql"])
+    p.add_argument("command", choices=["migrate", "once", "start", "sql", "vacuum"])
     p.add_argument("--config", required=True, help="TOML config path")
     p.add_argument("-e", "--execute", help="SQL statement (sql command)")
+    p.add_argument(
+        "--keep-versions", type=int, default=2,
+        help="vacuum: snapshot versions to keep (default 2)",
+    )
     args = p.parse_args(argv)
+    if args.command == "vacuum":
+        # only out_dir matters; skip source-path validation
+        with open(args.config, "rb") as f:
+            cfg = tomllib.load(f)
+        if "out_dir" not in cfg:
+            raise SystemExit("config missing required key: out_dir")
+        cmd_vacuum(cfg, args.keep_versions)  # no Spark needed
+        return 0
     cfg = load_config(args.config)
     if args.command == "sql" and not args.execute:
         raise SystemExit("sql command requires -e/--execute")

@@ -102,3 +102,31 @@ def test_sql_command_over_serving_views(spark, chain_dirs, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert printed.splitlines()[0] == "gateway\tearned"
     assert len(printed.splitlines()) == 6
+
+
+def test_atomic_once_and_vacuum(spark, chain_dirs, tmp_path):
+    # once with atomic=true lands through the snapshot sink; a forced
+    # re-commit supersedes v2 and `vacuum --keep-versions 1` reclaims it.
+    from helium_etl_lite_spark.etl.snapshot import SnapshotStore, read_snapshot
+
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg_path = write_config(
+        tmp_path / "s.toml", bp, tp, out, mode="rewards", backfill=True,
+        atomic=True, block_range_size=20,
+    )
+    cfg = cli.load_config(cfg_path)
+    cli.cmd_once(spark, cfg)
+    store = SnapshotStore(out)
+    m = store.current()
+    assert m is not None and m["height"] == 1059
+    rows_before = read_snapshot(spark, out, "rewards").count()
+    # replay the whole span: same data, new version owning every range
+    from helium_etl_lite_spark.etl.pipeline import FollowerConfig, IncrementalFollower
+
+    f = cli._follower(spark, cfg)
+    f._commit_range_atomic(1000, 1059, m["first_block"])
+    assert store.current()["version"] == m["version"] + 1
+    removed = cli.cmd_vacuum({"out_dir": out}, keep_versions=1)
+    assert any("v=" in p for p in removed)
+    assert read_snapshot(spark, out, "rewards").count() == rows_before
