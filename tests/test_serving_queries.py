@@ -147,3 +147,27 @@ class TestServingModule:
         assert spark.sql(
             "SELECT COUNT(*) AS n FROM rewards WHERE block > 1029"
         ).first()["n"] > 0  # raw view: visible
+
+
+def test_register_views_raises_on_corrupt_transactions(spark, tmp_path):
+    # ADVICE r2: only a MISSING transactions table means "mode produced
+    # none" — a corrupt table must raise, not silently drop the view.
+    from helium_etl_lite_spark import serving
+
+    blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=60)
+    out_dir = str(tmp_path / "out")
+    IncrementalFollower(
+        spark, blocks, txns,
+        FollowerConfig(mode="rewards", out_dir=out_dir, backfill=True),
+    ).catch_up()
+    # rewards-only mode: no transactions table -> view quietly absent
+    views = serving.register_views(spark, out_dir)
+    assert "transactions" not in views
+    # now plant a corrupt transactions table: must propagate, not vanish
+    tdir = os.path.join(out_dir, "transactions")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "part-0000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception) as exc_info:
+        serving.register_views(spark, out_dir)
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
