@@ -136,13 +136,14 @@ def _catch_up(spark, cfg) -> tuple[int, tuple[int, int]]:
         from .etl.pipeline import CursorStore, rpc_catch_up
         from .sources.block_source import HttpRpcClient
 
-        if bool(cfg.get("atomic", False)):
-            raise SystemExit(
-                "atomic = true is not yet wired into the live-RPC path; "
-                "use it with blocks_path/txns_path sources"
-            )
         client = HttpRpcClient(str(cfg["node_addr"]))
-        n = rpc_catch_up(spark, client, _follower_config(cfg), filters=_filters(spark, cfg))
+        fc = _follower_config(cfg)
+        n = rpc_catch_up(spark, client, fc, filters=_filters(spark, cfg))
+        if fc.atomic:
+            from .etl.snapshot import SnapshotStore
+
+            m = SnapshotStore(fc.out_dir).current()
+            return n, (None if m is None else (m["height"], m["first_block"]))
         cur = CursorStore(spark, os.path.join(str(cfg["out_dir"]), "_meta", "follower_info")).read()
         return n, cur
     f = _follower(spark, cfg)

@@ -407,12 +407,29 @@ def rpc_catch_up(
     catching up from far behind."""
     from ..sources.block_source import RpcBlockSource
 
-    store = CursorStore(spark, os.path.join(config.out_dir, "_meta", "follower_info"))
-    cur = store.read()
-    if cur is None:
-        first = rpc_get_first_block(client) if config.backfill else client.height()
-        store.write(first - 1, first)  # cursor = first-1 (src/follower.rs:37)
-        cur = (first - 1, first)
+    if config.atomic:
+        # Cursor truth lives in the snapshot manifest; the per-batch
+        # writes below go through the follower, which commits
+        # data+cursor atomically (run_once → _commit_range_atomic).
+        from .snapshot import SnapshotStore
+
+        sstore = SnapshotStore(config.out_dir)
+        m = sstore.current()
+        if m is None:
+            first = rpc_get_first_block(client) if config.backfill else client.height()
+            sstore.publish(
+                {"version": 1, "height": first - 1, "first_block": first, "tables": {}}
+            )
+            cur = (first - 1, first)
+        else:
+            cur = (m["height"], m["first_block"])
+    else:
+        store = CursorStore(spark, os.path.join(config.out_dir, "_meta", "follower_info"))
+        cur = store.read()
+        if cur is None:
+            first = rpc_get_first_block(client) if config.backfill else client.height()
+            store.write(first - 1, first)  # cursor = first-1 (src/follower.rs:37)
+            cur = (first - 1, first)
     height, _first = cur
     total = 0
     tip = client.height()

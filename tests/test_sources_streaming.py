@@ -136,6 +136,21 @@ class TestHttpRpc:
             assert got.count() == want.count()
             assert got.select(*want.columns).exceptAll(want).count() == 0
             assert rpc_catch_up(spark, client, cfg) == 0  # at tip: no-op
+            # same follow through the ATOMIC snapshot sink: one manifest
+            # swap per pass, cursor from the manifest, identical rows
+            from helium_etl_lite_spark.etl.snapshot import SnapshotStore, read_snapshot
+
+            atomic_dir = str(tmp_path / "rpc_atomic")
+            acfg = FollowerConfig(
+                mode="rewards", backfill=True, out_dir=atomic_dir, atomic=True
+            )
+            assert rpc_catch_up(spark, client, acfg) == 40
+            m = SnapshotStore(atomic_dir).current()
+            assert m["height"] == 1039 and m["first_block"] == 1000
+            agot = read_snapshot(spark, atomic_dir, "rewards")
+            assert agot.count() == want.count()
+            assert agot.select(*want.columns).exceptAll(want).count() == 0
+            assert rpc_catch_up(spark, client, acfg) == 0
         finally:
             srv.shutdown()
 
