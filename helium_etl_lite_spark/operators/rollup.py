@@ -83,10 +83,18 @@ def refresh_rollup(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_sketch"))
+    src = source.withColumn("bucket", bucket)
+    if len(touched) <= 256:
+        # small set: an IN-list predicate participates in partition
+        # pruning / row-group skipping at the scan
+        src = src.where(F.col("bucket").isin(touched))
+    else:
+        # a backfill touching thousands of buckets would compile a
+        # giant literal list; a broadcast semi-join scales instead
+        touched_df = spark.createDataFrame([(b,) for b in touched], "bucket long")
+        src = src.join(F.broadcast(touched_df), "bucket", "left_semi")
     recomputed = (
-        source.withColumn("bucket", bucket)
-        .where(F.col("bucket").isin(touched))
-        .groupBy("bucket", *keys)
+        src.groupBy("bucket", *keys)
         .agg(*aggs)
         .withColumnRenamed("bucket", "block")
     )
