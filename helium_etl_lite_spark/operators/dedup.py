@@ -477,3 +477,79 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_filter_new(
+    spark,
+    batch: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup, read side: the batch rows whose content
+    hash has never been seen (anti-join against the persisted hash
+    state), with in-batch duplicates collapsed to the min-id keeper.
+
+    The canonical ingest loop dedupes each new crawl batch against the
+    WHOLE corpus so far; materializing only the content hashes keeps the
+    state O(distinct docs) * 32 bytes, and the anti-join shuffles on
+    text_hash — linear, no candidate pairs.
+
+    Ordering contract (cursor-after-data discipline): land this
+    function's output FIRST, then call dedup_state_add with it. A crash
+    in between replays to the same output (state unchanged), and the
+    landed output's sink idempotence absorbs the double write.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    b = batch.withColumn("text_hash", h)
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    b = b.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    try:
+        seen = spark.read.parquet(state_path).select("text_hash")
+    except Exception:
+        return b
+    return b.join(seen, "text_hash", "left_anti")
+
+
+def dedup_state_add(
+    spark,
+    fresh: DataFrame,
+    state_path: str,
+    n_shards: int = 64,
+) -> None:
+    """Incremental exact dedup, write side: fold the landed batch's
+    content hashes into the persisted hash-set state.
+
+    State is a parquet table of text_hash partitioned into `n_shards`
+    stable shards (pmod of xxhash64): an update rewrites ONLY the
+    touched shards with the distinct union of old + new hashes (dynamic
+    partition overwrite; old shard rows are localCheckpointed before the
+    overwrite deletes the files the plan reads). Set union is
+    idempotent, so crash-replay converges; at 100 TB the rewrite cost
+    per batch is (touched shards / n_shards) of the state, and n_shards
+    bounds both file count and per-task working set.
+    """
+    shard = F.pmod(F.xxhash64("text_hash"), F.lit(n_shards)).cast("int")
+    new_hashes = fresh.select("text_hash").distinct().withColumn("shard", shard)
+    touched = [r["shard"] for r in new_hashes.select("shard").distinct().collect()]
+    if not touched:
+        return
+    merged = new_hashes
+    try:
+        seen = spark.read.parquet(state_path)
+    except Exception:
+        seen = None
+    if seen is not None:
+        old = (
+            seen.where(F.col("shard").isin(touched))
+            .select("text_hash", "shard")
+            .localCheckpoint(eager=True)
+        )
+        merged = merged.unionByName(old).distinct()
+    (
+        merged.repartition("shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(state_path)
+    )

@@ -163,3 +163,49 @@ class TestStreamingRollup:
         wset = {(r["bucket"], r["event_type"], r["n_events"], r["total_value"],
                  r["n_users"]) for r in want.collect()}
         assert gset == wset
+
+
+class TestIncrementalDedup:
+    # operators/dedup.py incremental exact dedup: batches dedupe against
+    # the whole landed corpus via the persisted hash state.
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_batch_and_in_batch_dups(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "state")
+        b1 = self._docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+        f1 = dedup.dedup_filter_new(spark, b1, state)
+        got1 = sorted(r["doc_id"] for r in f1.collect())
+        assert got1 == [1, 2]  # in-batch dup of "alpha" collapsed to min id
+        dedup.dedup_state_add(spark, f1, state)
+
+        b2 = self._docs(spark, [(4, "beta"), (5, "gamma"), (6, "ALPHA  ")])
+        f2 = dedup.dedup_filter_new(spark, b2, state)
+        got2 = sorted(r["doc_id"] for r in f2.collect())
+        # "beta" seen in batch 1; "ALPHA  " normalizes to seen "alpha"
+        assert got2 == [5]
+        dedup.dedup_state_add(spark, f2, state)
+
+        # corpus-equivalence: surviving ids across batches == one-shot
+        # exact dedup keepers over the concatenated corpus
+        all_docs = b1.unionByName(b2)
+        keepers = {
+            r["keeper_doc_id"] for r in dedup.exact_dedup(all_docs).collect()
+        }
+        assert set(got1) | set(got2) == keepers
+
+    def test_replay_converges(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "state")
+        b1 = self._docs(spark, [(1, "x"), (2, "y")])
+        f1 = dedup.dedup_filter_new(spark, b1, state)
+        dedup.dedup_state_add(spark, f1, state)
+        # crash-replay: state_add again with the same fresh rows
+        dedup.dedup_state_add(spark, f1, state)
+        assert spark.read.parquet(state).count() == 2  # still a set
+        # and the batch is now fully seen
+        assert dedup.dedup_filter_new(spark, b1, state).count() == 0
