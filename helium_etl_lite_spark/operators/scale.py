@@ -115,6 +115,71 @@ def distributed_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop("__rb", "__offset", "__r0")
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    bucket_width: int = 100_000,
+    max_control_rows: int = 4_000_000,
+) -> DataFrame:
+    """Exact running total `SUM(value_col) OVER (ORDER BY order_col ROWS
+    UNBOUNDED PRECEDING)` without the single-task global-sort window.
+
+    Requires `order_col` unique and numeric (the global order is
+    strict) and `value_col` integral (long) so partial sums are exact.
+    Same control-plane shape as :func:`distributed_ntile`, but the
+    bucketing is a PURE FUNCTION of the key (`order_col div
+    bucket_width`) — no repartitionByRange sampling, so the two passes
+    see identical bucket assignments by construction:
+
+    1. per-bucket sums → a control table of ~N/bucket_width rows,
+       prefix-summed driver-side in Spark's own bucket order
+       (`orderBy(...).collect()`).
+    2. broadcast the per-bucket starting offsets back; within each
+       bucket a window `partitionBy(bucket).orderBy(order_col)` adds
+       the local running sum — every window partition is bounded by
+       bucket_width rows, so no SinglePartition exchange appears.
+
+    The scale story: pass 1 is a map-side-combinable hash agg; pass 2
+    is one hash shuffle on bucket id. A 100 TB corpus with 64-bit doc
+    ids prefix-sums with a ~N/100k-row control table.
+    """
+    b = (F.col(order_col) / bucket_width).cast("long")
+    d = df.withColumn("__pb", b)
+    sums = d.groupBy("__pb").agg(F.sum(F.col(value_col)).alias("__s")).persist()
+    n_buckets = sums.count()
+    if n_buckets > max_control_rows:
+        sums.unpersist()
+        raise ValueError(
+            f"prefix_sum control table has {n_buckets} buckets > "
+            f"max_control_rows={max_control_rows}; raise bucket_width"
+        )
+    ordered = sums.orderBy(F.col("__pb").asc()).collect()
+    sums.unpersist()
+    offsets, acc = [], 0
+    for r in ordered:
+        offsets.append((r["__pb"], acc))
+        acc += r["__s"]
+    off_schema = T.StructType(
+        [
+            T.StructField("__pb_o", T.LongType()),
+            T.StructField("__offset", T.LongType()),
+        ]
+    )
+    off = df.sparkSession.createDataFrame(offsets, off_schema)
+    w = (
+        Window.partitionBy("__pb")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(off), d["__pb"] == off["__pb_o"])
+        .withColumn(out_col, F.col("__offset") + F.sum(F.col(value_col)).over(w))
+        .drop("__pb", "__pb_o", "__offset")
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

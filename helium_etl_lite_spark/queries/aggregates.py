@@ -340,3 +340,71 @@ def agg_corr_covar(spark, sf_dir):
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("price_per_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_string_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_string_listagg(spark, sf_dir):
+    # LISTAGG / string_agg: ordered, distinct string concatenation per
+    # group. Spark has no ordered string_agg aggregate; the exact
+    # equivalent is collect_set → array_sort → concat_ws, which is
+    # partial-aggregable (sets merge map-side) and ORDER-DETERMINISTIC
+    # because the sort happens after collection — never rely on
+    # collect_list input order, which is partition-dependent.
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    ranked AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      FROM counts)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    # Deterministic mode: engines disagree on mode() tie-breaking, so
+    # the portable form is count + row_number with an explicit
+    # (count DESC, value ASC) tie-break — same two-shuffle shape as
+    # win_row_number_topk_per_group, and the count agg partials
+    # map-side so the window only sees one row per (group, value).
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    counts = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

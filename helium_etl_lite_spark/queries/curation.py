@@ -1,0 +1,136 @@
+"""§2.4.K extensions — training-data curation over `documents`.
+
+Two pipeline stages every large-scale pretraining corpus needs between
+dedup (llm_ops.py) and the trainer:
+
+- **benchmark contamination** — n-gram overlap between a candidate
+  training split and a held-out split, the standard decontamination
+  check (GPT-3 appendix C / PaLM-style 8-gram collision).
+- **sequence packing** — assigning documents to fixed token-budget
+  bins so the trainer sees dense batches; the global running token
+  total uses the control-plane prefix sum (operators/scale.py
+  prefix_sum), NOT a single-task global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.scale import prefix_sum
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "text_contamination_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+      WHERE len(t) >= 8),
+    train AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % 2 = 0),
+    test AS (
+      SELECT doc_id, shingle FROM shingles WHERE doc_id % 2 = 1)
+    SELECT test.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(train.shingle) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(train.shingle) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS contamination_rate
+    FROM test LEFT JOIN train ON test.shingle = train.shingle
+    GROUP BY 1
+    """,
+)
+def text_contamination_ngram(spark, sf_dir):
+    # Train/test 8-gram contamination: distinct shingles per side, one
+    # hash join on the shingle, per-test-doc hit counts. The train side
+    # is pre-distinct so the left join cannot fan out; at 100 TB you'd
+    # join on xxhash64(shingle) to shrink the shuffle (engine-specific
+    # hash — the oracle form joins the string itself). The split is
+    # doc_id parity: deterministic, partition-invariant.
+    t = Tables(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("t")
+        )
+        .where(F.size("t") >= 8)  # sequence(0, negative) DESCENDS — gate it
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 7),"
+                    " i -> array_join(slice(t, i, 8), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    test = sh.where(F.col("doc_id") % 2 == 1)
+    hit = train.withColumn("hit", F.lit(1))
+    return (
+        test.join(hit, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(
+                F.count("hit").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "pack_sequence_bins",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM d)
+    SELECT CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_sequence_bins(spark, sf_dir):
+    # Sequence packing for trainer batches: documents in doc_id order
+    # are packed into 2048-token bins by their running token total
+    # (a doc starts in the bin its start offset falls into). The
+    # oracle's `SUM() OVER (ORDER BY doc_id)` is a partition-less
+    # window = single-task sort in Spark; prefix_sum replaces it with
+    # a bounded control table (per-bucket sums, driver prefix,
+    # broadcast offsets + per-bucket windows), so the same plan packs
+    # a 100 TB corpus without ever funneling through one task.
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    c = prefix_sum(d, "doc_id", "n_tokens", out_col="cum", bucket_width=8192)
+    return (
+        c.withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 2048.0).cast("long"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

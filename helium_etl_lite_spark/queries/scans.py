@@ -131,3 +131,80 @@ def source_json_lines(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    # ORC source/sink — the other columnar wire format Spark reads
+    # natively (no package downloads; the reference's Postgres COPY
+    # analog). The oracle states the projection that went in, so the
+    # hash proves ORC round-trips types (longs, doubles, timestamps)
+    # losslessly. ORC embeds its schema; no inference pass needed.
+    out = tempfile.mkdtemp(prefix="source_orc_") + "/t"
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_shipdate",
+        )
+    )
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def sink_partitioned_prune(spark, sf_dir):
+    # Hive-style partitioned sink + partition-pruned read-back: the
+    # layout analog of the reference's rewards_block_idx B-tree
+    # (migrations/V1:11) — the predicate on the partition column never
+    # touches non-matching directories (PartitionFilters in the scan,
+    # zero data files read outside event_type=purchase). The exact
+    # oracle proves the partition column survives the directory
+    # round-trip with its values intact.
+    out = tempfile.mkdtemp(prefix="sink_part_") + "/t"
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    ).write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value", "event_type")
+    )
+
+
+@query(
+    "sink_compact_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sink_compact_files(spark, sf_dir):
+    # Small-file compaction round-trip: scatter lineitem across 64
+    # deliberately tiny files (the reference's one-INSERT-per-block
+    # append pattern, src/reward.rs:38-44), then compact to ~4 MiB
+    # targets sized from ACTUAL input bytes (etl/compact.py). The
+    # exact oracle proves compaction is content-preserving; the test
+    # suite asserts the file count actually drops.
+    from ..etl.compact import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="sink_compact_")
+    small, packed = base + "/small", base + "/packed"
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).repartition(64).write.mode("overwrite").parquet(small)
+    compact_parquet(spark, small, packed, target_file_bytes=4 * 1024 * 1024)
+    return spark.read.parquet(packed)

@@ -1,0 +1,400 @@
+"""§2.4.K extensions — time-series & behavioral analytics over `events`.
+
+The reference's serving layer is a time-indexed ledger (rewards by
+block/time, migrations/V1__create_rewards.sql:11-12); these operators
+are the analytics its schema+indexes exist to serve, re-expressed as
+distributed plans: gap-fill/interpolation (the "missing blocks" shape,
+src/follower.rs:86-99 catch-up), SCD2 interval tracking (the
+follower_info height ledger, migrations/V2), cohort/funnel rollups, and
+statistical outlier detection.
+
+Float discipline (registry docstring): every money-like aggregate runs
+over integral cents (`CAST(round(value*100) AS BIGINT)`) so sums are
+exact in any addition order; divisions/sqrt happen row-level AFTER
+aggregation with an identical expression tree on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+# Integral cents: exact under reordered addition, unlike raw doubles.
+_CENTS = F.round(F.col("value") * 100, 0).cast("long")
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.hr, h.cents FROM grid g
+      LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+    SELECT user_id, hr,
+           ROUND(last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hr
+                   ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS hourly_value,
+           cents IS NULL AS is_gap
+    FROM j
+    """,
+)
+def ts_gapfill_locf(spark, sf_dir):
+    # Time-series gap fill, last-observation-carried-forward: hourly
+    # per-user totals → a dense hour grid per user (sequence+explode,
+    # no driver loop) → left join → last(ignorenulls) window. One
+    # shuffle on user_id serves the grid join AND the LOCF window; the
+    # grid is generated, never materialized driver-side, so a 100 TB
+    # events table with a year of hours per key stays distributed.
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(_CENTS).alias("cents"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(mn, mx, interval 1 hour)")
+            ).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    locf = W.partitionBy("user_id").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.round(
+            F.last("cents", ignorenulls=True).over(locf) / 100.0, 2
+        ).alias("hourly_value"),
+        F.col("cents").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.hr, h.cents FROM grid g
+      LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr),
+    ctx AS (
+      SELECT user_id, hr, cents,
+             last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+             last_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER wb AS prev_hr,
+             first_value(cents IGNORE NULLS) OVER wf AS next_c,
+             first_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER wf AS next_hr
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hr,
+           ROUND((CAST(prev_c AS DOUBLE)
+                  + (next_c - prev_c)
+                    * (CAST(date_diff('hour', prev_hr, hr) AS DOUBLE)
+                       / CAST(date_diff('hour', prev_hr, next_hr) AS DOUBLE)))
+                 / 100.0, 4) AS interp_value
+    FROM ctx WHERE cents IS NULL
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    # Linear interpolation of the gaps the LOCF query fills flatly:
+    # for each missing hour, the straddling known points come from one
+    # backward and one forward window pass (same user_id shuffle), and
+    # the interpolated value is pure row arithmetic — integral cents
+    # and integral hour offsets in, one double expression out, so the
+    # oracle matches bit-for-bit without tolerances.
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(_CENTS).alias("cents"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    wb = W.partitionBy("user_id").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("user_id").orderBy("hr").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    known_hr = F.when(F.col("cents").isNotNull(), F.col("hr"))
+    ctx = j.select(
+        "user_id",
+        "hr",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(known_hr, ignorenulls=True).over(wb).alias("prev_hr"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(known_hr, ignorenulls=True).over(wf).alias("next_hr"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — integral hour offset
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    interp = (
+        F.col("prev_c").cast("double")
+        + (F.col("next_c") - F.col("prev_c"))
+        * (
+            hours(F.col("prev_hr"), F.col("hr")).cast("double")
+            / hours(F.col("prev_hr"), F.col("next_hr")).cast("double")
+        )
+    )
+    return ctx.where(F.col("cents").isNull()).select(
+        "user_id", "hr", F.round(interp / 100.0, 4).alias("interp_value")
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM starts
+    """,
+)
+def scd2_intervals(spark, sf_dir):
+    # Slowly-changing-dimension type 2 from an event stream: collapse
+    # consecutive same-type runs per user into [valid_from, valid_to)
+    # intervals, open-ended for the current state. The follower_info
+    # height ledger (reference migrations/V2) is the degenerate
+    # single-key case. Both window passes share the user_id shuffle.
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        t.events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    wl = W.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(wl)
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS s2
+      FROM c GROUP BY 1)
+    SELECT event_id, c.event_type, value,
+           ROUND((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / CAST(n - 1 AS DOUBLE)), 3) AS zscore
+    FROM c JOIN stats ON c.event_type = stats.event_type
+    WHERE abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(s2 AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / CAST(n - 1 AS DOUBLE))) > 2.5
+    """,
+)
+def anomaly_zscore(spark, sf_dir):
+    # Per-type z-score outliers from exactly-aggregable moments: n,
+    # Σcents, Σcents² are integral sums (order-independent), the mean/
+    # variance/z arithmetic is row-level double math with the SAME
+    # expression tree as the oracle — so even sqrt matches bit-for-bit
+    # (IEEE 754 sqrt is correctly rounded on both engines). One hash
+    # agg over 5 groups, broadcast back; no window, no second shuffle.
+    t = Tables(spark, sf_dir)
+    c = t.events.select(
+        "event_id", "event_type", "value", _CENTS.alias("cents")
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double")
+    )
+    z = (F.col("cents").cast("double") - mean) / sd
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 3).alias("zscore"))
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark, sf_dir):
+    # Cohort retention triangle: users keyed by first-seen day, counted
+    # distinct per (cohort, days-since). Two hash aggs share the
+    # user_id shuffle; the firsts side is small (one row per user) and
+    # broadcasts. All-integer output — no float discipline needed.
+    t = Tables(spark, sf_dir)
+    firsts = t.events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    activity = t.events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 4)
+             AS click_rate,
+           ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE), 4)
+             AS purchase_rate
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    # Ordered funnel (signup → later click → later purchase): each
+    # stage is a per-user min-timestamp agg semi-joined against the
+    # previous stage, so ordering is enforced with timestamps, not
+    # per-user sequence scans. Stage tables are one-row-per-user —
+    # they broadcast — and the final counts reduce to one row.
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_click"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_click").cast("double")
+                / F.col("n_signup").cast("double"),
+                4,
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_purchase").cast("double")
+                / F.col("n_click").cast("double"),
+                4,
+            ).alias("purchase_rate"),
+        )
+    )

@@ -48,48 +48,37 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # registry here; everything else keeps module registration order behind
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
-    # r2 hash-FAILs, oracle output types fixed this round → fresh verdict
-    "math_funcs",  # oracle: CAST(sign(..) AS DOUBLE) — DuckDB TINYINT vs Spark double
-    "text_lang_topk",  # oracle: CAST(SUM(n_chars) AS BIGINT) — HUGEINT vs bigint
-    "win_sliding_avg_range_frame",  # oracle: COUNT(*) OVER — SUM(1) HUGEINT vs bigint
-    # changed this round → needs a fresh verdict
-    "vec_knn_cosine",  # scan side repartitioned before the broadcast join
-    "sink_roundtrip_parquet",  # upgraded rows-only → exact losslessness oracle
-    # never driver-verified after r1 ∪ r2 windows (VERDICT r2 list of 18)
-    "agg_corr_covar",
-    "source_csv_roundtrip",
-    "stream_stream_interval_join",
-    "sessionize_gap30",
-    "sample_split_train_test",
-    "text_tfidf",
-    "text_clean_normalize",
-    "text_vocab_prune",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "text_fuzzy_levenshtein",
-    "pipeline_corpus_curation",
-    "vec_ann_ivf",
-    "vec_cluster_assign",  # also changed: vectors repartitioned pre-broadcast
-    "vec_kmeans",
-    "multimodal_feature_extract",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # new in r3 (exact oracles, verified by the local replica)
-    "sample_stratified",
-    "text_ngram_topk",
-    "text_perplexity_unigram",
-    "vec_quantize_int8",
-    "feature_user_activity",
-    "text_dedup_keep_longest",
-    # ---- everything below re-confirms prior driver greens (window is 50;
-    # ---- remaining slots fill in module registration order anyway, but
-    # ---- pin the heaviest-value re-confirms explicitly first)
+    # new in r4 (exact oracles, verified by the local replica) — every
+    # pre-r4 query already holds a green driver verdict (r1∪r2∪r3), so
+    # the window leads with the 13 new queries
+    "ts_gapfill_locf",
+    "ts_interpolate_linear",
+    "scd2_intervals",
+    "anomaly_zscore",
+    "retention_cohort",
+    "funnel_conversion",
+    "text_contamination_ngram",
+    "pack_sequence_bins",
+    "agg_string_listagg",
+    "agg_mode_deterministic",
+    "source_orc_roundtrip",
+    "sink_partitioned_prune",
+    "sink_compact_files",
+    # ---- everything below re-confirms prior driver greens (window is
+    # ---- 50; remaining slots fill in module registration order, but
+    # ---- pin the heaviest-value / perf-touched re-confirms first)
+    "vec_knn_cosine",
     "vec_dedup_cosine",
+    "text_dedup_minhash",
+    "join_multiway_star",
+    "pipeline_corpus_curation",
+    "sessionize_gap30",
     "dedup_ngram_jaccard",
     "dedup_cluster_components",
     "sample_balance_buckets",
-    "join_multiway_star",
-    "text_dedup_minhash",
+    "rollup_time_hypertable",
+    "text_tfidf",
+    "sink_roundtrip_parquet",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
@@ -103,6 +92,7 @@ def load_all() -> None:
     50-query window (see FRONT_OF_WINDOW)."""
     from .queries import (  # noqa: F401
         aggregates,
+        curation,
         extras,
         filters,
         joins,
@@ -111,6 +101,7 @@ def load_all() -> None:
         scans,
         sorts_sets,
         streaming_batch,
+        timeseries,
         udfs,
         windows,
     )
