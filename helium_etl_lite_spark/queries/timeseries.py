@@ -23,7 +23,11 @@ from ..registry import query
 from ..tables import Tables
 
 # Integral cents: exact under reordered addition, unlike raw doubles.
-_CENTS = F.round(F.col("value") * 100, 0).cast("long")
+# Built lazily — Column construction needs an active SparkContext, and
+# this module is imported by registry.load_all() before any session
+# exists (a module-level Column breaks the driver's entry import).
+def _cents():
+    return F.round(F.col("value") * 100, 0).cast("long")
 
 
 @query(
@@ -59,7 +63,7 @@ def ts_gapfill_locf(spark, sf_dir):
     t = Tables(spark, sf_dir)
     hourly = t.events.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.sum(_CENTS).alias("cents"))
+    ).agg(F.sum(_cents()).alias("cents"))
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
@@ -112,11 +116,13 @@ def ts_gapfill_locf(spark, sf_dir):
              wf AS (PARTITION BY user_id ORDER BY hr
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT user_id, hr,
-           ROUND((CAST(prev_c AS DOUBLE)
-                  + (next_c - prev_c)
-                    * (CAST(date_diff('hour', prev_hr, hr) AS DOUBLE)
-                       / CAST(date_diff('hour', prev_hr, next_hr) AS DOUBLE)))
-                 / 100.0, 4) AS interp_value
+           CAST(floor((CAST(prev_c AS DOUBLE)
+                       + (next_c - prev_c)
+                         * (CAST(date_diff('hour', prev_hr, hr) AS DOUBLE)
+                            / CAST(date_diff('hour', prev_hr, next_hr)
+                                   AS DOUBLE)))
+                      * 100.0 + 0.5) AS DOUBLE)
+             / 10000.0 AS interp_value
     FROM ctx WHERE cents IS NULL
     """,
 )
@@ -130,7 +136,7 @@ def ts_interpolate_linear(spark, sf_dir):
     t = Tables(spark, sf_dir)
     hourly = t.events.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.sum(_CENTS).alias("cents"))
+    ).agg(F.sum(_cents()).alias("cents"))
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
@@ -167,8 +173,13 @@ def ts_interpolate_linear(spark, sf_dir):
             / hours(F.col("prev_hr"), F.col("next_hr")).cast("double")
         )
     )
+    # ROUND(x, 4) is NOT portable at ties: Spark rounds half-up, DuckDB
+    # half-to-even, and h1/h2 fractions land exactly on .00005 ties
+    # (e.g. 1/8 of a cent). floor(x*1e4 + 0.5)/1e4 is the same IEEE
+    # expression on both engines — explicit half-up, no tie ambiguity.
+    interp_e4 = F.floor(interp * 100.0 + 0.5).cast("double")
     return ctx.where(F.col("cents").isNull()).select(
-        "user_id", "hr", F.round(interp / 100.0, 4).alias("interp_value")
+        "user_id", "hr", (interp_e4 / 10000.0).alias("interp_value")
     )
 
 
@@ -259,7 +270,7 @@ def anomaly_zscore(spark, sf_dir):
     # agg over 5 groups, broadcast back; no window, no second shuffle.
     t = Tables(spark, sf_dir)
     c = t.events.select(
-        "event_id", "event_type", "value", _CENTS.alias("cents")
+        "event_id", "event_type", "value", _cents().alias("cents")
     )
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
