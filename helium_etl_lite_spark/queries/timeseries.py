@@ -176,7 +176,11 @@ def ts_interpolate_linear(spark, sf_dir):
     # ROUND(x, 4) is NOT portable at ties: Spark rounds half-up, DuckDB
     # half-to-even, and h1/h2 fractions land exactly on .00005 ties
     # (e.g. 1/8 of a cent). floor(x*1e4 + 0.5)/1e4 is the same IEEE
-    # expression on both engines — explicit half-up, no tie ambiguity.
+    # expression on both engines, so oracle hashes match regardless.
+    # Caveat: for NEGATIVE x this floors halves toward +inf, not
+    # away-from-zero like SQL half-up — fine here because interp is a
+    # convex combination of non-negative cents, but a data change that
+    # admits negative values would silently shift tie semantics.
     interp_e4 = F.floor(interp * 100.0 + 0.5).cast("double")
     return ctx.where(F.col("cents").isNull()).select(
         "user_id", "hr", (interp_e4 / 10000.0).alias("interp_value")
@@ -313,9 +317,13 @@ def anomaly_zscore(spark, sf_dir):
 )
 def retention_cohort(spark, sf_dir):
     # Cohort retention triangle: users keyed by first-seen day, counted
-    # distinct per (cohort, days-since). Two hash aggs share the
-    # user_id shuffle; the firsts side is small (one row per user) and
-    # broadcasts. All-integer output — no float discipline needed.
+    # distinct per (cohort, days-since). The firsts side is one row PER
+    # USER — unbounded at corpus scale, so no broadcast hint (forcing
+    # it would OOM the driver at 100 TB): firsts arrives hash-
+    # partitioned on user_id from its aggregation and the sort-merge /
+    # shuffled-hash join reuses that exchange; AQE still demotes to
+    # broadcast when the run is genuinely small. All-integer output —
+    # no float discipline needed.
     t = Tables(spark, sf_dir)
     firsts = t.events.groupBy("user_id").agg(
         F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
@@ -324,7 +332,7 @@ def retention_cohort(spark, sf_dir):
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
     ).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff(F.col("d"), F.col("cohort_day"))
@@ -362,10 +370,14 @@ def retention_cohort(spark, sf_dir):
 )
 def funnel_conversion(spark, sf_dir):
     # Ordered funnel (signup → later click → later purchase): each
-    # stage is a per-user min-timestamp agg semi-joined against the
+    # stage is a per-user min-timestamp agg joined against the
     # previous stage, so ordering is enforced with timestamps, not
     # per-user sequence scans. Stage tables are one-row-per-user —
-    # they broadcast — and the final counts reduce to one row.
+    # UNBOUNDED at corpus scale, so no broadcast hint: each stage agg
+    # hash-partitions on user_id and the next stage's equi-join rides
+    # that exchange (AQE broadcasts only when a stage is measured
+    # small). The final counts reduce to one row each; the crossJoins
+    # glue three 1-row frames — constant-size by construction.
     t = Tables(spark, sf_dir)
     ev = t.events
     s1 = (
@@ -375,14 +387,14 @@ def funnel_conversion(spark, sf_dir):
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
