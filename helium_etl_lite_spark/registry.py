@@ -48,37 +48,57 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # registry here; everything else keeps module registration order behind
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
-    # new in r4 (exact oracles, verified by the local replica) — every
-    # pre-r4 query already holds a green driver verdict (r1∪r2∪r3), so
-    # the window leads with the 13 new queries
-    "ts_gapfill_locf",
-    "ts_interpolate_linear",
-    "scd2_intervals",
-    "anomaly_zscore",
-    "retention_cohort",
-    "funnel_conversion",
-    "text_contamination_ngram",
-    "pack_sequence_bins",
-    "agg_string_listagg",
-    "agg_mode_deterministic",
-    "source_orc_roundtrip",
-    "sink_partitioned_prune",
-    "sink_compact_files",
-    # ---- everything below re-confirms prior driver greens (window is
-    # ---- 50; remaining slots fill in module registration order, but
-    # ---- pin the heaviest-value / perf-touched re-confirms first)
-    "vec_knn_cosine",
-    "vec_dedup_cosine",
-    "text_dedup_minhash",
-    "join_multiway_star",
-    "pipeline_corpus_curation",
-    "sessionize_gap30",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_components",
-    "sample_balance_buckets",
-    "rollup_time_hypertable",
-    "text_tfidf",
-    "sink_roundtrip_parquet",
+    # r5 rotation (r4 verdict item 4): no query's latest verdict may
+    # predate the last edit of its module.
+    # (a) code/plan changed THIS round — must re-verify first:
+    "retention_cohort",      # broadcast hint removed (r5)
+    "funnel_conversion",     # broadcast hints removed (r5)
+    "ts_interpolate_linear",  # comment-only edit, re-confirm anyway
+    "ts_gapfill_locf",        # plan claims now test-pinned
+    # new queries added in r5 register here as they land:
+    "text_dedup_minhash_incremental",
+    # (b) modules edited after these queries' last driver verdict
+    # (scalar_funcs + windows oracle casts landed r3, verdicts are r2;
+    # llm_ops was reorganized r3, these verdicts are r1/r2):
+    "str_funcs",
+    "date_funcs",
+    "array_funcs",
+    "map_funcs",
+    "json_funcs",
+    "hash_funcs",
+    "hash_funcs_xxhash64",
+    "cast_try_cast",
+    "win_row_number_topk_per_group",
+    "win_rank_dense_rank",
+    "win_lag_lead",
+    "win_running_sum_frame",
+    "win_first_last_value",
+    "text_tokenize_stats",
+    "text_dedup_exact",
+    "text_dedup_simhash",
+    "vec_ann_lsh",
+    "text_quality_score",
+    "text_token_count_regex",
+    "text_fingerprint_rolling",
+    "text_lang_id_ngram",
+    "multimodal_decode_stub",
+    # (c) oldest-first re-confirms — the r1 joins/filters block:
+    "filter_in_set",
+    "filter_null_semantics",
+    "filter_like_regex",
+    "case_when_dispatch",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_sortmerge_large",
+    "join_left_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_range",
+    "join_cross",
+    "join_asof_event_order",
+    "join_skew_salted",
+    "join_range_binned",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
