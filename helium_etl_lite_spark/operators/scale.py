@@ -121,6 +121,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cumsum",
     bucket_width: int = 100_000,
+    super_width: int = 4096,
     max_control_rows: int = 4_000_000,
 ) -> DataFrame:
     """Exact running total `SUM(value_col) OVER (ORDER BY order_col ROWS
@@ -130,51 +131,87 @@ def prefix_sum(
     strict) and `value_col` integral (long) so partial sums are exact.
     Same control-plane shape as :func:`distributed_ntile`, but the
     bucketing is a PURE FUNCTION of the key (`order_col div
-    bucket_width`) — no repartitionByRange sampling, so the two passes
-    see identical bucket assignments by construction:
+    bucket_width`) — no repartitionByRange sampling, so the passes see
+    identical bucket assignments by construction. TWO-LEVEL (r4 verdict
+    item 5): the driver never holds per-bucket rows, only
+    per-SUPERBUCKET rows (`bucket div super_width`), so its share is
+    ~N/(bucket_width·super_width) — at defaults, one driver row per
+    ~410M input rows; a 10^12-row corpus collects ~2.4k rows:
 
-    1. per-bucket sums → a control table of ~N/bucket_width rows,
-       prefix-summed driver-side in Spark's own bucket order
-       (`orderBy(...).collect()`).
-    2. broadcast the per-bucket starting offsets back; within each
-       bucket a window `partitionBy(bucket).orderBy(order_col)` adds
-       the local running sum — every window partition is bounded by
-       bucket_width rows, so no SinglePartition exchange appears.
-
-    The scale story: pass 1 is a map-side-combinable hash agg; pass 2
-    is one hash shuffle on bucket id. A 100 TB corpus with 64-bit doc
-    ids prefix-sums with a ~N/100k-row control table.
+    1. per-bucket sums (map-side-combinable hash agg) →
+       ~N/bucket_width rows, kept DISTRIBUTED.
+    2. per-superbucket sums over (1) → collected + prefix-summed
+       driver-side in Spark's own order (`orderBy(...).collect()`),
+       guarded by `max_control_rows` as a backstop.
+    3. superbucket offsets broadcast back onto (1); a window
+       `partitionBy(superbucket).orderBy(bucket)` (each partition
+       ≤ super_width rows) turns them into exact per-bucket global
+       offsets — still distributed.
+    4. bucket offsets join the data on bucket id (no broadcast hint —
+       the table is ~N/bucket_width rows, unbounded; AQE broadcasts it
+       when genuinely small, and the window in the same stage shares
+       the bucket-id shuffle); a per-bucket running-sum window
+       (≤ bucket_width rows per partition) finishes. No SinglePartition
+       exchange appears anywhere.
     """
     b = (F.col(order_col) / bucket_width).cast("long")
     d = df.withColumn("__pb", b)
-    sums = d.groupBy("__pb").agg(F.sum(F.col(value_col)).alias("__s")).persist()
-    n_buckets = sums.count()
-    if n_buckets > max_control_rows:
+    sums = (
+        d.groupBy("__pb")
+        .agg(F.sum(F.col(value_col)).alias("__s"))
+        .withColumn("__sb", (F.col("__pb") / super_width).cast("long"))
+        .persist()
+    )
+    supers = sums.groupBy("__sb").agg(F.sum("__s").alias("__ss"))
+    n_super = supers.count()
+    if n_super > max_control_rows:
         sums.unpersist()
         raise ValueError(
-            f"prefix_sum control table has {n_buckets} buckets > "
-            f"max_control_rows={max_control_rows}; raise bucket_width"
+            f"prefix_sum control table has {n_super} superbuckets > "
+            f"max_control_rows={max_control_rows}; raise bucket_width "
+            "or super_width"
         )
-    ordered = sums.orderBy(F.col("__pb").asc()).collect()
-    sums.unpersist()
-    offsets, acc = [], 0
+    ordered = supers.orderBy(F.col("__sb").asc()).collect()
+    soffsets, acc = [], 0
     for r in ordered:
-        offsets.append((r["__pb"], acc))
-        acc += r["__s"]
-    off_schema = T.StructType(
+        soffsets.append((r["__sb"], acc))
+        acc += r["__ss"]
+    soff_schema = T.StructType(
         [
-            T.StructField("__pb_o", T.LongType()),
-            T.StructField("__offset", T.LongType()),
+            T.StructField("__sb_o", T.LongType()),
+            T.StructField("__soffset", T.LongType()),
         ]
     )
-    off = df.sparkSession.createDataFrame(offsets, off_schema)
+    soff = df.sparkSession.createDataFrame(soffsets, soff_schema)
+    # bucket-level offsets: superbucket start + sum of EARLIER buckets
+    # in the same superbucket (rows (-inf, -1] — empty frame sums NULL,
+    # coalesced to 0 for the first bucket).
+    wb = (
+        Window.partitionBy("__sb")
+        .orderBy(F.col("__pb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_off = (
+        sums.join(F.broadcast(soff), sums["__sb"] == soff["__sb_o"])
+        .withColumn(
+            "__offset",
+            F.col("__soffset") + F.coalesce(F.sum("__s").over(wb), F.lit(0)),
+        )
+        .select(F.col("__pb").alias("__pb_o"), "__offset")
+        # materialize the (small, ~N/bucket_width-row) offset table now
+        # so the cached per-bucket sums can be released before returning
+        # the lazy result — otherwise the persist would pin cache for
+        # the caller's whole job.
+        .localCheckpoint(eager=True)
+    )
+    sums.unpersist()
     w = (
         Window.partitionBy("__pb")
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        d.join(F.broadcast(off), d["__pb"] == off["__pb_o"])
+        d.join(bucket_off, d["__pb"] == bucket_off["__pb_o"])
         .withColumn(out_col, F.col("__offset") + F.sum(F.col(value_col)).over(w))
         .drop("__pb", "__pb_o", "__offset")
     )

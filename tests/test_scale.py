@@ -166,3 +166,69 @@ class TestDistributedNtileEdges:
         df = spark.createDataFrame([(i, i) for i in range(50)], "id long, v long")
         with pytest.raises(ValueError, match="max_control_rows"):
             scale.distributed_ntile(df, "v", "id", n_tiles=4, max_control_rows=10)
+
+
+class TestPrefixSumTwoLevel:
+    # r4 verdict item 5: the driver must hold superbucket rows only
+    # (~N/(bucket_width*super_width)), never per-bucket rows; the result
+    # must equal the single-task window form exactly at every bucket
+    # geometry, including widths that leave empty/sparse buckets.
+
+    def _oracle(self, df):
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy(F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return {
+            (r["id"], r["c"])
+            for r in df.withColumn("c", F.sum("v").over(w)).collect()
+        }
+
+    @pytest.mark.parametrize(
+        "bucket_width,super_width", [(7, 3), (100, 4), (1, 2), (10_000, 4096)]
+    )
+    def test_matches_window_form(self, spark, bucket_width, super_width):
+        # sparse ids: buckets of wildly different fill, some empty.
+        ids = [0, 1, 2, 5, 6, 13, 14, 15, 99, 100, 101, 250, 999, 1000, 5000]
+        rows = [(i, (i * 37) % 11 - 3) for i in ids]  # negatives too
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            (r["id"], r["cumsum"])
+            for r in scale.prefix_sum(
+                df, "id", "v",
+                bucket_width=bucket_width, super_width=super_width,
+            ).collect()
+        }
+        assert got == self._oracle(df)
+
+    def test_no_single_partition_exchange(self, spark):
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        )
+        out = scale.prefix_sum(df, "id", "v", bucket_width=50, super_width=4)
+        assert "SinglePartition" not in formatted_plan(out)
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "id long, v long")
+        out = scale.prefix_sum(df, "id", "v")
+        assert out.count() == 0
+        assert "cumsum" in out.columns
+
+    def test_superbucket_guard_raises(self, spark):
+        df = spark.createDataFrame([(i, i) for i in range(64)], "id long, v long")
+        with pytest.raises(ValueError, match="superbuckets"):
+            scale.prefix_sum(
+                df, "id", "v", bucket_width=1, super_width=2, max_control_rows=4
+            )
+
+    def test_driver_share_is_superbucket_scale(self, spark):
+        # 64 buckets / super_width 16 -> the guard sees 4 superbuckets:
+        # passing max_control_rows=4 must NOT raise (it would with the
+        # old per-bucket collect).
+        df = spark.createDataFrame([(i, 1) for i in range(64)], "id long, v long")
+        out = scale.prefix_sum(
+            df, "id", "v", bucket_width=1, super_width=16, max_control_rows=4
+        )
+        assert out.where(F.col("id") == 63).collect()[0]["cumsum"] == 64
