@@ -57,6 +57,35 @@ def minhash_signatures(
     return sig.select(F.col(id_col), F.array(*[f"h{p}" for p in range(num_perm)]).alias("sig"))
 
 
+def _band_rows(
+    sig: DataFrame, num_perm: int, bands: int, id_col: str = "doc_id",
+    keep_sig: bool = False,
+) -> DataFrame:
+    """Explode a signature table into LSH band rows
+    (id, band, bucket[, sig]): bucket = hash of the band's signature
+    slice. One row per doc per band; the only downstream join key is
+    (band, bucket) — hash-partitioned, never a cross product."""
+    rows_per_band = num_perm // bands
+    extra = [F.col("sig")] if keep_sig else []
+    return sig.select(
+        F.col(id_col),
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, *(["sig"] if keep_sig else []), "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 16,
@@ -71,24 +100,8 @@ def minhash_lsh_pairs(
     ~0.97 at j=0.5. Verification joins token sets back on and computes
     exact Jaccard with array_intersect/array_union (JVM-side).
     """
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, text_col, id_col)
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    band_rows = _band_rows(sig, num_perm, bands, id_col)
 
     left = band_rows.alias("l")
     right = band_rows.alias("r")
@@ -133,24 +146,8 @@ def minhash_dedup_assign(
     N² pairs). On a self-similar 100 TB corpus the all-pairs form blows
     up quadratically; this stays O(N).
     """
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, text_col, id_col)
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    band_rows = _band_rows(sig, num_perm, bands, id_col)
 
     # Per-bucket min as a window, not agg+self-join: the self-join form
     # recomputes the whole signature subtree for both sides; the window
@@ -543,6 +540,131 @@ def dedup_state_add(
         old = (
             seen.where(F.col("shard").isin(touched))
             .select("text_hash", "shard")
+            .localCheckpoint(eager=True)
+        )
+        merged = merged.unionByName(old).distinct()
+    (
+        merged.repartition("shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(state_path)
+    )
+
+
+_MINHASH_STATE_SHARDS = 64
+
+
+def minhash_filter_new(
+    spark,
+    batch: DataFrame,
+    state_path: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental NEAR-dup dedup, read side: batch docs that are not
+    near-duplicates of anything already in the persisted corpus state,
+    with in-batch near-dups collapsed to their keeper first
+    (minhash_dedup_assign — exact-Jaccard-verified, texts are in hand).
+
+    Against the corpus there is no text to verify with — the state
+    holds LSH band rows plus each doc's full minhash signature (8·16
+    longs per doc, ~1 KB; ~1% of raw text at corpus scale). A batch doc
+    is a dup when it shares a band bucket with a state doc AND the
+    signature match fraction — an unbiased estimator of Jaccard with
+    variance J(1-J)/num_perm — clears `jaccard_threshold`. The bucket
+    probe is one equi-join on (band, bucket); state reads prune to the
+    batch's shards via partition filters.
+
+    Output carries a `sig` column so minhash_state_add folds the batch
+    in without recomputing signatures. Same ordering contract as
+    dedup_filter_new: land this output first, then call
+    minhash_state_add with it; replay converges because the state union
+    is a set union.
+    """
+    sig = minhash_signatures(batch, num_perm, text_col, id_col)
+    assigned = minhash_dedup_assign(
+        batch, num_perm, bands, jaccard_threshold, text_col, id_col
+    )
+    keepers = assigned.where(F.col("keeper_doc_id") == F.col(id_col)).select(id_col)
+    kept = batch.join(keepers, id_col, "left_semi").join(sig, id_col)
+    try:
+        state = spark.read.parquet(state_path)
+    except Exception:
+        return kept
+    probe = _band_rows(
+        kept.select(id_col, "sig"), num_perm, bands, id_col, keep_sig=True
+    )
+    # partition pruning: only the batch's shards can hold a colliding
+    # bucket; `touched` is bounded by n_shards (control-plane small).
+    shard = F.pmod(F.xxhash64("bucket"), F.lit(_MINHASH_STATE_SHARDS)).cast("int")
+    touched = [
+        r["shard"]
+        for r in probe.select(shard.alias("shard")).distinct().collect()
+    ]
+    state = state.where(F.col("shard").isin(touched))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig", "state_sig", lambda a, b: (a == b).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    dup_ids = (
+        probe.join(
+            state.select(
+                F.col("band"), F.col("bucket"), F.col("sig").alias("state_sig")
+            ),
+            ["band", "bucket"],
+        )
+        .where(matches >= F.lit(int(round(jaccard_threshold * num_perm))))
+        .select(id_col)
+        .distinct()
+    )
+    return kept.join(dup_ids, id_col, "left_anti")
+
+
+def minhash_state_add(
+    spark,
+    fresh: DataFrame,
+    state_path: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental near-dup dedup, write side: fold the landed batch's
+    LSH band rows (+signatures) into the persisted state.
+
+    Same shard discipline as dedup_state_add: parquet partitioned into
+    stable shards (pmod of xxhash64(bucket) — co-located with the probe
+    join's pruning key), dynamic partition overwrite rewrites ONLY
+    touched shards with the distinct union of old + new rows. Rows are
+    fully determined by the doc (signature is a pure function of the
+    text), so the union is a set union and replay converges.
+    """
+    if "sig" in fresh.columns:
+        sig = fresh.select(F.col(id_col), "sig")
+    else:
+        sig = minhash_signatures(fresh, num_perm, text_col, id_col)
+    rows = _band_rows(sig, num_perm, bands, id_col, keep_sig=True).withColumn(
+        "shard",
+        F.pmod(F.xxhash64("bucket"), F.lit(_MINHASH_STATE_SHARDS)).cast("int"),
+    )
+    touched = [r["shard"] for r in rows.select("shard").distinct().collect()]
+    if not touched:
+        return
+    merged = rows
+    try:
+        seen = spark.read.parquet(state_path)
+    except Exception:
+        seen = None
+    if seen is not None:
+        old = (
+            seen.where(F.col("shard").isin(touched))
+            .select(*rows.columns)
             .localCheckpoint(eager=True)
         )
         merged = merged.unionByName(old).distinct()

@@ -59,6 +59,30 @@ def text_dedup_minhash(spark, sf_dir):
     return dedup.minhash_dedup_assign(t.documents, num_perm=16, bands=8, jaccard_threshold=0.7)
 
 
+@query("text_dedup_minhash_incremental")  # rows-only: engine-specific signatures
+def text_dedup_minhash_incremental(spark, sf_dir):
+    # The training-pipeline ingest loop at corpus scale: batch 1 (even
+    # doc_ids) lands and folds its LSH band rows + signatures into a
+    # persisted state; batch 2 (odd doc_ids) probes that state and only
+    # docs near-dup-free against the WHOLE landed corpus survive.
+    # Deterministic: the doc_id-parity split is partition-invariant and
+    # signatures are pure functions of text. Returns batch 2's
+    # survivors (the incremental analog of the reference's idempotent
+    # keyed ingest, src/follower.rs:100 keyed INSERT).
+    import tempfile
+
+    from ..operators import dedup
+
+    t = Tables(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="minhash_state_") + "/state"
+    b1 = t.documents.where(F.col("doc_id") % 2 == 0)
+    b2 = t.documents.where(F.col("doc_id") % 2 == 1)
+    f1 = dedup.minhash_filter_new(spark, b1, state, jaccard_threshold=0.7)
+    dedup.minhash_state_add(spark, f1, state)
+    f2 = dedup.minhash_filter_new(spark, b2, state, jaccard_threshold=0.7)
+    return f2.select("doc_id").orderBy("doc_id")
+
+
 @query("text_dedup_simhash")  # rows-only: engine-specific hash bits
 def text_dedup_simhash(spark, sf_dir):
     # max_hamming=3: on this corpus the pair count grows monotonically

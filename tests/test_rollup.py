@@ -209,3 +209,55 @@ class TestIncrementalDedup:
         assert spark.read.parquet(state).count() == 2  # still a set
         # and the batch is now fully seen
         assert dedup.dedup_filter_new(spark, b1, state).count() == 0
+
+
+class TestIncrementalMinhashDedup:
+    # operators/dedup.py minhash_filter_new/minhash_state_add: near-dup
+    # ingest against the persisted band-bucket + signature state
+    # (r4 verdict item 6 — the corpus-scale training-pipeline loop).
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_batch_and_in_batch_near_dups(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "mh_state")
+        b1 = self._docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "totally different words here now"),
+                (3, "alpha beta gamma delta"),  # in-batch exact dup of 1
+            ],
+        )
+        f1 = dedup.minhash_filter_new(spark, b1, state, jaccard_threshold=0.5)
+        assert sorted(r["doc_id"] for r in f1.collect()) == [1, 2]
+        assert "sig" in f1.columns  # state_add reuses the signatures
+        dedup.minhash_state_add(spark, f1, state)
+
+        b2 = self._docs(
+            spark,
+            [
+                (4, "alpha beta gamma delta"),          # exact dup of corpus doc 1
+                (5, "alpha beta gamma delta epsilon"),  # near-dup, J=0.8
+                (6, "entirely fresh unique content tokens"),
+            ],
+        )
+        f2 = dedup.minhash_filter_new(spark, b2, state, jaccard_threshold=0.5)
+        assert sorted(r["doc_id"] for r in f2.collect()) == [6]
+
+    def test_replay_converges(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "mh_state")
+        b1 = self._docs(spark, [(1, "p q r s"), (2, "m n o t u")])
+        f1 = dedup.minhash_filter_new(spark, b1, state)
+        dedup.minhash_state_add(spark, f1, state)
+        n1 = spark.read.parquet(state).count()
+        assert n1 == 2 * 8  # one band row per doc per band (bands=8)
+        # crash-replay: folding the same landed batch in again is a no-op
+        dedup.minhash_state_add(spark, f1, state)
+        assert spark.read.parquet(state).count() == n1
+        # and the batch is now fully seen
+        assert dedup.minhash_filter_new(spark, b1, state).count() == 0
