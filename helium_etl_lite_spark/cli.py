@@ -249,25 +249,68 @@ def cmd_vacuum(cfg, keep_versions: int, log=None) -> list[str]:
     return removed
 
 
+def cmd_compact(spark, cfg, target_mb: int = 128, log=None) -> dict:
+    """Maintenance: merge the small files the append loop accumulates
+    (one batch per pass — the parquet analog of the reference's
+    one-INSERT-per-block append, src/reward.rs:38-44). Honors the sink
+    mode: atomic=true compacts via a new snapshot version (committed
+    partitions only, readers never torn, needs a later vacuum);
+    otherwise per-partition in-place rewrite of the plain layout.
+    Single-writer contract either way: don't run concurrently with the
+    follower."""
+    from .etl.compact import compact_partitioned_table, compact_snapshot
+
+    log = log or setup_logger(cfg)
+    out = str(cfg["out_dir"])
+    target = int(target_mb) * 1024 * 1024
+    if bool(cfg.get("atomic", False)):
+        manifest = compact_snapshot(spark, out, target_file_bytes=target)
+        if manifest is None:
+            log.info("compact: nothing to compact (or no snapshot store)")
+            return {}
+        log.info(f"compact: published snapshot version {manifest['version']}")
+        return manifest
+    results: dict[str, dict] = {}
+    for table in ("rewards", "transactions"):
+        tdir = os.path.join(out, table)
+        if os.path.isdir(tdir):
+            r = compact_partitioned_table(spark, tdir, target_file_bytes=target)
+            if r:
+                results[table] = r
+    n = sum(len(v) for v in results.values())
+    log.info(f"compact: rewrote {n} partition(s) across {len(results)} table(s)")
+    return results
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="helium_etl_lite_spark")
-    p.add_argument("command", choices=["migrate", "once", "start", "sql", "vacuum"])
+    p.add_argument(
+        "command",
+        choices=["migrate", "once", "start", "sql", "vacuum", "compact"],
+    )
     p.add_argument("--config", required=True, help="TOML config path")
     p.add_argument("-e", "--execute", help="SQL statement (sql command)")
     p.add_argument(
         "--keep-versions", type=int, default=2,
         help="vacuum: snapshot versions to keep (default 2)",
     )
+    p.add_argument(
+        "--target-mb", type=int, default=128,
+        help="compact: target output file size in MiB (default 128)",
+    )
     args = p.parse_args(argv)
-    if args.command == "vacuum":
-        # only out_dir matters; skip source-path validation
+    if args.command in ("vacuum", "compact"):
+        # maintenance verbs: only out_dir matters; skip source-path
+        # validation
         with open(args.config, "rb") as f:
             cfg = tomllib.load(f)
         if "out_dir" not in cfg:
             raise SystemExit("config missing required key: out_dir")
-        cmd_vacuum(cfg, args.keep_versions)  # no Spark needed
-        return 0
-    cfg = load_config(args.config)
+        if args.command == "vacuum":
+            cmd_vacuum(cfg, args.keep_versions)  # no Spark needed
+            return 0
+    else:
+        cfg = load_config(args.config)
     if args.command == "sql" and not args.execute:
         raise SystemExit("sql command requires -e/--execute")
     spark = get_spark(f"helium-cli-{args.command}")
@@ -278,6 +321,8 @@ def main(argv: list[str] | None = None) -> int:
             cmd_once(spark, cfg)
         elif args.command == "sql":
             cmd_sql(spark, cfg, args.execute)
+        elif args.command == "compact":
+            cmd_compact(spark, cfg, args.target_mb)
         else:
             cmd_start(spark, cfg)
     finally:

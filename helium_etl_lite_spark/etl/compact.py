@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,3 +64,151 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(out_path)
     return n
+
+
+def _partition_dirs(table_dir: str) -> list[str]:
+    return sorted(
+        d
+        for d in os.listdir(table_dir)
+        if d.startswith("block_range=")
+        and os.path.isdir(os.path.join(table_dir, d))
+    )
+
+
+def _n_data_files(pdir: str) -> int:
+    return sum(
+        1
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Compact each `block_range=*` partition directory of a PLAIN
+    (non-atomic) follower table in place; returns
+    {partition: (files_before, files_after)} for the rewritten ones.
+
+    Per-partition rewrite (never the whole table): cold partitions are
+    untouched, so the maintenance cost tracks the append rate, not the
+    corpus size — at cluster scale the per-partition rewrites are
+    independent jobs. The swap is rewrite-to-tmp → two renames, with
+    crash recovery on entry (an interrupted swap leaves
+    `.__compact_old`; the next run restores it). Like the plain sink's
+    own dynamic overwrite, this assumes no concurrent reader of the
+    partition mid-swap — run it like vacuum, between follower passes;
+    the snapshot sink (atomic=true + compact_snapshot) is the
+    no-reader-torn variant.
+    """
+    # crash recovery BEFORE listing partitions: an interrupted swap
+    # leaves the data in `.__compact_old` with the partition dir gone,
+    # so scanning only live partition dirs would never see it.
+    for d in os.listdir(table_dir):
+        path = os.path.join(table_dir, d)
+        if d.endswith(".__compact_old"):
+            orig = path[: -len(".__compact_old")]
+            if os.path.isdir(orig):
+                shutil.rmtree(path)  # swap completed; leftover garbage
+            else:
+                os.rename(path, orig)  # restore the moved-aside data
+        elif d.endswith(".__compact_tmp"):
+            shutil.rmtree(path, ignore_errors=True)
+
+    results: dict[str, tuple[int, int]] = {}
+    for part in _partition_dirs(table_dir):
+        pdir = os.path.join(table_dir, part)
+        old_dir = pdir + ".__compact_old"
+        before = _n_data_files(pdir)
+        total = sum(
+            os.path.getsize(os.path.join(pdir, f))
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+        after = max(1, math.ceil(total / target_file_bytes))
+        if before <= after:
+            continue  # already compact
+        tmp = pdir + ".__compact_tmp"
+        df = spark.read.parquet(pdir).repartition(after)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(pdir, old_dir)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old_dir)
+        results[part] = (before, after)
+    return results
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict | None:
+    """Compact a snapshot-manifest sink (atomic=true) the lakehouse
+    way: rewrite fragmented COMMITTED partitions into a new version
+    directory and publish a manifest that remaps them — data files are
+    never mutated, so concurrent snapshot readers are never torn, and
+    a crash before publish leaves an orphan v-dir exactly like a
+    crashed batch (invisible, overwritten by the next commit).
+
+    Only partitions listed in the CURRENT manifest are read or
+    rewritten: uncommitted/orphaned directories (a crashed writer's
+    half batch) are never compacted into the corpus. Old version dirs
+    linger for older-snapshot readers until `vacuum` reclaims them.
+    Do not run concurrently with the follower — both would write the
+    same next-version directory (single-writer contract, as vacuum).
+
+    Returns the published manifest, or None if nothing needed
+    compaction (no new version is published).
+    """
+    from .snapshot import SnapshotStore, _read_version_ranges
+
+    store = SnapshotStore(root)
+    m = store.current()
+    if m is None:
+        return None
+    version = m["version"] + 1
+    new_tables: dict[str, dict] = {}
+    any_compacted = False
+    for table, parts in m["tables"].items():
+        new_parts = dict(parts)
+        by_version: dict[int, list[int]] = {}
+        for r, ver in parts.items():
+            pdir = os.path.join(
+                root, table, f"v={ver}", f"block_range={r}"
+            )
+            total = sum(
+                os.path.getsize(os.path.join(pdir, f))
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            want = max(1, math.ceil(total / target_file_bytes))
+            if _n_data_files(pdir) > want:
+                by_version.setdefault(int(ver), []).append(int(r))
+        if not by_version:
+            new_tables[table] = new_parts
+            continue
+        any_compacted = True
+        df = _read_version_ranges(spark, root, table, by_version)
+        vdir = os.path.join(root, table, f"v={version}")
+        (
+            df.repartition("block_range")
+            .write.mode("overwrite")
+            .partitionBy("block_range")
+            .parquet(vdir)
+        )
+        for ranges in by_version.values():
+            for r in ranges:
+                new_parts[str(r)] = version
+        new_tables[table] = new_parts
+    if not any_compacted:
+        return None
+    manifest = dict(m)
+    manifest["version"] = version
+    manifest["tables"] = new_tables
+    store.publish(manifest)
+    return manifest

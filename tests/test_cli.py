@@ -130,3 +130,155 @@ def test_atomic_once_and_vacuum(spark, chain_dirs, tmp_path):
     removed = cli.cmd_vacuum({"out_dir": out}, keep_versions=1)
     assert any("v=" in p for p in removed)
     assert read_snapshot(spark, out, "rewards").count() == rows_before
+
+
+def _part_files(tdir):
+    out = {}
+    for d in sorted(os.listdir(tdir)):
+        if d.startswith("block_range="):
+            out[d] = sum(
+                1
+                for f in os.listdir(os.path.join(tdir, d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _fragment(pdir, n_splits=3):
+    # Content-preserving fragmentation (the small-file state a bulk
+    # import or per-block appender leaves behind): split the partition's
+    # file into row slices. The follower's own sink writes one file per
+    # partition, so tests fabricate the fragmentation to compact.
+    import pyarrow.parquet as pq
+
+    f = next(x for x in sorted(os.listdir(pdir)) if x.endswith(".parquet"))
+    t = pq.read_table(os.path.join(pdir, f))
+    step = max(1, t.num_rows // n_splits)
+    k = 0
+    for i in range(0, t.num_rows, step):
+        pq.write_table(
+            t.slice(i, step), os.path.join(pdir, f"part-frag{k}.parquet")
+        )
+        k += 1
+    os.remove(os.path.join(pdir, f))
+
+
+def test_compact_plain_layout(spark, chain_dirs, tmp_path):
+    # `compact` must merge small files per partition, preserving
+    # content exactly and leaving already-compact partitions alone.
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg = cli.load_config(
+        write_config(
+            tmp_path / "s.toml", bp, tp, out, mode="rewards", backfill=True,
+            block_range_size=20,
+        )
+    )
+    cli.cmd_once(spark, cfg)
+    tdir = os.path.join(out, "rewards")
+    frag = next(iter(_part_files(tdir)))
+    _fragment(os.path.join(tdir, frag))
+    before_files = _part_files(tdir)
+    assert before_files[frag] > 1, before_files
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(tdir).drop("block_range").collect())
+    )
+
+    results = cli.cmd_compact(spark, {"out_dir": out}, target_mb=128)
+    after_files = _part_files(tdir)
+    assert all(n == 1 for n in after_files.values()), after_files
+    assert set(results["rewards"]) == {
+        p for p, n in before_files.items() if n > 1
+    }
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(tdir).drop("block_range").collect())
+    )
+    assert after_rows == before_rows
+    # idempotent: second run finds nothing to do
+    assert cli.cmd_compact(spark, {"out_dir": out}, target_mb=128) == {}
+
+
+def test_compact_snapshot_sink(spark, chain_dirs, tmp_path):
+    # atomic mode: compaction publishes a NEW snapshot version mapping
+    # the fragmented partitions to compacted files; committed reads are
+    # unchanged, old version dirs survive for older-snapshot readers
+    # until vacuum, and uncommitted (orphan) directories are untouched.
+    from helium_etl_lite_spark.etl.snapshot import SnapshotStore, read_snapshot
+
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg = cli.load_config(
+        write_config(
+            tmp_path / "s.toml", bp, tp, out, mode="rewards", backfill=True,
+            atomic=True, block_range_size=20,
+        )
+    )
+    cli.cmd_once(spark, cfg)
+    store = SnapshotStore(out)
+    m1 = store.current()
+    # fragment every committed partition (bulk-import debris) so the
+    # compaction version supersedes v1 entirely and vacuum can reclaim
+    for frag_range, frag_ver in m1["tables"]["rewards"].items():
+        _fragment(
+            os.path.join(
+                out, "rewards", f"v={frag_ver}", f"block_range={frag_range}"
+            )
+        )
+    rows_before = sorted(
+        map(tuple, read_snapshot(spark, out, "rewards").collect())
+    )
+    # an uncommitted orphan partition (crashed writer) must survive
+    # untouched and stay out of the compacted corpus
+    orphan = os.path.join(out, "rewards", "v=1", "block_range=9999")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "junk.parquet"), "w").write("not parquet")
+
+    got = cli.cmd_compact(spark, {"out_dir": out, "atomic": True}, target_mb=128)
+    assert got and got["version"] == m1["version"] + 1
+    m2 = store.current()
+    assert m2["version"] == m1["version"] + 1
+    assert m2["height"] == m1["height"]  # cursor untouched
+    assert "9999" not in m2["tables"]["rewards"]
+    assert os.path.exists(os.path.join(orphan, "junk.parquet"))
+    # committed read identical; compacted partitions now one file each
+    rows_after = sorted(
+        map(tuple, read_snapshot(spark, out, "rewards").collect())
+    )
+    assert rows_after == rows_before
+    vdir = os.path.join(out, "rewards", f"v={m2['version']}")
+    assert _part_files(vdir) and all(
+        n == 1 for n in _part_files(vdir).values()
+    )
+    # old version dirs still present until vacuum reclaims them
+    assert os.path.isdir(os.path.join(out, "rewards", f"v={m1['version']}"))
+    removed = cli.cmd_vacuum({"out_dir": out}, keep_versions=1)
+    assert any(f"v={m1['version']}" in p for p in removed)
+    assert sorted(
+        map(tuple, read_snapshot(spark, out, "rewards").collect())
+    ) == rows_before
+    # nothing left to compact
+    assert cli.cmd_compact(spark, {"out_dir": out, "atomic": True}, target_mb=128) == {}
+
+
+def test_compact_crash_recovery(spark, chain_dirs, tmp_path):
+    # plain-mode swap interrupted between the two renames: data sits in
+    # .__compact_old and the partition dir is missing. The next run
+    # must restore it before compacting.
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg = cli.load_config(
+        write_config(
+            tmp_path / "s.toml", bp, tp, out, mode="rewards", backfill=True,
+            block_range_size=20, max_blocks_per_batch=7,
+        )
+    )
+    cli.cmd_once(spark, cfg)
+    tdir = os.path.join(out, "rewards")
+    rows = spark.read.parquet(tdir).count()
+    part = next(iter(_part_files(tdir)))
+    pdir = os.path.join(tdir, part)
+    os.rename(pdir, pdir + ".__compact_old")  # simulate the crash window
+    cli.cmd_compact(spark, {"out_dir": out}, target_mb=128)
+    assert os.path.isdir(pdir)
+    assert not os.path.isdir(pdir + ".__compact_old")
+    assert spark.read.parquet(tdir).count() == rows
