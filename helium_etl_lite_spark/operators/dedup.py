@@ -45,16 +45,21 @@ def _token_set(text_col: str):
 def minhash_signatures(
     docs: DataFrame, num_perm: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash over the distinct-token set: one explode + one groupBy with
-    num_perm mins — two-phase agg, linear in corpus size.
-
-    Permutation p's hash = xxhash64(token, p). min over tokens
-    approximates the Jaccard-preserving permutation minimum.
+    """MinHash over the distinct-token set, computed ROW-LOCAL with
+    array higher-order functions: permutation p's hash =
+    xxhash64(token, p), signature element = array_min over the doc's
+    token array. No explode, no groupBy — the token stream never
+    shuffles (the former explode+agg form shuffled every token in the
+    corpus; at 100 TB that shuffle dwarfs everything downstream). One
+    whole-stage-codegen projection, identical values (same token set,
+    same hash).
     """
-    toks = docs.select(F.col(id_col), F.explode(_token_set(text_col)).alias("tok"))
-    mins = [F.min(F.xxhash64(F.col("tok"), F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
-    sig = toks.groupBy(id_col).agg(*mins)
-    return sig.select(F.col(id_col), F.array(*[f"h{p}" for p in range(num_perm)]).alias("sig"))
+    toks = _token_set(text_col)
+    mins = [
+        F.array_min(F.transform(toks, lambda t, p=p: F.xxhash64(t, F.lit(p))))
+        for p in range(num_perm)
+    ]
+    return docs.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
 def _band_rows(
