@@ -204,6 +204,16 @@ def test_sink_partitioned_prune_reads_one_partition(spark, sf_dir):
     assert pf and any("event_type" in l for l in pf), plan[:2000]
 
 
+def test_minhash_no_token_stream_shuffle(spark, sf_dir):
+    # Signatures are row-local (array_min over transform) — the only
+    # exchanges left move band rows (8/doc): the (band, bucket) window
+    # and the per-doc keeper agg. A third exchange means the token
+    # stream is being shuffled again.
+    from helium_etl_lite_spark.plans.explain_tools import count_shuffles
+
+    assert count_shuffles(q("text_dedup_minhash", spark, sf_dir)) <= 2
+
+
 def test_retention_funnel_no_forced_broadcast(spark, sf_dir):
     # r4 verdict: these force-broadcast one-row-per-user tables, which
     # OOMs at corpus scale. The analyzed plan must carry no broadcast
