@@ -188,6 +188,85 @@ def ts_interpolate_linear(spark, sf_dir):
 
 
 @query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT user_id, hr, cents,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id, hr) AS n
+      FROM c
+      WINDOW w AS (PARTITION BY user_id, hr ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, hr,
+             CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS o,
+             CAST(MAX(cents) AS BIGINT) AS h,
+             CAST(MIN(cents) AS BIGINT) AS l,
+             CAST(MAX(CASE WHEN rn = n THEN cents END) AS BIGINT) AS cl,
+             CAST(SUM(cents) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM r GROUP BY 1, 2)
+    SELECT user_id, hr,
+           ROUND(o / 100.0, 2) AS open,
+           ROUND(h / 100.0, 2) AS high,
+           ROUND(l / 100.0, 2) AS low,
+           ROUND(cl / 100.0, 2) AS close,
+           ROUND(v / 100.0, 2) AS volume,
+           n_events
+    FROM g
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    # OHLC bar resampling — the hypertable downsampling shape (the
+    # reference's time-indexed rewards ledger feeding a charting
+    # rollup). Open/close are the values at the extreme (ts, event_id)
+    # positions — event_id breaks timestamp ties, so the result is
+    # partition-invariant. ONE exchange total: the row_number window
+    # partitions by (user_id, hr) and the aggregation groups by the
+    # same keys, so the agg rides the window's shuffle. All arithmetic
+    # on integral cents; /100 rounding happens row-level after the agg
+    # with the identical expression on both engines.
+    t = Tables(spark, sf_dir)
+    c = t.events.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "ts",
+        "event_id",
+        _cents().alias("cents"),
+    )
+    w = W.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    wp = W.partitionBy("user_id", "hr")
+    r = c.select(
+        "user_id",
+        "hr",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    g = r.groupBy("user_id", "hr").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("o"),
+        F.max("cents").alias("h"),
+        F.min("cents").alias("l"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("cents"))).alias("cl"),
+        F.sum("cents").alias("v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.select(
+        "user_id",
+        "hr",
+        F.round(F.col("o") / 100.0, 2).alias("open"),
+        F.round(F.col("h") / 100.0, 2).alias("high"),
+        F.round(F.col("l") / 100.0, 2).alias("low"),
+        F.round(F.col("cl") / 100.0, 2).alias("close"),
+        F.round(F.col("v") / 100.0, 2).alias("volume"),
+        "n_events",
+    )
+
+
+@query(
     "scd2_intervals",
     oracle="""
     WITH ordered AS (

@@ -57,6 +57,7 @@ FRONT_OF_WINDOW: list[str] = [
     "ts_gapfill_locf",        # plan claims now test-pinned
     # new queries added in r5 register here as they land:
     "text_dedup_minhash_incremental",
+    "ts_resample_ohlc",
     # (b) modules edited after these queries' last driver verdict
     # (scalar_funcs + windows oracle casts landed r3, verdicts are r2;
     # llm_ops was reorganized r3, these verdicts are r1/r2):

@@ -204,6 +204,19 @@ def test_sink_partitioned_prune_reads_one_partition(spark, sf_dir):
     assert pf and any("event_type" in l for l in pf), plan[:2000]
 
 
+def test_ohlc_agg_rides_window_shuffle(spark, sf_dir):
+    # row_number window partitions by (user_id, hr) and the OHLC agg
+    # groups by the same keys: ONE exchange total, no SinglePartition.
+    from helium_etl_lite_spark.plans.explain_tools import (
+        count_shuffles,
+        formatted_plan,
+    )
+
+    df = q("ts_resample_ohlc", spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert "SinglePartition" not in formatted_plan(df)
+
+
 def test_minhash_no_token_stream_shuffle(spark, sf_dir):
     # Signatures are row-local (array_min over transform) — the only
     # exchanges left move band rows (8/doc): the (band, bucket) window

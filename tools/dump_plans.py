@@ -48,6 +48,7 @@ HEADLINE_NOTES = {
     "pack_sequence_bins": "two-level control-plane prefix sum: NO SinglePartition Exchange anywhere; driver holds superbucket rows only; bucket offsets join rides the bucket-id shuffle (AQE may broadcast when small)",
     "ts_gapfill_locf": "grid sequence+explode after spans agg; LOCF window reuses the user_id Exchange — 2 shuffles total, no SinglePartition",
     "ts_interpolate_linear": "backward+forward windows share the same user_id Exchange as the grid join — 2 shuffles, no SinglePartition",
+    "ts_resample_ohlc": "ONE (user_id, hr) Exchange: open/close row_number window + OHLC hash agg share it",
     "scd2_intervals": "both window passes (lag run-starts, lead valid_to) ride ONE user_id Exchange",
     "anomaly_zscore": "one 5-group hash agg broadcast back to the row stream; no window, one shuffle",
     "retention_cohort": "NO forced broadcast of the per-user firsts table (r4 fix); join rides the user_id agg exchanges; AQE may still broadcast small runs",
