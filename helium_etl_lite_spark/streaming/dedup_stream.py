@@ -1,0 +1,93 @@
+"""Streaming near-dup-free corpus ingest: a file stream of document
+batches lands only docs that are near-dup-free against EVERYTHING
+landed so far — the streaming twin of the incremental MinHash pattern
+(operators/dedup.py minhash_filter_new/minhash_state_add), the shape a
+continuously-crawling training-data pipeline runs.
+
+Per micro-batch (foreachBatch):
+1. minhash_filter_new: collapse in-batch near-dups to their keeper
+   (exact-Jaccard verified), then probe the persisted LSH band-bucket
+   state — one (band, bucket) equi-join, state reads pruned to the
+   batch's shards;
+2. append the survivors to the corpus table (data BEFORE state — the
+   same cursor-after-data discipline as the block follower);
+3. minhash_state_add: fold the survivors' band rows + signatures into
+   the sharded state (dynamic partition overwrite, set-union
+   semantics).
+
+Exactly-once: the checkpoint replays a failed micro-batch. A replay
+after step 2 re-appends the same survivors — `dedup_corpus` dedupes on
+doc_id at read time (the keyed-sink slot; the snapshot sink is the
+production variant) — and step 3 is a set union, so replay converges.
+A crash between 2 and 3 just means the next batch re-probes a state
+that does not yet know the landed docs: they are filtered against the
+corpus by doc_id anyway, and the state add re-runs.
+
+Scale posture: every step is the batch operators' own dataflow — no
+driver loops over rows, state updates rewrite only touched shards, and
+the corpus append is an O(batch) write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import minhash_filter_new, minhash_state_add
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def dedup_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The landed near-dup-free corpus (doc_id-deduped read view: a
+    replayed micro-batch may have appended twice; first-writer wins and
+    both writers carry identical rows)."""
+    path = os.path.join(out_dir, "corpus")
+    try:
+        return spark.read.parquet(path).dropDuplicates(["doc_id"])
+    except Exception:
+        return None
+
+
+def start_dedup_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.5,
+    trigger_once: bool = True,
+):
+    """Start the stream; returns the StreamingQuery. Corpus lands under
+    `{out_dir}/corpus`, LSH state under `{out_dir}/minhash_state`."""
+    corpus_path = os.path.join(out_dir, "corpus")
+    state_path = os.path.join(out_dir, "minhash_state")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)
+        landed = dedup_corpus(spark, out_dir)
+        if landed is not None:
+            # replay guard: drop docs already in the corpus by id before
+            # the (more expensive) near-dup probe
+            batch = batch.join(
+                landed.select("doc_id"), "doc_id", "left_anti"
+            )
+        fresh = minhash_filter_new(
+            spark, batch, state_path, jaccard_threshold=jaccard_threshold
+        ).localCheckpoint(eager=True)
+        fresh.select("doc_id", "text").write.mode("append").parquet(corpus_path)
+        minhash_state_add(spark, fresh, state_path)
+
+    reader = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(docs_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

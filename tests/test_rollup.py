@@ -261,3 +261,44 @@ class TestIncrementalMinhashDedup:
         assert spark.read.parquet(state).count() == n1
         # and the batch is now fully seen
         assert dedup.minhash_filter_new(spark, b1, state).count() == 0
+
+
+class TestStreamingDedupIngest:
+    def test_streamed_ingest_equals_batch_incremental(self, spark, tmp_path):
+        # Drain a file stream of doc batches (near-dups within and
+        # across micro-batches) and compare the landed corpus against
+        # the batch incremental loop over the same docs.
+        from helium_etl_lite_spark.streaming.dedup_stream import (
+            dedup_corpus,
+            start_dedup_ingest_stream,
+        )
+
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "totally different words here now"),
+            (3, "alpha beta gamma delta"),           # dup of 1
+            (4, "alpha beta gamma delta epsilon"),   # near-dup of 1 (J=0.8)
+            (5, "entirely fresh unique content tokens"),
+            (6, "totally different words here now"),  # dup of 2
+        ]
+        src = spark.createDataFrame(rows, "doc_id long, text string")
+        feed = str(tmp_path / "feed")
+        # several files => several micro-batches
+        src.repartition(3).write.mode("overwrite").json(feed)
+        out = str(tmp_path / "out")
+        q = start_dedup_ingest_stream(spark, feed, out)
+        q.awaitTermination(180)
+
+        landed = dedup_corpus(spark, out)
+        got_ids = {r["doc_id"] for r in landed.select("doc_id").collect()}
+        # keeper choice depends on arrival order across micro-batches,
+        # but the INVARIANTS don't: exactly one survivor per near-dup
+        # cluster, and every unique doc lands.
+        clusters = [{1, 3, 4}, {2, 6}, {5}]
+        for c in clusters:
+            assert len(got_ids & c) == 1, (c, got_ids)
+        assert len(got_ids) == len(clusters)
+        # state holds exactly the survivors' band rows (bands=8)
+        state = spark.read.parquet(os.path.join(out, "minhash_state"))
+        assert state.count() == len(clusters) * 8
+        assert state.select("doc_id").distinct().count() == len(clusters)
