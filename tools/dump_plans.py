@@ -30,7 +30,8 @@ HEADLINE_NOTES = {
     "win_row_number_topk_per_group": "single Exchange+Sort feeding the window",
     "join_asof_event_order": "union of both sides + one sort per key + carry-forward window — no join node at all",
     "stream_session_window": "session window aggregation",
-    "text_dedup_minhash": "band explode → groupBy buckets; no cross join",
+    "text_dedup_minhash": "row-local signatures (array_min/transform, NO token shuffle) → band explode → bucket window + keeper agg: 2 exchanges total",
+    "vec_ann_lsh": "multi-table bucket equi-join (broadcast query side) → dedup → score → per-query top-k window; no BNLJ",
     "vec_knn_cosine": "queries broadcast; scan side stays shuffle-free until per-query top-k",
     "vec_dedup_cosine": "block-pair grouping → ONE Exchange → FlatMapGroupsInPandas numpy kernel; no join node, no BNLJ/CartesianProduct",
     "sample_balance_buckets": "distributed ntile: no SinglePartition exchange anywhere; window partitioned by (n_chars, rb)",
