@@ -45,24 +45,31 @@ def distributed_ntile(
     single-task global sort that a partition-less window costs.
 
     Requires `id_col` unique, so the total order is strict and a row's
-    tile is a pure function of its global rank. Two passes:
+    tile is a pure function of its global rank. TWO-LEVEL control plane
+    (same discipline as :func:`prefix_sum`): the driver never holds the
+    (value, id-bucket) table — only one row PER DISTINCT VALUE:
 
-    1. groupBy (value_col, id_col div bucket_width) → counts: a control
-       table bounded by #distinct-values × #id-buckets (guarded by
-       `max_control_rows` — a high-cardinality value_col would
-       otherwise grow it toward N and melt the control plane).
-       Prefix-summed driver-side (control plane, like collecting a
-       broadcast dim) — but the ORDERING comes from Spark
-       (`orderBy(...).collect()`), so there is no Python-`sorted()`-vs-
-       Spark-ordering disagreement for any orderable value_col type
-       (nulls order first, as asc_nulls_first), and no SinglePartition
-       window exchange appears anywhere in the plan.
-    2. broadcast the offsets back (null-safe on value_col, so NULL
-       values tile like any other key instead of silently dropping);
+    1. groupBy (value_col, id_col div bucket_width) → counts, kept
+       DISTRIBUTED; per-value totals collected + prefix-summed
+       driver-side in Spark's own value order (`orderBy(...).collect()`
+       — no Python-`sorted()`-vs-Spark-ordering disagreement for any
+       orderable value_col type; nulls order first, asc_nulls_first).
+       Guarded by `max_control_rows` on the DISTINCT-VALUE count (a
+       high-cardinality value_col would otherwise melt the control
+       plane — pre-bucket it or raise the bound deliberately).
+    2. per-value offsets join back onto the bucket counts; a window
+       `partitionBy(value).orderBy(id-bucket)` (summing EARLIER buckets
+       of the same value) turns them into exact per-(value, bucket)
+       global offsets — still distributed.
+    3. offsets join the data null-safely on (value, bucket) (NULL
+       values tile like any other key instead of silently dropping; no
+       broadcast hint — the offset table is #values × #id-buckets,
+       unbounded, and AQE broadcasts it when genuinely small);
        row_number within each composite key — every window partition is
        capped at bucket_width rows no matter how skewed value_col is —
        then the SQL ntile formula on the 0-based global rank (first
-       N mod n tiles take ceil(N/n)).
+       N mod n tiles take ceil(N/n)). No SinglePartition exchange
+       appears anywhere.
 
     Empty input yields an empty result with the same schema (+out_col).
     """
@@ -73,38 +80,52 @@ def distributed_ntile(
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .persist()
     )
-    n_keys = counts.count()
-    if n_keys > max_control_rows:
+    per_v = counts.groupBy("__v").agg(F.sum("__cnt").alias("__vcnt"))
+    n_values = per_v.count()
+    if n_values > max_control_rows:
         counts.unpersist()
         raise ValueError(
-            f"distributed_ntile control table has {n_keys} "
-            f"(value, id-bucket) keys > max_control_rows={max_control_rows}; "
+            f"distributed_ntile control table has {n_values} "
+            f"distinct values > max_control_rows={max_control_rows}; "
             f"value_col={value_col!r} is too high-cardinality for the "
             "bounded-control-plane assumption — pre-bucket it (e.g. "
             "round/width_bucket) or raise the bound deliberately"
         )
-    ordered_counts = counts.orderBy(
-        F.col("__v").asc_nulls_first(), F.col("__rb").asc()
-    ).collect()
-    counts.unpersist()
-    total = sum(r["__cnt"] for r in ordered_counts)
-    offsets, acc = [], 0
-    for r in ordered_counts:
-        offsets.append((r["__v"], r["__rb"], acc))
-        acc += r["__cnt"]
-    off_schema = T.StructType(
+    ordered_v = per_v.orderBy(F.col("__v").asc_nulls_first()).collect()
+    total = sum(r["__vcnt"] for r in ordered_v)
+    voffsets, acc = [], 0
+    for r in ordered_v:
+        voffsets.append((r["__v"], acc))
+        acc += r["__vcnt"]
+    voff_schema = T.StructType(
         [
-            T.StructField("__v", df.schema[value_col].dataType),
-            T.StructField("__rb_o", T.LongType()),
-            T.StructField("__offset", T.LongType()),
+            T.StructField("__v_o", df.schema[value_col].dataType),
+            T.StructField("__voffset", T.LongType()),
         ]
     )
-    off = df.sparkSession.createDataFrame(offsets, off_schema)
+    voff = df.sparkSession.createDataFrame(voffsets, voff_schema)
+    # per-(value, bucket) offsets: value start + earlier buckets of the
+    # same value (empty frame sums NULL → 0 for the first bucket)
+    wv = (
+        Window.partitionBy("__v")
+        .orderBy(F.col("__rb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        counts.join(F.broadcast(voff), F.col("__v").eqNullSafe(F.col("__v_o")))
+        .withColumn(
+            "__offset",
+            F.col("__voffset") + F.coalesce(F.sum("__cnt").over(wv), F.lit(0)),
+        )
+        .select(F.col("__v"), F.col("__rb").alias("__rb_o"), "__offset")
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
     q, rem = divmod(total, n_tiles)
     w = Window.partitionBy(value_col, "__rb").orderBy(F.col(id_col).asc())
     cond = d[value_col].eqNullSafe(off["__v"]) & (d["__rb"] == off["__rb_o"])
     ranked = (
-        d.join(F.broadcast(off), cond)
+        d.join(off, cond)
         .drop("__v", "__rb_o")
         .withColumn("__r0", F.col("__offset") + F.row_number().over(w) - 1)
     )

@@ -58,6 +58,13 @@ FRONT_OF_WINDOW: list[str] = [
     # new queries added in r5 register here as they land:
     "text_dedup_minhash_incremental",
     "ts_resample_ohlc",
+    # operators rewritten in r5 — their consumer queries re-verify
+    # (two-level prefix_sum/ntile in scale.py; row-local signatures +
+    # multi-table LSH in dedup.py/knn.py):
+    "pack_sequence_bins",
+    "sample_balance_buckets",
+    "text_dedup_minhash",
+    # (vec_ann_lsh re-verifies via group (b) below)
     # (b) modules edited after these queries' last driver verdict
     # (scalar_funcs + windows oracle casts landed r3, verdicts are r2;
     # llm_ops was reorganized r3, these verdicts are r1/r2):

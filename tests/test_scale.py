@@ -232,3 +232,25 @@ class TestPrefixSumTwoLevel:
             df, "id", "v", bucket_width=1, super_width=16, max_control_rows=4
         )
         assert out.where(F.col("id") == 63).collect()[0]["cumsum"] == 64
+
+
+def test_ntile_driver_share_is_per_value(spark):
+    # Two-level control plane: the guard sees DISTINCT VALUES (3), not
+    # (value, id-bucket) keys (30 here with bucket_width=1) — the old
+    # per-key collect would trip max_control_rows=3.
+    from pyspark.sql import Window
+
+    rows = [(i, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        (r["id"], r["tile"])
+        for r in scale.distributed_ntile(
+            df, "v", "id", n_tiles=4, bucket_width=1, max_control_rows=3
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r["id"], r["t"])
+        for r in df.withColumn("t", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
