@@ -390,3 +390,19 @@ class TestAnnRecall:
             sets,
         )
         assert r_default > r_small, (r_default, r_small)
+
+    def test_lsh_np_buckets_match_jvm_form(self, spark, emb):
+        # The mapInPandas matmul kernel must produce the same
+        # (id, table, bucket) rows as the Catalyst higher-order-function
+        # reference on real vectors (dots are far from 0, so float
+        # association order cannot flip a sign bit).
+        sub = emb.where(F.col("vec_id") < 50)
+        jvm = {
+            (r["vec_id"], r["table"], r["bucket"])
+            for r in knn.lsh_table_buckets(sub, 4, 6).collect()
+        }
+        np_ = {
+            (r["vec_id"], r["table"], r["bucket"])
+            for r in knn._lsh_table_buckets_np(sub, 4, 6, 64).collect()
+        }
+        assert jvm == np_
