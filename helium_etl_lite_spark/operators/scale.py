@@ -238,6 +238,94 @@ def prefix_sum(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    out_col: str = "cum_weight",
+    bucket_width: int = 100_000,
+    max_control_rows: int = 4_000_000,
+) -> DataFrame:
+    """Greedy data selection under a budget: the rows whose running
+    `weight_col` total — accumulated in (score_col DESC NULLS LAST,
+    id_col ASC) order — stays ≤ `budget`. The training-data shape:
+    "take the highest-quality documents until the token budget is hit",
+    without the `SUM() OVER (ORDER BY score DESC)` single-task global
+    sort.
+
+    Same two-level control plane as :func:`distributed_ntile`
+    (`id_col` unique, `weight_col` integral): per-(score, id-bucket)
+    weight sums stay distributed; only per-distinct-score totals reach
+    the driver (guarded by `max_control_rows`), prefix-summed in
+    Spark's own descending order; a bounded window inside each score
+    turns them into exact (score, bucket) offsets; the final
+    per-composite-key running sum caps every window partition at
+    bucket_width rows. Rows are kept whole (a doc is in or out), so
+    the selected total may stop short of `budget` by less than one
+    row's weight.
+    """
+    rb = (F.col(id_col) / bucket_width).cast("long")
+    d = df.withColumn("__rb", rb)
+    sums = (
+        d.groupBy(F.col(score_col).alias("__s"), "__rb")
+        .agg(F.sum(F.col(weight_col)).alias("__w"))
+        .persist()
+    )
+    per_s = sums.groupBy("__s").agg(F.sum("__w").alias("__sw"))
+    n_scores = per_s.count()
+    if n_scores > max_control_rows:
+        sums.unpersist()
+        raise ValueError(
+            f"select_token_budget control table has {n_scores} distinct "
+            f"scores > max_control_rows={max_control_rows}; "
+            f"score_col={score_col!r} is too high-cardinality — coarsen "
+            "it (round/width_bucket) or raise the bound deliberately"
+        )
+    ordered = per_s.orderBy(F.col("__s").desc_nulls_last()).collect()
+    soffsets, acc = [], 0
+    for r in ordered:
+        soffsets.append((r["__s"], acc))
+        acc += r["__sw"]
+    soff_schema = T.StructType(
+        [
+            T.StructField("__s_o", df.schema[score_col].dataType),
+            T.StructField("__soffset", T.LongType()),
+        ]
+    )
+    soff = df.sparkSession.createDataFrame(soffsets, soff_schema)
+    ws = (
+        Window.partitionBy("__s")
+        .orderBy(F.col("__rb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        sums.join(F.broadcast(soff), F.col("__s").eqNullSafe(F.col("__s_o")))
+        .withColumn(
+            "__offset",
+            F.col("__soffset") + F.coalesce(F.sum("__w").over(ws), F.lit(0)),
+        )
+        .select(F.col("__s"), F.col("__rb").alias("__rb_o"), "__offset")
+        .localCheckpoint(eager=True)
+    )
+    sums.unpersist()
+    w = (
+        Window.partitionBy(score_col, "__rb")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cond = d[score_col].eqNullSafe(off["__s"]) & (d["__rb"] == off["__rb_o"])
+    return (
+        d.join(off, cond)
+        .withColumn(
+            out_col, F.col("__offset") + F.sum(F.col(weight_col)).over(w)
+        )
+        .where(F.col(out_col) <= budget)
+        .drop("__s", "__rb_o", "__rb", "__offset")
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -86,6 +86,45 @@ def text_contamination_ngram(spark, sf_dir):
 
 
 @query(
+    "sample_token_budget",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM d)
+    SELECT doc_id, n_chars, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 8000
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    # Data selection under a token budget: take the best-scoring docs
+    # (score = n_chars here; any scalar quality score plugs in) until
+    # the running token total hits the budget. The oracle's
+    # `SUM() OVER (ORDER BY score DESC)` is a partition-less window =
+    # single-task global sort; select_token_budget replaces it with the
+    # two-level control plane (per-score totals to the driver, bounded
+    # windows everywhere else), so the same selection runs on a 100 TB
+    # corpus without funneling through one task.
+    from ..operators.scale import select_token_budget
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return select_token_budget(
+        d, "n_chars", "doc_id", "n_tokens", budget=8000, out_col="cum_tokens"
+    )
+
+
+@query(
     "pack_sequence_bins",
     oracle="""
     WITH d AS (
