@@ -254,3 +254,39 @@ def test_ntile_driver_share_is_per_value(spark):
         for r in df.withColumn("t", F.ntile(4).over(w)).collect()
     }
     assert got == want
+
+
+class TestSelectTokenBudget:
+    def test_matches_window_form(self, spark):
+        from pyspark.sql import Window
+
+        rows = [(i, (i * 7) % 5 + 1, (i * 3) % 9 + 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, score long, w long")
+        got = {
+            (r["id"], r["cum_weight"])
+            for r in scale.select_token_budget(
+                df, "score", "id", "w", budget=60, bucket_width=4
+            ).collect()
+        }
+        win = Window.orderBy(
+            F.col("score").desc_nulls_last(), F.col("id").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            (r["id"], r["c"])
+            for r in df.withColumn("c", F.sum("w").over(win))
+            .where(F.col("c") <= 60)
+            .collect()
+        }
+        assert got == want
+
+    def test_empty_and_guard(self, spark):
+        empty = spark.createDataFrame([], "id long, score long, w long")
+        out = scale.select_token_budget(empty, "score", "id", "w", budget=10)
+        assert out.count() == 0 and "cum_weight" in out.columns
+        df = spark.createDataFrame(
+            [(i, i, 1) for i in range(20)], "id long, score long, w long"
+        )
+        with pytest.raises(ValueError, match="max_control_rows"):
+            scale.select_token_budget(
+                df, "score", "id", "w", budget=5, max_control_rows=3
+            )
