@@ -208,3 +208,35 @@ def sink_compact_files(spark, sf_dir):
     ).repartition(64).write.mode("overwrite").parquet(small)
     compact_parquet(spark, small, packed, target_file_bytes=4 * 1024 * 1024)
     return spark.read.parquet(packed)
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    # Schema evolution on an append sink — the lakehouse reality that a
+    # long-lived table's early files lack columns added later. Batch 1
+    # (even keys) lands without o_orderpriority; batch 2 (odd keys)
+    # adds it. mergeSchema=true reads the union schema, null-filling
+    # the old files — proven exactly by the oracle's UNION ALL with the
+    # typed NULL. (Per-file footer merging is driver-side metadata;
+    # data files are not rewritten — the at-scale behavior.)
+    out = tempfile.mkdtemp(prefix="source_evo_") + "/t"
+    orders = load_table(spark, sf_dir, "orders")
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(out)
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )

@@ -60,6 +60,7 @@ FRONT_OF_WINDOW: list[str] = [
     "ts_resample_ohlc",
     "sample_token_budget",
     "vec_dedup_semantic",
+    "source_schema_evolution",
     # operators rewritten in r5 — their consumer queries re-verify
     # (two-level prefix_sum/ntile in scale.py; row-local signatures +
     # multi-table LSH in dedup.py/knn.py):
