@@ -204,6 +204,15 @@ def test_sink_partitioned_prune_reads_one_partition(spark, sf_dir):
     assert pf and any("event_type" in l for l in pf), plan[:2000]
 
 
+def test_token_budget_no_single_partition(spark, sf_dir):
+    # The point of select_token_budget: no SUM() OVER (ORDER BY score)
+    # single-task sort anywhere in the selection plan.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("sample_token_budget", spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+
+
 def test_ohlc_agg_rides_window_shuffle(spark, sf_dir):
     # row_number window partitions by (user_id, hr) and the OHLC agg
     # groups by the same keys: ONE exchange total, no SinglePartition.

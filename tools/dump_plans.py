@@ -60,6 +60,10 @@ HEADLINE_NOTES = {
     "source_orc_roundtrip": "ORC read-back is a bare columnar scan, no Exchange",
     "agg_string_listagg": "two-phase hash agg (partial_ before the Exchange) with array_sort+concat at final — one shuffle",
     "agg_mode_deterministic": "count-per-value agg then per-group max window/agg — two shuffles, no global sort",
+    # r5 queries
+    "sample_token_budget": "two-level control-plane running total in (score DESC, id) order: NO SinglePartition anywhere; bounded (score, id-bucket) windows",
+    "vec_dedup_semantic": "cluster-then-pair: within-cluster equi-join on list_id — no BNLJ/CartesianProduct",
+    "source_schema_evolution": "mergeSchema read-back is a bare union-schema scan, no Exchange",
 }
 
 
