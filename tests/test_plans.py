@@ -270,3 +270,38 @@ def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
     dyn = part.join(dim.where(F.col("label") == "final"), "o_orderstatus")
     dplan = formatted_plan(dyn)
     assert "dynamicpruning" in dplan.lower(), dplan
+
+
+def test_runtime_bloom_filter_join_fires_at_scale(spark, sf_dir):
+    # Spark's runtime Bloom-filter join injection (a semi-join
+    # reduction: the selective build side's keys pre-filter the big
+    # probe scan before the shuffle) is size-gated — the probe side
+    # must exceed ~10 GB, so sf0.01 never triggers it in anger. Lower
+    # the gate to prove the engine's join shapes qualify: a selective
+    # dim filter joined to a fact injects might_contain on the fact
+    # scan. At 100 TB this fires with the default thresholds and spares
+    # the shuffle most of the fact table.
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.tables import Tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = Tables(spark, sf_dir)
+        sel = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = t.lineitem.join(sel, t.lineitem.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
