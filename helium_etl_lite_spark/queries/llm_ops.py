@@ -498,15 +498,18 @@ def multimodal_frame_sample(spark, sf_dir):
 )
 def text_tfidf(spark, sf_dir):
     # TF-IDF end-to-end as pure built-ins: one explode, two hash aggs,
-    # a broadcast join on the (small) vocabulary, a scalar doc count.
-    # At 100 TB the df table is vocabulary-sized — always the broadcast
-    # side; the token explode never re-shuffles the corpus twice.
+    # a join on the vocabulary, a scalar doc count. No broadcast HINT
+    # on the df side: a vocabulary is "small" only on closed-vocab
+    # corpora — at 100 TB of web text it is unbounded (the same
+    # forced-broadcast class as r4's retention_cohort bug). AQE
+    # broadcasts it when measured small; otherwise the join shuffles
+    # on token, which the tf side already produces.
     t = Tables(spark, sf_dir)
     tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = t.documents.count()  # scalar; one tiny job, not per-row
-    return tf.join(F.broadcast(df), "token").select(
+    return tf.join(df, "token").select(
         "doc_id",
         "token",
         "tf",
@@ -1022,16 +1025,18 @@ def text_ngram_topk(spark, sf_dir):
 def text_perplexity_unigram(spark, sf_dir):
     # Perplexity-proxy quality score: per-doc mean negative log-prob
     # under the corpus's own unigram LM — the cheap first-pass filter
-    # before a real-LM scorer. Two hash aggs build the vocab (bounded:
-    # O(|vocab|)), which then broadcast-joins back to the token stream;
-    # the per-doc agg shuffles on doc_id. No Python in the loop.
+    # before a real-LM scorer. Two hash aggs build the vocab, joined
+    # back to the token stream WITHOUT a broadcast hint (an open-vocab
+    # corpus grows the LM table without bound; AQE broadcasts it when
+    # measured small); the per-doc agg shuffles on doc_id. No Python
+    # in the loop.
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = tok.count()  # control plane: one scalar
-    scored = tok.join(F.broadcast(vocab), "token").select(
+    scored = tok.join(vocab, "token").select(
         "doc_id", (-F.log(F.col("c") / F.lit(float(total)))).alias("nll")
     )
     return scored.groupBy("doc_id").agg(

@@ -67,6 +67,8 @@ FRONT_OF_WINDOW: list[str] = [
     "pack_sequence_bins",
     "sample_balance_buckets",
     "text_dedup_minhash",
+    "text_tfidf",              # vocab-join hint dropped r5
+    "text_perplexity_unigram",  # vocab-join hint dropped r5
     # (vec_ann_lsh re-verifies via group (b) below)
     # (b) modules edited after these queries' last driver verdict
     # (scalar_funcs + windows oracle casts landed r3, verdicts are r2;
@@ -105,8 +107,6 @@ FRONT_OF_WINDOW: list[str] = [
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
-    "join_theta_range",
-    "join_cross",
     "join_asof_event_order",
     "join_skew_salted",
     "join_range_binned",
