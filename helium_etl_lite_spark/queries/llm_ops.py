@@ -1169,3 +1169,38 @@ def text_dedup_keep_longest(spark, sf_dir):
             "n_copies",
         )
     )
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY sha256(concat('rsv1|', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 20
+    """,
+)
+def sample_reservoir_per_group(spark, sf_dir):
+    # Exactly-k-per-group sampling (the curriculum/eval-set builder:
+    # "20 docs per language, uniformly at random, reproducibly"):
+    # rank by a salted cryptographic hash of the key and keep the top
+    # k per group. sha256 hex ordering is identical across engines, so
+    # the "random" order is exact-oracle-verifiable — and partition-
+    # invariant, unlike rand(). One window shuffle on lang; at scale
+    # group count is large so partitions stay balanced (skewed-group
+    # top-k would ride the salted pattern instead).
+    t = Tables(spark, sf_dir)
+    order_h = F.sha2(
+        F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string")), 256
+    )
+    w = W.partitionBy("lang").orderBy(order_h.asc(), F.col("doc_id").asc())
+    return (
+        t.documents.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 20)
+    )

@@ -61,6 +61,7 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_token_budget",
     "vec_dedup_semantic",
     "source_schema_evolution",
+    "sample_reservoir_per_group",
     # operators rewritten in r5 — their consumer queries re-verify
     # (two-level prefix_sum/ntile in scale.py; row-local signatures +
     # multi-table LSH in dedup.py/knn.py):
@@ -104,7 +105,6 @@ FRONT_OF_WINDOW: list[str] = [
     "join_broadcast_dim",
     "join_sortmerge_large",
     "join_left_right_outer",
-    "join_full_outer",
     "join_left_semi",
     "join_left_anti",
     "join_asof_event_order",
