@@ -42,6 +42,17 @@ def _token_set(text_col: str):
     return F.array_distinct(F.split(F.col(text_col), " "))
 
 
+def _perm_hash(p: int):
+    # MUST be a one-parameter lambda: F.transform dispatches a
+    # two-parameter lambda as (element, index), so the former
+    # `lambda t, p=p:` form received the ARRAY INDEX as p — every
+    # "permutation" evaluated the identical expression and MinHash
+    # degenerated to a single permutation. Binding p via this closure
+    # keeps the lambda unary so the generated expr is
+    # `x -> xxhash64(x, <const p>)`.
+    return lambda t: F.xxhash64(t, F.lit(p))
+
+
 def minhash_signatures(
     docs: DataFrame, num_perm: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -53,13 +64,19 @@ def minhash_signatures(
     corpus; at 100 TB that shuffle dwarfs everything downstream). One
     whole-stage-codegen projection, identical values (same token set,
     same hash).
+
+    Docs with a NULL token set are excluded (same semantics as the
+    explode+groupBy form, which produced no rows for them): an
+    all-NULL signature would collide every NULL-text doc into one hot
+    bucket per band downstream, and such docs can never verify as
+    near-dups anyway.
     """
     toks = _token_set(text_col)
-    mins = [
-        F.array_min(F.transform(toks, lambda t, p=p: F.xxhash64(t, F.lit(p))))
-        for p in range(num_perm)
-    ]
-    return docs.select(F.col(id_col), F.array(*mins).alias("sig"))
+    mins = [F.array_min(F.transform(toks, _perm_hash(p))) for p in range(num_perm)]
+    return (
+        docs.where(toks.isNotNull() & (F.size(toks) > 0))
+        .select(F.col(id_col), F.array(*mins).alias("sig"))
+    )
 
 
 def _band_rows(

@@ -69,12 +69,13 @@ def text_dedup_minhash_incremental(spark, sf_dir):
     # signatures are pure functions of text. Returns batch 2's
     # survivors (the incremental analog of the reference's idempotent
     # keyed ingest, src/follower.rs:100 keyed INSERT).
-    import tempfile
-
     from ..operators import dedup
+    from ..scratch import scratch_dir
 
     t = Tables(spark, sf_dir)
-    state = tempfile.mkdtemp(prefix="minhash_state_") + "/state"
+    # scratch_dir wipes the previous run's state — mkdtemp-per-call
+    # leaked one state dir per invocation under the n=5 bench protocol.
+    state = scratch_dir("minhash_incremental") + "/state"
     b1 = t.documents.where(F.col("doc_id") % 2 == 0)
     b2 = t.documents.where(F.col("doc_id") % 2 == 1)
     f1 = dedup.minhash_filter_new(spark, b1, state, jaccard_threshold=0.7)

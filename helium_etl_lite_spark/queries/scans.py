@@ -10,11 +10,10 @@ parquet reader (verify with .explain: PushedFilters / ReadSchema).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..tables import load_table
 
 
@@ -70,7 +69,7 @@ def scan_predicate_pushdown(spark, sf_dir):
 def sink_roundtrip_parquet(spark, sf_dir):
     # Append-sink analog of the reference's rewards INSERT loop
     # (src/reward.rs:38-44) — but columnar and batched.
-    out = tempfile.mkdtemp(prefix="sink_roundtrip_") + "/t"
+    out = scratch_dir("sink_roundtrip") + "/t"
     df = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
@@ -94,7 +93,7 @@ def source_csv_roundtrip(spark, sf_dir):
     # inference, which is a second full pass over the data at 100 TB.
     # A synthesized column embeds commas AND quotes so the exact oracle
     # proves quoting/escaping round-trips losslessly.
-    out = tempfile.mkdtemp(prefix="source_csv_") + "/t"
+    out = scratch_dir("source_csv") + "/t"
     df = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -146,7 +145,7 @@ def source_orc_roundtrip(spark, sf_dir):
     # analog). The oracle states the projection that went in, so the
     # hash proves ORC round-trips types (longs, doubles, timestamps)
     # losslessly. ORC embeds its schema; no inference pass needed.
-    out = tempfile.mkdtemp(prefix="source_orc_") + "/t"
+    out = scratch_dir("source_orc") + "/t"
     df = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_returnflag") == "R")
@@ -174,7 +173,7 @@ def sink_partitioned_prune(spark, sf_dir):
     # zero data files read outside event_type=purchase). The exact
     # oracle proves the partition column survives the directory
     # round-trip with its values intact.
-    out = tempfile.mkdtemp(prefix="sink_part_") + "/t"
+    out = scratch_dir("sink_part") + "/t"
     load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     ).write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -201,7 +200,7 @@ def sink_compact_files(spark, sf_dir):
     # suite asserts the file count actually drops.
     from ..etl.compact import compact_parquet
 
-    base = tempfile.mkdtemp(prefix="sink_compact_")
+    base = scratch_dir("sink_compact")
     small, packed = base + "/small", base + "/packed"
     load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
@@ -229,7 +228,7 @@ def source_schema_evolution(spark, sf_dir):
     # the old files — proven exactly by the oracle's UNION ALL with the
     # typed NULL. (Per-file footer merging is driver-side metadata;
     # data files are not rewritten — the at-scale behavior.)
-    out = tempfile.mkdtemp(prefix="source_evo_") + "/t"
+    out = scratch_dir("source_evo") + "/t"
     orders = load_table(spark, sf_dir, "orders")
     orders.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"

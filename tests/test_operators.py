@@ -71,6 +71,41 @@ class TestDedup:
         got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
         assert got[(1, 2)] == 0
 
+    def test_minhash_signature_positions_are_distinct_permutations(self, spark):
+        # Regression: a two-parameter transform lambda is dispatched as
+        # (element, index), shadowing the permutation constant — every
+        # signature position then held the identical single-permutation
+        # min. Assert the positions differ AND match an independent
+        # explode+groupBy reference computation.
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "w x y z")], "doc_id long, text string"
+        )
+        sig = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs, 8).collect()}
+        for s in sig.values():
+            assert len(set(s)) > 1, "all signature positions identical — permutation collapsed"
+        ref = (
+            docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+            .select(
+                "doc_id",
+                *[F.xxhash64("tok", F.lit(p)).alias(f"h{p}") for p in range(8)],
+            )
+            .groupBy("doc_id")
+            .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(8)])
+            .collect()
+        )
+        for r in ref:
+            assert sig[r["doc_id"]] == [r[f"m{p}"] for p in range(8)]
+
+    def test_minhash_signatures_exclude_null_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, None), (3, None)], "doc_id long, text string"
+        )
+        out = dedup.minhash_signatures(docs, 4).collect()
+        assert {r["doc_id"] for r in out} == {1}
+        # and the downstream pair generator never emits NULL-doc collisions
+        pairs = dedup.minhash_lsh_pairs(docs, 8, 4, 0.1).collect()
+        assert not any(2 in (r["doc_a"], r["doc_b"]) or 3 in (r["doc_a"], r["doc_b"]) for r in pairs)
+
     def test_ngram_jaccard_respects_blocking(self, spark, docs):
         pairs = dedup.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.1)
         got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
