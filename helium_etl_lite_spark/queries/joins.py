@@ -165,15 +165,30 @@ def join_left_anti(spark, sf_dir):
     """,
 )
 def join_theta_range(spark, sf_dir):
+    # Banded non-equi join, executed as a BINNED equi-join
+    # (operators/scale.py binned_range_join) — the production path, not
+    # a demonstration BNLJ. The former form force-broadcast `part` for a
+    # nested loop; `part` grows with sf, so at 100x that broadcast OOMs
+    # instead of degrading. Binning on floor(value/band_width) turns the
+    # band predicate into a hash-shuffled equi-key (each interval spans
+    # <= 2 bins at bin_width == band width); the residual filter
+    # restores the exact half-open band [lo, lo+1100).
+    from ..operators.scale import binned_range_join
+
     t = Tables(spark, sf_dir)
-    # Banded non-equi join (broadcast nested loop on the small side).
-    # The band keeps candidate pairs bounded — an open-ended theta join
-    # would be quadratic at 100 TB.
-    s, p = t.supplier, t.part
-    return s.join(
-        F.broadcast(p),
-        (s.s_acctbal >= p.p_retailprice) & (s.s_acctbal < p.p_retailprice + 1100),
-    ).select("s_suppkey", "p_partkey", "s_acctbal", "p_retailprice")
+    pts = t.supplier.select("s_suppkey", "s_acctbal")
+    windows = t.part.select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_retailprice").alias("lo"),
+        (F.col("p_retailprice") + 1100).alias("hi"),
+    )
+    pairs = binned_range_join(pts, windows, "s_acctbal", "lo", "hi", bin_width=1100.0)
+    # binned_range_join's residual is the closed [lo, hi]; the declared
+    # band is half-open, so cut the hi boundary strictly.
+    return pairs.where(F.col("s_acctbal") < F.col("hi")).select(
+        "s_suppkey", "p_partkey", "s_acctbal", "p_retailprice"
+    )
 
 
 @query(

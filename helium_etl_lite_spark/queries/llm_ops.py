@@ -509,13 +509,17 @@ def text_tfidf(spark, sf_dir):
     tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = t.documents.count()  # scalar; one tiny job, not per-row
-    return tf.join(df, "token").select(
+    # scalar doc count stays IN the plan as a 1-row aggregate
+    # crossJoined onto the vocab side (Spark broadcasts a 1-row side
+    # unconditionally) — a driver-side .count() here would be a second
+    # job per invocation.
+    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf.join(df.crossJoin(n), "token").select(
         "doc_id",
         "token",
         "tf",
         F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("tfidf"),
     )
 
@@ -787,20 +791,20 @@ def pipeline_corpus_curation(spark, sf_dir):
 )
 def text_fuzzy_levenshtein(spark, sf_dir):
     # Typo-candidate pairs over the vocabulary: block on first letter
-    # (bounds the quadratic), edit distance <= 2. The vocab is
-    # dimension-sized even at 100 TB, so this self-join is broadcast
-    # territory; the corpus-sized work is only the distinct-token agg.
+    # (bounds the quadratic), edit distance <= 2. The first-letter block
+    # is the EQUI-JOIN KEY — a shuffled hash/sort-merge join, no
+    # broadcast hint: for web-scale text the distinct-token vocabulary
+    # is unbounded (same reasoning as text_tfidf's vocab join), so
+    # forcing a broadcast of a corpus-derived table OOMs at 100 TB. When
+    # the vocab genuinely measures small, AQE converts the join to a
+    # broadcast at runtime on its own.
     t = Tables(spark, sf_dir)
     vocab = (
         t.documents.select(F.explode(F.split("text", " ")).alias("token")).distinct()
     )
-    a = vocab.select(F.col("token").alias("tok_a"))
-    b = vocab.select(F.col("token").alias("tok_b"))
-    pairs = a.join(
-        F.broadcast(b),
-        (F.substring("tok_a", 1, 1) == F.substring("tok_b", 1, 1))
-        & (F.col("tok_a") < F.col("tok_b")),
-    )
+    a = vocab.select(F.col("token").alias("tok_a"), F.substring("token", 1, 1).alias("blk"))
+    b = vocab.select(F.col("token").alias("tok_b"), F.substring("token", 1, 1).alias("blk"))
+    pairs = a.join(b, "blk").where(F.col("tok_a") < F.col("tok_b"))
     return pairs.select(
         "tok_a",
         "tok_b",

@@ -248,6 +248,33 @@ def test_retention_funnel_no_forced_broadcast(spark, sf_dir):
         assert "ResolvedHint" not in analyzed, name
 
 
+def test_theta_range_join_is_binned_not_bnlj(spark, sf_dir):
+    # r5 verdict: the theta band join must not force-broadcast `part`
+    # (sf-scaled — OOMs at 100x). The band rides the __bin equi-key.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_theta_range", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    analyzed = (
+        q("join_theta_range", spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed
+
+
+def test_fuzzy_levenshtein_no_forced_broadcast(spark, sf_dir):
+    # r5 verdict: the vocabulary self-join is corpus-derived and
+    # unbounded at web scale — same forced-broadcast class as
+    # retention/funnel (r4). The block key must ride an equi-join with
+    # no hint; AQE may still broadcast a measured-small vocab.
+    df = q("text_fuzzy_levenshtein", spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # and the blocking predicate is an equi-key, not a nested-loop theta
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
 def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
     # The at-scale layout: facts partitioned by a coarse key. A literal
     # predicate must prune partitions at planning time; a selective dim
