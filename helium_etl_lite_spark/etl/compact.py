@@ -66,11 +66,11 @@ def compact_parquet(
     return n
 
 
-def _partition_dirs(table_dir: str) -> list[str]:
+def _partition_dirs(table_dir: str, prefix: str = "block_range=") -> list[str]:
     return sorted(
         d
         for d in os.listdir(table_dir)
-        if d.startswith("block_range=")
+        if d.startswith(prefix)
         and os.path.isdir(os.path.join(table_dir, d))
     )
 
@@ -88,9 +88,12 @@ def compact_partitioned_table(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    partition_prefix: str = "block_range=",
+    distinct_rows: bool = False,
 ) -> dict[str, tuple[int, int]]:
-    """Compact each `block_range=*` partition directory of a PLAIN
-    (non-atomic) follower table in place; returns
+    """Compact each `{partition_prefix}*` partition directory of a PLAIN
+    (non-atomic) hive-partitioned table in place (follower tables use
+    `block_range=`, dedup state tables use `shard=`); returns
     {partition: (files_before, files_after)} for the rewritten ones.
 
     Per-partition rewrite (never the whole table): cold partitions are
@@ -119,7 +122,7 @@ def compact_partitioned_table(
             shutil.rmtree(path, ignore_errors=True)
 
     results: dict[str, tuple[int, int]] = {}
-    for part in _partition_dirs(table_dir):
+    for part in _partition_dirs(table_dir, partition_prefix):
         pdir = os.path.join(table_dir, part)
         old_dir = pdir + ".__compact_old"
         before = _n_data_files(pdir)
@@ -129,10 +132,17 @@ def compact_partitioned_table(
             if f.endswith(".parquet")
         )
         after = max(1, math.ceil(total / target_file_bytes))
-        if before <= after:
+        # distinct_rows (set-semantics state tables): a replay's
+        # duplicate rows can only live in a SECOND file of the shard
+        # (each append is internally distinct), so any multi-file shard
+        # gets rewritten even when already under the size target.
+        if before <= after and not (distinct_rows and before > 1):
             continue  # already compact
         tmp = pdir + ".__compact_tmp"
-        df = spark.read.parquet(pdir).repartition(after)
+        df = spark.read.parquet(pdir)
+        if distinct_rows:
+            df = df.distinct()
+        df = df.repartition(after)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
         df.write.mode("overwrite").parquet(tmp)

@@ -540,35 +540,21 @@ def dedup_state_add(
     content hashes into the persisted hash-set state.
 
     State is a parquet table of text_hash partitioned into `n_shards`
-    stable shards (pmod of xxhash64): an update rewrites ONLY the
-    touched shards with the distinct union of old + new hashes (dynamic
-    partition overwrite; old shard rows are localCheckpointed before the
-    overwrite deletes the files the plan reads). Set union is
-    idempotent, so crash-replay converges; at 100 TB the rewrite cost
-    per batch is (touched shards / n_shards) of the state, and n_shards
-    bounds both file count and per-task working set.
+    stable shards (pmod of xxhash64). The fold-in APPENDS the batch's
+    distinct hashes to their shard directories — O(batch) written
+    bytes. (The former form rewrote every touched shard with the
+    distinct union of old + new: a decent-size batch touches all
+    shards, so each fold-in re-wrote the whole state — O(corpus) per
+    batch.) The state is read as a SET everywhere (anti-join
+    membership), so a crash-replay's duplicate appends change no probe
+    result; `dedup_state_compact` restores physical set-minimality and
+    merges the per-batch files on the maintenance schedule.
     """
     shard = F.pmod(F.xxhash64("text_hash"), F.lit(n_shards)).cast("int")
     new_hashes = fresh.select("text_hash").distinct().withColumn("shard", shard)
-    touched = [r["shard"] for r in new_hashes.select("shard").distinct().collect()]
-    if not touched:
-        return
-    merged = new_hashes
-    try:
-        seen = spark.read.parquet(state_path)
-    except Exception:
-        seen = None
-    if seen is not None:
-        old = (
-            seen.where(F.col("shard").isin(touched))
-            .select("text_hash", "shard")
-            .localCheckpoint(eager=True)
-        )
-        merged = merged.unionByName(old).distinct()
     (
-        merged.repartition("shard")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        new_hashes.repartition("shard")
+        .write.mode("append")
         .partitionBy("shard")
         .parquet(state_path)
     )
@@ -662,10 +648,13 @@ def minhash_state_add(
 
     Same shard discipline as dedup_state_add: parquet partitioned into
     stable shards (pmod of xxhash64(bucket) — co-located with the probe
-    join's pruning key), dynamic partition overwrite rewrites ONLY
-    touched shards with the distinct union of old + new rows. Rows are
-    fully determined by the doc (signature is a pure function of the
-    text), so the union is a set union and replay converges.
+    join's pruning key), and the same APPEND-only fold-in: O(batch)
+    written bytes, versus the former rewrite-touched-shards-with-union
+    form whose cost was O(state) once a batch touched most shards. Rows
+    are fully determined by the doc (signature is a pure function of
+    the text), so replayed appends only duplicate rows — the probe's
+    candidate `.distinct()` already absorbs that, and
+    `dedup_state_compact` restores set-minimality out of band.
     """
     if "sig" in fresh.columns:
         sig = fresh.select(F.col(id_col), "sig")
@@ -675,25 +664,54 @@ def minhash_state_add(
         "shard",
         F.pmod(F.xxhash64("bucket"), F.lit(_MINHASH_STATE_SHARDS)).cast("int"),
     )
-    touched = [r["shard"] for r in rows.select("shard").distinct().collect()]
-    if not touched:
-        return
-    merged = rows
-    try:
-        seen = spark.read.parquet(state_path)
-    except Exception:
-        seen = None
-    if seen is not None:
-        old = (
-            seen.where(F.col("shard").isin(touched))
-            .select(*rows.columns)
-            .localCheckpoint(eager=True)
-        )
-        merged = merged.unionByName(old).distinct()
     (
-        merged.repartition("shard")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        rows.repartition("shard")
+        .write.mode("append")
         .partitionBy("shard")
         .parquet(state_path)
+    )
+
+
+def dedup_state_stats(spark, state_path: str) -> dict:
+    """Size/health report for a persisted dedup state table (the exact
+    hash set or the minhash band-row store — both are `shard=`-
+    partitioned parquet). The ingest loop's fold-ins rewrite touched
+    shards with the distinct union, so row counts stay tight, but each
+    dynamic overwrite re-splits a shard into as many files as the write
+    had tasks — files accumulate until compaction. `avg_file_bytes`
+    trending down is the compact-needed signal."""
+    from ..etl.compact import dir_bytes
+
+    df = spark.read.parquet(state_path)
+    n_rows = df.count()
+    n_shards = df.select("shard").distinct().count()
+    total_bytes, n_files = dir_bytes(spark, state_path)
+    return {
+        "rows": n_rows,
+        "shards": n_shards,
+        "files": n_files,
+        "bytes": total_bytes,
+        "avg_file_bytes": (total_bytes // n_files) if n_files else 0,
+    }
+
+
+def dedup_state_compact(
+    spark, state_path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, tuple[int, int]]:
+    """Merge the one-file-per-fold-in accumulation in each state shard
+    and drop crash-replay duplicate rows (distinct within shard), in
+    place, per shard directory — untouched shards cost nothing, so the
+    maintenance cost tracks the ingest rate, not the corpus size.
+    Reuses the follower tables' crash-safe per-partition rewrite
+    (etl/compact.py: rewrite-to-tmp + two renames, recovery on entry).
+    Probe results are identical before and after (tested): the state is
+    read with set semantics, so removing physical duplicates and
+    re-bucketing bytes changes no membership answer. Same single-writer
+    contract as the fold-ins: don't run concurrently with an ingest
+    batch."""
+    from ..etl.compact import compact_partitioned_table
+
+    return compact_partitioned_table(
+        spark, state_path, target_file_bytes, partition_prefix="shard=",
+        distinct_rows=True,
     )
