@@ -124,6 +124,88 @@ def sample_token_budget(spark, sf_dir):
     )
 
 
+MIXTURE_SPEC = [("en", 0.40), ("zh", 0.20), ("es", 0.20), ("de", 0.10), ("fr", 0.10)]
+MIXTURE_TOTAL = 500
+_MIX_SPEC_SQL = ", ".join(f"('{lang}', {w})" for lang, w in MIXTURE_SPEC)
+
+
+@query(
+    "sample_mixture_interleave",
+    oracle=f"""
+    WITH spec(lang, w) AS (VALUES {_MIX_SPEC_SQL}),
+         counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+         quota AS (SELECT c.lang, c.n_g,
+                          CAST(FLOOR(s.w * {MIXTURE_TOTAL}) AS BIGINT) AS k_g
+                   FROM counts c JOIN spec s ON c.lang = s.lang),
+         ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY sha256(concat('mix1|', CAST(doc_id AS VARCHAR))),
+                             doc_id) AS rn
+           FROM documents),
+         reps AS (
+           SELECT r.doc_id, r.lang,
+                  CAST(FLOOR(q.k_g / q.n_g)
+                       + CASE WHEN r.rn <= q.k_g % q.n_g THEN 1 ELSE 0 END
+                    AS BIGINT) AS reps
+           FROM ranked r JOIN quota q ON r.lang = q.lang)
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS epoch
+    FROM reps WHERE reps > 0
+    """,
+)
+def sample_mixture_interleave(spark, sf_dir):
+    # Corpus-mixture resampling to a target spec (the pretraining-mix
+    # knob: "40% en, 20% zh, ..." of a fixed token/doc budget), with
+    # UP-sampling where a group is under target (every doc repeated
+    # floor(k/n) times, the first k%n docs in salted-hash order once
+    # more — "epochs" of the small language) and DOWN-sampling where it
+    # is over (floor(k/n)=0, so exactly k%n=k docs survive). One
+    # formula covers both; per-group output size is exactly k_g.
+    #
+    # Scale shape: counts+quota are a control table bounded by the
+    # number of groups; the only corpus-sized shuffles are the rank
+    # window on the group key and the explode (O(output rows)). The
+    # salted-sha256 rank is partition-invariant and engine-reproducible
+    # (same pattern as sample_reservoir_per_group); membership never
+    # depends on execution order.
+    spec = spark.createDataFrame(MIXTURE_SPEC, "lang string, w double")
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "lang")
+    quota = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .join(spec, "lang")
+        .select(
+            "lang",
+            "n_g",
+            F.floor(F.col("w") * MIXTURE_TOTAL).cast("long").alias("k_g"),
+        )
+    )
+    order_h = F.sha2(F.concat(F.lit("mix1|"), F.col("doc_id").cast("string")), 256)
+    from pyspark.sql import Window as W
+
+    w_rank = W.partitionBy("lang").orderBy(order_h.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w_rank).cast("long"))
+    reps = (
+        F.floor(F.col("k_g") / F.col("n_g"))
+        + F.when(F.col("rn") <= F.col("k_g") % F.col("n_g"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.join(quota, "lang")
+        .withColumn("reps", reps)
+        .where(F.col("reps") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("reps") - 1)).alias(
+                "epoch"
+            ),
+        )
+    )
+
+
 @query(
     "pack_sequence_bins",
     oracle="""

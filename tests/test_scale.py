@@ -290,3 +290,32 @@ class TestSelectTokenBudget:
             scale.select_token_budget(
                 df, "score", "id", "w", budget=5, max_control_rows=3
             )
+
+
+class TestMixtureInterleave:
+    def test_exact_quota_per_group_up_and_down(self, spark, sf_dir):
+        # per-group output size must be exactly floor(w_g * total):
+        # upsampled groups repeat docs (epochs), downsampled groups
+        # select a subset — one formula, both directions.
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.queries.curation import (
+            MIXTURE_SPEC,
+            MIXTURE_TOTAL,
+        )
+
+        registry.load_all()
+        out = registry.QUERIES["sample_mixture_interleave"](spark, sf_dir)
+        got = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+        want = {lang: int(w * MIXTURE_TOTAL) for lang, w in MIXTURE_SPEC}
+        assert got == {k: v for k, v in want.items() if v > 0}
+        # upsampled groups: every epoch beyond 0 is a full repeat set;
+        # epochs are dense per doc (0..reps-1)
+        per_doc = (
+            out.groupBy("doc_id", "lang")
+            .agg({"epoch": "max", "*": "count"})
+            .withColumnRenamed("max(epoch)", "max_epoch")
+            .withColumnRenamed("count(1)", "n_rows")
+            .collect()
+        )
+        for r in per_doc:
+            assert r["n_rows"] == r["max_epoch"] + 1, r
