@@ -27,6 +27,21 @@ since r3 (named in "headline") so round-over-round totals compare;
 the r4 control-plane operators (pack_sequence_bins, ts_gapfill_locf)
 are tracked in "queries" / "extended_total" without breaking the
 series.
+
+Scaling lane (r5 verdict item 2): after the sf0.1 headline pass, the
+same queries run on a 10x replicated copy of sf0.1 (tools/
+make_scaled_sf.py — key-shifted self-consistent replicas, cached on
+disk) and the JSON carries per-query sf1/sf0.1 ratios. Linear
+operators should sit near 10x (minus fixed per-query overhead, so
+often below); a super-linear ratio is the scaling regression signal
+plan shapes alone can't give. `vec_dedup_cosine` is excluded — it is
+exact all-pairs BY CONTRACT (quadratic, 100x expected); its
+production-path twin `vec_dedup_semantic` is measured instead.
+Disable with SPARK_GRAFT_BENCH_SCALE=0.
+
+Note r5's summary JSON line was tail-truncated in BENCH_r05.json; the
+per-run series now stay on stderr (one comment line per query) and the
+JSON line keeps only min/spread per query so it stays short.
 """
 
 from __future__ import annotations
@@ -66,12 +81,21 @@ EXTENDED = [
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+# Scaling lane: replicate sf0.1 by this factor and re-run the headline
+# set (vec_dedup_cosine swapped for its subquadratic production twin).
+SCALE_ENABLED = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+SCALE_REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPLICAS", "10"))
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
+    "vec_dedup_semantic"
+]
 
-def _bench_one(spark, sf_dir, name):
+
+def _bench_one(spark, sf_dir, name, n_runs=N_RUNS, tag=""):
     fn = registry.QUERIES[name]
     runs = []
     n = 0
-    for _ in range(N_RUNS):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         runs.append(time.perf_counter() - t0)
@@ -79,7 +103,7 @@ def _bench_one(spark, sf_dir, name):
     med = statistics.median(runs)
     spread = round(100.0 * (med - best) / best, 1) if best > 0 else 0.0
     print(
-        f"# {name}: {n} rows; min {best:.3f}s median {med:.3f}s "
+        f"# {tag}{name}: {n} rows; min {best:.3f}s median {med:.3f}s "
         f"spread {spread}% (runs: {', '.join(f'{r:.3f}' for r in runs)})",
         file=sys.stderr,
     )
@@ -101,37 +125,77 @@ def main():
             spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
 
         timings: dict[str, float] = {}
-        all_runs: dict[str, list[float]] = {}
         spreads: dict[str, float] = {}
         for name in HEADLINE + EXTENDED:
-            runs, best, spread = _bench_one(spark, sf_dir, name)
+            _, best, spread = _bench_one(spark, sf_dir, name)
             timings[name] = round(best, 3)
-            all_runs[name] = [round(r, 3) for r in runs]
             spreads[name] = spread
 
-        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total",
-                    "value": round(sum(timings[q] for q in HEADLINE), 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "headline": HEADLINE,
-                    "extended_total": round(
-                        sum(timings[q] for q in EXTENDED), 3
-                    ),
-                    "n_runs": N_RUNS,
-                    "runs": all_runs,
-                    "spread_pct": spreads,
-                    "loadavg_start": [round(x, 2) for x in load0],
-                    "loadavg_end": [
-                        round(x, 2) for x in os.getloadavg()
-                    ],
-                }
+        scale_block = None
+        if SCALE_ENABLED:
+            from tools.make_scaled_sf import ensure_scaled
+
+            scale_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".scaled",
+                f"sf_x{SCALE_REPLICAS}",
             )
-        )
+            t0 = time.perf_counter()
+            ensure_scaled(spark, sf_dir, scale_dir, SCALE_REPLICAS)
+            print(
+                f"# scale lane: {scale_dir} ready in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            # base-lane timings for scale-set members outside the
+            # headline (vec_dedup_semantic) so every ratio has a
+            # denominator.
+            for name in SCALE_SET:
+                if name not in timings:
+                    _, best, spread = _bench_one(
+                        spark, sf_dir, name, n_runs=SCALE_RUNS
+                    )
+                    timings[name] = round(best, 3)
+                    spreads[name] = spread
+            scale_timings: dict[str, float] = {}
+            scale_spreads: dict[str, float] = {}
+            for name in SCALE_SET:
+                _, best, spread = _bench_one(
+                    spark, scale_dir, name, n_runs=SCALE_RUNS, tag="x10 "
+                )
+                scale_timings[name] = round(best, 3)
+                scale_spreads[name] = spread
+            scale_block = {
+                "replicas": SCALE_REPLICAS,
+                "n_runs": SCALE_RUNS,
+                "total": round(sum(scale_timings.values()), 3),
+                "queries": scale_timings,
+                "spread_pct": scale_spreads,
+                "ratio_vs_base": {
+                    q: round(scale_timings[q] / timings[q], 1)
+                    for q in scale_timings
+                    if q in timings and timings[q] > 0
+                },
+            }
+
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        out = {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings[q] for q in HEADLINE), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "headline": HEADLINE,
+            "extended_total": round(
+                sum(timings[q] for q in EXTENDED), 3
+            ),
+            "n_runs": N_RUNS,
+            "spread_pct": spreads,
+            "loadavg_start": [round(x, 2) for x in load0],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        }
+        if scale_block is not None:
+            out["scale"] = scale_block
+        print(json.dumps(out))
     finally:
         spark.stop()
 
