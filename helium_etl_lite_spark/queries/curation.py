@@ -255,3 +255,38 @@ def pack_sequence_bins(spark, sf_dir):
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query("sample_token_budget_bpe")  # rows-only: learned BPE merges are not SQL-expressible
+def sample_token_budget_bpe(spark, sf_dir):
+    # The sample_token_budget selection with REAL token counts: a BPE
+    # tokenizer (public Sennrich-2016 algorithm, operators/bpe.py) is
+    # trained on the corpus's own word-frequency table and the budget
+    # is enforced on exact BPE token counts instead of whitespace
+    # counts. num_merges=50 leaves frequent words as single tokens and
+    # rare words as multi-subword splits — the shape a production
+    # vocabulary has. Fully deterministic (count-desc/lexicographic
+    # tie-breaks end-to-end), so repeated driver runs see identical
+    # rows; no oracle because the greedy merge recursion is not
+    # expressible in SQL.
+    #
+    # Scale shape: train = one explode+groupBy+top-V (bounded control
+    # table to the driver); encode = narrow mapInPandas with the
+    # constant-sized merge table in the closure; selection = the same
+    # two-level control plane as sample_token_budget. No global sort,
+    # no unbounded broadcast.
+    from ..operators import bpe
+    from ..operators.scale import select_token_budget
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "text", "n_chars")
+    merges = bpe.train_bpe(d, num_merges=50, vocab_limit=100_000)
+    counted = bpe.bpe_token_counts(d, merges).drop("text")
+    return select_token_budget(
+        counted,
+        "n_chars",
+        "doc_id",
+        "n_tokens_bpe",
+        budget=20000,
+        out_col="cum_tokens_bpe",
+    ).orderBy("doc_id")

@@ -1,0 +1,144 @@
+"""BPE tokenizer: merge learning, encoding invariants, Spark wiring."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from helium_etl_lite_spark.operators import bpe
+
+
+class TestTrainMerges:
+    def test_textbook_example(self):
+        # Sennrich's worked example shape: 'low'x5 'lower'x2 'newest'x6
+        # 'widest'x3 — the first merges must assemble the frequent
+        # 'est</w>' suffix (e+s=9+... pair counts: ('e','s') appears in
+        # newest(6)+widest(3)=9, the max).
+        wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = bpe.train_merges(wc, num_merges=4)
+        assert merges[0] == ("e", "s")
+        assert merges[1] == ("es", "t")
+        assert merges[2] == ("est", bpe.END)
+
+    def test_deterministic_tiebreak(self):
+        # Two pairs with equal counts -> lexicographically smaller wins.
+        wc = [("ab", 3), ("cd", 3)]
+        merges = bpe.train_merges(wc, num_merges=1)
+        assert merges[0] == ("a", "b")
+
+    def test_empty_and_exhausted(self):
+        assert bpe.train_merges([], 10) == []
+        # single-char word: only pair is (c, END); loop then exhausts
+        merges = bpe.train_merges([("a", 1)], 10)
+        assert merges == [("a", bpe.END)]
+
+
+class TestEncodeWord:
+    def test_roundtrip_concatenation(self):
+        # Concatenating the tokens (end marker stripped) rebuilds the
+        # word exactly, for any merge table.
+        wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        ranks = {tuple(p): i for i, p in enumerate(bpe.train_merges(wc, 6))}
+        for w in ["low", "lower", "newest", "widest", "lowest", "zzz"]:
+            toks = bpe.encode_word(w, ranks)
+            assert "".join(toks).replace(bpe.END, "") == w
+
+    def test_zero_merges_is_char_level(self):
+        assert bpe.encode_word("abc", {}) == ["a", "b", "c", bpe.END]
+
+    def test_more_merges_never_increase_count(self):
+        wc = [("banana", 4), ("bandana", 2), ("ananas", 3)]
+        all_merges = bpe.train_merges(wc, 12)
+        prev = None
+        for k in range(len(all_merges) + 1):
+            ranks = {tuple(p): i for i, p in enumerate(all_merges[:k])}
+            n = len(bpe.encode_word("banana", ranks))
+            if prev is not None:
+                assert n <= prev
+            prev = n
+
+    def test_fully_trained_frequent_word_is_one_token(self):
+        wc = [("spark", 50)]
+        ranks = {tuple(p): i for i, p in enumerate(bpe.train_merges(wc, 20))}
+        assert bpe.encode_word("spark", ranks) == ["spark" + bpe.END]
+
+
+class TestSparkWiring:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick fox"),
+            (2, None),
+            (3, ""),
+            (4, "the the the the"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_counts_match_local_encoder(self, docs):
+        merges = bpe.train_bpe(docs, num_merges=30)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        got = {
+            r["doc_id"]: r["n_tokens_bpe"]
+            for r in bpe.bpe_token_counts(docs, merges).collect()
+        }
+        for row in docs.collect():
+            text = row["text"] or ""
+            want = sum(len(bpe.encode_word(w, ranks)) for w in text.split())
+            assert got[row["doc_id"]] == want
+
+    def test_bounds_vs_whitespace_and_chars(self, docs):
+        # n_words <= n_tokens_bpe <= n_nonspace_chars + n_words (the
+        # char-level ceiling includes one END marker per word).
+        merges = bpe.train_bpe(docs, num_merges=5)
+        out = bpe.bpe_token_counts(docs, merges).collect()
+        for r in out:
+            text = next(
+                x["text"] for x in docs.collect() if x["doc_id"] == r["doc_id"]
+            )
+            words = (text or "").split()
+            n_chars = sum(len(w) for w in words)
+            assert len(words) <= r["n_tokens_bpe"] <= n_chars + len(words)
+
+    def test_partition_invariance(self, spark, docs):
+        merges = bpe.train_bpe(docs, num_merges=30)
+        a = sorted(
+            (r["doc_id"], r["n_tokens_bpe"])
+            for r in bpe.bpe_token_counts(docs, merges).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_tokens_bpe"])
+            for r in bpe.bpe_token_counts(
+                docs.repartition(7, "doc_id"), merges
+            ).collect()
+        )
+        assert a == b
+
+    def test_training_partition_invariance(self, docs):
+        m1 = bpe.train_bpe(docs, num_merges=20)
+        m2 = bpe.train_bpe(docs.repartition(5), num_merges=20)
+        assert m1 == m2
+
+    def test_vocab_limit_truncates_by_frequency(self, docs):
+        # With vocab_limit=1 only the most frequent word ('the') trains
+        # the merges; 'the' must encode to one token, rare words stay
+        # multi-token.
+        merges = bpe.train_bpe(docs, num_merges=10, vocab_limit=1)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        assert bpe.encode_word("the", ranks) == ["the" + bpe.END]
+        assert len(bpe.encode_word("jumps", ranks)) > 1
+
+    def test_budget_query_runs(self, spark):
+        from helium_etl_lite_spark.queries.curation import (
+            sample_token_budget_bpe,
+        )
+
+        out = sample_token_budget_bpe(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        assert len(rows) > 0
+        assert set(out.columns) == {
+            "doc_id", "n_chars", "n_tokens_bpe", "cum_tokens_bpe"
+        }
+        # the running total respects the budget and each row's count
+        assert all(r["cum_tokens_bpe"] <= 20000 for r in rows)
+        assert all(r["n_tokens_bpe"] >= 1 for r in rows)
