@@ -290,3 +290,46 @@ def sample_token_budget_bpe(spark, sf_dir):
         budget=20000,
         out_col="cum_tokens_bpe",
     ).orderBy("doc_id")
+
+
+@query(
+    "sample_importance_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             LEAST(1.0, n_chars / 400.0) AS w
+      FROM documents)
+    SELECT doc_id, lang, round(w, 4) AS keep_prob
+    FROM d
+    WHERE sha256('imp1|' || CAST(doc_id AS VARCHAR))[1:8]
+          < lpad(lower(to_hex(CAST(FLOOR(w * 4294967295.0) AS BIGINT))), 8, '0')
+    """,
+)
+def sample_importance_weighted(spark, sf_dir):
+    # Importance sampling: each doc kept with probability w(doc) — here
+    # a length-based quality proxy, any per-row score plugs in. The
+    # Bernoulli draw is a salted sha256 compared against the
+    # per-row threshold AS 8-char lowercase hex (fixed-width hex
+    # compares lexicographically == numerically, so both engines do an
+    # exact string compare; no float RNG, no engine-specific hash).
+    # Partition-invariant and replayable: membership depends only on
+    # doc_id, so re-runs and retries select the identical subset —
+    # the same property sample_stratified gets from its LCG.
+    t = Tables(spark, sf_dir)
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    u = F.substring(
+        F.sha2(F.concat(F.lit("imp1|"), F.col("doc_id").cast("string")), 256),
+        1,
+        8,
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(w * F.lit(4294967295.0)).cast("long"))),
+        8,
+        "0",
+    )
+    return (
+        t.documents.select("doc_id", "lang", "n_chars")
+        .withColumn("keep_prob", F.round(w, 4))
+        .where(u < thr)
+        .select("doc_id", "lang", "keep_prob")
+    )

@@ -218,3 +218,55 @@ def json_variant_extract(spark, sf_dir):
         "event_id",
         F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long").alias("k_val"),
     )
+
+
+@query(
+    "merge_upsert_scd1",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 2 = 0),
+    updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, t.c_name) AS c_name,
+           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_scd1(spark, sf_dir):
+    # MERGE INTO without a table format: SCD1 upsert as a full-outer
+    # join + source-wins coalesce, tagged with the action each row
+    # took. This is the keyed idempotent-replace the reference does
+    # per block (src/follower.rs:100 keyed INSERT ... ON CONFLICT
+    # semantics via delete+insert, SURVEY E15) lifted to a set-based
+    # plan: one shuffle on the key, no row-at-a-time writes. Target =
+    # even custkeys, updates = custkeys divisible by 3, so all three
+    # actions (update / keep / insert) appear.
+    t = Tables(spark, sf_dir)
+    base = t.customer.select("c_custkey", "c_name", "c_acctbal")
+    target = base.where(F.col("c_custkey") % 2 == 0)
+    updates = base.where(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    tt = target.alias("t")
+    uu = updates.alias("u")
+    return tt.join(
+        uu, F.col("t.c_custkey") == F.col("u.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("t.c_custkey"), F.col("u.c_custkey")).alias(
+            "c_custkey"
+        ),
+        F.coalesce(F.col("u.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("t.c_acctbal")).alias(
+            "c_acctbal"
+        ),
+        F.when(F.col("t.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )

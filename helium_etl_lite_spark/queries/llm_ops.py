@@ -1209,3 +1209,77 @@ def sample_reservoir_per_group(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 20)
     )
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, CAST(i AS BIGINT) AS span_id,
+                 array_to_string(ws[i*20+1 : i*20+20], ' ') AS span
+          FROM w, unnest(generate_series(0,
+                   CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1)) AS g(i)
+          WHERE len(ws) > 0),
+    k AS (SELECT doc_id, span_id, span,
+                 row_number() OVER (PARTITION BY span
+                                    ORDER BY doc_id, span_id) AS rn
+          FROM s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+           string_agg(span, ' ' ORDER BY span_id) AS text_dedup
+    FROM k WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark, sf_dir):
+    # C4-style intra-corpus span dedup ("remove any three-sentence span
+    # seen before", C4 / RefinedWeb): the corpus is cut into
+    # consecutive 20-token spans, every span keeps only its FIRST
+    # occurrence corpus-wide (doc_id, span_id order), and docs are
+    # reassembled from their surviving spans. Docs made entirely of
+    # already-seen spans drop out — crawl-dup boilerplate removal at
+    # sub-document granularity, which exact doc-level dedup
+    # (text_dedup_exact) cannot do.
+    #
+    # Scale shape: span construction is ROW-LOCAL (split + transform/
+    # slice — no token explode, no shuffle, same trick as the r5
+    # row-local minhash signatures); then exactly two exchanges — the
+    # first-occurrence window on span and the per-doc reassembly on
+    # doc_id. At 100 TB you'd window on xxhash64(span) instead of the
+    # span text to shrink the shuffle (collision-safe at 64 bits); the
+    # string key keeps the oracle engine-portable here.
+    t = Tables(spark, sf_dir)
+    span_len = 20
+    ws = F.split(F.col("text"), " ")
+    spans = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), (F.ceil(F.size(ws) / F.lit(20.0)) - 1).cast("int")
+            ),
+            lambda i: F.array_join(
+                F.slice(ws, i * span_len + 1, span_len), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = t.documents.withColumn("spans", spans).select(
+        "doc_id", F.posexplode("spans").alias("span_id", "span")
+    )
+    w_first = W.partitionBy("span").orderBy("doc_id", "span_id")
+    kept = (
+        ex.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_id", "span"))
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

@@ -500,3 +500,59 @@ def funnel_conversion(spark, sf_dir):
             ).alias("purchase_rate"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    intervals AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to
+      FROM starts)
+    SELECT user_id, event_type, valid_from, valid_to
+    FROM intervals
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to > TIMESTAMP '2024-01-15 00:00:00' OR valid_to IS NULL)
+    """,
+)
+def scd2_point_in_time(spark, sf_dir):
+    # "As of 2024-01-15, what state was each user in?" — the
+    # point-in-time lookup every SCD2 dimension exists to answer
+    # (training-data equivalent: reconstruct the corpus exactly as a
+    # past training run saw it). Builds on scd2_intervals and filters
+    # to the version covering the probe timestamp; at scale the filter
+    # prunes before the lead() materializes nothing extra — both
+    # windows and the filter share the one user_id exchange.
+    probe = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        t.events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    wl = W.partitionBy("user_id").orderBy("valid_from")
+    intervals = starts.withColumn(
+        "valid_to", F.lead("valid_from").over(wl)
+    )
+    return intervals.where(
+        (F.col("valid_from") <= probe)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+    ).select("user_id", "event_type", "valid_from", "valid_to")

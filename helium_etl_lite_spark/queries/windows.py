@@ -185,3 +185,29 @@ def win_first_last_value(spark, sf_dir):
         F.first("o_orderkey").over(w_first).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(8) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS octile
+    FROM customer
+    """,
+)
+def win_ntile(spark, sf_dir):
+    # Equal-height bucketing per segment (quantile cohorts, curriculum
+    # tiers). Partitioned by mktsegment so no single task sees the
+    # whole table; for the UNPARTITIONED global case use
+    # operators/scale.py distributed_ntile (sample_balance_buckets),
+    # which replaces the single-task global window with a two-level
+    # control plane.
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return t.customer.select(
+        "c_custkey", "c_mktsegment", F.ntile(8).over(w).alias("octile")
+    )

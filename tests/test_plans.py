@@ -332,3 +332,46 @@ def test_runtime_bloom_filter_join_fires_at_scale(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_importance_sampling_is_shuffle_free(spark, sf_dir):
+    # A Bernoulli keep/drop must be a pure filter: no exchange, one
+    # codegen span — anything else would mean the "sampler" secretly
+    # reshuffles 100 TB.
+    df = q("sample_importance_weighted", spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert_whole_stage_codegen(df)
+
+
+def test_paragraph_dedup_two_exchanges_no_token_explode_shuffle(spark, sf_dir):
+    # Span construction is row-local (split + transform/slice); the
+    # only exchanges are the first-occurrence window on span and the
+    # per-doc reassembly — a token-level explode+groupBy would add a
+    # third corpus-sized shuffle.
+    df = q("text_paragraph_dedup", spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_no_forced_broadcast(spark, sf_dir):
+    # MERGE sides both scale with the fact table — no hint allowed;
+    # AQE may broadcast a measured-small side.
+    df = q("merge_upsert_scd1", spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_win_ntile_single_exchange(spark, sf_dir):
+    df = q("win_ntile", spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+
+def test_scd2_point_in_time_shares_user_exchange(spark, sf_dir):
+    # Both window passes and the point-in-time filter ride one user_id
+    # exchange (same shape as scd2_intervals).
+    df = q("scd2_point_in_time", spark, sf_dir)
+    assert count_shuffles(df) == 1
