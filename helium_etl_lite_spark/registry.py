@@ -48,68 +48,59 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # registry here; everything else keeps module registration order behind
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
-    # r5 rotation (r4 verdict item 4): no query's latest verdict may
-    # predate the last edit of its module.
-    # (a) code/plan changed THIS round — must re-verify first:
-    "retention_cohort",      # broadcast hint removed (r5)
-    "funnel_conversion",     # broadcast hints removed (r5)
-    "ts_interpolate_linear",  # comment-only edit, re-confirm anyway
-    "ts_gapfill_locf",        # plan claims now test-pinned
-    # new queries added in r5 register here as they land:
-    "text_dedup_minhash_incremental",
-    "ts_resample_ohlc",
-    "sample_token_budget",
-    "vec_dedup_semantic",
+    # r6 rotation: every query whose code changed this round, plus the
+    # new registrations, must sit inside the driver's 50-query window.
+    # (a) NEW in r6:
+    "sample_mixture_interleave",
+    "sample_token_budget_bpe",
+    "win_ntile",
+    "merge_upsert_scd1",
+    "scd2_point_in_time",
+    "sample_importance_weighted",
+    "text_paragraph_dedup",
+    # (b) code changed in r6 — re-verify:
+    "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
+    "join_theta_range",          # binned instead of forced part broadcast
+    "text_tfidf",                # n_docs folded into the plan
+    "text_dedup_minhash",        # permutation-collapse fix (ADVICE r5 high)
+    "text_dedup_minhash_incremental",  # signature fix + O(batch) fold-in
+    "sink_roundtrip_parquet",    # scratch_dir instead of mkdtemp-per-call
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "sink_partitioned_prune",
+    "sink_compact_files",
     "source_schema_evolution",
-    "sample_reservoir_per_group",
-    # operators rewritten in r5 — their consumer queries re-verify
-    # (two-level prefix_sum/ntile in scale.py; row-local signatures +
-    # multi-table LSH in dedup.py/knn.py):
-    "pack_sequence_bins",
-    "sample_balance_buckets",
-    "text_dedup_minhash",
-    "text_tfidf",              # vocab-join hint dropped r5
-    "text_perplexity_unigram",  # vocab-join hint dropped r5
-    # (vec_ann_lsh re-verifies via group (b) below)
-    # (b) modules edited after these queries' last driver verdict
-    # (scalar_funcs + windows oracle casts landed r3, verdicts are r2;
-    # llm_ops was reorganized r3, these verdicts are r1/r2):
-    "str_funcs",
-    "date_funcs",
-    "array_funcs",
-    "map_funcs",
-    "json_funcs",
-    "hash_funcs",
-    "hash_funcs_xxhash64",
-    "cast_try_cast",
-    "win_row_number_topk_per_group",
-    "win_rank_dense_rank",
-    "win_lag_lead",
-    "win_running_sum_frame",
-    "win_first_last_value",
-    "text_tokenize_stats",
-    "text_dedup_exact",
-    "text_dedup_simhash",
-    "vec_ann_lsh",
-    "text_quality_score",
-    "text_token_count_regex",
-    "text_fingerprint_rolling",
-    "text_lang_id_ngram",
-    "multimodal_decode_stub",
-    # (c) oldest-first re-confirms — the r1 joins/filters block:
-    "filter_in_set",
-    "filter_null_semantics",
-    "filter_like_regex",
-    "case_when_dispatch",
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_sortmerge_large",
-    "join_left_right_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_asof_event_order",
-    "join_skew_salted",
-    "join_range_binned",
+    # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
+    "join_full_outer",
+    "join_cross",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "scan_predicate_pushdown",
+    "source_json_lines",
+    "sort_multi_key",
+    "limit_topk",
+    "distinct_dedup",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "stream_tumbling_window_agg",
+    "stream_sliding_window_agg",
+    "stream_session_window",
+    "stream_watermark_late_drop",
+    "stream_dedup_by_key",
+    "stream_cursor_incremental",
+    "stream_stateful_running_count",
+    "udf_scalar_python",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg",
+    "udtf_flatten",
+    "math_funcs",
+    "win_sliding_avg_range_frame",
+    "stream_stream_interval_join",
+    "text_clean_normalize",
+    "text_pii_scrub",
+    "text_vocab_prune",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

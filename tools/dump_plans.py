@@ -64,6 +64,18 @@ HEADLINE_NOTES = {
     "sample_token_budget": "two-level control-plane running total in (score DESC, id) order: NO SinglePartition anywhere; bounded (score, id-bucket) windows",
     "vec_dedup_semantic": "cluster-then-pair: within-cluster equi-join on list_id — no BNLJ/CartesianProduct",
     "source_schema_evolution": "mergeSchema read-back is a bare union-schema scan, no Exchange",
+    "sample_reservoir_per_group": "salted-sha256 rank window: ONE lang Exchange, no RNG, no SinglePartition",
+    "text_dedup_minhash_incremental": "probe = (band,bucket) equi-join vs partition-pruned state; no BNLJ; fold-in appends O(batch)",
+    # r6 queries
+    "join_theta_range": "band rides the __bin equi-key (r5 fix): no forced part broadcast, no BNLJ",
+    "text_fuzzy_levenshtein": "vocab self-join on the first-letter equi-key, NO broadcast hint (r5 fix); AQE may broadcast a measured-small vocab",
+    "sample_mixture_interleave": "group-count control table + ONE lang rank window + O(output) explode; no SinglePartition",
+    "sample_token_budget_bpe": "BPE encode is a narrow mapInPandas (no shuffle); selection reuses the two-level control plane",
+    "sample_importance_weighted": "pure filter: ZERO Exchange, one codegen span — the sampler never reshuffles the corpus",
+    "text_paragraph_dedup": "row-local span construction (split+transform/slice, no token explode-shuffle); two Exchanges: span first-occurrence window + doc_id reassembly",
+    "merge_upsert_scd1": "full-outer on the key with NO hint; AQE picks the strategy; one shuffle per side",
+    "win_ntile": "single mktsegment Exchange feeding the window",
+    "scd2_point_in_time": "both windows + PIT filter share ONE user_id Exchange",
 }
 
 
