@@ -504,6 +504,7 @@ def dedup_filter_new(
     state_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Incremental exact dedup, read side: the batch rows whose content
     hash has never been seen (anti-join against the persisted hash
@@ -511,8 +512,28 @@ def dedup_filter_new(
 
     The canonical ingest loop dedupes each new crawl batch against the
     WHOLE corpus so far; materializing only the content hashes keeps the
-    state O(distinct docs) * 32 bytes, and the anti-join shuffles on
-    text_hash — linear, no candidate pairs.
+    state O(distinct docs) * 32 bytes.
+
+    Probe shape — the state must never shuffle. A plain anti-join
+    repartitions BOTH sides on text_hash: O(corpus) shuffled bytes per
+    ingest batch, which at 100 TB of landed state dwarfs the batch
+    itself. Instead, when the batch's distinct-hash count fits
+    `max_broadcast_rows` (8 bytes/row broadcast — the batch is the
+    bounded side by definition in an ingest loop):
+
+      1. semi-join the state against a BROADCAST of the batch's 64-bit
+         xxhash64 fingerprints — one streaming scan of the state, no
+         exchange on it, output only the candidate matches (true
+         matches + ~2^-64 fingerprint collisions);
+      2. exact anti-join of the batch against that small candidate set
+         on the full 256-bit hash (AQE broadcasts it), which also
+         discards any fingerprint collisions.
+
+    Net shuffled/broadcast bytes: O(batch), independent of state size —
+    the same effect as a bloom-filter pushdown (zero false negatives,
+    verified positives) built from JVM-side primitives only. Batches
+    larger than the guard fall back to the shuffled anti-join, which is
+    the right plan when the batch is itself corpus-sized.
 
     Ordering contract (cursor-after-data discipline): land this
     function's output FIRST, then call dedup_state_add with it. A crash
@@ -527,6 +548,14 @@ def dedup_filter_new(
         seen = spark.read.parquet(state_path).select("text_hash")
     except Exception:
         return b
+    fps = b.select(F.xxhash64("text_hash").alias("__fp")).distinct()
+    if fps.count() <= max_broadcast_rows:
+        candidates = seen.join(
+            F.broadcast(fps),
+            F.xxhash64(seen["text_hash"]) == fps["__fp"],
+            "left_semi",
+        )
+        return b.join(candidates, "text_hash", "left_anti")
     return b.join(seen, "text_hash", "left_anti")
 
 

@@ -197,6 +197,48 @@ class TestIncrementalDedup:
         }
         assert set(got1) | set(got2) == keepers
 
+    def test_broadcast_probe_matches_shuffle_probe(self, spark, tmp_path):
+        # The fingerprint-broadcast probe (state never shuffles) must be
+        # row-identical to the plain shuffled anti-join, including under
+        # in-batch dups and normalization hits.
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "state")
+        b1 = self._docs(
+            spark, [(i, f"doc {i % 37}") for i in range(100)]
+        )
+        f1 = dedup.dedup_filter_new(spark, b1, state)
+        dedup.dedup_state_add(spark, f1, state)
+        b2 = self._docs(
+            spark,
+            [(1000 + i, f"doc {i % 61}") for i in range(100)]
+            + [(2000, "DOC 5  "), (2001, "doc 5")],
+        )
+        bc = sorted(
+            r["doc_id"] for r in dedup.dedup_filter_new(spark, b2, state).collect()
+        )
+        sh = sorted(
+            r["doc_id"]
+            for r in dedup.dedup_filter_new(
+                spark, b2, state, max_broadcast_rows=0
+            ).collect()
+        )
+        assert bc == sh
+
+    def test_broadcast_probe_state_side_never_shuffles(self, spark, tmp_path):
+        # Plan shape: the state scan feeds a BroadcastHashJoin LeftSemi
+        # (built from the batch fingerprints) — no Exchange may sit
+        # between the state parquet scan and the semi-join.
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "state")
+        b1 = self._docs(spark, [(1, "x"), (2, "y")])
+        f1 = dedup.dedup_filter_new(spark, b1, state)
+        dedup.dedup_state_add(spark, f1, state)
+        probe = dedup.dedup_filter_new(spark, self._docs(spark, [(3, "x"), (4, "z")]), state)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
     def test_replay_converges(self, spark, tmp_path):
         from helium_etl_lite_spark.operators import dedup
 
