@@ -601,6 +601,7 @@ def minhash_filter_new(
     jaccard_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup, read side: batch docs that are not
     near-duplicates of anything already in the persisted corpus state,
@@ -643,6 +644,15 @@ def minhash_filter_new(
         for r in probe.select(shard.alias("shard")).distinct().collect()
     ]
     state = state.where(F.col("shard").isin(touched))
+    # The state must never shuffle (same posture as dedup_filter_new):
+    # when the batch's distinct (band, bucket) keys fit the guard,
+    # semi-join the state against their broadcast — one streaming scan
+    # of the state, output only colliding buckets (small), which the
+    # verify join below then gets via AQE broadcast. A batch above the
+    # guard falls back to the shuffled equi-join.
+    bb = probe.select("band", "bucket").distinct()
+    if bb.count() <= max_broadcast_rows:
+        state = state.join(F.broadcast(bb), ["band", "bucket"], "left_semi")
     matches = F.size(
         F.filter(
             F.zip_with("sig", "state_sig", lambda a, b: (a == b).cast("int")),

@@ -293,6 +293,38 @@ class TestIncrementalMinhashDedup:
         f2 = dedup.minhash_filter_new(spark, b2, state, jaccard_threshold=0.5)
         assert sorted(r["doc_id"] for r in f2.collect()) == [6]
 
+    def test_broadcast_probe_matches_shuffle_probe(self, spark, tmp_path):
+        # Same contract as the exact-dedup probe: the band-bucket
+        # broadcast semi (state never shuffles) must be row-identical
+        # to the shuffled equi-join fallback.
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "mh_state")
+        vocab = "a b c d e f g h i j k l m n o p q r s t".split()
+        b1 = self._docs(
+            spark,
+            [(i, " ".join(vocab[i % 7 : i % 7 + 8])) for i in range(40)],
+        )
+        f1 = dedup.minhash_filter_new(spark, b1, state, jaccard_threshold=0.6)
+        dedup.minhash_state_add(spark, f1, state)
+        b2 = self._docs(
+            spark,
+            [(100 + i, " ".join(vocab[i % 11 : i % 11 + 9])) for i in range(40)],
+        )
+        bc = sorted(
+            r["doc_id"]
+            for r in dedup.minhash_filter_new(
+                spark, b2, state, jaccard_threshold=0.6
+            ).collect()
+        )
+        sh = sorted(
+            r["doc_id"]
+            for r in dedup.minhash_filter_new(
+                spark, b2, state, jaccard_threshold=0.6, max_broadcast_rows=0
+            ).collect()
+        )
+        assert bc == sh
+
     def test_replay_converges(self, spark, tmp_path):
         from helium_etl_lite_spark.operators import dedup
 
