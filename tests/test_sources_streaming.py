@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from helium_etl_lite_spark.etl import fixtures, transforms
@@ -376,3 +378,130 @@ class TestStreamStreamJoin:
         }
         want = {(u, 100 + u, 200 + u, 10.0 * u) for u in range(6)}
         assert got == want  # in-window purchases only, each exactly once
+
+
+class TestTransformWithStateDedup:
+    # Spark 4 stateful-v2 first-seen dedup. The engine path needs
+    # google.protobuf at runtime (not shipped in this container), so
+    # the processor's dedup logic is unit-tested directly against a
+    # fake state handle; the live-engine test self-skips where
+    # protobuf is absent and runs unchanged where it exists.
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def _run(self, proc, state, pdfs):
+        proc._seen = state
+        return list(proc.handleInputRows(("k",), iter(pdfs), None))
+
+    def test_processor_first_batch_emits_one_row(self):
+        import pandas as pd
+
+        from helium_etl_lite_spark.streaming.dedup_tws import FirstSeenProcessor
+
+        state = self._FakeValueState()
+        out = self._run(
+            FirstSeenProcessor(),
+            state,
+            [pd.DataFrame({"text_hash": ["h", "h"], "doc_id": [1, 3]})],
+        )
+        assert len(out) == 1 and len(out[0]) == 1
+        assert out[0]["doc_id"].iloc[0] == 1  # arrival order wins
+        assert state.get() == (1,)  # the in-batch dup was suppressed
+
+    def test_processor_later_batches_emit_nothing(self):
+        import pandas as pd
+
+        from helium_etl_lite_spark.streaming.dedup_tws import FirstSeenProcessor
+
+        state = self._FakeValueState()
+        proc = FirstSeenProcessor()
+        self._run(proc, state, [pd.DataFrame({"text_hash": ["h"], "doc_id": [1]})])
+        out = self._run(
+            proc,
+            state,
+            [
+                pd.DataFrame({"text_hash": ["h"], "doc_id": [9]}),
+                pd.DataFrame({"text_hash": ["h"], "doc_id": [10]}),
+            ],
+        )
+        assert out == []
+        assert state.get() == (2,)  # suppression count accumulates
+
+    def test_processor_empty_chunks_keep_state_untouched_semantics(self):
+        import pandas as pd
+
+        from helium_etl_lite_spark.streaming.dedup_tws import FirstSeenProcessor
+
+        state = self._FakeValueState()
+        out = self._run(
+            FirstSeenProcessor(),
+            state,
+            [pd.DataFrame({"text_hash": [], "doc_id": []})],
+        )
+        assert out == [] and state.get() == (0,)
+
+    def test_unavailable_runtime_fails_fast(self, spark):
+        from helium_etl_lite_spark.streaming import dedup_tws
+
+        if dedup_tws.tws_available():
+            pytest.skip("protobuf present: engine path is live")
+        rate = spark.readStream.format("rate").load()
+        with pytest.raises(RuntimeError, match="protobuf"):
+            dedup_tws.first_seen_stream(rate, "value")
+
+    def test_first_seen_across_and_within_batches(self, spark, tmp_path):
+        # Live-engine path: duplicates within a micro-batch AND across
+        # micro-batches emit nothing; each key's first arrival emits
+        # exactly once.
+        from helium_etl_lite_spark.streaming.dedup_tws import (
+            first_seen_stream,
+            tws_available,
+        )
+
+        if not tws_available():
+            pytest.skip("transformWithStateInPandas needs protobuf at runtime")
+
+        feed = tmp_path / "tws_feed"
+        feed.mkdir()
+        (feed / "a.json").write_text(
+            "\n".join(
+                json.dumps({"text_hash": h, "doc_id": d})
+                for h, d in [("h1", 1), ("h2", 2), ("h1", 3)]  # in-batch dup
+            )
+        )
+        (feed / "b.json").write_text(
+            "\n".join(
+                json.dumps({"text_hash": h, "doc_id": d})
+                for h, d in [("h2", 4), ("h3", 5)]  # cross-batch dup + fresh
+            )
+        )
+        stream = (
+            spark.readStream.schema("text_hash string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = (
+            first_seen_stream(stream, "text_hash")
+            .writeStream.format("memory")
+            .queryName("tws_first_seen")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM tws_first_seen").collect()
+        got = {r["text_hash"]: r["doc_id"] for r in rows}
+        assert len(rows) == 3  # one emission per distinct key
+        assert got["h1"] in (1, 3) and got["h2"] == 2 and got["h3"] == 5
