@@ -408,3 +408,31 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram_width_bucket(spark, sf_dir):
+    # Fixed-width value histogram (the quality-score / length
+    # distribution every curation report draws): bucket key computed
+    # row-side so the agg is an ordinary two-phase hash agg — output
+    # bounded by the bucket count, no sort anywhere.
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -333,3 +333,39 @@ def sample_importance_weighted(spark, sf_dir):
         .where(u < thr)
         .select("doc_id", "lang", "keep_prob")
     )
+
+
+@query(
+    "corpus_stats_report",
+    oracle="""
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)
+def corpus_stats_report(spark, sf_dir):
+    # The corpus dashboard: doc/char/token totals per (source, lang)
+    # cell, per source, and overall — one GROUPING SETS pass (a single
+    # Expand + one shuffle), not three scans. The report that gates
+    # every mixture/curation decision upstream of training.
+    # avg_chars rounds on BOTH sides; total_ws_tokens is an integral
+    # sum so FP order cannot drift.
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT COALESCE(source, '<all>') AS source,
+               COALESCE(lang, '<all>') AS lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               SUM(CAST(size(split(text, ' ')) AS BIGINT)) AS total_ws_tokens,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        """
+    )

@@ -1283,3 +1283,56 @@ def text_paragraph_dedup(spark, sf_dir):
             " ",
         ).alias("text_dedup"),
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE
+      t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+            FROM documents),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+                   AS jaccard
+          FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.85),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY component)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark, sf_dir):
+    # The dedup QA report every pipeline publishes before committing a
+    # destructive dedup pass: near-dup cluster size distribution and
+    # how many docs a keeper-per-cluster policy would remove. Built on
+    # the same pair graph + transitive closure as
+    # dedup_cluster_components; two tiny aggs on top (component sizes,
+    # then the size histogram — output bounded by max cluster size).
+    t = Tables(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs_blas(
+        t.documents, block_col="lang", threshold=0.85
+    )
+    comp = dedup.connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )

@@ -58,6 +58,9 @@ FRONT_OF_WINDOW: list[str] = [
     "scd2_point_in_time",
     "sample_importance_weighted",
     "text_paragraph_dedup",
+    "dedup_cluster_stats",
+    "corpus_stats_report",
+    "agg_histogram_width_bucket",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -98,9 +101,6 @@ FRONT_OF_WINDOW: list[str] = [
     "math_funcs",
     "win_sliding_avg_range_frame",
     "stream_stream_interval_join",
-    "text_clean_normalize",
-    "text_pii_scrub",
-    "text_vocab_prune",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
