@@ -557,3 +557,165 @@ def cosine_pairs_blocked_np(
     return res.select(
         "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 0,
+    block_target: int = 1024,
+    max_centroid_rows: int = 500_000,
+) -> DataFrame:
+    """SemDeDup-style cluster-then-pair near-dup detection, shaped so
+    EVERY cost term is subquadratic and every task is bounded — the
+    scale lesson from the r6 bench's 10x lane, where the previous form
+    (8 fixed clusters, per-pair JVM cosine) ran 26.5x on 10x data:
+
+    - `n_lists` defaults to sqrt(N) (classic IVF sizing): per-cluster
+      size ~sqrt(N), total within-cluster pair work N^1.5, centroid
+      table ~sqrt(N) rows (1 B vectors -> ~31.6 k centroids: genuinely
+      control-plane, guarded by `max_centroid_rows`).
+    - centroid assignment is a NARROW mapInPandas with the centroid
+      matrix in the closure — O(N * sqrt(N) * d) flops vectorized in
+      numpy, zero shuffle — replacing O(N*L) per-pair SQL aggregates
+      (the hidden quadratic-ish term the old form paid twice: once in
+      Lloyd, once in the final assignment).
+    - within-cluster scoring reuses the balanced block-pair scheme of
+      cosine_pairs_blocked_np, sub-blocking any cluster larger than
+      `block_target` so one hot cluster (e.g. a 10x-duplicated corpus)
+      spreads over (s/block_target)^2 tasks instead of one straggler.
+
+    Approximation contract (rows-only): near-dups must co-cluster to
+    be found. At production thresholds (>= 0.85) that is overwhelmingly
+    likely; at low thresholds on uniform vectors recall degrades as
+    cluster count grows — that trade IS SemDeDup, the exact twin is
+    vec_dedup_cosine.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    N = vectors.count()
+    L = int(n_lists) if n_lists else max(8, math.isqrt(N))
+    if L > max_centroid_rows:
+        raise ValueError(
+            f"semantic_dedup_pairs: n_lists={L} exceeds "
+            f"max_centroid_rows={max_centroid_rows}; cap n_lists (cluster "
+            "sizes grow sqrt-style, staying subquadratic) or raise the "
+            "bound deliberately"
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e")
+    )
+
+    # deterministic seeds: the L smallest ids (TakeOrdered — no global sort)
+    seed_rows = v.orderBy("vid").limit(L).collect()
+    cents = np.stack([np.asarray(r["e"], dtype=np.float64) for r in seed_rows])
+
+    def assigner(cent_matrix):
+        # nearest centroid by squared L2; ties -> lowest centroid index
+        # (np.argmin returns the first minimum; rows are in id order).
+        c2 = (cent_matrix * cent_matrix).sum(axis=1)
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
+                d = c2[None, :] - 2.0 * (X @ cent_matrix.T)
+                pdf = pdf[["vid"]].copy()
+                pdf["list_id"] = np.argmin(d, axis=1).astype("int64")
+                yield pdf
+
+        return assign
+
+    # one Lloyd pass: np-assign -> distributed element-wise mean
+    assigned = v.mapInPandas(assigner(cents), "vid long, list_id long")
+    means = (
+        v.join(assigned, "vid")
+        .select("list_id", F.posexplode("e").alias("pos", "val"))
+        .groupBy("list_id", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("list_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select("list_id", F.transform("pm", lambda s: s["m"]).alias("ce"))
+        .orderBy("list_id")
+        .collect()
+    )
+    # clusters may die in a Lloyd pass; keep survivors in list_id order
+    refined = np.stack([np.asarray(r["ce"], dtype=np.float64) for r in means])
+    final = v.mapInPandas(assigner(refined), "vid long, list_id long")
+
+    # balanced within-cluster block pairs (cosine_pairs_blocked_np's
+    # scheme with the cluster id prepended to the block key)
+    avg_cluster = max(1, N // max(1, len(means)))
+    B = max(1, math.ceil(avg_cluster / block_target))
+    w = v.join(final, "vid").withColumn(
+        "nrm", l2_norm(F.col("e"))
+    ).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(B)).cast("int")
+    )
+    left = w.select(
+        "vid", "e", "nrm", "list_id",
+        F.col("blk").alias("blk_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("blk_b"),
+        F.lit(0).alias("side"),
+    )
+    right = w.select(
+        "vid", "e", "nrm", "list_id",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
+        F.col("blk").alias("blk_b"),
+        F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
+    thr_margin = float(threshold) - 1e-6
+    out_schema = "vec_a long, vec_b long, list_id long, cos_raw double"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        list_id, blk_a, blk_b = key
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "list_id": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        Lf = pdf[pdf["side"] == 0]
+        Rf = pdf[pdf["side"] == 1]
+        if len(Lf) == 0 or len(Rf) == 0:
+            return empty
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in Lf["e"]])
+        Bm = np.stack([np.asarray(x, dtype=np.float64) for x in Rf["e"]])
+        c = (A @ Bm.T) / (
+            Lf["nrm"].to_numpy()[:, None] * Rf["nrm"].to_numpy()[None, :]
+        )
+        ia, ib = np.nonzero(c >= thr_margin)
+        if ia.size == 0:
+            return empty
+        da = Lf["vid"].to_numpy()[ia]
+        db = Rf["vid"].to_numpy()[ib]
+        cv = c[ia, ib]
+        keep = (blk_a != blk_b) | (da < db)
+        da, db, cv = da[keep], db[keep], cv[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(da, db),
+                "vec_b": np.maximum(da, db),
+                "list_id": np.full(da.shape, list_id, dtype="int64"),
+                "cos_raw": cv,
+            }
+        )
+
+    res = both.groupBy("list_id", "blk_a", "blk_b").applyInPandas(
+        kernel, out_schema
+    )
+    return res.select(
+        "vec_a", "vec_b", "list_id", F.round("cos_raw", 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -185,40 +185,20 @@ def vec_ann_lsh(spark, sf_dir):
 def vec_dedup_semantic(spark, sf_dir):
     # SemDeDup-style embedding dedup — the scale-safe alternative to
     # the exact all-pairs cosine self-join at PRODUCTION thresholds:
-    # cluster first (IVF build: deterministic seeds + one Lloyd pass),
-    # then score pairs ONLY within a cluster (equi-join on list_id with
-    # id-ordered dedup). True near-dups land in the same cluster with
-    # overwhelming probability, and the quadratic term shrinks from N^2
-    # to sum of per-cluster sizes squared — at 100 TB the cluster count
-    # scales with the corpus, keeping per-cluster work bounded, vs
-    # vec_dedup_cosine's O(N^2) by problem statement. tau=0.4 binds on
-    # these uniform synthetic vectors (max within-cluster sim 0.47) (production corpora use 0.85+;
+    # cluster first (sqrt(N) clusters, numpy centroid assignment in a
+    # narrow mapInPandas), then score pairs ONLY within a cluster with
+    # the balanced block-pair numpy kernel. True near-dups land in the
+    # same cluster with overwhelming probability at production
+    # thresholds; total pair work is N^1.5 and any hot cluster (a
+    # heavily duplicated corpus) sub-blocks across tasks instead of
+    # straggling. The r5 form fixed n_lists=8 and scored per-pair in
+    # SQL — the r6 bench's 10x lane measured it at 26.5x on 10x data
+    # (one task per cluster, quadratic cluster sizes); this form is the
+    # fix (operators/knn.py semantic_dedup_pairs). tau=0.4 binds on
+    # these uniform synthetic vectors (production corpora use 0.85+;
     # at 0.85 this table is empty here).
     t = Tables(spark, sf_dir)
-    emb = t.embeddings
-    _, lists = knn.ivf_build(emb, n_lists=8)
-    v = emb.join(lists, "vec_id").select(
-        "vec_id", "list_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"), "list_id", F.col("e").alias("ea")
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("list_id").alias("list_b"),
-        F.col("e").alias("eb"),
-    )
-    return (
-        a.join(b, (F.col("list_id") == F.col("list_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            "list_id",
-            F.round(knn.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.4)
-    )
+    return knn.semantic_dedup_pairs(t.embeddings, threshold=0.4)
 
 
 @query("vec_ann_ivf")  # rows-only: approximate by construction (probe subset)

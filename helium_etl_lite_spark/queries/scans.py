@@ -239,3 +239,42 @@ def source_schema_evolution(spark, sf_dir):
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@query(
+    "sink_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def sink_bucketed_colocated_join(spark, sf_dir):
+    # The pay-once layout for recurring fact-fact joins: both sides
+    # written bucketed+sorted on the join key, so the join is a
+    # sort-merge with NO Exchange on either side, and the per-order
+    # aggregation rides the same bucket distribution (grouping keys ⊇
+    # partitioning key ⇒ no exchange there either) — the whole
+    # join+agg plan is shuffle-free. At 100 TB this is the difference
+    # between shuffling both fact tables on every nightly join and
+    # shuffling them once at layout time (operators/scale.py
+    # write_bucketed/bucketed_join; plan test pins zero shuffles).
+    from ..operators.scale import bucketed_join
+
+    t = Tables(spark, sf_dir)
+    left = t.orders.select("o_orderkey", "o_totalprice")
+    right = t.lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    j = bucketed_join(
+        spark, left, right, "o_orderkey", n_buckets=8, name_prefix="q_bkt"
+    )
+    return j.groupBy(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )

@@ -61,6 +61,7 @@ FRONT_OF_WINDOW: list[str] = [
     "dedup_cluster_stats",
     "corpus_stats_report",
     "agg_histogram_width_bucket",
+    "sink_bucketed_colocated_join",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast

@@ -441,3 +441,92 @@ class TestAnnRecall:
             for r in knn._lsh_table_buckets_np(sub, 4, 6, 64).collect()
         }
         assert jvm == np_
+
+
+class TestSemanticDedupPairs:
+    # operators/knn.py semantic_dedup_pairs — the r6 scale-lane fix:
+    # sqrt(N) clusters, numpy assignment, sub-blocked in-cluster pairs.
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_finds_exact_duplicates(self, spark):
+        # identical vectors always co-cluster (same distances), so
+        # exact dups are found regardless of cluster count
+        base = [[float(i % 7), float((i * 3) % 5), 1.0] for i in range(30)]
+        rows = [(i, base[i]) for i in range(30)]
+        rows += [(100 + i, base[i]) for i in range(30)]  # exact copies
+        out = knn.semantic_dedup_pairs(
+            self._vecs(spark, rows), threshold=0.999999
+        )
+        got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+        for i in range(30):
+            assert (i, 100 + i) in got
+
+    def test_subset_of_exact_pairs_and_sim_values_match(self, spark):
+        # every reported pair must appear in the exact all-pairs result
+        # with the same rounded similarity (clustering may drop pairs,
+        # never invent or mis-score them)
+        rows = [
+            (i, [float((i * j) % 11 - 5) for j in range(1, 9)])
+            for i in range(60)
+        ]
+        v = self._vecs(spark, rows)
+        approx = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in knn.semantic_dedup_pairs(v, threshold=0.4).collect()
+        }
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in knn.cosine_pairs_blocked_np(v, threshold=0.4).collect()
+        }
+        assert set(approx) <= set(exact)
+        for k, s in approx.items():
+            assert abs(s - exact[k]) < 1e-9
+
+    def test_partition_invariance(self, spark):
+        rows = [
+            (i, [float((i * j) % 7 - 3) for j in range(1, 7)])
+            for i in range(50)
+        ]
+        a = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in knn.semantic_dedup_pairs(
+                self._vecs(spark, rows), 0.4
+            ).collect()
+        )
+        b = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in knn.semantic_dedup_pairs(
+                self._vecs(spark, rows).repartition(7), 0.4
+            ).collect()
+        )
+        assert a == b
+
+    def test_subblocking_splits_hot_cluster(self, spark):
+        # with block_target=4 a 40-vector cluster must spread over
+        # multiple block-pair groups yet report the same pairs
+        base = [(i, [1.0, float(i) * 1e-6, 0.0]) for i in range(40)]
+        v = self._vecs(spark, base)
+        fine = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in knn.semantic_dedup_pairs(
+                v, 0.999, n_lists=1, block_target=4
+            ).collect()
+        )
+        coarse = sorted(
+            (r["vec_a"], r["vec_b"])
+            for r in knn.semantic_dedup_pairs(
+                v, 0.999, n_lists=1, block_target=1024
+            ).collect()
+        )
+        assert fine == coarse and len(fine) > 0
+
+    def test_centroid_guard_raises(self, spark):
+        rows = [(i, [float(i), 1.0]) for i in range(20)]
+        import pytest
+
+        with pytest.raises(ValueError, match="max_centroid_rows"):
+            knn.semantic_dedup_pairs(
+                self._vecs(spark, rows), 0.5, n_lists=10, max_centroid_rows=5
+            )

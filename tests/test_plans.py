@@ -375,3 +375,10 @@ def test_scd2_point_in_time_shares_user_exchange(spark, sf_dir):
     # exchange (same shape as scd2_intervals).
     df = q("scd2_point_in_time", spark, sf_dir)
     assert count_shuffles(df) == 1
+
+
+def test_bucketed_colocated_join_is_shuffle_free(spark, sf_dir):
+    # The whole point of the bucketed layout: join AND the per-order
+    # agg ride the bucket distribution — zero Exchange in the plan.
+    df = q("sink_bucketed_colocated_join", spark, sf_dir)
+    assert count_shuffles(df) == 0

@@ -62,7 +62,7 @@ HEADLINE_NOTES = {
     "agg_mode_deterministic": "count-per-value agg then per-group max window/agg — two shuffles, no global sort",
     # r5 queries
     "sample_token_budget": "two-level control-plane running total in (score DESC, id) order: NO SinglePartition anywhere; bounded (score, id-bucket) windows",
-    "vec_dedup_semantic": "cluster-then-pair: within-cluster equi-join on list_id — no BNLJ/CartesianProduct",
+    "vec_dedup_semantic": "cluster-then-pair: sqrt(N) clusters, numpy assignment in a narrow mapInPandas (no shuffle), sub-blocked in-cluster pair kernel — ONE applyInPandas exchange, no BNLJ/CartesianProduct",
     "source_schema_evolution": "mergeSchema read-back is a bare union-schema scan, no Exchange",
     "sample_reservoir_per_group": "salted-sha256 rank window: ONE lang Exchange, no RNG, no SinglePartition",
     "text_dedup_minhash_incremental": "probe = (band,bucket) equi-join vs partition-pruned state; no BNLJ; fold-in appends O(batch)",
