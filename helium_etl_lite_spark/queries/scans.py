@@ -264,9 +264,10 @@ def sink_bucketed_colocated_join(spark, sf_dir):
     # write_bucketed/bucketed_join; plan test pins zero shuffles).
     from ..operators.scale import bucketed_join
 
-    t = Tables(spark, sf_dir)
-    left = t.orders.select("o_orderkey", "o_totalprice")
-    right = t.lineitem.select(
+    left = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    right = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
     j = bucketed_join(

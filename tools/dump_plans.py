@@ -76,6 +76,7 @@ HEADLINE_NOTES = {
     "merge_upsert_scd1": "full-outer on the key with NO hint; AQE picks the strategy; one shuffle per side",
     "win_ntile": "single mktsegment Exchange feeding the window",
     "scd2_point_in_time": "both windows + PIT filter share ONE user_id Exchange",
+    "sink_bucketed_colocated_join": "bucketed layout both sides: SortMergeJoin AND per-order agg with ZERO Exchange (the agg rides the bucket distribution)",
 }
 
 
