@@ -614,6 +614,10 @@ def semantic_dedup_pairs(
 
     # deterministic seeds: the L smallest ids (TakeOrdered — no global sort)
     seed_rows = v.orderBy("vid").limit(L).collect()
+    if not seed_rows:
+        return vectors.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, list_id long, cos_sim double"
+        )
     cents = np.stack([np.asarray(r["e"], dtype=np.float64) for r in seed_rows])
 
     def assigner(cent_matrix):

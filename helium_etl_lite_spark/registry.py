@@ -62,6 +62,7 @@ FRONT_OF_WINDOW: list[str] = [
     "corpus_stats_report",
     "agg_histogram_width_bucket",
     "sink_bucketed_colocated_join",
+    "vec_dedup_semantic",       # rewritten r6: sqrt(N) clusters + np kernels
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
