@@ -315,3 +315,72 @@ def sample_frames(decoded: DataFrame, every_n: int = 4, fps: float = 24.0) -> Da
     ).withColumn("frame_ts", F.round(F.col("frame_idx") / F.lit(fps), 6))
 
 
+
+
+def _pixels_netpbm(data: bytes) -> np.ndarray:
+    """Pixel plane of a binary PPM/PGM as (height, width) grayscale
+    float64 (channel mean for P6)."""
+    channels = 3 if data[:2] == b"P6" else 1
+    (width, height, maxval), off = _ppm_tokens(data, 3)
+    bps = 2 if maxval > 255 else 1
+    n = width * height * channels
+    px = np.frombuffer(
+        data[off : off + n * bps], dtype=">u2" if bps == 2 else np.uint8
+    ).astype(np.float64)
+    if px.size < n:
+        raise ValueError("truncated netpbm pixel plane")
+    img = px.reshape(height, width, channels)
+    return img.mean(axis=2)
+
+
+def _dhash_bits(gray: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash: area-downsample to (hash_h, hash_w+1) blocks,
+    bit = left block mean < right block mean. 64 bits at the default
+    size. Robust to resolution and brightness scaling; one flipped
+    source byte moves one block mean epsilon — identical or near-
+    identical hashes for near-identical images."""
+    rows = np.array_split(gray, hash_h, axis=0)
+    bits = 0
+    for r in rows:
+        cells = [c.mean() for c in np.array_split(r, hash_w + 1, axis=1)]
+        for i in range(hash_w):
+            bits = (bits << 1) | int(cells[i] < cells[i + 1])
+    return bits
+
+
+def dhash_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual (difference) hash per binary image payload — the
+    image-side analog of the text content hash: visually-identical
+    images collide regardless of byte-level differences in headers or
+    encoding. Narrow Arrow mapInPandas, no shuffle; payloads without a
+    supported decoder hash their raw bytes through the same block
+    pipeline (deterministic, labeled by the fmt column from the
+    decode dispatch).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, fmts = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] in (b"P6", b"P5"):
+                    gray = _pixels_netpbm(b)
+                    fmt = "ppm" if b[:2] == b"P6" else "pgm"
+                else:
+                    # opaque fallback: bytes as a 1-row image
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                    gray = arr.reshape(1, -1) if arr.size else np.zeros((1, 9))
+                    fmt = "opaque"
+                # pad degenerate widths so 9 column-blocks exist
+                if gray.shape[1] < 9:
+                    gray = np.pad(gray, ((0, 0), (0, 9 - gray.shape[1])))
+                ids.append(doc_id)
+                hashes.append(format(_dhash_bits(gray), "016x"))
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {"doc_id": ids, "phash": hashes, "fmt": fmts}
+            )
+
+    return assets.select(id_col, "payload").mapInPandas(
+        kernel, schema="doc_id long, phash string, fmt string"
+    )

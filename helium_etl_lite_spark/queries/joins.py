@@ -363,3 +363,62 @@ def join_range_binned(spark, sf_dir):
         F.count(F.lit(1)).alias("n_in_window"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT c.event_id, c.user_id, c.ts, p.p_id, p.p_ts, p.p_value,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.p_ts DESC NULLS LAST, p.p_id DESC NULLS LAST
+             ) AS rn
+      FROM clicks c
+      LEFT JOIN purch p
+        ON p.user_id = c.user_id
+       AND p.p_ts <= c.ts
+       AND p.p_ts >= c.ts - INTERVAL 10 MINUTE)
+    SELECT event_id, user_id, ts, p_id, p_ts, p_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    # As-of join with a tolerance band — the attribution-window shape
+    # ("the purchase this click gets credit for must be within 10
+    # minutes"). Unlike the unbounded as-of (join_asof_event_order,
+    # merge/union plan), the tolerance BOUNDS the band, which makes the
+    # pairwise plan the right one at scale: the range predicate caps
+    # rows-per-left-row at the band's event density, so the equi-join
+    # on user_id never blows up, and Catalyst keeps it a plain shuffled
+    # hash join (no BNLJ — the equi-key carries the join).
+    from ..operators.asof_join import asof_join
+
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        left_id="event_id",
+        left_on="user_id",
+        right_on="p_user",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_tiebreak="p_id",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return out.select("event_id", "user_id", "ts", "p_id", "p_ts", "p_value")

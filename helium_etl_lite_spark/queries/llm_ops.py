@@ -1316,3 +1316,84 @@ def dedup_cluster_stats(spark, sf_dir):
         F.sum("cluster_size").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).alias("n_removable"),
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_src, b.doc_id AS doc_sup, a.lang AS block,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / CAST(len(a.toks) AS DOUBLE), 6) AS containment
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+    WHERE containment >= 0.95
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    # One-sided containment |A∩B|/|A| — the asymmetric twin of Jaccard
+    # that Jaccard misses by construction: a doc wholly quoted inside a
+    # much larger doc has tiny Jaccard but containment ~1 (the
+    # subset-duplication check used for code/corpus dedup, e.g. license
+    # headers, boilerplate inclusion, quoted articles). Directed pairs:
+    # doc_src's tokens are >=95% present in doc_sup.
+    #
+    # Same contract as dedup_ngram_jaccard: exact by problem statement,
+    # blocked by lang so the quadratic term is per-block; the
+    # subquadratic production screen is MinHash (estimates Jaccard) or
+    # the containment-specific variant of banding over the SMALLER
+    # set's signature — the exact form here is the verifier those
+    # screens feed.
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_src"),
+        F.col("lang").alias("block"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_sup"),
+        F.col("lang").alias("block"),
+        F.col("toks").alias("toks_b"),
+    )
+    cont = F.round(
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size("toks_a").cast("double"),
+        6,
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_src") != F.col("doc_sup"))
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= 0.95)
+        .select("doc_src", "doc_sup", "block", "containment")
+    )
+
+
+@query("multimodal_phash_dedup")  # rows-only: binary image decode is not SQL-expressible
+def multimodal_phash_dedup(spark, sf_dir):
+    # Image near-dup dedup over the binary asset table: every payload
+    # gets a 64-bit perceptual difference-hash (dHash — block-mean
+    # gradient signs, robust to resolution/brightness changes that
+    # break byte-level hashing), then visually-identical groups
+    # collapse to (phash, n_copies, keeper). The image-side analog of
+    # text_dedup_exact, and the multimodal step a real crawl pipeline
+    # runs between decode and training. Narrow decode+hash map (no
+    # shuffle), one hash agg on the 64-bit key — linear end to end.
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_ppm(t.documents, width=24)
+    hashed = multimodal.dhash_assets(assets)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("phash")
+    )

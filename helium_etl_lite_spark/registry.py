@@ -63,6 +63,9 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_histogram_width_bucket",
     "sink_bucketed_colocated_join",
     "vec_dedup_semantic",       # rewritten r6: sqrt(N) clusters + np kernels
+    "join_asof_tolerance",
+    "dedup_containment",
+    "multimodal_phash_dedup",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -100,9 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "udf_pandas_vectorized",
     "udaf_grouped_agg",
     "udtf_flatten",
-    "math_funcs",
-    "win_sliding_avg_range_frame",
-    "stream_stream_interval_join",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

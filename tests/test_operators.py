@@ -530,3 +530,73 @@ class TestSemanticDedupPairs:
             knn.semantic_dedup_pairs(
                 self._vecs(spark, rows), 0.5, n_lists=10, max_centroid_rows=5
             )
+
+
+class TestDhashAssets:
+    # operators/multimodal.py dhash_assets: perceptual difference hash
+
+    @staticmethod
+    def _ppm(gray_rows):
+        # build a P5 (grayscale) netpbm from a 2-D list of 0-255 ints
+        import numpy as np
+
+        a = np.asarray(gray_rows, dtype=np.uint8)
+        h, w = a.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+    def _assets(self, spark, payloads):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+
+    def test_identical_payloads_collide(self, spark):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal
+
+        img = self._ppm(np.arange(16 * 18).reshape(16, 18) % 256)
+        out = multimodal.dhash_assets(
+            self._assets(spark, [img, img, img])
+        ).collect()
+        assert len({r["phash"] for r in out}) == 1
+        assert all(r["fmt"] == "pgm" for r in out)
+
+    def test_distinct_gradients_differ(self, spark):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal
+
+        inc = self._ppm(np.tile(np.arange(0, 180, 10), (16, 1)))
+        dec = self._ppm(np.tile(np.arange(180, 0, -10), (16, 1)))
+        out = {r["doc_id"]: r["phash"] for r in multimodal.dhash_assets(
+            self._assets(spark, [inc, dec])
+        ).collect()}
+        assert out[0] != out[1]
+
+    def test_brightness_and_resolution_invariance(self, spark):
+        # dHash depends only on the SIGN of adjacent block-mean
+        # differences: doubling brightness or resolution preserves it.
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal
+
+        base = np.tile(np.arange(0, 90, 5), (16, 1))
+        bright = np.clip(base * 2, 0, 255)
+        hires = np.kron(base, np.ones((2, 2))).astype(np.uint8)
+        out = {r["doc_id"]: r["phash"] for r in multimodal.dhash_assets(
+            self._assets(
+                spark,
+                [self._ppm(base), self._ppm(bright), self._ppm(hires)],
+            )
+        ).collect()}
+        assert out[0] == out[1] == out[2]
+
+    def test_opaque_fallback_deterministic(self, spark):
+        from helium_etl_lite_spark.operators import multimodal
+
+        out = multimodal.dhash_assets(
+            self._assets(spark, [b"not an image at all", b"not an image at all"])
+        ).collect()
+        assert out[0]["phash"] == out[1]["phash"]
+        assert all(r["fmt"] == "opaque" for r in out)
