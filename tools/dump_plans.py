@@ -77,6 +77,12 @@ HEADLINE_NOTES = {
     "win_ntile": "single mktsegment Exchange feeding the window",
     "scd2_point_in_time": "both windows + PIT filter share ONE user_id Exchange",
     "sink_bucketed_colocated_join": "bucketed layout both sides: SortMergeJoin AND per-order agg with ZERO Exchange (the agg rides the bucket distribution)",
+    "join_asof_tolerance": "band-bounded pairwise as-of: equi-join on user_id carries the plan (no BNLJ); per-event top-1 window",
+    "dedup_containment": "lang-blocked directed pairs; array_intersect/size codegen'd; exact-by-contract quadratic per block",
+    "multimodal_phash_dedup": "encode+dhash as narrow mapInPandas stages (no shuffle) + ONE hash agg on the 64-bit key",
+    "dedup_cluster_stats": "closure (iterative join+agg) then two bounded aggs: component sizes -> size histogram",
+    "corpus_stats_report": "one GROUPING SETS pass: single Expand + one shuffle for all three granularities",
+    "agg_histogram_width_bucket": "row-side bucket key -> two-phase hash agg; no sort",
 }
 
 
