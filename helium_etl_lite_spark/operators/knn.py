@@ -723,3 +723,174 @@ def semantic_dedup_pairs(
     return res.select(
         "vec_a", "vec_b", "list_id", F.round("cos_raw", 6).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    train_limit: int = 65_536,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: the vector dimension is
+    split into `m` subspaces, each clustered into `k` centroids; a
+    vector then encodes as m sub-centroid ids — 8 bytes at (m=8, k<=256)
+    vs 256 bytes of float32, the 32x memory compression that makes
+    billion-vector ANN fit a cluster's RAM (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Training is control-plane by design — production PQ (e.g. FAISS)
+    trains codebooks on a bounded sample because k-means over m tiny
+    subspaces needs thousands of rows, not the corpus: the
+    `train_limit` lowest ids (deterministic, TakeOrdered) come to the
+    driver and each subspace runs `n_iters` Lloyd iterations in numpy
+    with first-k-rows seeding and lowest-index tie-breaks, so the same
+    corpus always yields the same codebooks. Returns an
+    (m, k, dim/m) float64 array.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("e"))
+        .orderBy("vid")
+        .limit(train_limit)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: no vectors to train on")
+    X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:k].copy()  # deterministic seeding
+        for _ in range(n_iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first minimum: lowest id
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m sub-centroid ids (array<int>, one
+    byte of information each at k<=256). Narrow mapInPandas — the
+    codebooks ride the closure (m*k*dsub doubles, constant), nothing
+    shuffles; at 100 TB this is the one full-corpus pass PQ ever takes,
+    and the output is ~32x smaller than its input."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, k, dsub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (books[s] ** 2).sum(axis=1)[None, :]
+                    - 2.0 * (Xs @ books[s].T)
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = pd.DataFrame({"vec_id": pdf[id_col].to_numpy()})
+            out["codes"] = list(codes)
+            yield out
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k_neighbors: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): each
+    query precomputes an (m, k) table of exact sub-distances to every
+    sub-centroid, and a corpus vector's approximate distance is m table
+    lookups on its CODES — the full-precision corpus is never read at
+    query time.
+
+    Scale shape: queries (with their tables) ride the mapInPandas
+    closure — Q * m * k doubles, the always-safe broadcast; the encoded
+    corpus streams through with no shuffle; the only exchange is the
+    per-query top-k window at the end, over Q bounded partitions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, k, dsub = books.shape
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe"))
+        .orderBy("qid")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("pq_ann_topk: empty query set")
+    q_ids = np.array([r["qid"] for r in q_rows])
+    Q = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in q_rows])
+    # (n_q, m, k) exact sub-distances query -> every sub-centroid
+    tables = np.empty((len(Q), m, k))
+    for s in range(m):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = (
+            (books[s] ** 2).sum(axis=1)[None, :]
+            - 2.0 * (Qs @ books[s].T)
+            + (Qs ** 2).sum(axis=1)[:, None]
+        )
+
+    encoded = pq_encode(vectors, books, id_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # adc[q, v] = sum_s tables[q, s, C[v, s]]
+            adc = np.zeros((len(q_ids), len(C)))
+            for s in range(m):
+                adc += tables[:, s, :][:, C[:, s]]
+            vids = pdf["vec_id"].to_numpy()
+            n_q = len(q_ids)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, len(C)),
+                    "vec_id": np.tile(vids, n_q),
+                    "adc_dist": adc.reshape(-1),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        score, schema="q_id long, vec_id long, adc_dist double"
+    ).where(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_neighbors)
+        .select("q_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rn")
+    )

@@ -1397,3 +1397,22 @@ def multimodal_phash_dedup(spark, sf_dir):
         )
         .orderBy("phash")
     )
+
+
+@query("vec_ann_pq")  # rows-only: approximate by construction (quantized distances)
+def vec_ann_pq(spark, sf_dir):
+    # Product-quantization ANN (Jégou 2011): 64-dim float corpus
+    # compressed to 8 sub-centroid ids per vector (32x), queried by
+    # asymmetric distance over per-query lookup tables. The memory-side
+    # answer the IVF/LSH variants don't give: at billions of vectors
+    # the ENCODED corpus fits executor RAM, and query time never touches
+    # the original floats. Codebook training is control-plane on a
+    # bounded deterministic sample (operators/knn.py pq_train); encode
+    # and ADC scoring are narrow mapInPandas passes; the only exchange
+    # is the per-query top-k window.
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    books = knn.pq_train(emb, m=8, k=16)
+    return knn.pq_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), books, k_neighbors=10
+    )

@@ -66,6 +66,7 @@ FRONT_OF_WINDOW: list[str] = [
     "join_asof_tolerance",
     "dedup_containment",
     "multimodal_phash_dedup",
+    "vec_ann_pq",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "udf_scalar_python",
     "udf_pandas_vectorized",
     "udaf_grouped_agg",
-    "udtf_flatten",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

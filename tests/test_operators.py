@@ -600,3 +600,79 @@ class TestDhashAssets:
         ).collect()
         assert out[0]["phash"] == out[1]["phash"]
         assert all(r["fmt"] == "opaque" for r in out)
+
+
+class TestProductQuantization:
+    # operators/knn.py pq_train / pq_encode / pq_ann_topk
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    @staticmethod
+    def _clustered(n_per, n_clusters, dim=8):
+        # well-separated clusters: PQ must achieve high recall here
+        rows = []
+        for c in range(n_clusters):
+            center = [10.0 * ((c >> b) & 1) for b in range(dim)]
+            for i in range(n_per):
+                rows.append(
+                    (
+                        c * n_per + i,
+                        [center[d] + 0.01 * ((i * (d + 1)) % 7) for d in range(dim)],
+                    )
+                )
+        return rows
+
+    def test_train_shape_and_determinism(self, spark):
+        v = self._vecs(spark, self._clustered(10, 4))
+        b1 = knn.pq_train(v, m=4, k=4)
+        b2 = knn.pq_train(v.repartition(5), m=4, k=4)
+        assert b1.shape == (4, 4, 2)
+        import numpy as np
+
+        assert np.array_equal(b1, b2)
+
+    def test_encode_codes_in_range_and_stable(self, spark):
+        v = self._vecs(spark, self._clustered(10, 4))
+        books = knn.pq_train(v, m=4, k=4)
+        codes = {r["vec_id"]: r["codes"] for r in knn.pq_encode(v, books).collect()}
+        assert len(codes) == 40
+        assert all(0 <= c < 4 for cs in codes.values() for c in cs)
+        codes2 = {
+            r["vec_id"]: r["codes"]
+            for r in knn.pq_encode(v.repartition(3), books).collect()
+        }
+        assert codes == codes2
+
+    def test_recall_on_clustered_data(self, spark):
+        # neighbors of a query are its own cluster; PQ@10 must recover
+        # most of the exact L2 top-10 on separated clusters (ADC
+        # approximates L2, so the baseline must be L2 — not cosine,
+        # which is degenerate for the origin-centered cluster)
+        import numpy as np
+
+        rows = self._clustered(12, 4)
+        v = self._vecs(spark, rows)
+        books = knn.pq_train(v, m=4, k=8)
+        q_ids = [0, 12, 24]
+        queries = v.where(F.col("vec_id").isin(q_ids))
+        approx = knn.pq_ann_topk(v, queries, books, k_neighbors=10)
+        a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+        X = {i: np.asarray(e, dtype=np.float64) for i, e in rows}
+        e = set()
+        for q in q_ids:
+            d = sorted(
+                (float(((X[q] - X[i]) ** 2).sum()), i)
+                for i in X
+                if i != q
+            )
+            e |= {(q, i) for _, i in d[:10]}
+        recall = len(a & e) / len(e)
+        assert recall >= 0.7, recall
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest
+
+        v = self._vecs(spark, [(0, [1.0, 2.0, 3.0])])
+        with pytest.raises(ValueError, match="not divisible"):
+            knn.pq_train(v, m=2, k=2)
