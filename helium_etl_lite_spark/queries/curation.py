@@ -369,3 +369,80 @@ def corpus_stats_report(spark, sf_dir):
         GROUP BY GROUPING SETS ((source, lang), (source), ())
         """
     )
+
+
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@query(
+    "text_gopher_quality_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    sig AS (
+      SELECT doc_id, lang,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                   / len(ws), 4) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                     AS DOUBLE) / len(ws), 4) AS alpha_frac,
+             CAST(len(list_filter(ws, x -> list_contains([{_STOP_SQL}], x)))
+               AS BIGINT) AS n_stop
+      FROM w WHERE len(ws) > 0)
+    SELECT doc_id, lang, n_words, mean_word_len, alpha_frac, n_stop
+    FROM sig
+    WHERE n_words BETWEEN 30 AND 100000
+      AND mean_word_len BETWEEN 3.0 AND 10.0
+      AND alpha_frac >= 0.8
+      AND n_stop >= 2
+    """,
+)
+def text_gopher_quality_filter(spark, sf_dir):
+    # The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    # Models", table A1) as one shuffle-free filter pass: word-count
+    # bounds, mean-word-length band, alphabetic-word fraction, minimum
+    # stop-word hits. The standard first gate of every pretraining
+    # pipeline (Gopher/MassiveText, RefinedWeb, Dolma all start here).
+    # All signals are row-local higher-order array functions — zero
+    # exchanges, one codegen span; the mean uses an integral character
+    # sum divided once, so both engines produce the identical double.
+    # Thresholds adapted to the synthetic corpus's ranges (the rule
+    # STRUCTURE is what this declares, the constants are knobs).
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words,
+        4,
+    )
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin(GOPHER_STOPWORDS))
+    ).cast("long")
+    sig = (
+        t.documents.where(F.size(ws) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            n_words.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            alpha_frac.alias("alpha_frac"),
+            n_stop.alias("n_stop"),
+        )
+    )
+    return sig.where(
+        F.col("n_words").between(30, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )

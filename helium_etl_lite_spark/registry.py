@@ -67,6 +67,7 @@ FRONT_OF_WINDOW: list[str] = [
     "dedup_containment",
     "multimodal_phash_dedup",
     "vec_ann_pq",
+    "text_gopher_quality_filter",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_stateful_running_count",
     "udf_scalar_python",
     "udf_pandas_vectorized",
-    "udaf_grouped_agg",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
