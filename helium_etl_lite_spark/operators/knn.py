@@ -894,3 +894,105 @@ def pq_ann_topk(
         .where(F.col("rn") <= k_neighbors)
         .select("q_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rn")
     )
+
+
+def pq_ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    k_neighbors: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the composition FAISS ships as its production index
+    (IndexIVFPQ): IVF inverted lists prune WHICH vectors are scored
+    (only the query's `nprobe` nearest lists), PQ codes decide HOW —
+    ADC table lookups over 32x-compressed codes. At billions of
+    vectors, IVF cuts the scored fraction to nprobe/n_lists and PQ
+    makes what remains fit in RAM; neither alone gives both.
+
+    Plumbing: inverted lists from ivf_build (at 100 TB the encoded
+    corpus is WRITTEN partitioned by list_id, so the probe is partition
+    pruning); the probe set (query x candidate list) is a small
+    broadcast join against the encoded corpus; ADC tables ride the
+    closure as in pq_ann_topk. Scoring raw-vector codes rather than
+    residual codes — the simpler public variant; residual encoding
+    tightens distances at the cost of per-list codebooks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, k, dsub = books.shape
+    cents, lists = ivf_build(vectors, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    cent_rows = cents.orderBy("centroid_id").collect()
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+    cent_ids = np.array([r["centroid_id"] for r in cent_rows])
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe"))
+        .orderBy("qid")
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("pq_ann_topk_ivf: empty query set")
+    Q = np.stack([np.asarray(r["qe"], dtype=np.float64) for r in q_rows])
+    q_ids = [r["qid"] for r in q_rows]
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_pairs = [
+        (int(q_ids[i]), int(cent_ids[j]))
+        for i in range(len(q_ids))
+        for j in np.argsort(d2[i], kind="stable")[:nprobe]
+    ]
+    probes = vectors.sparkSession.createDataFrame(
+        probe_pairs, "q_id long, list_id long"
+    )
+
+    tables = np.empty((len(Q), m, k))
+    for s in range(m):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = (
+            (books[s] ** 2).sum(axis=1)[None, :]
+            - 2.0 * (Qs @ books[s].T)
+            + (Qs ** 2).sum(axis=1)[:, None]
+        )
+    tbl_by_q = {int(q_ids[i]): tables[i] for i in range(len(q_ids))}
+
+    encoded = pq_encode(vectors, books, id_col, vec_col).join(
+        lists.select(F.col("vec_id"), F.col("list_id").cast("long")), "vec_id"
+    )
+    cand = encoded.join(F.broadcast(probes), "list_id").where(
+        F.col("q_id") != F.col("vec_id")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cc = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            qs = pdf["q_id"].to_numpy()
+            adc = np.zeros(len(Cc))
+            for row in range(len(Cc)):
+                t = tbl_by_q[int(qs[row])]
+                adc[row] = t[np.arange(m), Cc[row]].sum()
+            yield pd.DataFrame(
+                {
+                    "q_id": qs,
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist": adc,
+                }
+            )
+
+    scored = cand.select("q_id", "vec_id", "codes").mapInPandas(
+        score, schema="q_id long, vec_id long, adc_dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_neighbors)
+        .select("q_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rn")
+    )

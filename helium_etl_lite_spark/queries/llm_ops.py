@@ -1416,3 +1416,23 @@ def vec_ann_pq(spark, sf_dir):
     return knn.pq_ann_topk(
         emb, emb.where(F.col("vec_id") < 5), books, k_neighbors=10
     )
+
+
+@query("vec_ann_ivfpq")  # rows-only: doubly approximate (list pruning + quantized distances)
+def vec_ann_ivfpq(spark, sf_dir):
+    # IVF+PQ composition (the FAISS IndexIVFPQ production shape): IVF
+    # lists prune WHICH vectors get scored (nprobe/n_lists of the
+    # corpus), PQ codes decide HOW (ADC over 32x-compressed codes).
+    # See operators/knn.py pq_ann_topk_ivf for the partition-pruning
+    # and broadcast shapes.
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    books = knn.pq_train(emb, m=8, k=16)
+    return knn.pq_ann_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        books,
+        n_lists=8,
+        nprobe=3,
+        k_neighbors=10,
+    )

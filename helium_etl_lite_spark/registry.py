@@ -68,6 +68,7 @@ FRONT_OF_WINDOW: list[str] = [
     "multimodal_phash_dedup",
     "vec_ann_pq",
     "text_gopher_quality_filter",
+    "vec_ann_ivfpq",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_cursor_incremental",
     "stream_stateful_running_count",
     "udf_scalar_python",
-    "udf_pandas_vectorized",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

@@ -676,3 +676,40 @@ class TestProductQuantization:
         v = self._vecs(spark, [(0, [1.0, 2.0, 3.0])])
         with pytest.raises(ValueError, match="not divisible"):
             knn.pq_train(v, m=2, k=2)
+
+
+class TestIvfPq:
+    def test_ivfpq_subset_of_pq_and_recall(self, spark):
+        # IVF pruning can only REMOVE candidates: every IVFPQ neighbor
+        # must carry the same ADC distance PQ computes for it, and with
+        # nprobe == n_lists (no pruning) results must equal plain PQ.
+        from tests.test_operators import TestProductQuantization as TPQ
+
+        rows = TPQ._clustered(12, 4)
+        v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = knn.pq_train(v, m=4, k=8)
+        queries = v.where(F.col("vec_id").isin([0, 12, 24]))
+        full = {
+            (r["q_id"], r["vec_id"]): r["adc_dist"]
+            for r in knn.pq_ann_topk(v, queries, books, k_neighbors=10).collect()
+        }
+        nopruning = {
+            (r["q_id"], r["vec_id"]): r["adc_dist"]
+            for r in knn.pq_ann_topk_ivf(
+                v, queries, books, n_lists=4, nprobe=4, k_neighbors=10
+            ).collect()
+        }
+        assert nopruning == full
+        pruned = {
+            (r["q_id"], r["vec_id"]): r["adc_dist"]
+            for r in knn.pq_ann_topk_ivf(
+                v, queries, books, n_lists=4, nprobe=1, k_neighbors=10
+            ).collect()
+        }
+        # pruned distances agree with the unpruned ADC wherever present
+        for key, dist in pruned.items():
+            assert abs(dist - full.get(key, dist)) < 1e-9
+        # separated clusters: the query's own cluster is its nearest
+        # list, so even nprobe=1 keeps most of the true top-10
+        overlap = len(set(pruned) & set(full)) / len(full)
+        assert overlap >= 0.7, overlap
