@@ -83,6 +83,9 @@ HEADLINE_NOTES = {
     "dedup_cluster_stats": "closure (iterative join+agg) then two bounded aggs: component sizes -> size histogram",
     "corpus_stats_report": "one GROUPING SETS pass: single Expand + one shuffle for all three granularities",
     "agg_histogram_width_bucket": "row-side bucket key -> two-phase hash agg; no sort",
+    "text_gopher_quality_filter": "row-local higher-order array fns: zero Exchange, one codegen span",
+    "vec_ann_pq": "encode + ADC as narrow mapInPandas (codebooks/tables in closure); only Exchange is the per-query top-k window",
+    "vec_ann_ivfpq": "encoded corpus joined against BROADCAST probe table on list_id (partition pruning at scale); ADC map; top-k window",
 }
 
 
