@@ -1436,3 +1436,40 @@ def vec_ann_ivfpq(spark, sf_dir):
         nprobe=3,
         k_neighbors=10,
     )
+
+
+@query(
+    "text_dedup_exact_incremental",
+    oracle="""
+    WITH b1 AS (SELECT DISTINCT sha256(lower(trim(text))) AS h
+                FROM documents WHERE doc_id % 2 = 0),
+    b2 AS (SELECT doc_id, sha256(lower(trim(text))) AS h
+           FROM documents WHERE doc_id % 2 = 1),
+    firsts AS (SELECT doc_id, h,
+                      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+               FROM b2)
+    SELECT f.doc_id FROM firsts f
+    LEFT JOIN b1 ON f.h = b1.h
+    WHERE f.rn = 1 AND b1.h IS NULL
+    """,
+)
+def text_dedup_exact_incremental(spark, sf_dir):
+    # The exact-dedup ingest loop as a DRIVER-VERIFIED query (its
+    # MinHash sibling is rows-only because signatures are
+    # engine-specific; content hashes are not): batch 1 (even doc_ids)
+    # lands and folds into the persisted hash state, batch 2 (odd)
+    # probes it — via the broadcast fingerprint semi-join, so the state
+    # never shuffles — and only docs exactly-new against the landed
+    # corpus survive. Every step is deterministic, so the whole
+    # two-batch loop hash-matches a pure SQL oracle.
+    from ..operators import dedup
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    state = scratch_dir("exact_incremental") + "/state"
+    b1 = t.documents.where(F.col("doc_id") % 2 == 0)
+    b2 = t.documents.where(F.col("doc_id") % 2 == 1)
+    f1 = dedup.dedup_filter_new(spark, b1, state)
+    dedup.dedup_state_add(spark, f1, state)
+    f2 = dedup.dedup_filter_new(spark, b2, state)
+    return f2.select("doc_id")
