@@ -270,3 +270,50 @@ def merge_upsert_scd1(spark, sf_dir):
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+@query(
+    "rollup_incremental_refresh",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_value,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_refresh(spark, sf_dir):
+    # The TimescaleDB-style continuous aggregate DRIVER-VERIFIED: land
+    # batch 1 (even event_ids) and refresh its touched hour buckets,
+    # then land batch 2 (odd) and refresh again — the oracle is the
+    # from-scratch rollup of ALL events, so the hash-match proves the
+    # two-step incremental maintenance converges to exactly the full
+    # recompute (operators/rollup.py refresh_rollup: touched-bucket
+    # recompute + idempotent height-set replace; values in integral
+    # cents so sums are FP-exact across engines).
+    from ..operators.rollup import read_rollup, refresh_rollup
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    path = scratch_dir("rollup_incremental") + "/rollup"
+    ev = t.events.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    # phase 1: only batch-1 rows have landed
+    refresh_rollup(spark, b1, b1, path, value_col="cents")
+    # phase 2: full source landed; batch 2's buckets refresh from it
+    refresh_rollup(spark, ev, b2, path, value_col="cents")
+    return read_rollup(spark, path).select(
+        "bucket", "event_type", "n_events",
+        F.col("total_value").cast("long").alias("total_value"),
+        F.col("min_value").cast("long").alias("min_value"),
+        F.col("max_value").cast("long").alias("max_value"),
+    )

@@ -70,6 +70,7 @@ FRONT_OF_WINDOW: list[str] = [
     "text_gopher_quality_filter",
     "vec_ann_ivfpq",
     "text_dedup_exact_incremental",
+    "rollup_incremental_refresh",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_watermark_late_drop",
     "stream_dedup_by_key",
     "stream_cursor_incremental",
-    "stream_stateful_running_count",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
