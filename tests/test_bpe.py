@@ -142,3 +142,30 @@ class TestSparkWiring:
         # the running total respects the budget and each row's count
         assert all(r["cum_tokens_bpe"] <= 20000 for r in rows)
         assert all(r["n_tokens_bpe"] >= 1 for r in rows)
+
+
+class TestBpeProperties:
+    def test_roundtrip_and_bounds_random_words(self):
+        # hypothesis: for any corpus and any merge count, every word's
+        # encoding concatenates back to the word and token counts stay
+        # within [1, len(word)+1].
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            words=st.lists(word, min_size=1, max_size=12),
+            n_merges=st.integers(min_value=0, max_value=30),
+        )
+        def check(words, n_merges):
+            wc = [(w, i + 1) for i, w in enumerate(dict.fromkeys(words))]
+            merges = bpe.train_merges(wc, n_merges)
+            ranks = {tuple(p): i for i, p in enumerate(merges)}
+            for w in words:
+                toks = bpe.encode_word(w, ranks)
+                assert "".join(toks).replace(bpe.END, "") == w
+                assert 1 <= len(toks) <= len(w) + 1
+
+        check()

@@ -382,3 +382,27 @@ def test_bucketed_colocated_join_is_shuffle_free(spark, sf_dir):
     # agg ride the bucket distribution — zero Exchange in the plan.
     df = q("sink_bucketed_colocated_join", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_gopher_filter_is_shuffle_free(spark, sf_dir):
+    # All four quality signals are row-local array fns: zero Exchange.
+    df = q("text_gopher_quality_filter", spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert_whole_stage_codegen(df)
+
+
+def test_containment_join_is_hash_not_nested_loop(spark, sf_dir):
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("dedup_containment", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_rides_equi_key(spark, sf_dir):
+    # The band predicate must ride the user_id equi-join, not a BNLJ.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_asof_tolerance", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
