@@ -422,3 +422,33 @@ def join_asof_tolerance(spark, sf_dir):
         tolerance=F.expr("INTERVAL 10 MINUTES"),
     )
     return out.select("event_id", "user_id", "ts", "p_id", "p_ts", "p_value")
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer),
+         r AS (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer)
+    SELECT r.seg, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+    GROUP BY r.seg
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    # Null-safe equality join (<=> / IS NOT DISTINCT FROM): a plain
+    # equi-join silently DROPS every NULL-keyed row (NULL = NULL is
+    # NULL); the null-safe form matches them — the semantics dimension
+    # tables with optional keys need. Catalyst treats <=> as an
+    # equi-key, so this still plans as a hash join, not a BNLJ.
+    t = Tables(spark, sf_dir)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    left = t.customer.select("c_custkey", seg.alias("seg"))
+    right = t.customer.select(seg.alias("rseg")).distinct()
+    return (
+        left.join(right, left["seg"].eqNullSafe(right["rseg"]))
+        .groupBy("rseg")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.col("rseg").alias("seg"), "n_customers")
+    )

@@ -1473,3 +1473,49 @@ def text_dedup_exact_incremental(spark, sf_dir):
     dedup.dedup_state_add(spark, f1, state)
     f2 = dedup.dedup_filter_new(spark, b2, state)
     return f2.select("doc_id")
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    d AS (SELECT doc_id, ws, list_sort(list_distinct(ws)) AS u
+          FROM w WHERE len(ws) > 0)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(u) AS BIGINT) AS n_distinct,
+           ROUND(-list_sum(list_transform(u, t ->
+             (CAST(len(list_filter(ws, x -> x = t)) AS DOUBLE) / len(ws))
+             * ln(CAST(len(list_filter(ws, x -> x = t)) AS DOUBLE) / len(ws))
+           )), 6) AS token_entropy
+    FROM d
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    # Shannon entropy of the per-doc token distribution — the quality
+    # signal that separates natural text (high entropy) from generated
+    # boilerplate and keyword-stuffed spam (low), used alongside the
+    # Gopher rules in quality classifiers. Entirely row-local:
+    # sorted-distinct tokens + per-token frequencies via higher-order
+    # array fns, zero exchanges. The distinct list is SORTED on both
+    # engines so the summation folds the same term order (rounding to
+    # 6 absorbs any last-ulp accumulator difference).
+    t = Tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    u = F.array_sort(F.array_distinct(ws))
+    n = F.size(ws).cast("double")
+    p_of = lambda tok: F.size(F.filter(ws, lambda x: x == tok)).cast("double") / n
+    entropy = -F.aggregate(
+        F.transform(u, lambda tok: p_of(tok) * F.log(p_of(tok))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        t.documents.where(F.size(ws) > 0)
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_tokens"),
+            F.size(u).cast("long").alias("n_distinct"),
+            F.round(entropy, 6).alias("token_entropy"),
+        )
+    )

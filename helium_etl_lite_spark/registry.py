@@ -71,6 +71,8 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_ann_ivfpq",
     "text_dedup_exact_incremental",
     "rollup_incremental_refresh",
+    "join_null_safe_eq",
+    "text_token_entropy",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -101,8 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_sliding_window_agg",
     "stream_session_window",
     "stream_watermark_late_drop",
-    "stream_dedup_by_key",
-    "stream_cursor_incremental",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
