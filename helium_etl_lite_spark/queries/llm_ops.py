@@ -1519,3 +1519,80 @@ def text_token_entropy(spark, sf_dir):
             F.round(entropy, 6).alias("token_entropy"),
         )
     )
+
+
+@query(
+    "vec_triplet_mining",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor, label AS a_label, e AS ae FROM v
+          WHERE vec_id < 50),
+    scored AS (
+      SELECT a.anchor, a.a_label, v.vec_id, v.label,
+             round(list_dot_product(ae, e)
+                   / (sqrt(list_dot_product(ae, ae))
+                      * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+      FROM a JOIN v ON v.vec_id <> a.anchor),
+    pos AS (
+      SELECT anchor, vec_id AS pos_id, cos_sim AS pos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM scored WHERE label = a_label) WHERE rn = 1),
+    neg AS (
+      SELECT anchor, vec_id AS neg_id, cos_sim AS neg_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        FROM scored WHERE label <> a_label) WHERE rn = 1)
+    SELECT pos.anchor, pos_id, pos_sim, neg_id, neg_sim
+    FROM pos JOIN neg ON pos.anchor = neg.anchor
+    """,
+)
+def vec_triplet_mining(spark, sf_dir):
+    # Triplet mining for contrastive training: per anchor, the nearest
+    # SAME-label vector (positive) and the nearest DIFFERENT-label
+    # vector (the hard negative — the semi-hard/hard mining step every
+    # metric-learning pipeline runs on its embedding table). Anchors
+    # broadcast (bounded query set); the corpus scan stays shuffle-free
+    # until two per-anchor top-1 windows, each over |anchors|
+    # partitions. Exact oracle: rounded cosine + deterministic
+    # tie-breaks, brute force on both engines.
+    t = Tables(spark, sf_dir)
+    v = t.embeddings.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = (
+        v.where(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("anchor"),
+            F.col("label").alias("a_label"),
+            F.col("e").alias("ae"),
+        )
+    )
+    scored = (
+        v.repartition(32)
+        .join(F.broadcast(a), F.col("vec_id") != F.col("anchor"))
+        .select(
+            "anchor", "a_label", "vec_id", "label",
+            F.round(knn.cosine(F.col("ae"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.where(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor", F.col("vec_id").alias("pos_id"),
+                F.col("cos_sim").alias("pos_sim"))
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor", F.col("vec_id").alias("neg_id"),
+                F.col("cos_sim").alias("neg_sim"))
+    )
+    return pos.join(neg, "anchor")

@@ -73,6 +73,7 @@ FRONT_OF_WINDOW: list[str] = [
     "rollup_incremental_refresh",
     "join_null_safe_eq",
     "text_token_entropy",
+    "vec_triplet_mining",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_tumbling_window_agg",
     "stream_sliding_window_agg",
     "stream_session_window",
-    "stream_watermark_late_drop",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
