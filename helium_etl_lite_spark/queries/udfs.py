@@ -119,3 +119,39 @@ def udtf_flatten(spark, sf_dir):
         .groupBy(F.col("doc_id") % 8)
         .applyInPandas(flatten, schema="doc_id long, token string")
     )
+
+
+@query(
+    "udtf_python_native",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, ws[i + 1] AS token, CAST(i AS INT) AS pos
+    FROM w, unnest(generate_series(0, len(ws) - 1)) AS g(i)
+    """,
+)
+def udtf_python_native(spark, sf_dir):
+    # The REAL Spark 4 Python UDTF surface (not an applyInPandas
+    # emulation): a @udtf class registered as a table function and
+    # invoked through SQL LATERAL — one input row fans out to N typed
+    # rows with per-row state isolation. The built-in
+    # posexplode(split()) is the production path for this particular
+    # fan-out; this row proves the arbitrary-Python table-function
+    # contract (the E5 explode generalized to any generator logic).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text):
+            if text:
+                for i, tok in enumerate(text.split(" ")):
+                    yield tok, i
+
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, tf.token, tf.pos
+        FROM documents d, LATERAL tokenize_udtf(d.text) tf
+        """
+    )

@@ -74,6 +74,7 @@ FRONT_OF_WINDOW: list[str] = [
     "join_null_safe_eq",
     "text_token_entropy",
     "vec_triplet_mining",
+    "udtf_python_native",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "set_except",
     "stream_tumbling_window_agg",
     "stream_sliding_window_agg",
-    "stream_session_window",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
