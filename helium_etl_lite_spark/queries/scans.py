@@ -279,3 +279,46 @@ def sink_bucketed_colocated_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+@query(
+    "source_csv_permissive_corrupt",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha', 10, NULL),
+      (2, 'beta', NULL, '2,beta,notanumber'),
+      (3, 'gam,ma', 30, NULL),
+      (NULL, 'enough', NULL, 'not,enough'),
+      (5, 'eps', -7, NULL)
+    ) AS t(id, name, qty, corrupt_record)
+    """,
+)
+def source_csv_permissive_corrupt(spark, sf_dir):
+    # Real-world ingestion: a CSV with a type-bad row, a quoted
+    # delimiter, and a short row, read under PERMISSIVE mode with a
+    # corrupt-record column — bad rows survive as evidence instead of
+    # killing the job (the triage-later pattern; FAILFAST is the
+    # fail-stop twin the reference's enum validation models, E8).
+    # Deterministic: the file content is literal, so the parse result
+    # is a fixed 5-row table the oracle states as VALUES.
+    import os
+
+    from ..scratch import scratch_dir
+
+    d = scratch_dir("csv_permissive")
+    path = os.path.join(d, "rows.csv")
+    with open(path, "w") as f:
+        f.write(
+            "1,alpha,10\n"
+            "2,beta,notanumber\n"      # type-bad qty
+            '3,"gam,ma",30\n'          # quoted delimiter
+            "not,enough\n"             # short row, bad id type
+            "5,eps,-7\n"
+        )
+    out = (
+        spark.read.schema("id int, name string, qty int, corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(path)
+    )
+    return out.select("id", "name", "qty", "corrupt_record")

@@ -75,6 +75,7 @@ FRONT_OF_WINDOW: list[str] = [
     "text_token_entropy",
     "vec_triplet_mining",
     "udtf_python_native",
+    "source_csv_permissive_corrupt",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "set_intersect",
     "set_except",
     "stream_tumbling_window_agg",
-    "stream_sliding_window_agg",
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
