@@ -1,0 +1,271 @@
+"""Composite analytics reports — full TPC-H-shaped queries over the
+serving tables.
+
+The reference's product surface is the relational schema its migrations
+set up for downstream reporting (SURVEY §0/§2.2: migrations/V1:11-12,
+V3:43-49 exist so users can run group-by/join reports over rewards and
+transactions). The §2.4 checklist verifies each operator in isolation;
+this module verifies realistic multi-operator compositions — the shapes
+a reporting user actually submits — so join ordering, dimension
+broadcasts, and partial aggregation are exercised *together* in one
+plan.
+
+Plan discipline (checked in tests/test_plans.py and PLANS.md):
+- fixed-cardinality dims (nation 25 rows, region 5) are broadcast
+  explicitly — they never scale with sf, so the hint is safe at 100 TB;
+- everything that scales (customer/orders/lineitem/supplier) joins
+  without hints: AQE picks broadcast when a filtered side measures
+  small, sort-merge otherwise;
+- aggregations stay two-phase (partial before the exchange) by
+  construction — we aggregate on the join output without forcing a
+  repartition;
+- selective filters (date windows, segment, returnflag) are applied on
+  the base tables BEFORE any join so they reach the parquet scan as
+  PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "report_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                    AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                           AS avg_price,
+           ROUND(AVG(l_discount), 6)                                AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def report_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the canonical pricing-summary report. One scan, one
+    two-phase hash aggregate over a 6-group key space — the shipdate
+    predicate is pushed to the parquet scan, and every aggregate is a
+    partial/final pair, so the only exchange moves 6 rows per partial."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "report_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def report_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: unshipped-orders revenue ranking. Both date filters and
+    the segment filter hit their base scans as PushedFilters; the
+    filtered customer side measures small so AQE broadcasts it into the
+    orders join; the top-10 is TakeOrderedAndProject (per-partition
+    heaps + driver merge of 10 rows), never a global sort. The tie-break
+    on l_orderkey makes the LIMIT deterministic for the oracle hash."""
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = t.orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t.lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        cust.join(ords, cust["c_custkey"] == ords["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "report_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def report_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: revenue through local suppliers, a 6-table star-plus-
+    snowflake join. nation/region are fixed-cardinality (25/5 rows at
+    ANY sf) so they carry explicit broadcast hints; supplier scales with
+    sf and joins unhinted (AQE broadcasts while it measures small, falls
+    back to shuffle at scale). The c_nationkey = s_nationkey residual —
+    the "local" in local supplier — rides the lineitem join rather than
+    forming its own join pair, so no extra exchange."""
+    t = Tables(spark, sf_dir)
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    ords = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            t.supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "report_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def report_large_orders(spark, sf_dir):
+    """TPC-H Q18: customers with very large orders. The HAVING subquery
+    becomes a pre-aggregated semi-join input: lineitem aggregates to
+    per-order quantity FIRST (two-phase, map-side partial), the >350
+    filter shrinks it to a handful of keys, and that small set semi-joins
+    back — AQE broadcasts it, so the big lineitem side is scanned twice
+    but shuffled on l_orderkey only once (both aggs share the key)."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 350)
+        .select("l_orderkey")
+    )
+    li = t.lineitem.join(big.withColumnRenamed("l_orderkey", "bk"),
+                         F.col("l_orderkey") == F.col("bk"), "left_semi")
+    return (
+        li.join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "report_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(ANY_VALUE(c_acctbal), 2) AS c_acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def report_returned_items(spark, sf_dir):
+    """TPC-H Q10: top customers by returned-item revenue. returnflag and
+    the date window push to their scans; nation broadcasts (25 rows
+    always); the top-20 is TakeOrderedAndProject with a deterministic
+    c_custkey tie-break."""
+    t = Tables(spark, sf_dir)
+    ords = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -76,6 +76,11 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_triplet_mining",
     "udtf_python_native",
     "source_csv_permissive_corrupt",
+    "report_pricing_summary",
+    "report_shipping_priority",
+    "report_local_supplier_volume",
+    "report_large_orders",
+    "report_returned_items",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -98,11 +103,8 @@ FRONT_OF_WINDOW: list[str] = [
     "sort_multi_key",
     "limit_topk",
     "distinct_dedup",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "stream_tumbling_window_agg",
+    # (set ops / stream_tumbling re-confirms rotated out in favor of the
+    # five new report_* queries — r2 verdicts on those remain on record)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
@@ -121,6 +123,7 @@ def load_all() -> None:
         filters,
         joins,
         llm_ops,
+        reports,
         scalar_funcs,
         scans,
         sorts_sets,

@@ -406,3 +406,60 @@ def test_asof_tolerance_rides_equi_key(spark, sf_dir):
     plan = formatted_plan(q("join_asof_tolerance", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    # Q1 shape: shipdate filter at the scan, two-phase agg, codegen'd.
+    df = q("report_pricing_summary", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_partial_aggregate(df)
+    # count before collecting: the codegen assert finalizes the AQE plan,
+    # after which explain renders initial+final sections and the single
+    # Exchange is listed twice.
+    assert count_shuffles(df) <= 1
+    assert_whole_stage_codegen(df)
+
+
+def test_shipping_priority_pushdown_and_topk(spark, sf_dir):
+    # Q3 shape: all three selective filters reach their scans; the
+    # top-10 is TakeOrderedAndProject, never a global sort exchange.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_shipping_priority", spark, sf_dir)
+    assert_pushed_filter(df, "c_mktsegment")
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "l_shipdate")
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_local_supplier_volume_broadcasts_fixed_dims_only(spark, sf_dir):
+    # Q5 shape: nation/region broadcast (fixed 25/5 rows at any sf); no
+    # nested-loop anywhere; the c_nationkey=s_nationkey residual rides
+    # the equi-joins.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_local_supplier_volume", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_shares_orderkey_exchange(spark, sf_dir):
+    # Q18 shape: the HAVING pre-agg and the semi-join probe both key on
+    # l_orderkey — no BNLJ, bounded shuffle count (key chain orderkey →
+    # custkey → final grouping).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_large_orders", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert_partial_aggregate(df)
+
+
+def test_returned_items_filters_push_and_nation_broadcasts(spark, sf_dir):
+    df = q("report_returned_items", spark, sf_dir)
+    assert_pushed_filter(df, "l_returnflag")
+    assert_pushed_filter(df, "o_orderdate")
+    assert_broadcast_join(df)
