@@ -446,3 +446,117 @@ def text_gopher_quality_filter(spark, sf_dir):
         & (F.col("alpha_frac") >= 0.8)
         & (F.col("n_stop") >= 2)
     )
+
+
+@query(
+    "text_chunk_split",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(start_tok / 48 AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(64, len(t) - start_tok) AS BIGINT) AS n_toks,
+           array_to_string(t[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+    FROM toks, UNNEST(range(0, greatest(len(t) - 1, 1), 48)) AS u(start_tok)
+    """,
+)
+def text_chunk_split(spark, sf_dir):
+    """Overlapping fixed-token chunking (64-token windows, stride 48 —
+    16-token overlap), the standard document→context-window prep for
+    pretraining and RAG indexing. Entirely row-local: the start offsets
+    are a per-row `sequence` + `filter`, the chunk text a `slice` +
+    `array_join` — the explode multiplies rows ~n/48x but introduces NO
+    exchange, so the operator is a narrow map at any corpus size.
+    Chunk boundaries are deterministic (token index, not bytes), so
+    re-chunking a replayed batch is idempotent."""
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(toks), F.lit(48)),
+        lambda x: x < F.greatest(F.size(toks) - 1, F.lit(1)),
+    )
+    d = t.documents.select(
+        "doc_id", toks.alias("t"), F.explode(starts).alias("start_tok")
+    )
+    return d.select(
+        "doc_id",
+        (F.col("start_tok") / 48).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(64), F.size("t") - F.col("start_tok")).cast("long").alias("n_toks"),
+        F.array_join(F.slice("t", F.col("start_tok") + 1, 64), " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "text_quality_classifier_hashed",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(lower(trim(text)), ' ')) AS n_toks,
+             CAST(list_aggregate(list_transform(
+               string_split(lower(trim(text)), ' '),
+               t -> ((
+                 (CASE WHEN ascii(substr(md5(t),1,1)) >= 97
+                       THEN ascii(substr(md5(t),1,1)) - 87
+                       ELSE ascii(substr(md5(t),1,1)) - 48 END) * 4096
+               + (CASE WHEN ascii(substr(md5(t),2,1)) >= 97
+                       THEN ascii(substr(md5(t),2,1)) - 87
+                       ELSE ascii(substr(md5(t),2,1)) - 48 END) * 256
+               + (CASE WHEN ascii(substr(md5(t),3,1)) >= 97
+                       THEN ascii(substr(md5(t),3,1)) - 87
+                       ELSE ascii(substr(md5(t),3,1)) - 48 END) * 16
+               + (CASE WHEN ascii(substr(md5(t),4,1)) >= 97
+                       THEN ascii(substr(md5(t),4,1)) - 87
+                       ELSE ascii(substr(md5(t),4,1)) - 48 END)
+               ) * 2654435761) % 1048576 - 524288), 'sum') AS BIGINT) AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           ROUND(raw / (n_toks * 1048576.0), 6) AS quality_score,
+           raw > 0 AS is_quality
+    FROM scored
+    """,
+)
+def text_quality_classifier_hashed(spark, sf_dir):
+    """fastText-style linear quality classifier via the hashing trick:
+    each token hashes to one of 65536 feature buckets (first 4 hex
+    digits of md5 — md5 chosen because it is bit-identical across
+    engines, unlike xxhash64), each bucket carries a fixed weight
+    derived by a Knuth multiplicative mix, and the document score is
+    the mean bucket weight. Weights are INTEGERS until the final
+    division, so the sum is exact and order-independent — the oracle
+    hash-matches without FP tolerance games. The whole classifier is
+    one row-local projection (transform + aggregate over the token
+    array): zero exchanges, whole-stage codegen, embarrassingly
+    parallel at 100 TB. Swapping the synthetic weights for trained ones
+    is a broadcast lookup-table join on the bucket id — same plan
+    shape."""
+    t = Tables(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+
+    def hexv(h, i):
+        a = F.ascii(F.substring(h, i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    def weight(tok):
+        h = F.md5(tok)
+        bucket = (
+            hexv(h, 1) * 4096 + hexv(h, 2) * 256 + hexv(h, 3) * 16 + hexv(h, 4)
+        ).cast("long")
+        return (bucket * F.lit(2654435761).cast("long")) % 1048576 - 524288
+
+    raw = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        raw.alias("raw"),
+    )
+    return d.select(
+        "doc_id",
+        "n_toks",
+        F.round(F.col("raw") / (F.col("n_toks") * 1048576.0), 6).alias("quality_score"),
+        (F.col("raw") > 0).alias("is_quality"),
+    )

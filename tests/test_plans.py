@@ -463,3 +463,16 @@ def test_returned_items_filters_push_and_nation_broadcasts(spark, sf_dir):
     assert_pushed_filter(df, "l_returnflag")
     assert_pushed_filter(df, "o_orderdate")
     assert_broadcast_join(df)
+
+
+def test_chunk_split_is_narrow_map(spark, sf_dir):
+    # Explode multiplies rows but must not introduce an exchange.
+    df = q("text_chunk_split", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_quality_classifier_is_shuffle_free_codegen(spark, sf_dir):
+    # The hashing-trick classifier is one row-local projection.
+    df = q("text_quality_classifier_hashed", spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert_whole_stage_codegen(df)
