@@ -77,6 +77,9 @@ HEADLINE = [
 EXTENDED = [
     "pack_sequence_bins",
     "ts_gapfill_locf",
+    # r6: composite TPC-H-shaped reports — the "real user query" lane.
+    "report_pricing_summary",
+    "report_local_supplier_volume",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

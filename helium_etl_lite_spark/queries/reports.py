@@ -269,3 +269,113 @@ def report_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "report_market_share",
+    oracle="""
+    WITH asia_rev AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n_name
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN n_name = 'CHINA' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share,
+           ROUND(SUM(volume), 2) AS total_volume
+    FROM asia_rev
+    GROUP BY o_year
+    """,
+)
+def report_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's supplier revenue
+    per year. The share is a conditional-sum ratio computed inside ONE
+    two-phase aggregate — no second pass over the join output, no self
+    join. nation/region broadcast (fixed cardinality); supplier and the
+    facts join unhinted."""
+    t = Tables(spark, sf_dir)
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "n_name",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("n_name") == "CHINA", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+@query(
+    "report_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def report_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    window. The scalar-max comparison is a rank-1 window over the
+    pre-aggregated per-supplier revenue (100 rows per sf unit, after
+    the big agg) — NOT a second scan of lineitem the way the literal
+    SQL reads; Catalyst evaluates the oracle's scalar subquery the same
+    way. Rounding happens before the max comparison on both sides so
+    ties are decided on identical values."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = (
+        rev.withColumn(
+            "__rk", F.rank().over(W.orderBy(F.col("total_revenue").desc()))
+        )
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return (
+        t.supplier.select("s_suppkey", "s_name")
+        .join(top, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -83,6 +83,8 @@ FRONT_OF_WINDOW: list[str] = [
     "report_returned_items",
     "text_chunk_split",
     "text_quality_classifier_hashed",
+    "report_market_share",
+    "report_top_supplier",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -101,8 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "scan_parquet",
     "scan_projection_pushdown",
     "scan_predicate_pushdown",
-    "source_json_lines",
-    "sort_multi_key",
     # (set ops / stream_tumbling re-confirms rotated out in favor of the
     # five new report_* queries — r2 verdicts on those remain on record)
 ]

@@ -476,3 +476,28 @@ def test_quality_classifier_is_shuffle_free_codegen(spark, sf_dir):
     df = q("text_quality_classifier_hashed", spark, sf_dir)
     assert count_shuffles(df) == 0
     assert_whole_stage_codegen(df)
+
+
+def test_market_share_single_agg_pass(spark, sf_dir):
+    # The share ratio is conditional sums inside ONE aggregate — no
+    # second join pass, no BNLJ; nation/region broadcast.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_market_share", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df)
+    assert_partial_aggregate(df)
+
+
+def test_top_supplier_max_is_rank_window_not_rescan(spark, sf_dir):
+    # The scalar-max filter must ride the tiny per-supplier agg (rank
+    # window), never rescan lineitem a second time: exactly one
+    # lineitem file scan in the plan.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_top_supplier", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") <= 1
+    assert_pushed_filter(df, "l_shipdate")

@@ -86,6 +86,16 @@ HEADLINE_NOTES = {
     "text_gopher_quality_filter": "row-local higher-order array fns: zero Exchange, one codegen span",
     "vec_ann_pq": "encode + ADC as narrow mapInPandas (codebooks/tables in closure); only Exchange is the per-query top-k window",
     "vec_ann_ivfpq": "encoded corpus joined against BROADCAST probe table on list_id (partition pruning at scale); ADC map; top-k window",
+    "vec_triplet_mining": "per-anchor hardest-negative/positive via two bucket-blocked joins + top-1 windows; no cross join",
+    "report_pricing_summary": "Q1: shipdate in PushedFilters, two-phase agg, ONE Exchange moving 6 rows/partial",
+    "report_shipping_priority": "Q3: segment+both date filters at the scans; filtered customer side AQE-broadcasts; TakeOrderedAndProject top-10",
+    "report_local_supplier_volume": "Q5: nation/region broadcast (fixed-cardinality); supplier unhinted; local-supplier residual rides the equi-joins; no BNLJ",
+    "report_large_orders": "Q18: HAVING pre-agg and semi-join probe share the l_orderkey key chain; AQE broadcasts the >350 key set",
+    "report_returned_items": "Q10: returnflag+date window pushed; nation broadcast; TakeOrderedAndProject top-20",
+    "report_market_share": "Q8: share = conditional sums in ONE two-phase agg; nation/region broadcast; no second pass",
+    "report_top_supplier": "Q15: scalar max as rank-1 window over the per-supplier agg — lineitem scanned ONCE",
+    "text_chunk_split": "row-local sequence/filter/slice explode: ZERO Exchange at any corpus size",
+    "text_quality_classifier_hashed": "hashing-trick classifier as one codegen projection: zero Exchange, integer-exact score sum",
 }
 
 
