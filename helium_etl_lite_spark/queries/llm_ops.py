@@ -1596,3 +1596,31 @@ def vec_triplet_mining(spark, sf_dir):
                 F.col("cos_sim").alias("neg_sim"))
     )
     return pos.join(neg, "anchor")
+
+
+@query("vec_pca_project")  # rows-only: eigensolve is FP-env-specific, not SQL-expressible
+def vec_pca_project(spark, sf_dir):
+    """Distributed PCA (operators/pca.py): ONE corpus pass builds the
+    d x d covariance from per-batch numpy matmuls (mapInPandas), the
+    d=64 eigensolve runs on the driver against 32 KB of state, and the
+    projection is a narrow broadcast-matmul map — nothing row-sized
+    ever shuffles or reaches the driver. The query projects every
+    embedding onto the top-8 principal components (signs
+    canonicalized, values rounded) — the standard
+    compression/whitening step before ANN indexing at 100 TB."""
+    from ..operators import pca
+
+    t = Tables(spark, sf_dir)
+    v = t.embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    mean, comps, _evals = pca.fit_pca(v, vec_col="e", k=8)
+    out = pca.project(v, mean, comps, vec_col="e", id_col="vec_id")
+    # scalar output contract: driver canonicalizer hashes scalars only
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.col("pc").getItem(i), 5).alias(f"pc{i}")
+            for i in range(8)
+        ],
+    )

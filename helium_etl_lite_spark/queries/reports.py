@@ -379,3 +379,38 @@ def report_top_supplier(spark, sf_dir):
         .join(top, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "report_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def report_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with at least one late-shipping line item,
+    counted by priority. The correlated EXISTS compiles to a left-semi
+    join on l_orderkey with the lateness predicate as a join residual —
+    the date window on orders pushes to its scan, and the semi-join
+    short-circuits per key (no fan-out, no distinct needed)."""
+    t = Tables(spark, sf_dir)
+    ords = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))

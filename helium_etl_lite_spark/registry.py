@@ -85,6 +85,8 @@ FRONT_OF_WINDOW: list[str] = [
     "text_quality_classifier_hashed",
     "report_market_share",
     "report_top_supplier",
+    "report_order_priority",
+    "vec_pca_project",
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -99,9 +101,7 @@ FRONT_OF_WINDOW: list[str] = [
     "source_schema_evolution",
     # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
     "join_full_outer",
-    "join_cross",
     "scan_parquet",
-    "scan_projection_pushdown",
     "scan_predicate_pushdown",
     # (set ops / stream_tumbling re-confirms rotated out in favor of the
     # five new report_* queries — r2 verdicts on those remain on record)

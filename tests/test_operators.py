@@ -713,3 +713,54 @@ class TestIvfPq:
         # list, so even nprobe=1 keeps most of the true top-10
         overlap = len(set(pruned) & set(full)) / len(full)
         assert overlap >= 0.7, overlap
+
+
+class TestPCA:
+    def test_fit_matches_numpy_and_projection_decorrelates(self, spark, sf_dir):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.operators import pca
+        from helium_etl_lite_spark.tables import Tables
+
+        v = Tables(spark, sf_dir).embeddings.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        mean, comps, evals = pca.fit_pca(v, vec_col="e", k=8)
+
+        # ground truth: single-node numpy over the same vectors
+        X = np.stack([r["e"] for r in v.collect()]).astype(np.float64)
+        np.testing.assert_allclose(mean, X.mean(axis=0), rtol=0, atol=1e-9)
+        cov = np.cov(X, rowvar=False, bias=True)
+        ref_evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+        np.testing.assert_allclose(evals, ref_evals, rtol=1e-8)
+
+        # components are orthonormal and variance-sorted
+        np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+        assert all(evals[i] >= evals[i + 1] - 1e-12 for i in range(7))
+
+        # projected data is decorrelated with per-component variance = eval
+        P = np.stack(
+            [r["pc"] for r in pca.project(v, mean, comps, vec_col="e").collect()]
+        )
+        pcov = np.cov(P, rowvar=False, bias=True)
+        np.testing.assert_allclose(np.diag(pcov), evals, rtol=1e-6)
+        off = pcov - np.diag(np.diag(pcov))
+        assert np.abs(off).max() < 1e-8
+
+    def test_fit_is_deterministic(self, spark, sf_dir):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.operators import pca
+        from helium_etl_lite_spark.tables import Tables
+
+        v = Tables(spark, sf_dir).embeddings.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        m1, c1, e1 = pca.fit_pca(v, vec_col="e", k=4)
+        m2, c2, e2 = pca.fit_pca(v.repartition(7), vec_col="e", k=4)
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+        np.testing.assert_allclose(e1, e2, rtol=1e-9)
+        # sign canonicalization makes the component matrices themselves equal
+        np.testing.assert_allclose(c1, c2, atol=1e-8)

@@ -92,6 +92,8 @@ HEADLINE_NOTES = {
     "report_local_supplier_volume": "Q5: nation/region broadcast (fixed-cardinality); supplier unhinted; local-supplier residual rides the equi-joins; no BNLJ",
     "report_large_orders": "Q18: HAVING pre-agg and semi-join probe share the l_orderkey key chain; AQE broadcasts the >350 key set",
     "report_returned_items": "Q10: returnflag+date window pushed; nation broadcast; TakeOrderedAndProject top-20",
+    "report_order_priority": "Q4: EXISTS as left-semi with the lateness residual on the l_orderkey equi-key; date window pushed",
+    "vec_pca_project": "one-pass covariance via mapInPandas moments; projection is a narrow broadcast-matmul map — zero data shuffles",
     "report_market_share": "Q8: share = conditional sums in ONE two-phase agg; nation/region broadcast; no second pass",
     "report_top_supplier": "Q15: scalar max as rank-1 window over the per-supplier agg — lineitem scanned ONCE",
     "text_chunk_split": "row-local sequence/filter/slice explode: ZERO Exchange at any corpus size",
