@@ -83,11 +83,19 @@ class TestDedup:
         sig = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs, 8).collect()}
         for s in sig.values():
             assert len(set(s)) > 1, "all signature positions identical — permutation collapsed"
+        M = dedup._MERSENNE
         ref = (
             docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
             .select(
                 "doc_id",
-                *[F.xxhash64("tok", F.lit(p)).alias(f"h{p}") for p in range(8)],
+                *[
+                    F.pmod(
+                        F.lit(dedup._PERM_AB[p][0]) * F.pmod(F.xxhash64("tok"), F.lit(M))
+                        + F.lit(dedup._PERM_AB[p][1]),
+                        F.lit(M),
+                    ).alias(f"h{p}")
+                    for p in range(8)
+                ],
             )
             .groupBy("doc_id")
             .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(8)])
