@@ -414,3 +414,157 @@ def report_order_priority(spark, sf_dir):
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "report_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def report_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders.
+    The LEFT join keeps zero-order customers (COUNT(o_orderkey) counts
+    only matched rows — null-skipping, identical in both engines); the
+    distribution is a second tiny agg over the per-customer counts.
+    Two shuffles: custkey, then c_count (output bounded by max order
+    count)."""
+    t = Tables(spark, sf_dir)
+    ords = t.orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "report_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+    """,
+)
+def report_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promotional revenue share. One fact-dim join
+    (part is sf-scaled: unhinted, AQE decides) and the percentage as
+    conditional sums inside a single global aggregate — no second
+    pass."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(t.part.select("p_partkey", "p_type"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "report_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def report_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders. The
+    correlated per-part AVG subquery becomes a pre-aggregated
+    per-partkey threshold table joined back on the equi-key — lineitem
+    shuffles on l_partkey once and the tiny threshold side rides the
+    same key (AQE broadcasts it when the brand filter makes it small).
+    Never a re-scan per outer row."""
+    t = Tables(spark, sf_dir)
+    brand_parts = t.part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    thresholds = (
+        t.lineitem.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "report_discounted_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def report_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides. The join stays a plain equi-join on partkey with
+    the disjunction as a post-join filter; Catalyst derives the
+    single-side implications (l_quantity BETWEEN 1 AND 40, p_size >= 1)
+    and pushes them below the join, which is the part of this predicate
+    that CAN prune at the scan."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = t.part.select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )

@@ -87,6 +87,11 @@ FRONT_OF_WINDOW: list[str] = [
     "report_top_supplier",
     "report_order_priority",
     "vec_pca_project",
+    "report_customer_distribution",
+    "report_promo_revenue",
+    "report_small_quantity_revenue",
+    "report_discounted_revenue",
+    # (re-verify r6: minhash signature formula changed to universal-hash)
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
@@ -97,12 +102,8 @@ FRONT_OF_WINDOW: list[str] = [
     "source_csv_roundtrip",
     "source_orc_roundtrip",
     "sink_partitioned_prune",
-    "sink_compact_files",
     "source_schema_evolution",
     # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
-    "join_full_outer",
-    "scan_parquet",
-    "scan_predicate_pushdown",
     # (set ops / stream_tumbling re-confirms rotated out in favor of the
     # five new report_* queries — r2 verdicts on those remain on record)
 ]

@@ -501,3 +501,37 @@ def test_top_supplier_max_is_rank_window_not_rescan(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("lineitem.parquet") <= 1
     assert_pushed_filter(df, "l_shipdate")
+
+
+def test_customer_distribution_left_join_keeps_zero_orders(spark, sf_dir):
+    # Q13: two shuffles (custkey, then c_count); the priority filter on
+    # orders pushes to its scan.
+    df = q("report_customer_distribution", spark, sf_dir)
+    assert_pushed_filter(df, "o_orderpriority")
+    assert count_shuffles(df) <= 3
+
+
+def test_promo_revenue_single_agg_pass(spark, sf_dir):
+    # Q14: the percentage is conditional sums in ONE aggregate.
+    df = q("report_promo_revenue", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_partial_aggregate(df)
+
+
+def test_small_quantity_threshold_rides_partkey_key(spark, sf_dir):
+    # Q17: the correlated AVG is a pre-agg joined on l_partkey — no
+    # nested loop, no per-row rescan.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_small_quantity_revenue", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_discounted_revenue_derives_single_side_filters(spark, sf_dir):
+    # Q19: Catalyst must derive the pushable single-side implications
+    # of the OR-of-ANDs (quantity/size bounds) below the join.
+    df = q("report_discounted_revenue", spark, sf_dir)
+    assert_pushed_filter(df, "l_quantity")
+    assert_pushed_filter(df, "p_size")

@@ -95,6 +95,10 @@ HEADLINE_NOTES = {
     "report_order_priority": "Q4: EXISTS as left-semi with the lateness residual on the l_orderkey equi-key; date window pushed",
     "vec_pca_project": "one-pass covariance via mapInPandas moments; projection is a narrow broadcast-matmul map — zero data shuffles",
     "report_market_share": "Q8: share = conditional sums in ONE two-phase agg; nation/region broadcast; no second pass",
+    "report_customer_distribution": "Q13: LEFT join keeps zero-order customers; custkey then c_count shuffles; priority filter pushed",
+    "report_promo_revenue": "Q14: promo share as conditional sums in ONE global agg; date filter pushed",
+    "report_small_quantity_revenue": "Q17: correlated AVG as a per-partkey pre-agg riding the equi-key; no per-row rescan",
+    "report_discounted_revenue": "Q19: OR-of-ANDs post-join; Catalyst-derived single-side bounds pushed to both scans",
     "report_top_supplier": "Q15: scalar max as rank-1 window over the per-supplier agg — lineitem scanned ONCE",
     "text_chunk_split": "row-local sequence/filter/slice explode: ZERO Exchange at any corpus size",
     "text_quality_classifier_hashed": "hashing-trick classifier as one codegen projection: zero Exchange, integer-exact score sum",
