@@ -436,3 +436,33 @@ def agg_histogram_width_bucket(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query("agg_hll_sketch_union")  # rows-only: HLL sketch binary is engine-specific
+def agg_hll_sketch_union(spark, sf_dir):
+    """Re-aggregatable distinct-count sketches (Spark 4 Datasketches
+    HLL): per-event-type user sketches built in one pass, then UNIONED
+    into an all-types estimate WITHOUT rescanning the facts — the
+    pattern that makes 100 TB rollups maintainable (store sketch bytes
+    per partition/day, merge on demand; exact distinct cannot merge).
+    Estimates land within HLL error of the exact counts (asserted in
+    pytest); lgConfigK=12 ~ 1.6% stderr."""
+    t = Tables(spark, sf_dir)
+    per_type = t.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    union_all = per_type.agg(
+        F.hll_union_agg("sk").alias("sk_u"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk_u").alias("approx_users"),
+        "n_rows",
+    )
+    each = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_rows",
+    )
+    return each.unionByName(union_all).orderBy("event_type")

@@ -91,6 +91,7 @@ FRONT_OF_WINDOW: list[str] = [
     "report_promo_revenue",
     "report_small_quantity_revenue",
     "report_discounted_revenue",
+    "agg_hll_sketch_union",
     # (re-verify r6: minhash signature formula changed to universal-hash)
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "source_csv_roundtrip",
     "source_orc_roundtrip",
     "sink_partitioned_prune",
-    "source_schema_evolution",
     # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
     # (set ops / stream_tumbling re-confirms rotated out in favor of the
     # five new report_* queries — r2 verdicts on those remain on record)

@@ -772,3 +772,26 @@ class TestPCA:
         np.testing.assert_allclose(e1, e2, rtol=1e-9)
         # sign canonicalization makes the component matrices themselves equal
         np.testing.assert_allclose(c1, c2, atol=1e-8)
+
+
+def test_hll_sketch_union_matches_exact_within_error(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark import registry
+    from helium_etl_lite_spark.tables import Tables
+
+    registry.load_all()
+    out = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.QUERIES["agg_hll_sketch_union"](spark, sf_dir).collect()
+    }
+    ev = Tables(spark, sf_dir).events
+    exact_all = ev.select("user_id").distinct().count()
+    # lgConfigK=12 -> ~1.6% stderr; allow 5 sigma
+    assert abs(out["ALL"] - exact_all) <= max(3, 0.08 * exact_all)
+    per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, n in per.items():
+        assert abs(out[k] - n) <= max(3, 0.08 * n)
