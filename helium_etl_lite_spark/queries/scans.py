@@ -322,3 +322,36 @@ def source_csv_permissive_corrupt(spark, sf_dir):
         .csv(path)
     )
     return out.select("id", "name", "qty", "corrupt_record")
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT o_orderkey AS height,
+           md5(CAST(o_orderkey AS VARCHAR)) AS block_hash,
+           strftime(o_orderdate, '%Y-%m-%d') AS block_date,
+           o_orderkey % 50 AS n_txns
+    FROM orders
+    """,
+)
+def source_python_datasource(spark, sf_dir):
+    """Spark 4 Python DataSource API end-to-end: a deterministic block
+    feed derived from `orders` lands as JSON-lines, then reads back
+    through the registered `blocks_jsonl` format
+    (sources/python_datasource.py) — the executor-parallel evolution of
+    the reference's driver-serial JSON-RPC block fetch
+    (src/block_processor.rs:29,58). One InputPartition per file; the
+    exact oracle proves the custom reader is lossless against the same
+    derivation stated in SQL."""
+    from ..sources import python_datasource
+
+    out = scratch_dir("pyds_blocks") + "/blocks"
+    blocks = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("height"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("block_hash"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("block_date"),
+        F.pmod(F.col("o_orderkey"), F.lit(50)).alias("n_txns"),
+    )
+    blocks.repartition(4).write.mode("overwrite").json(out)
+    python_datasource.register(spark)
+    return spark.read.format("blocks_jsonl").option("path", out).load()

@@ -505,3 +505,74 @@ class TestTransformWithStateDedup:
         got = {r["text_hash"]: r["doc_id"] for r in rows}
         assert len(rows) == 3  # one emission per distinct key
         assert got["h1"] in (1, 3) and got["h2"] == 2 and got["h3"] == 5
+
+
+class TestPythonDataSource:
+    def test_batch_reader_round_trips_and_partitions_per_file(self, spark, tmp_path):
+        import json
+
+        from helium_etl_lite_spark.sources import python_datasource
+
+        src = tmp_path / "blocks"
+        src.mkdir()
+        for i in range(3):
+            with open(src / f"part-{i}.json", "w") as f:
+                for h in range(i * 10, i * 10 + 10):
+                    f.write(json.dumps({
+                        "height": h, "block_hash": f"h{h}",
+                        "block_date": "2024-01-01", "n_txns": h % 5,
+                    }) + "\n")
+        python_datasource.register(spark)
+        df = spark.read.format("blocks_jsonl").option("path", str(src)).load()
+        assert df.count() == 30
+        assert df.rdd.getNumPartitions() == 3  # one InputPartition per file
+        assert {r["height"] for r in df.collect()} == set(range(30))
+
+    def test_stream_reader_advances_offset_across_batches(self, spark, tmp_path):
+        import json
+        import time
+
+        from helium_etl_lite_spark.sources import python_datasource
+
+        src = tmp_path / "blocks"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+
+        def write_file(i):
+            with open(src / f"part-{i}.json", "w") as f:
+                for h in range(i * 5, i * 5 + 5):
+                    f.write(json.dumps({
+                        "height": h, "block_hash": f"h{h}",
+                        "block_date": "2024-01-01", "n_txns": 1,
+                    }) + "\n")
+
+        write_file(0)
+        python_datasource.register(spark)
+        stream = (
+            spark.readStream.format("blocks_jsonl").option("path", str(src)).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(str(out)).count() == 5
+
+        # a second file lands; restart consumes ONLY the new file
+        write_file(1)
+        q = (
+            spark.readStream.format("blocks_jsonl").option("path", str(src)).load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        assert got.count() == 10  # no double-read of file 0
+        assert {r["height"] for r in got.collect()} == set(range(10))
