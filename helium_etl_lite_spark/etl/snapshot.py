@@ -80,6 +80,16 @@ class SnapshotStore:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
+    def manifest(self, version: int) -> dict | None:
+        """Historical manifest (time travel): versions stay readable
+        until `vacuum` drops them — append-only data dirs mean an old
+        manifest's file list remains valid verbatim."""
+        try:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     def publish(self, manifest: dict) -> None:
         """The commit point. Everything before the final os.replace is
         invisible to readers; the replace itself is atomic."""
@@ -156,12 +166,17 @@ def _read_version_ranges(
     return out
 
 
-def read_snapshot(spark: SparkSession, root: str, table: str) -> DataFrame | None:
-    """The committed-read view: exactly the current manifest's files.
-    Returns None when no snapshot (or no such table) exists. There is
-    nothing to filter by cursor — data ahead of the cursor is not in the
-    manifest, so it does not exist for readers."""
-    manifest = SnapshotStore(root).current()
+def read_snapshot(
+    spark: SparkSession, root: str, table: str, version: int | None = None
+) -> DataFrame | None:
+    """The committed-read view: exactly the given manifest's files
+    (CURRENT when version is None — pass an older version for time
+    travel; append-only storage keeps its file list valid until
+    vacuum). Returns None when no snapshot (or no such table) exists.
+    There is nothing to filter by cursor — data ahead of the cursor is
+    not in the manifest, so it does not exist for readers."""
+    store = SnapshotStore(root)
+    manifest = store.current() if version is None else store.manifest(version)
     if manifest is None or table not in manifest["tables"]:
         return None
     parts = manifest["tables"][table]

@@ -355,3 +355,57 @@ def source_python_datasource(spark, sf_dir):
     blocks.repartition(4).write.mode("overwrite").json(out)
     python_datasource.register(spark)
     return spark.read.format("blocks_jsonl").option("path", out).load()
+
+
+@query(
+    "sink_snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 2 AS version,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    ORDER BY version
+    """,
+)
+def sink_snapshot_time_travel(spark, sf_dir):
+    """Time travel over the transactional snapshot sink
+    (etl/snapshot.py): two atomic commits (even event_ids, then odd),
+    then BOTH versions read back — version 1 must still see exactly the
+    first commit after version 2 lands, because manifests are immutable
+    and data dirs append-only (the reference's per-block BEGIN..COMMIT
+    extended with history, the Iceberg/Delta snapshot-isolation pattern
+    rebuilt from primitives). The exact oracle states both versions'
+    aggregates straight from `events`."""
+    from ..etl.snapshot import commit_batch_atomic, read_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("block"), F.col("value")
+    )
+    root = scratch_dir("snapshot_tt")
+    b1 = ev.where(F.col("block") % 2 == 0)
+    b2 = ev.where(F.col("block") % 2 == 1)
+    hi = ev.agg(F.max("block")).first()[0]
+    commit_batch_atomic(
+        spark, root, {"rewards": b1}, lo=0, hi=int(hi), height=int(hi),
+        first_block=0, heights=b1.select("block"),
+    )
+    commit_batch_atomic(
+        spark, root, {"rewards": b2}, lo=0, hi=int(hi), height=int(hi),
+        first_block=0, heights=b2.select("block"),
+    )
+    v1 = read_snapshot(spark, root, "rewards", version=1)
+    v2 = read_snapshot(spark, root, "rewards", version=2)
+
+    def summarize(df, ver):
+        return df.agg(
+            F.lit(ver).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).select("version", "n_rows", "sum_value")
+
+    return summarize(v1, 1).unionByName(summarize(v2, 2)).orderBy("version")

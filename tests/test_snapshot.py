@@ -250,3 +250,33 @@ class TestStreamingAtomic:
         assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
         txns_out = read_snapshot(spark, out_dir, "transactions")
         assert txns_out is not None and txns_out.count() > 0
+
+
+def test_time_travel_old_version_stable_until_vacuum(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        SnapshotStore,
+        commit_batch_atomic,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 10).select(F.col("id").alias("block"), (F.col("id") * 2).alias("v"))
+    b2 = spark.range(10, 20).select(F.col("id").alias("block"), (F.col("id") * 2).alias("v"))
+    commit_batch_atomic(spark, root, {"t": b1}, 0, 9, 9, 0, heights=b1.select("block"))
+    v1_before = read_snapshot(spark, root, "t", version=1).orderBy("block").collect()
+    commit_batch_atomic(spark, root, {"t": b2}, 10, 19, 19, 0, heights=b2.select("block"))
+
+    # v1 is byte-identical after the second commit (immutable manifest,
+    # append-only data); v2 sees both batches.
+    v1_after = read_snapshot(spark, root, "t", version=1).orderBy("block").collect()
+    assert v1_after == v1_before
+    assert read_snapshot(spark, root, "t", version=2).count() == 20
+    # CURRENT == v2
+    assert read_snapshot(spark, root, "t").count() == 20
+
+    # a missing version reads as None, and vacuum(keep=1) drops v1
+    assert read_snapshot(spark, root, "t", version=99) is None
+    SnapshotStore(root).vacuum(keep_versions=1)
+    assert read_snapshot(spark, root, "t", version=1) is None
