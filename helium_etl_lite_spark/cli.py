@@ -216,13 +216,14 @@ def cmd_start(spark, cfg, log=None, max_ticks: int | None = None) -> None:
     log.info("start: stopped")
 
 
-def cmd_sql(spark, cfg, sql_text: str, log=None) -> int:
+def cmd_sql(spark, cfg, sql_text: str, log=None, at_version: int | None = None) -> int:
     """Serving-layer escape hatch: register the output tables under the
-    reference's names (cursor-bounded committed view) and run one SQL
-    statement, printing up to 1000 rows. Returns the row count."""
+    reference's names (cursor-bounded committed view; --at-version
+    time-travels an atomic sink) and run one SQL statement, printing up
+    to 1000 rows. Returns the row count."""
     from . import serving
 
-    serving.register_views(spark, str(cfg["out_dir"]))
+    serving.register_views(spark, str(cfg["out_dir"]), at_version=at_version)
     out = spark.sql(sql_text)
     rows = out.limit(1000).collect()
     header = "\t".join(out.columns)
@@ -319,6 +320,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("-e", "--execute", help="SQL statement (sql command)")
     p.add_argument(
+        "--at-version", type=int, default=None,
+        help="sql: time-travel an atomic-sink store to this snapshot version",
+    )
+    p.add_argument(
         "--keep-versions", type=int, default=2,
         help="vacuum: snapshot versions to keep (default 2)",
     )
@@ -359,7 +364,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "once":
             cmd_once(spark, cfg)
         elif args.command == "sql":
-            cmd_sql(spark, cfg, args.execute)
+            cmd_sql(spark, cfg, args.execute, at_version=args.at_version)
         elif args.command == "compact":
             cmd_compact(spark, cfg, args.target_mb)
         else:

@@ -43,22 +43,32 @@ def register_views(
     out_dir: str,
     committed: bool = True,
     range_size: int = 1000,
+    at_version: int | None = None,
 ) -> dict[str, DataFrame]:
     """Expose the output tables under the reference's table names.
     `transactions` is registered only when the pipeline mode produced it
-    (full mode). Returns the DataFrames keyed by view name."""
+    (full mode). Returns the DataFrames keyed by view name.
+    `at_version` time-travels an atomic-sink store to a historical
+    snapshot (ignored for plain sinks, which keep no history)."""
     views: dict[str, DataFrame] = {}
 
     from .etl.snapshot import SnapshotStore, read_snapshot
 
-    snapshot_manifest = SnapshotStore(out_dir).current()
+    store = SnapshotStore(out_dir)
+    snapshot_manifest = (
+        store.current() if at_version is None else store.manifest(at_version)
+    )
+    if at_version is not None and snapshot_manifest is None:
+        raise ValueError(
+            f"no snapshot version {at_version} at {out_dir} (vacuumed or never committed)"
+        )
 
     def load(table: str) -> DataFrame:
         if snapshot_manifest is not None:
             # Atomic-sink output: the manifest IS the committed view —
             # uncommitted data isn't reachable from it at all, so no
             # cursor filter is needed (or meaningful).
-            df = read_snapshot(spark, out_dir, table)
+            df = read_snapshot(spark, out_dir, table, version=at_version)
             if df is None:
                 from pyspark.errors import AnalysisException
 

@@ -282,3 +282,33 @@ def test_compact_crash_recovery(spark, chain_dirs, tmp_path):
     assert os.path.isdir(pdir)
     assert not os.path.isdir(pdir + ".__compact_old")
     assert spark.read.parquet(tdir).count() == rows
+
+
+def test_sql_at_version_time_travels_atomic_sink(spark, chain_dirs, tmp_path, capsys):
+    # --at-version on an atomic sink serves the historical snapshot; v1
+    # keeps its row count after a superseding commit, and a vacuumed
+    # version errors clearly.
+    import pytest as _pytest
+
+    from helium_etl_lite_spark.etl.snapshot import SnapshotStore
+
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "out")
+    cfg_path = write_config(
+        tmp_path / "s.toml", bp, tp, out, mode="rewards", backfill=True,
+        atomic=True, block_range_size=20,
+    )
+    cfg = cli.load_config(cfg_path)
+    cli.cmd_once(spark, cfg)
+    v1 = SnapshotStore(out).current()["version"]
+    n_v1 = cli.cmd_sql(spark, cfg, "SELECT COUNT(*) AS n FROM rewards")
+    f = cli._follower(spark, cfg)
+    f._commit_range_atomic(1000, 1059, SnapshotStore(out).current()["first_block"])
+    capsys.readouterr()
+    n_tt = cli.cmd_sql(
+        spark, cfg, "SELECT block, gateway FROM rewards ORDER BY block", at_version=v1
+    )
+    assert n_tt > 0
+    cli.cmd_vacuum({"out_dir": out}, keep_versions=1)
+    with _pytest.raises(ValueError, match="no snapshot version"):
+        cli.cmd_sql(spark, cfg, "SELECT 1", at_version=v1)
