@@ -372,6 +372,30 @@ class IncrementalFollower:
         blocks = self.blocks.where(F.col("height").between(lo, hi))
         out = build_outputs(self.config.mode, blocks, self.txns, self.filters)
 
+        # Ingest audit: row/amount/sentinel counters over the pruned
+        # batch slice (the reference has no ingest metrics at all;
+        # production followers need them to spot a silently-empty or
+        # all-null upstream). One bounded aggregate job per range —
+        # NOT the Observation API: the recovery paths here deliberately
+        # run failing probe reads (cursor dirs that may not exist), and
+        # a pending Observation's listener asserts on ANY failed query
+        # in the session, taking the whole batch down with it.
+        from .schemas import SENTINEL
+
+        audit = out["rewards"].agg(
+            F.count(F.lit(1)).alias("n_rewards"),
+            F.coalesce(F.sum("amount"), F.lit(0)).alias("amount_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("account") == SENTINEL, 1).otherwise(0)), F.lit(0)
+            ).alias("sentinel_accounts"),
+        ).first()
+        self.last_audit = audit.asDict()
+        import logging
+
+        logging.getLogger("helium_etl_lite_spark").info(
+            f"audit [{lo},{hi}]: {self.last_audit}"
+        )
+
         write_block_range_idempotent(
             self.spark,
             out["rewards"],

@@ -410,3 +410,32 @@ class TestStaleRangeDeletion:
         got = spark.read.parquet(path)
         assert got.count() == 15
         assert os.path.exists(os.path.join(path, "block_range=1"))
+
+
+def test_ingest_audit_rides_the_landing_action(spark, tmp_path):
+    # Observation metrics must reflect exactly the landed batch — no
+    # extra job, no approximation — including the sentinel-account count
+    # (the '1Wh4bh' coalesce, src/reward.rs:22-33).
+    from helium_etl_lite_spark.etl import fixtures
+    from helium_etl_lite_spark.etl.pipeline import FollowerConfig, IncrementalFollower
+    from helium_etl_lite_spark.etl.schemas import SENTINEL
+
+    blocks, txns = fixtures.make_chain(spark, first_block=1000, n_blocks=120)
+    cfg = FollowerConfig(
+        mode="rewards", backfill=True, out_dir=str(tmp_path / "out"),
+        block_range_size=20,
+    )
+    f = IncrementalFollower(spark, blocks, txns, cfg)
+    f.catch_up()
+    assert hasattr(f, "last_audit")
+    landed = spark.read.parquet(str(tmp_path / "out" / "rewards"))
+    # the whole chain lands as ONE range batch here, so the audit must
+    # equal the landed totals exactly
+    assert f.last_audit["n_rewards"] == landed.count()
+    assert f.last_audit["amount_total"] == (
+        landed.agg(F.sum("amount")).first()[0]
+    )
+    assert f.last_audit["sentinel_accounts"] == landed.where(
+        F.col("account") == SENTINEL
+    ).count()
+    assert f.last_audit["sentinel_accounts"] > 0  # fixtures plant null accounts
