@@ -560,3 +560,189 @@ def text_quality_classifier_hashed(spark, sf_dir):
         F.round(F.col("raw") / (F.col("n_toks") * 1048576.0), 6).alias("quality_score"),
         (F.col("raw") > 0).alias("is_quality"),
     )
+
+
+@query(
+    "pipeline_pretraining_select",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS ws
+      FROM documents WHERE len(string_split(text, ' ')) > 0),
+    go AS (
+      SELECT doc_id, text FROM g
+      WHERE len(ws) BETWEEN 30 AND 100000
+        AND ROUND(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                  / len(ws), 4) BETWEEN 3.0 AND 10.0
+        AND ROUND(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(ws), 4) >= 0.8
+        AND len(list_filter(ws, x -> list_contains([{_STOP_SQL}], x))) >= 2),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id
+               ) AS rn
+        FROM go) WHERE rn = 1),
+    cand AS (SELECT doc_id, text FROM ded WHERE doc_id % 10 <> 0),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    cand_sh AS (
+      SELECT DISTINCT c.doc_id,
+             array_to_string((string_split(c.text, ' '))[i:i+7], ' ') AS shingle
+      FROM cand c, UNNEST(generate_series(1, len(string_split(c.text, ' ')) - 7)) AS u(i)
+      WHERE len(string_split(c.text, ' ')) >= 8),
+    bench_sh AS (
+      SELECT DISTINCT
+             array_to_string((string_split(b.text, ' '))[i:i+7], ' ') AS shingle
+      FROM bench b, UNNEST(generate_series(1, len(string_split(b.text, ' ')) - 7)) AS u(i)
+      WHERE len(string_split(b.text, ' ')) >= 8),
+    contaminated AS (
+      SELECT DISTINCT cs.doc_id FROM cand_sh cs
+      JOIN bench_sh bs ON cs.shingle = bs.shingle),
+    clean AS (
+      SELECT c.doc_id, c.text FROM cand c
+      LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(list_aggregate(list_transform(
+               string_split(lower(trim(text)), ' '),
+               t -> ((
+                 (CASE WHEN ascii(substr(md5(t),1,1)) >= 97
+                       THEN ascii(substr(md5(t),1,1)) - 87
+                       ELSE ascii(substr(md5(t),1,1)) - 48 END) * 4096
+               + (CASE WHEN ascii(substr(md5(t),2,1)) >= 97
+                       THEN ascii(substr(md5(t),2,1)) - 87
+                       ELSE ascii(substr(md5(t),2,1)) - 48 END) * 256
+               + (CASE WHEN ascii(substr(md5(t),3,1)) >= 97
+                       THEN ascii(substr(md5(t),3,1)) - 87
+                       ELSE ascii(substr(md5(t),3,1)) - 48 END) * 16
+               + (CASE WHEN ascii(substr(md5(t),4,1)) >= 97
+                       THEN ascii(substr(md5(t),4,1)) - 87
+                       ELSE ascii(substr(md5(t),4,1)) - 48 END)
+               ) * 2654435761) % 1048576 - 524288), 'sum') AS BIGINT)
+               AS score_raw
+      FROM clean),
+    sel AS (
+      SELECT doc_id, n_tokens, score_raw,
+             CAST(SUM(n_tokens) OVER (ORDER BY score_raw DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM scored)
+    SELECT doc_id, n_tokens, score_raw, cum_tokens
+    FROM sel WHERE cum_tokens <= 6000
+    """,
+)
+def pipeline_pretraining_select(spark, sf_dir):
+    """The flagship curation composition — five pipeline stages in ONE
+    declarative plan, end-to-end exact against the oracle:
+
+      1. Gopher quality gate (row-local array fns, zero shuffle)
+      2. exact dedup, min-doc_id keeper (one hash-window shuffle)
+      3. benchmark decontamination: drop candidates sharing any 8-gram
+         with the held-out split (distinct shingles both sides, ONE
+         equi-join on the shingle — never doc-pair nested loops)
+      4. hashed-bag-of-words quality scoring (integer-exact, codegen)
+      5. token-budget selection in (score DESC, doc_id) order via the
+         two-level control plane (no single-task global sort)
+
+    Catalyst fuses 1+2 into one stage and 4 into the post-join
+    projection; the only exchanges are the dedup window, the shingle
+    join, and the budget machinery — at 100 TB each is hash-partitioned
+    on a high-cardinality key. This is the query a training-data team
+    actually ships, and it inherits every stage's plan posture already
+    pinned by the per-stage tests."""
+    from pyspark.sql import Window as W
+
+    from ..operators.scale import select_token_budget
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+
+    # stage 1: gopher gate (same thresholds as text_gopher_quality_filter)
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double") / n_words, 4
+    )
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(GOPHER_STOPWORDS))).cast("long")
+    go = docs.where(
+        (F.size(ws) > 0)
+        & n_words.between(30, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+
+    # stage 2: exact dedup keepers
+    wdup = W.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
+    ded = (
+        go.withColumn("__rn", F.row_number().over(wdup))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # stage 3: decontamination vs the held-out split
+    def shingles(df):
+        toks = F.split(F.col("text"), " ")
+        return (
+            df.where(F.size(toks) >= 8)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 7),
+                        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+                    )
+                ).alias("shingle"),
+            )
+            .distinct()
+        )
+
+    cand = ded.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    contaminated = (
+        shingles(cand)
+        .join(shingles(bench).select("shingle").distinct(), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = cand.join(contaminated, "doc_id", "left_anti")
+
+    # stage 4: hashed quality score (same construction as
+    # text_quality_classifier_hashed, kept integral until selection)
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+
+    def hexv(h, i):
+        a = F.ascii(F.substring(h, i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    def weight(tok):
+        h = F.md5(tok)
+        bucket = (
+            hexv(h, 1) * 4096 + hexv(h, 2) * 256 + hexv(h, 3) * 16 + hexv(h, 4)
+        ).cast("long")
+        return (bucket * F.lit(2654435761).cast("long")) % 1048576 - 524288
+
+    scored = clean.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("score_raw"),
+    )
+
+    # stage 5: token budget, (score DESC, doc_id) order, no global sort
+    return select_token_budget(
+        scored, "score_raw", "doc_id", "n_tokens", budget=6000, out_col="cum_tokens"
+    )

@@ -94,6 +94,7 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_hll_sketch_union",
     "source_python_datasource",
     "sink_snapshot_time_travel",
+    "pipeline_pretraining_select",
     # (re-verify r6: minhash signature formula changed to universal-hash)
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
@@ -102,7 +103,6 @@ FRONT_OF_WINDOW: list[str] = [
     "text_dedup_minhash",        # permutation-collapse fix (ADVICE r5 high)
     "text_dedup_minhash_incremental",  # signature fix + O(batch) fold-in
     "sink_roundtrip_parquet",    # scratch_dir instead of mkdtemp-per-call
-    "source_csv_roundtrip",
     # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
     # (set ops / stream_tumbling re-confirms rotated out in favor of the
     # five new report_* queries — r2 verdicts on those remain on record)

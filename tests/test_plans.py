@@ -535,3 +535,15 @@ def test_discounted_revenue_derives_single_side_filters(spark, sf_dir):
     df = q("report_discounted_revenue", spark, sf_dir)
     assert_pushed_filter(df, "l_quantity")
     assert_pushed_filter(df, "p_size")
+
+
+def test_pretraining_pipeline_no_single_partition_no_bnlj(spark, sf_dir):
+    # The five-stage composition must inherit every stage's posture:
+    # no single-task global sort, no doc-pair nested loop.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("pipeline_pretraining_select", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -100,6 +100,10 @@ HEADLINE_NOTES = {
     "report_small_quantity_revenue": "Q17: correlated AVG as a per-partkey pre-agg riding the equi-key; no per-row rescan",
     "report_discounted_revenue": "Q19: OR-of-ANDs post-join; Catalyst-derived single-side bounds pushed to both scans",
     "report_top_supplier": "Q15: scalar max as rank-1 window over the per-supplier agg — lineitem scanned ONCE",
+    "pipeline_pretraining_select": "five curation stages fused: gopher+scoring in codegen, dedup window + shingle join + budget control plane are the only exchanges; no SinglePartition, no BNLJ",
+    "sink_snapshot_time_travel": "both versions read straight from manifest-listed dirs; one union + two 1-row aggs",
+    "source_python_datasource": "BatchScan over the registered Python data source, one InputPartition per file",
+    "agg_hll_sketch_union": "two-phase sketch agg then 1-row union agg — sketches merge, facts scan once",
     "text_chunk_split": "row-local sequence/filter/slice explode: ZERO Exchange at any corpus size",
     "text_quality_classifier_hashed": "hashing-trick classifier as one codegen projection: zero Exchange, integer-exact score sum",
 }
