@@ -80,6 +80,8 @@ EXTENDED = [
     # r6: composite TPC-H-shaped reports — the "real user query" lane.
     "report_pricing_summary",
     "report_local_supplier_volume",
+    # r6: the five-stage curation flagship.
+    "pipeline_pretraining_select",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))

@@ -285,7 +285,7 @@ def report_returned_items(spark, sf_dir):
       JOIN region   ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA')
     SELECT o_year,
-           ROUND(SUM(CASE WHEN n_name = 'CHINA' THEN volume ELSE 0 END)
+           ROUND(SUM(CASE WHEN n_name = 'NATION_9' THEN volume ELSE 0 END)
                  / SUM(volume), 6) AS mkt_share,
            ROUND(SUM(volume), 2) AS total_volume
     FROM asia_rev
@@ -321,7 +321,7 @@ def report_market_share(spark, sf_dir):
     )
     return joined.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("n_name") == "CHINA", F.col("volume")).otherwise(0.0))
+            F.sum(F.when(F.col("n_name") == "NATION_9", F.col("volume")).otherwise(0.0))
             / F.sum("volume"),
             6,
         ).alias("mkt_share"),
@@ -566,5 +566,117 @@ def report_discounted_revenue(spark, sf_dir):
     return j.where(clause).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "revenue"
+        )
+    )
+
+
+@query(
+    "report_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_9'))
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def report_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between two nations by year and
+    direction. The nation table joins TWICE under different roles (both
+    broadcast — fixed cardinality); the two-direction disjunction is a
+    residual on the joined pair, and the year split happens in the
+    grouping, not a second scan."""
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_9"))
+    return (
+        li.join(t.supplier.select("s_suppkey", "s_nationkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "report_dormant_accounts",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+)
+def report_dormant_accounts(spark, sf_dir):
+    """TPC-H Q22 shape: high-balance customers with no recent orders —
+    the sales-opportunity report. The scalar AVG subquery becomes a
+    1-row aggregate cross-joined into the filter (one tiny broadcast,
+    no second correlated scan); NOT EXISTS compiles to a left-anti join
+    against the date-filtered orders."""
+    t = Tables(spark, sf_dir)
+    avg_bal = (
+        t.customer.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    recent = t.orders.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        t.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )

@@ -95,14 +95,14 @@ FRONT_OF_WINDOW: list[str] = [
     "source_python_datasource",
     "sink_snapshot_time_travel",
     "pipeline_pretraining_select",
+    "report_volume_shipping",
+    "report_dormant_accounts",
     # (re-verify r6: minhash signature formula changed to universal-hash)
     # (b) code changed in r6 — re-verify:
     "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
     "join_theta_range",          # binned instead of forced part broadcast
-    "text_tfidf",                # n_docs folded into the plan
     "text_dedup_minhash",        # permutation-collapse fix (ADVICE r5 high)
     "text_dedup_minhash_incremental",  # signature fix + O(batch) fold-in
-    "sink_roundtrip_parquet",    # scratch_dir instead of mkdtemp-per-call
     # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
     # (set ops / stream_tumbling re-confirms rotated out in favor of the
     # five new report_* queries — r2 verdicts on those remain on record)

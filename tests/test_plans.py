@@ -547,3 +547,27 @@ def test_pretraining_pipeline_no_single_partition_no_bnlj(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_volume_shipping_double_nation_broadcast(spark, sf_dir):
+    # Q7: nation joins twice under different roles — both broadcast;
+    # the two-direction disjunction stays a residual, no BNLJ.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_volume_shipping", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_dormant_accounts_anti_join_and_scalar_avg(spark, sf_dir):
+    # Q22: NOT EXISTS must be a left-anti hash join; the scalar AVG is
+    # a broadcast 1-row aggregate, not a rescan per row.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_dormant_accounts", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert_pushed_filter(df, "o_orderdate")

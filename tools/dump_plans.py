@@ -95,6 +95,8 @@ HEADLINE_NOTES = {
     "report_order_priority": "Q4: EXISTS as left-semi with the lateness residual on the l_orderkey equi-key; date window pushed",
     "vec_pca_project": "one-pass covariance via mapInPandas moments; projection is a narrow broadcast-matmul map — zero data shuffles",
     "report_market_share": "Q8: share = conditional sums in ONE two-phase agg; nation/region broadcast; no second pass",
+    "report_volume_shipping": "Q7: nation broadcast twice under different roles; direction disjunction as residual; date window pushed",
+    "report_dormant_accounts": "Q22: scalar AVG broadcast 1-row agg; NOT EXISTS as LeftAnti hash join; date filter pushed",
     "report_customer_distribution": "Q13: LEFT join keeps zero-order customers; custkey then c_count shuffles; priority filter pushed",
     "report_promo_revenue": "Q14: promo share as conditional sums in ONE global agg; date filter pushed",
     "report_small_quantity_revenue": "Q17: correlated AVG as a per-partkey pre-agg riding the equi-key; no per-row rescan",
