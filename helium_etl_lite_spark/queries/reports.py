@@ -346,14 +346,14 @@ def report_market_share(spark, sf_dir):
 )
 def report_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
-    window. The scalar-max comparison is a rank-1 window over the
-    pre-aggregated per-supplier revenue (100 rows per sf unit, after
-    the big agg) — NOT a second scan of lineitem the way the literal
-    SQL reads; Catalyst evaluates the oracle's scalar subquery the same
-    way. Rounding happens before the max comparison on both sides so
-    ties are decided on identical values."""
-    from pyspark.sql import Window as W
-
+    window. The scalar max is a broadcast 1-row aggregate over the
+    per-supplier revenue, joined back as a filter — NOT a rank window:
+    a partition-less window serializes every supplier through one task,
+    and supplier count scales with sf. Catalyst does not materialize
+    CTEs, so the rev branch plans twice (two filtered, fully-parallel
+    lineitem scans — the cheaper tradeoff; plan test pins the pushed
+    filter on both). Rounding happens before the max comparison on both
+    sides so ties are decided on identical values."""
     t = Tables(spark, sf_dir)
     rev = (
         t.lineitem.where(
@@ -367,12 +367,11 @@ def report_top_supplier(spark, sf_dir):
             )
         )
     )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
     top = (
-        rev.withColumn(
-            "__rk", F.rank().over(W.orderBy(F.col("total_revenue").desc()))
-        )
-        .where(F.col("__rk") == 1)
-        .drop("__rk")
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
     )
     return (
         t.supplier.select("s_suppkey", "s_name")

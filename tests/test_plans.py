@@ -491,16 +491,17 @@ def test_market_share_single_agg_pass(spark, sf_dir):
     assert_partial_aggregate(df)
 
 
-def test_top_supplier_max_is_rank_window_not_rescan(spark, sf_dir):
-    # The scalar-max filter must ride the tiny per-supplier agg (rank
-    # window), never rescan lineitem a second time: exactly one
-    # lineitem file scan in the plan.
+def test_top_supplier_max_filter_pushes_to_both_scans(spark, sf_dir):
+    # The scalar max is a broadcast 1-row agg over a second rev branch.
+    # Catalyst does not materialize CTEs, so lineitem scans twice — but
+    # BOTH scans must carry the pushed shipdate window (each reads only
+    # the filtered slice, fully parallel), which beats the alternative
+    # single-task supplier-wide window at scale.
     from helium_etl_lite_spark.plans.explain_tools import formatted_plan
 
     df = q("report_top_supplier", spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("lineitem.parquet") <= 1
-    assert_pushed_filter(df, "l_shipdate")
+    assert plan.count("PushedFilters: [IsNotNull(l_shipdate)") >= 2, plan
 
 
 def test_customer_distribution_left_join_keeps_zero_orders(spark, sf_dir):
@@ -571,3 +572,13 @@ def test_dormant_accounts_anti_join_and_scalar_avg(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert_pushed_filter(df, "o_orderdate")
+
+
+def test_top_supplier_no_single_partition_window(spark, sf_dir):
+    # Q15's scalar max must not serialize all suppliers through one
+    # task: the only SinglePartition allowed is the 1-row max aggregate.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_top_supplier", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan

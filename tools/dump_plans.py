@@ -101,7 +101,7 @@ HEADLINE_NOTES = {
     "report_promo_revenue": "Q14: promo share as conditional sums in ONE global agg; date filter pushed",
     "report_small_quantity_revenue": "Q17: correlated AVG as a per-partkey pre-agg riding the equi-key; no per-row rescan",
     "report_discounted_revenue": "Q19: OR-of-ANDs post-join; Catalyst-derived single-side bounds pushed to both scans",
-    "report_top_supplier": "Q15: scalar max as rank-1 window over the per-supplier agg — lineitem scanned ONCE",
+    "report_top_supplier": "Q15: scalar max as broadcast 1-row agg (NO supplier-wide window); rev branch plans twice, both scans filtered",
     "pipeline_pretraining_select": "five curation stages fused: gopher+scoring in codegen, dedup window + shingle join + budget control plane are the only exchanges; no SinglePartition, no BNLJ",
     "sink_snapshot_time_travel": "both versions read straight from manifest-listed dirs; one union + two 1-row aggs",
     "source_python_datasource": "BatchScan over the registered Python data source, one InputPartition per file",
