@@ -742,7 +742,13 @@ def pipeline_pretraining_select(spark, sf_dir):
         ).alias("score_raw"),
     )
 
-    # stage 5: token budget, (score DESC, doc_id) order, no global sort
+    # stage 5: token budget, (score DESC, doc_id) order, no global sort.
+    # The control plane references its input from several branches;
+    # truncate lineage ONCE here (bounded: 3 scalar cols per doc) so the
+    # expensive gate→dedup→decontaminate→score chain above runs a single
+    # time instead of once per branch (same pattern as
+    # connected_components' localCheckpoint; measured ~4x on this query).
+    scored = scored.localCheckpoint(eager=True)
     return select_token_budget(
         scored, "score_raw", "doc_id", "n_tokens", budget=6000, out_col="cum_tokens"
     )
