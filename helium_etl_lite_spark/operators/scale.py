@@ -274,16 +274,22 @@ def select_token_budget(
         .persist()
     )
     per_s = sums.groupBy("__s").agg(F.sum("__w").alias("__sw"))
-    n_scores = per_s.count()
-    if n_scores > max_control_rows:
+    # guard and fetch in ONE job: TakeOrdered of bound+1 rows replaces
+    # the former separate count() job (per-job overhead is the dominant
+    # cost of this control plane on small inputs)
+    ordered = (
+        per_s.orderBy(F.col("__s").desc_nulls_last())
+        .limit(max_control_rows + 1)
+        .collect()
+    )
+    if len(ordered) > max_control_rows:
         sums.unpersist()
         raise ValueError(
-            f"select_token_budget control table has {n_scores} distinct "
-            f"scores > max_control_rows={max_control_rows}; "
+            f"select_token_budget control table exceeds "
+            f"max_control_rows={max_control_rows} distinct scores; "
             f"score_col={score_col!r} is too high-cardinality — coarsen "
             "it (round/width_bucket) or raise the bound deliberately"
         )
-    ordered = per_s.orderBy(F.col("__s").desc_nulls_last()).collect()
     soffsets, acc = [], 0
     for r in ordered:
         soffsets.append((r["__s"], acc))
