@@ -81,17 +81,22 @@ def distributed_ntile(
         .persist()
     )
     per_v = counts.groupBy("__v").agg(F.sum("__cnt").alias("__vcnt"))
-    n_values = per_v.count()
-    if n_values > max_control_rows:
+    # guard and fetch in ONE job (TakeOrdered of bound+1) — the former
+    # separate count() job was pure overhead
+    ordered_v = (
+        per_v.orderBy(F.col("__v").asc_nulls_first())
+        .limit(max_control_rows + 1)
+        .collect()
+    )
+    if len(ordered_v) > max_control_rows:
         counts.unpersist()
         raise ValueError(
-            f"distributed_ntile control table has {n_values} "
-            f"distinct values > max_control_rows={max_control_rows}; "
+            f"distributed_ntile control table exceeds "
+            f"max_control_rows={max_control_rows} distinct values; "
             f"value_col={value_col!r} is too high-cardinality for the "
             "bounded-control-plane assumption — pre-bucket it (e.g. "
             "round/width_bucket) or raise the bound deliberately"
         )
-    ordered_v = per_v.orderBy(F.col("__v").asc_nulls_first()).collect()
     total = sum(r["__vcnt"] for r in ordered_v)
     voffsets, acc = [], 0
     for r in ordered_v:
@@ -184,15 +189,17 @@ def prefix_sum(
         .persist()
     )
     supers = sums.groupBy("__sb").agg(F.sum("__s").alias("__ss"))
-    n_super = supers.count()
-    if n_super > max_control_rows:
+    # guard and fetch in ONE job (TakeOrdered of bound+1)
+    ordered = (
+        supers.orderBy(F.col("__sb").asc()).limit(max_control_rows + 1).collect()
+    )
+    if len(ordered) > max_control_rows:
         sums.unpersist()
         raise ValueError(
-            f"prefix_sum control table has {n_super} superbuckets > "
-            f"max_control_rows={max_control_rows}; raise bucket_width "
-            "or super_width"
+            f"prefix_sum control table exceeds "
+            f"max_control_rows={max_control_rows} superbuckets; raise "
+            "bucket_width or super_width"
         )
-    ordered = supers.orderBy(F.col("__sb").asc()).collect()
     soffsets, acc = [], 0
     for r in ordered:
         soffsets.append((r["__sb"], acc))
