@@ -56,6 +56,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentSnapshotWriteError(RuntimeError):
+    """Two writers raced to publish the same snapshot version with
+    different content; the loser must re-read CURRENT and recommit."""
+
+
 class SnapshotStore:
     """Manifest bookkeeping: read CURRENT, publish a new version."""
 
@@ -92,15 +97,38 @@ class SnapshotStore:
 
     def publish(self, manifest: dict) -> None:
         """The commit point. Everything before the final os.replace is
-        invisible to readers; the replace itself is atomic."""
+        invisible to readers; the replace itself is atomic.
+
+        Optimistic concurrency: the version file is claimed with an
+        atomic hard link (fails if it exists), so two writers that both
+        computed version N cannot silently overwrite each other — the
+        loser gets ConcurrentSnapshotWriteError and must re-read CURRENT
+        and recommit. A crash-replay republishing the IDENTICAL manifest
+        (commit content is a deterministic function of the batch) is
+        recognized and passes through idempotently."""
         os.makedirs(self.dir, exist_ok=True)
         version = manifest["version"]
         mpath = self._manifest_path(version)
-        with open(mpath + ".tmp", "w") as f:
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(mpath + ".tmp", mpath)
+        try:
+            os.link(tmp, mpath)  # atomic claim of version N
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            with open(mpath) as f:
+                existing = json.load(f)
+            if existing != json.loads(json.dumps(manifest)):
+                raise ConcurrentSnapshotWriteError(
+                    f"snapshot version {version} was already published with "
+                    "different content — another writer won the race; "
+                    "re-read CURRENT and recommit on top of it"
+                )
+            # identical replay of our own crash window: fall through and
+            # (re)publish CURRENT
         cpath = os.path.join(self.dir, "CURRENT")
         with open(cpath + ".tmp", "w") as f:
             f.write(str(version))

@@ -280,3 +280,34 @@ def test_time_travel_old_version_stable_until_vacuum(spark, tmp_path):
     assert read_snapshot(spark, root, "t", version=99) is None
     SnapshotStore(root).vacuum(keep_versions=1)
     assert read_snapshot(spark, root, "t", version=1) is None
+
+
+def test_publish_detects_concurrent_writer_and_tolerates_replay(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        ConcurrentSnapshotWriteError,
+        SnapshotStore,
+        commit_batch_atomic,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    b = spark.range(0, 5).select(F.col("id").alias("block"), F.col("id").alias("v"))
+    commit_batch_atomic(spark, root, {"t": b}, 0, 4, 4, 0, heights=b.select("block"))
+    store = SnapshotStore(root)
+    m1 = store.current()
+
+    # identical replay of the same version: idempotent, no error
+    store.publish(m1)
+    assert store.current_version() == m1["version"]
+
+    # a different manifest claiming the SAME version: hard failure
+    rogue = dict(m1)
+    rogue["height"] = 999
+    with _pytest.raises(ConcurrentSnapshotWriteError):
+        store.publish(rogue)
+    # and the store is unchanged
+    assert store.current()["height"] == m1["height"]
+    assert read_snapshot(spark, root, "t").count() == 5
