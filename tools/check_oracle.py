@@ -171,8 +171,12 @@ def duck_connection(sf_dir: str):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    window = "--window" in argv
+    if window:
+        argv.remove("--window")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from helium_etl_lite_spark import registry
     from helium_etl_lite_spark.session import get_spark
@@ -181,7 +185,13 @@ def main():
     spark = get_spark("oracle_check")
     con = duck_connection(sf_dir)
 
-    names = [n for n in sorted(registry.QUERIES) if not only or n in only]
+    if window:
+        # the driver's exact gate: first 50 in registration order
+        names = list(registry.QUERIES)[:50]
+        if only:
+            names = [n for n in names if n in only]
+    else:
+        names = [n for n in sorted(registry.QUERIES) if not only or n in only]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
