@@ -623,6 +623,49 @@ def dedup_state_add(
 
 _MINHASH_STATE_SHARDS = 64
 
+# Signature algorithm fingerprint, persisted with LSH state. Signatures
+# are pure functions of the text ONLY under a fixed algorithm; a state
+# built under a different construction (e.g. the pre-universal-hash
+# xxhash64(token, p) form) would silently produce zero band collisions
+# against new probes — fail fast instead.
+SIG_VERSION = "minhash-uhash-mersenne31-v2"
+
+
+def _sig_version_path(state_path: str) -> str:
+    import os
+
+    return os.path.join(state_path, "_sig_version")
+
+
+def _write_sig_version(state_path: str) -> None:
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+    p = _sig_version_path(state_path)
+    if not os.path.exists(p):
+        with open(p + ".tmp", "w") as f:
+            f.write(SIG_VERSION)
+        os.replace(p + ".tmp", p)
+
+
+def _check_sig_version(state_path: str) -> None:
+    try:
+        with open(_sig_version_path(state_path)) as f:
+            got = f.read().strip()
+    except FileNotFoundError:
+        raise ValueError(
+            f"minhash state at {state_path} has no signature-version "
+            f"marker (built before {SIG_VERSION}); its signatures do not "
+            "match the current construction — rebuild the state from the "
+            "corpus texts"
+        )
+    if got != SIG_VERSION:
+        raise ValueError(
+            f"minhash state at {state_path} was built with signature "
+            f"version {got!r}, current is {SIG_VERSION!r} — rebuild the "
+            "state from the corpus texts"
+        )
+
 
 def minhash_filter_new(
     spark,
@@ -665,6 +708,7 @@ def minhash_filter_new(
         state = spark.read.parquet(state_path)
     except Exception:
         return kept
+    _check_sig_version(state_path)
     probe = _band_rows(
         kept.select(id_col, "sig"), num_perm, bands, id_col, keep_sig=True
     )
@@ -741,6 +785,7 @@ def minhash_state_add(
         .partitionBy("shard")
         .parquet(state_path)
     )
+    _write_sig_version(state_path)
 
 
 def dedup_state_stats(spark, state_path: str) -> dict:

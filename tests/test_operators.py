@@ -795,3 +795,33 @@ def test_hll_sketch_union_matches_exact_within_error(spark, sf_dir):
     }
     for k, n in per.items():
         assert abs(out[k] - n) <= max(3, 0.08 * n)
+
+
+def test_minhash_state_sig_version_fail_fast(spark, tmp_path):
+    # A persisted LSH state from a different signature construction must
+    # refuse to serve probes instead of silently missing every near-dup.
+    import pytest as _pytest
+
+    from helium_etl_lite_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    fresh = dedup.minhash_filter_new(spark, docs, state)
+    dedup.minhash_state_add(spark, fresh, state)
+    # normal probe works
+    assert dedup.minhash_filter_new(spark, docs, state).count() >= 0
+
+    # tamper: wrong version marker
+    with open(state + "/_sig_version", "w") as f:
+        f.write("minhash-xxhash64-perm-v1")
+    with _pytest.raises(ValueError, match="rebuild the state"):
+        dedup.minhash_filter_new(spark, docs, state).count()
+
+    # tamper: missing marker (pre-versioning state)
+    import os
+
+    os.remove(state + "/_sig_version")
+    with _pytest.raises(ValueError, match="no signature-version"):
+        dedup.minhash_filter_new(spark, docs, state).count()
