@@ -54,7 +54,10 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", k: int = 8):
     scale. Eigenvector signs are canonicalized (largest-|x| component
     positive) so repeated fits on the same data agree.
     """
-    d = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("fit_pca: input has no rows (or a NULL first vector)")
+    d = len(head[0])
     moments = df.select(vec_col).mapInPandas(
         _moment_batches(vec_col),
         schema="n long, s array<double>, xtx array<double>",
