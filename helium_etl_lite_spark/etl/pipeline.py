@@ -372,30 +372,6 @@ class IncrementalFollower:
         blocks = self.blocks.where(F.col("height").between(lo, hi))
         out = build_outputs(self.config.mode, blocks, self.txns, self.filters)
 
-        # Ingest audit: row/amount/sentinel counters over the pruned
-        # batch slice (the reference has no ingest metrics at all;
-        # production followers need them to spot a silently-empty or
-        # all-null upstream). One bounded aggregate job per range —
-        # NOT the Observation API: the recovery paths here deliberately
-        # run failing probe reads (cursor dirs that may not exist), and
-        # a pending Observation's listener asserts on ANY failed query
-        # in the session, taking the whole batch down with it.
-        from .schemas import SENTINEL
-
-        audit = out["rewards"].agg(
-            F.count(F.lit(1)).alias("n_rewards"),
-            F.coalesce(F.sum("amount"), F.lit(0)).alias("amount_total"),
-            F.coalesce(
-                F.sum(F.when(F.col("account") == SENTINEL, 1).otherwise(0)), F.lit(0)
-            ).alias("sentinel_accounts"),
-        ).first()
-        self.last_audit = audit.asDict()
-        import logging
-
-        logging.getLogger("helium_etl_lite_spark").info(
-            f"audit [{lo},{hi}]: {self.last_audit}"
-        )
-
         write_block_range_idempotent(
             self.spark,
             out["rewards"],
@@ -403,6 +379,46 @@ class IncrementalFollower:
             lo,
             hi,
             self.config.block_range_size,
+        )
+
+        # Ingest audit: row/amount/sentinel counters for the landed
+        # range (the reference has no ingest metrics at all; production
+        # followers need them to spot a silently-empty or all-null
+        # upstream). Computed from the JUST-WRITTEN parquet slice — one
+        # cheap columnar scan with the block predicate pushed — instead
+        # of re-running the whole batch build a second time (an agg on
+        # out["rewards"] would re-execute explode/validate/join per
+        # range, ~2x ingest cost). NOT the Observation API: the recovery
+        # paths here deliberately run failing probe reads, and a pending
+        # Observation's listener asserts on ANY failed query in the
+        # session, taking the whole batch down with it.
+        from .schemas import SENTINEL
+
+        try:
+            landed = (
+                self.spark.read.parquet(os.path.join(self.config.out_dir, "rewards"))
+                .where(F.col("block").between(lo, hi))
+            )
+            audit = landed.agg(
+                F.count(F.lit(1)).alias("n_rewards"),
+                F.coalesce(F.sum("amount"), F.lit(0)).alias("amount_total"),
+                F.coalesce(
+                    F.sum(F.when(F.col("account") == SENTINEL, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("sentinel_accounts"),
+            ).first()
+            self.last_audit = audit.asDict()
+        except Exception:
+            # a batch with zero reward rows writes no directory at all
+            # on the very first range — that IS the signal the audit
+            # exists to surface, as an explicit zero
+            self.last_audit = {
+                "n_rewards": 0, "amount_total": 0, "sentinel_accounts": 0,
+            }
+        import logging
+
+        logging.getLogger("helium_etl_lite_spark").info(
+            f"audit [{lo},{hi}]: {self.last_audit}"
         )
         if "transactions" in out:
             # PK(hash) idempotence (migrations/V3:43): dedup within the

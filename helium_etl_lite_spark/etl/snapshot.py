@@ -118,17 +118,28 @@ class SnapshotStore:
             os.link(tmp, mpath)  # atomic claim of version N
             os.unlink(tmp)
         except FileExistsError:
-            os.unlink(tmp)
-            with open(mpath) as f:
-                existing = json.load(f)
-            if existing != json.loads(json.dumps(manifest)):
-                raise ConcurrentSnapshotWriteError(
-                    f"snapshot version {version} was already published with "
-                    "different content — another writer won the race; "
-                    "re-read CURRENT and recommit on top of it"
-                )
-            # identical replay of our own crash window: fall through and
-            # (re)publish CURRENT
+            cur = self.current_version()
+            if cur is None or cur < version:
+                # The existing manifest N is an ORPHAN: CURRENT never
+                # reached it, so no reader ever saw it — a crash in our
+                # own commit window (manifest linked, CURRENT not yet
+                # written). The replay may legitimately carry different
+                # content (the tip advanced before the retry); the
+                # orphan was never visible, so overwrite it.
+                os.replace(tmp, mpath)
+            else:
+                os.unlink(tmp)
+                with open(mpath) as f:
+                    existing = json.load(f)
+                if existing != json.loads(json.dumps(manifest)):
+                    raise ConcurrentSnapshotWriteError(
+                        f"snapshot version {version} was already published "
+                        "(CURRENT has reached it) with different content — "
+                        "another writer won the race; re-read CURRENT and "
+                        "recommit on top of it"
+                    )
+                # identical replay of an already-visible version:
+                # idempotent, fall through and (re)write CURRENT
         cpath = os.path.join(self.dir, "CURRENT")
         with open(cpath + ".tmp", "w") as f:
             f.write(str(version))

@@ -648,6 +648,28 @@ def _write_sig_version(state_path: str) -> None:
         os.replace(p + ".tmp", p)
 
 
+def _check_sig_version_for_append(state_path: str) -> None:
+    """Write-side guard: appending v2 rows into a MARKERLESS state that
+    already holds shard data would stamp the current version onto
+    legacy-signature rows, silently masking exactly the incompatibility
+    the marker exists to catch. Refuse; a fresh/empty state is fine."""
+    import os
+
+    if os.path.exists(_sig_version_path(state_path)):
+        _check_sig_version(state_path)
+        return
+    if os.path.isdir(state_path) and any(
+        d.startswith("shard=") for d in os.listdir(state_path)
+    ):
+        raise ValueError(
+            f"minhash state at {state_path} holds data but no "
+            "signature-version marker (built before "
+            f"{SIG_VERSION}) — appending current-construction rows would "
+            "mix incompatible signatures; rebuild the state from the "
+            "corpus texts"
+        )
+
+
 def _check_sig_version(state_path: str) -> None:
     try:
         with open(_sig_version_path(state_path)) as f:
@@ -771,6 +793,7 @@ def minhash_state_add(
     candidate `.distinct()` already absorbs that, and
     `dedup_state_compact` restores set-minimality out of band.
     """
+    _check_sig_version_for_append(state_path)
     if "sig" in fresh.columns:
         sig = fresh.select(F.col(id_col), "sig")
     else:

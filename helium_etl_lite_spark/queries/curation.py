@@ -375,6 +375,53 @@ GOPHER_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 _STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 
+def _hexv(h, i):
+    a = F.ascii(F.substring(h, i, 1))
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def hashed_token_weight(tok):
+    """The shared hashing-trick weight: 4-hex-digit md5 bucket (65536)
+    through a Knuth multiplicative mix, INTEGER until any final
+    division. Single definition serving text_quality_classifier_hashed
+    AND the flagship pipeline's stage 4 — their oracles state the same
+    formula, so a tweak here must land in both SQL strings too."""
+    h = F.md5(tok)
+    bucket = (
+        _hexv(h, 1) * 4096 + _hexv(h, 2) * 256 + _hexv(h, 3) * 16 + _hexv(h, 4)
+    ).cast("long")
+    return (bucket * F.lit(2654435761).cast("long")) % 1048576 - 524288
+
+
+def gopher_keep_condition():
+    """The Gopher gate (word-count band, mean-word-length band,
+    alphabetic fraction, stop-word minimum) as one boolean over `text`.
+    Single definition serving text_gopher_quality_filter's WHERE and
+    the flagship pipeline's stage 1."""
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double") / n_words, 4
+    )
+    n_stop = F.size(F.filter(ws, lambda x: x.isin(GOPHER_STOPWORDS))).cast("long")
+    return (
+        (F.size(ws) > 0)
+        & n_words.between(30, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+
+
 @query(
     "text_gopher_quality_filter",
     oracle=f"""
@@ -440,6 +487,9 @@ def text_gopher_quality_filter(spark, sf_dir):
             n_stop.alias("n_stop"),
         )
     )
+    # same thresholds as gopher_keep_condition (the pipeline's stage-1
+    # gate); stated over the output columns here because this query also
+    # REPORTS the signals
     return sig.where(
         F.col("n_words").between(30, 100000)
         & F.col("mean_word_len").between(3.0, 10.0)
@@ -534,20 +584,10 @@ def text_quality_classifier_hashed(spark, sf_dir):
     shape."""
     t = Tables(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-
-    def hexv(h, i):
-        a = F.ascii(F.substring(h, i, 1))
-        return F.when(a >= 97, a - 87).otherwise(a - 48)
-
-    def weight(tok):
-        h = F.md5(tok)
-        bucket = (
-            hexv(h, 1) * 4096 + hexv(h, 2) * 256 + hexv(h, 3) * 16 + hexv(h, 4)
-        ).cast("long")
-        return (bucket * F.lit(2654435761).cast("long")) % 1048576 - 524288
-
     raw = F.aggregate(
-        F.transform(toks, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+        F.transform(toks, hashed_token_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     d = t.documents.select(
         "doc_id",
@@ -660,29 +700,9 @@ def pipeline_pretraining_select(spark, sf_dir):
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
 
-    # stage 1: gopher gate (same thresholds as text_gopher_quality_filter)
-    ws = F.split(F.col("text"), " ")
-    n_words = F.size(ws).cast("long")
-    mean_len = F.round(
-        F.aggregate(
-            F.transform(ws, lambda x: F.length(x)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / n_words,
-        4,
-    )
-    alpha_frac = F.round(
-        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double") / n_words, 4
-    )
-    n_stop = F.size(F.filter(ws, lambda x: x.isin(GOPHER_STOPWORDS))).cast("long")
-    go = docs.where(
-        (F.size(ws) > 0)
-        & n_words.between(30, 100000)
-        & mean_len.between(3.0, 10.0)
-        & (alpha_frac >= 0.8)
-        & (n_stop >= 2)
-    )
+    # stage 1: gopher gate — the SAME condition object as
+    # text_gopher_quality_filter (gopher_keep_condition)
+    go = docs.where(gopher_keep_condition())
 
     # stage 2: exact dedup keepers
     wdup = W.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
@@ -719,26 +739,17 @@ def pipeline_pretraining_select(spark, sf_dir):
     )
     clean = cand.join(contaminated, "doc_id", "left_anti")
 
-    # stage 4: hashed quality score (same construction as
-    # text_quality_classifier_hashed, kept integral until selection)
+    # stage 4: hashed quality score (hashed_token_weight — the same
+    # construction as text_quality_classifier_hashed, integral until
+    # selection)
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-
-    def hexv(h, i):
-        a = F.ascii(F.substring(h, i, 1))
-        return F.when(a >= 97, a - 87).otherwise(a - 48)
-
-    def weight(tok):
-        h = F.md5(tok)
-        bucket = (
-            hexv(h, 1) * 4096 + hexv(h, 2) * 256 + hexv(h, 3) * 16 + hexv(h, 4)
-        ).cast("long")
-        return (bucket * F.lit(2654435761).cast("long")) % 1048576 - 524288
-
     scored = clean.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.aggregate(
-            F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
+            F.transform(toks, hashed_token_weight),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
         ).alias("score_raw"),
     )
 

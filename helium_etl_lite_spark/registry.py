@@ -48,8 +48,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # registry here; everything else keeps module registration order behind
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
-    # r6 rotation: every query whose code changed this round, plus the
-    # new registrations, must sit inside the driver's 50-query window.
+    # r6 rotation. Priority when the window overflows: (1) queries with
+    # NO driver verdict yet (first-time registrations — an unverified
+    # row is worse than an unrefreshed one), then (2) r6-changed queries
+    # whose change is behavioral (minhash signature formula, join
+    # reshape), then (3) r6-changed queries whose change was plumbing
+    # (scratch-dir, n_docs fold) — those were rotated OUT this round
+    # after the local full-registry sweep (167 exact / 0 fail, README)
+    # re-verified them; their driver re-verdicts queue for r7.
     # (a) NEW in r6:
     "sample_mixture_interleave",
     "sample_token_budget_bpe",

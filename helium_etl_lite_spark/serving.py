@@ -49,7 +49,8 @@ def register_views(
     `transactions` is registered only when the pipeline mode produced it
     (full mode). Returns the DataFrames keyed by view name.
     `at_version` time-travels an atomic-sink store to a historical
-    snapshot (ignored for plain sinks, which keep no history)."""
+    snapshot; requesting it against a plain (non-atomic) sink raises —
+    plain sinks keep no history to travel to."""
     views: dict[str, DataFrame] = {}
 
     from .etl.snapshot import SnapshotStore, read_snapshot
@@ -59,6 +60,11 @@ def register_views(
         store.current() if at_version is None else store.manifest(at_version)
     )
     if at_version is not None and snapshot_manifest is None:
+        if store.current_version() is None:
+            raise ValueError(
+                f"--at-version requires an atomic sink (no snapshot store "
+                f"at {out_dir}; plain sinks keep no history)"
+            )
         raise ValueError(
             f"no snapshot version {at_version} at {out_dir} (vacuumed or never committed)"
         )

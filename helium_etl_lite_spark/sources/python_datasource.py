@@ -63,11 +63,15 @@ class BlocksJsonlReader(DataSourceReader):
 
 
 class BlocksJsonlStreamReader(SimpleDataSourceStreamReader):
-    """Streaming twin: the offset is the count of files consumed in
-    sorted order — the same monotone cursor discipline as the
-    reference's follower_info.height (src/follower.rs:100), expressed
-    as a Structured Streaming offset so checkpoint/restart semantics
-    come from the engine instead of hand-rolled cursor code."""
+    """Streaming twin: the offset is the SET of consumed file names
+    (stored sorted), the same seen-files discipline as Spark's own
+    FileStreamSource log. A count- or watermark-shaped offset would
+    silently skip a late-landing file whose name sorts before an
+    already-consumed one (and re-emit the latter); the explicit set
+    loses nothing and duplicates nothing regardless of producer naming
+    order. Offset size grows with total file count — the same growth
+    FileStreamSource manages with log compaction; for a block feed the
+    file count is bounded by heights/batch."""
 
     def __init__(self, options):
         self._path = options.get("path")
@@ -80,42 +84,42 @@ class BlocksJsonlStreamReader(SimpleDataSourceStreamReader):
 
         return sorted(glob.glob(os.path.join(self._path, "*.json")))
 
+    @staticmethod
+    def _rows_of(paths):
+        import json
+
+        rows = []
+        for path in paths:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        d = json.loads(line)
+                        rows.append(
+                            (d["height"], d["block_hash"], d["block_date"], d["n_txns"])
+                        )
+        return rows
+
     def initialOffset(self):
-        return {"n_files": 0}
+        return {"seen": []}
 
     def read(self, start):
-        import json
+        import os
 
-        files = self._files()
-        done = start["n_files"]
-        rows = []
-        for path in files[done:]:
-            with open(path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        d = json.loads(line)
-                        rows.append(
-                            (d["height"], d["block_hash"], d["block_date"], d["n_txns"])
-                        )
-        return iter(rows), {"n_files": len(files)}
+        seen = set(start["seen"])
+        fresh = [p for p in self._files() if os.path.basename(p) not in seen]
+        rows = self._rows_of(fresh)
+        new_seen = sorted(seen | {os.path.basename(p) for p in fresh})
+        return iter(rows), {"seen": new_seen}
 
     def readBetweenOffsets(self, start, end):
-        # deterministic replay for recovery: same file-count window
-        import json
+        # deterministic replay for recovery: exactly the files the
+        # original batch consumed (end.seen minus start.seen)
+        import os
 
-        files = self._files()[start["n_files"] : end["n_files"]]
-        rows = []
-        for path in files:
-            with open(path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        d = json.loads(line)
-                        rows.append(
-                            (d["height"], d["block_hash"], d["block_date"], d["n_txns"])
-                        )
-        return iter(rows)
+        want = set(end["seen"]) - set(start["seen"])
+        paths = [p for p in self._files() if os.path.basename(p) in want]
+        return iter(self._rows_of(paths))
 
     def commit(self, end):
         pass

@@ -311,3 +311,40 @@ def test_publish_detects_concurrent_writer_and_tolerates_replay(spark, tmp_path)
     # and the store is unchanged
     assert store.current()["height"] == m1["height"]
     assert read_snapshot(spark, root, "t").count() == 5
+
+
+def test_publish_recovers_orphan_manifest_beyond_current(spark, tmp_path):
+    # Crash window: manifest N linked but CURRENT never written, and the
+    # replayed commit carries DIFFERENT content (tip advanced). The
+    # orphan was never reader-visible, so the replay must overwrite it
+    # and make progress — not wedge on ConcurrentSnapshotWriteError.
+    import os
+
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        SnapshotStore,
+        commit_batch_atomic,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 5).select(F.col("id").alias("block"), F.col("id").alias("v"))
+    commit_batch_atomic(spark, root, {"t": b1}, 0, 4, 4, 0, heights=b1.select("block"))
+    store = SnapshotStore(root)
+    # simulate the crash: hand-plant an orphan manifest v2 with content
+    # that the retry will NOT reproduce, without touching CURRENT
+    orphan = dict(store.current())
+    orphan["version"] = 2
+    orphan["height"] = 123456  # junk the retry won't produce
+    import json as _json
+
+    with open(store._manifest_path(2), "w") as f:
+        _json.dump(orphan, f)
+    assert store.current_version() == 1  # CURRENT untouched
+
+    b2 = spark.range(5, 12).select(F.col("id").alias("block"), F.col("id").alias("v"))
+    commit_batch_atomic(spark, root, {"t": b2}, 5, 11, 11, 0, heights=b2.select("block"))
+    assert store.current_version() == 2
+    assert store.current()["height"] == 11
+    assert read_snapshot(spark, root, "t").count() == 12
