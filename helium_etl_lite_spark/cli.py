@@ -286,9 +286,11 @@ def cmd_compact(spark, cfg, target_mb: int = 128, log=None) -> dict:
 def cmd_dedup_state(spark, state_path: str, action: str, target_mb: int = 128, log=None) -> dict:
     """Maintenance for the incremental-dedup state tables
     (operators/dedup.py dedup_state_add / minhash_state_add): `stats`
-    reports rows/shards/files/bytes; `compact` merges the small files
-    each fold-in's dynamic overwrite accumulates, per shard, without
-    changing probe results (the state is a set — tested)."""
+    reports physical rows/shards/files/bytes (append-only fold-ins mean
+    replayed appends inflate `rows` until compaction); `compact` merges
+    the one-file-per-fold-in accumulation and drops replay-duplicate
+    rows, per shard, without changing probe results (the state is a
+    set — tested)."""
     from .operators.dedup import dedup_state_compact, dedup_state_stats
 
     if action == "stats":

@@ -580,7 +580,15 @@ def dedup_filter_new(
         seen = spark.read.parquet(state_path).select("text_hash")
     except Exception:
         return b
-    fps = b.select(F.xxhash64("text_hash").alias("__fp")).distinct()
+    # materialize the (small, guarded) fingerprint set ONCE: without the
+    # checkpoint the guard count and the broadcast each re-derive the
+    # whole batch-side hash+window subplan (review finding: ~3x batch
+    # CPU per ingest)
+    fps = (
+        b.select(F.xxhash64("text_hash").alias("__fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if fps.count() <= max_broadcast_rows:
         candidates = seen.join(
             F.broadcast(fps),
@@ -726,10 +734,18 @@ def minhash_filter_new(
     )
     keepers = assigned.where(F.col("keeper_doc_id") == F.col(id_col)).select(id_col)
     kept = batch.join(keepers, id_col, "left_semi").join(sig, id_col)
+    # Docs with a NULL/empty token set have no signature and can never
+    # verify as near-dups — they must PASS THROUGH as survivors (sig
+    # NULL), matching the exact-dedup path, not silently vanish in the
+    # inner join above (review finding: the ingest loop was deleting
+    # NULL-text rows).
+    no_sig = batch.join(sig.select(id_col), id_col, "left_anti").withColumn(
+        "sig", F.lit(None).cast("array<bigint>")
+    )
     try:
         state = spark.read.parquet(state_path)
     except Exception:
-        return kept
+        return kept.unionByName(no_sig)
     _check_sig_version(state_path)
     probe = _band_rows(
         kept.select(id_col, "sig"), num_perm, bands, id_col, keep_sig=True
@@ -748,7 +764,9 @@ def minhash_filter_new(
     # of the state, output only colliding buckets (small), which the
     # verify join below then gets via AQE broadcast. A batch above the
     # guard falls back to the shuffled equi-join.
-    bb = probe.select("band", "bucket").distinct()
+    bb = (
+        probe.select("band", "bucket").distinct().localCheckpoint(eager=True)
+    )
     if bb.count() <= max_broadcast_rows:
         state = state.join(F.broadcast(bb), ["band", "bucket"], "left_semi")
     matches = F.size(
@@ -768,7 +786,7 @@ def minhash_filter_new(
         .select(id_col)
         .distinct()
     )
-    return kept.join(dup_ids, id_col, "left_anti")
+    return kept.join(dup_ids, id_col, "left_anti").unionByName(no_sig)
 
 
 def minhash_state_add(
@@ -795,7 +813,10 @@ def minhash_state_add(
     """
     _check_sig_version_for_append(state_path)
     if "sig" in fresh.columns:
-        sig = fresh.select(F.col(id_col), "sig")
+        # NULL sigs are the pass-through NULL-text survivors from
+        # minhash_filter_new — they have no LSH rows to fold in (and an
+        # all-NULL band slice would hash to one hot bucket).
+        sig = fresh.select(F.col(id_col), "sig").where(F.col("sig").isNotNull())
     else:
         sig = minhash_signatures(fresh, num_perm, text_col, id_col)
     rows = _band_rows(sig, num_perm, bands, id_col, keep_sig=True).withColumn(
@@ -814,11 +835,13 @@ def minhash_state_add(
 def dedup_state_stats(spark, state_path: str) -> dict:
     """Size/health report for a persisted dedup state table (the exact
     hash set or the minhash band-row store — both are `shard=`-
-    partitioned parquet). The ingest loop's fold-ins rewrite touched
-    shards with the distinct union, so row counts stay tight, but each
-    dynamic overwrite re-splits a shard into as many files as the write
-    had tasks — files accumulate until compaction. `avg_file_bytes`
-    trending down is the compact-needed signal."""
+    partitioned parquet). Fold-ins are APPEND-ONLY (O(batch) written
+    bytes), so `rows` counts PHYSICAL rows including any crash-replay
+    duplicate appends — probes are unaffected (set semantics) but the
+    count is an upper bound on distinct entries until
+    `dedup_state_compact` restores set-minimality. Files also
+    accumulate one batch per fold-in; `avg_file_bytes` trending down is
+    the compact-needed signal."""
     from ..etl.compact import dir_bytes
 
     df = spark.read.parquet(state_path)

@@ -338,7 +338,19 @@ def _dhash_bits(gray: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
     bit = left block mean < right block mean. 64 bits at the default
     size. Robust to resolution and brightness scaling; one flipped
     source byte moves one block mean epsilon — identical or near-
-    identical hashes for near-identical images."""
+    identical hashes for near-identical images.
+
+    Degenerate inputs (fewer than hash_h rows and/or hash_w+1 cols) are
+    upsampled by pixel repetition first: array_split on a too-short
+    axis yields EMPTY chunks whose mean is NaN, and NaN comparisons
+    silently forced those bits to 0 — a height-1 strip kept only 8 of
+    64 effective bits, collapsing unrelated short images into one
+    perceptual bucket (found in review; regression-tested)."""
+    h, w = gray.shape
+    if h < hash_h:
+        gray = np.repeat(gray, -(-hash_h // h), axis=0)
+    if w < hash_w + 1:
+        gray = np.repeat(gray, -(-(hash_w + 1) // w), axis=1)
     rows = np.array_split(gray, hash_h, axis=0)
     bits = 0
     for r in rows:

@@ -532,7 +532,7 @@ def scd2_point_in_time(spark, sf_dir):
     # to the version covering the probe timestamp; at scale the filter
     # prunes before the lead() materializes nothing extra — both
     # windows and the filter share the one user_id exchange.
-    probe = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    probe = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     t = Tables(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     starts = (

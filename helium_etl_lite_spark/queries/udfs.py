@@ -142,7 +142,11 @@ def udtf_python_native(spark, sf_dir):
     @udtf(returnType="token: string, pos: int")
     class Tokenize:
         def eval(self, text):
-            if text:
+            # `is not None`, not truthiness: ''.split(' ') == [''] and
+            # the oracle's string_split emits that one empty token too —
+            # `if text:` would silently drop empty-string docs and
+            # diverge from the oracle (latent until a corpus has one).
+            if text is not None:
                 for i, tok in enumerate(text.split(" ")):
                     yield tok, i
 

@@ -19,11 +19,24 @@ import tempfile
 
 
 def scratch_dir(name: str) -> str:
-    """Per-query scratch directory: deterministic path keyed on `name`,
-    emptied on every call. Callers run serially within a driver/bench
-    process; the wipe-at-start discipline makes each invocation start
-    from a clean slate (and doubles as cleanup for the previous run)."""
-    base = os.path.join(tempfile.gettempdir(), "helium_spark_scratch", name)
+    """Per-query scratch directory: deterministic path keyed on
+    (`name`, pid), emptied on every call. Callers run serially WITHIN a
+    driver process; the pid component keeps two concurrent processes
+    (pytest + bench, or two bench runs) from rmtree-ing each other's
+    incremental state mid-query (review finding). Leak discipline:
+    every call garbage-collects sibling dirs whose owning process is
+    gone, so crashed/finished runs leave nothing behind — the same
+    self-cleaning guarantee the single-dir form had, without the
+    cross-process race."""
+    root = os.path.join(tempfile.gettempdir(), "helium_spark_scratch")
+    os.makedirs(root, exist_ok=True)
+    prefix = name + ".pid"
+    for d in os.listdir(root):
+        if d.startswith(prefix):
+            pid = d[len(prefix):]
+            if not pid.isdigit() or not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    base = os.path.join(root, f"{prefix}{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base

@@ -89,15 +89,22 @@ class FirstSeenProcessor(StatefulProcessor):
         emitted_before = prior is not None
         n_later = prior or 0
         first = None
+        saw_rows = False
         for pdf in rows:
             if len(pdf) == 0:
                 continue
+            saw_rows = True
             if first is None and not emitted_before:
                 first = pdf.head(1)
                 n_later += len(pdf) - 1
             else:
                 n_later += len(pdf)
-        self._seen.update((n_later,))
+        # Only mark the key seen when a row was actually processed: an
+        # all-empty-chunks invocation must NOT flip emitted_before, or
+        # the key's genuine first row in a later micro-batch would be
+        # suppressed forever (review finding).
+        if saw_rows or emitted_before:
+            self._seen.update((n_later,))
         if first is not None:
             yield first
 

@@ -825,3 +825,29 @@ def test_minhash_state_sig_version_fail_fast(spark, tmp_path):
     os.remove(state + "/_sig_version")
     with _pytest.raises(ValueError, match="no signature-version"):
         dedup.minhash_filter_new(spark, docs, state).count()
+
+
+def test_dhash_short_images_keep_full_bit_entropy():
+    # Regression: a gray strip with fewer than 8 rows used to feed
+    # empty chunks to np.array_split — NaN means silently forced 56 of
+    # 64 bits to zero, collapsing unrelated short images into one
+    # perceptual bucket. After row/col upsampling, distinct content
+    # must produce distinct hashes and identical content identical ones.
+    import numpy as np
+
+    from helium_etl_lite_spark.operators.multimodal import _dhash_bits
+
+    rng_a = np.arange(24, dtype=np.float64).reshape(1, 24)          # height 1
+    rng_b = (np.arange(24, dtype=np.float64)[::-1]).reshape(1, 24)  # reversed
+    tiny = np.array([[1.0, 200.0], [3.0, 4.0]])                     # 2x2
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NaN-mean RuntimeWarning = fail
+        ha, hb, ht = _dhash_bits(rng_a), _dhash_bits(rng_b), _dhash_bits(tiny)
+    assert ha != hb
+    assert _dhash_bits(rng_a) == ha  # deterministic
+    # ascending gradient: every left block mean < right block mean, so
+    # ALL 64 bits must be 1 — the NaN bug forced 56 of them to 0
+    assert ha == (1 << 64) - 1
+    assert hb == 0  # descending gradient: the exact mirror

@@ -438,7 +438,11 @@ class TestTransformWithStateDedup:
         assert out == []
         assert state.get() == (2,)  # suppression count accumulates
 
-    def test_processor_empty_chunks_keep_state_untouched_semantics(self):
+    def test_processor_empty_chunks_leave_key_unseen(self):
+        # An all-empty-chunks invocation must NOT mark the key as seen:
+        # the state stays absent so the key's genuine first row in a
+        # later micro-batch still emits (the former update-to-(0,)
+        # suppressed it forever).
         import pandas as pd
 
         from helium_etl_lite_spark.streaming.dedup_tws import FirstSeenProcessor
@@ -449,7 +453,15 @@ class TestTransformWithStateDedup:
             state,
             [pd.DataFrame({"text_hash": [], "doc_id": []})],
         )
-        assert out == [] and state.get() == (0,)
+        assert out == [] and not state.exists()
+
+        # ...and the first real row afterwards is emitted exactly once
+        out2 = self._run(
+            FirstSeenProcessor(),
+            state,
+            [pd.DataFrame({"text_hash": ["h"], "doc_id": [1]})],
+        )
+        assert len(out2) == 1 and state.get() == (0,)
 
     def test_unavailable_runtime_fails_fast(self, spark):
         from helium_etl_lite_spark.streaming import dedup_tws
