@@ -851,3 +851,38 @@ def test_dhash_short_images_keep_full_bit_entropy():
     # ALL 64 bits must be 1 — the NaN bug forced 56 of them to 0
     assert ha == (1 << 64) - 1
     assert hb == 0  # descending gradient: the exact mirror
+
+
+class TestIncrementalPCA:
+    def test_folded_moments_equal_full_fit(self, spark, sf_dir, tmp_path):
+        # Fold two disjoint batches into the moment state; the refit
+        # must equal the from-scratch fit over the whole table.
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.operators import pca
+        from helium_etl_lite_spark.tables import Tables
+
+        v = Tables(spark, sf_dir).embeddings.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        state = str(tmp_path / "pca_state.json")
+        pca.moments_update(spark, v.where(F.col("vec_id") % 2 == 0), state, "e")
+        pca.moments_update(spark, v.where(F.col("vec_id") % 2 == 1), state, "e")
+        m_inc, c_inc, e_inc = pca.fit_pca_from_state(state, k=6)
+        m_full, c_full, e_full = pca.fit_pca(v, vec_col="e", k=6)
+        np.testing.assert_allclose(m_inc, m_full, atol=1e-9)
+        np.testing.assert_allclose(e_inc, e_full, rtol=1e-9)
+        np.testing.assert_allclose(c_inc, c_full, atol=1e-7)
+
+    def test_dimension_mismatch_fails_fast(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from helium_etl_lite_spark.operators import pca
+
+        a = spark.createDataFrame([(1, [1.0, 2.0])], "id long, e array<double>")
+        b = spark.createDataFrame([(2, [1.0, 2.0, 3.0])], "id long, e array<double>")
+        state = str(tmp_path / "s.json")
+        pca.moments_update(spark, a, state, "e")
+        with _pytest.raises(ValueError, match="dimension"):
+            pca.moments_update(spark, b, state, "e")
