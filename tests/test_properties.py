@@ -366,3 +366,47 @@ class TestHashedClassifierProperties:
             # mean of weights in [-524288, 524287] / 1048576 => |score| <= 0.5
             assert abs(out1[k]["quality_score"]) <= 0.5
             assert out1[k]["quality_score"] == out2[k]["quality_score"]
+
+
+class TestBudgetControlPlaneProperties:
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=400),      # id (dup-free below)
+                st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # score
+                st.integers(min_value=0, max_value=7),        # weight
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        budget=st.integers(min_value=0, max_value=80),
+        bucket_width=st.sampled_from([1, 3, 100]),
+    )
+    def test_matches_single_partition_window(self, spark, rows, budget, bucket_width):
+        # The two-level control plane must equal the partition-less
+        # window form on ANY input: null scores, duplicate scores,
+        # zero weights, zero budget, bucket boundaries.
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from helium_etl_lite_spark.operators import scale
+
+        df = spark.createDataFrame(rows, "id long, score long, w long")
+        got = {
+            (r["id"], r["cum_weight"])
+            for r in scale.select_token_budget(
+                df, "score", "id", "w", budget=budget, bucket_width=bucket_width
+            ).collect()
+        }
+        win = Window.orderBy(
+            F.col("score").desc_nulls_last(), F.col("id").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            (r["id"], r["c"])
+            for r in df.withColumn("c", F.sum("w").over(win))
+            .where(F.col("c") <= budget)
+            .collect()
+        }
+        assert got == want
