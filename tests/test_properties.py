@@ -410,3 +410,39 @@ class TestBudgetControlPlaneProperties:
             .collect()
         }
         assert got == want
+
+    @SETTINGS
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=400),
+                st.one_of(st.none(), st.integers(min_value=-4, max_value=4)),
+            ),
+            min_size=1,
+            max_size=50,
+            unique_by=lambda t: t[0],
+        ),
+        n_tiles=st.sampled_from([1, 2, 5]),
+        bucket_width=st.sampled_from([1, 3, 100]),
+    )
+    def test_ntile_matches_single_partition_window(
+        self, spark, rows, n_tiles, bucket_width
+    ):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from helium_etl_lite_spark.operators import scale
+
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            (r["id"], r["tile"])
+            for r in scale.distributed_ntile(
+                df, "v", "id", n_tiles=n_tiles, bucket_width=bucket_width
+            ).collect()
+        }
+        win = Window.orderBy(F.col("v").asc_nulls_first(), F.col("id").asc())
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(n_tiles).over(win)).collect()
+        }
+        assert got == want
