@@ -141,6 +141,160 @@ def distributed_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop("__rb", "__offset", "__r0")
 
 
+def _grouped_offsets(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col,
+    max_control_rows: int,
+):
+    """Shared control plane for :func:`grouped_row_number` /
+    :func:`grouped_ntile`: per-(group, order-bucket) counts stay
+    DISTRIBUTED; a window over the counts table (each partition is at
+    most #buckets rows, independent of corpus size) turns them into
+    exact per-(group, bucket) global offsets. Returns
+    (df+__gb, offsets, per-group totals)."""
+    d = df.withColumn("__gb", bucket_col)
+    counts = (
+        d.groupBy(*[F.col(g) for g in group_cols], F.col("__gb"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+    n_ctl = counts.count()
+    if n_ctl > max_control_rows:
+        counts.unpersist()
+        raise ValueError(
+            f"grouped control table has {n_ctl} (group, bucket) rows > "
+            f"max_control_rows={max_control_rows}; bucket_col is too "
+            "fine-grained for the bounded-control-plane assumption — "
+            "coarsen it (shorter prefix / wider bin) or raise the bound "
+            "deliberately"
+        )
+    wg = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__gb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        counts.withColumn(
+            "__goff", F.coalesce(F.sum("__cnt").over(wg), F.lit(0))
+        )
+        .select(
+            *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+            F.col("__gb").alias("__gb_o"),
+            "__goff",
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        counts.groupBy(*group_cols)
+        .agg(F.sum("__cnt").alias("__n_g"))
+        .select(
+            *[F.col(g).alias(f"__t_{g}") for g in group_cols], "__n_g"
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
+    return d, off, totals
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col,
+    order_cols: list,
+    out_col: str = "rn",
+    max_control_rows: int = 4_000_000,
+) -> DataFrame:
+    """Exact `row_number() OVER (PARTITION BY group_cols ORDER BY
+    order_cols)` for LOW-CARDINALITY groups, without per-group
+    single-task sorts (r6 verdict item 1: a window partitioned on a
+    ~5-100-value key funnels the dominant group through ONE task at
+    100 TB, no matter how balanced the plan looks at test scale).
+
+    `bucket_col` must be a coarse, monotone-non-decreasing function of
+    the leading order key (every row in a lower bucket precedes every
+    row in a higher one; ties in bucket resolved by `order_cols`
+    inside), with a bounded domain — a fixed hash prefix, a fixed-width
+    bin of a bounded value. Then:
+
+    1. per-(group, bucket) counts: map-side-combinable hash agg,
+       control table bounded by #groups x #buckets regardless of N
+       (guarded by `max_control_rows`).
+    2. a window over the COUNTS table (partition = group, <= #buckets
+       rows each) prefix-sums them into exact per-(group, bucket)
+       offsets — no driver collect anywhere.
+    3. offsets join the data on (group, bucket) (null-safe; no
+       broadcast hint — AQE broadcasts the bounded table on its own);
+       row_number within (group, bucket) — for a uniform bucket_col
+       every window partition holds ~N_g/#buckets rows, so the dominant
+       group spreads over #buckets tasks instead of one — plus the
+       offset is the exact global per-group rank.
+
+    NULL order keys: choose bucket_col so NULLs land in a bucket that
+    sorts consistently with `order_cols`' null placement (buckets order
+    asc_nulls_first).
+    """
+    d, off, _ = _grouped_offsets(df, group_cols, bucket_col, max_control_rows)
+    cond = d["__gb"].eqNullSafe(off["__gb_o"])
+    for g in group_cols:
+        cond = cond & d[g].eqNullSafe(off[f"__g_{g}"])
+    w = Window.partitionBy(*group_cols, "__gb").orderBy(*order_cols)
+    return (
+        d.join(off, cond)
+        .withColumn(out_col, F.col("__goff") + F.row_number().over(w))
+        .drop("__gb", "__gb_o", "__goff", *[f"__g_{g}" for g in group_cols])
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col,
+    order_cols: list,
+    n_tiles: int,
+    out_col: str = "tile",
+    max_control_rows: int = 4_000_000,
+) -> DataFrame:
+    """Exact `ntile(n) OVER (PARTITION BY group_cols ORDER BY
+    order_cols)` on the :func:`grouped_row_number` control plane: the
+    per-group global rank comes from bounded (group, bucket) windows,
+    the per-group total from the same counts table, and the SQL ntile
+    formula (first N mod n tiles take ceil(N/n) rows) is evaluated
+    per row from both. Same `bucket_col` contract as
+    grouped_row_number. The companion to :func:`distributed_ntile`
+    (which handles the UNPARTITIONED global case)."""
+    d, off, totals = _grouped_offsets(df, group_cols, bucket_col, max_control_rows)
+    cond = d["__gb"].eqNullSafe(off["__gb_o"])
+    for g in group_cols:
+        cond = cond & d[g].eqNullSafe(off[f"__g_{g}"])
+    w = Window.partitionBy(*group_cols, "__gb").orderBy(*order_cols)
+    ranked = (
+        d.join(off, cond)
+        .withColumn("__r0", F.col("__goff") + F.row_number().over(w) - 1)
+    )
+    tcond = None
+    for g in group_cols:
+        c = ranked[g].eqNullSafe(totals[f"__t_{g}"])
+        tcond = c if tcond is None else tcond & c
+    q = F.floor(F.col("__n_g") / n_tiles)
+    rem = F.col("__n_g") % n_tiles
+    cut = rem * (q + 1)
+    tile = F.when(
+        F.col("__r0") < cut, F.floor(F.col("__r0") / (q + 1)) + 1
+    ).otherwise(
+        rem + F.floor((F.col("__r0") - cut) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        ranked.join(totals, tcond)
+        .withColumn(out_col, tile.cast("int"))
+        .drop(
+            "__gb", "__gb_o", "__goff", "__r0", "__n_g",
+            *[f"__g_{g}" for g in group_cols],
+            *[f"__t_{g}" for g in group_cols],
+        )
+    )
+
+
 def prefix_sum(
     df: DataFrame,
     order_col: str,

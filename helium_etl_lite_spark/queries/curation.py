@@ -166,10 +166,19 @@ def sample_mixture_interleave(spark, sf_dir):
     #
     # Scale shape: counts+quota are a control table bounded by the
     # number of groups; the only corpus-sized shuffles are the rank
-    # window on the group key and the explode (O(output rows)). The
-    # salted-sha256 rank is partition-invariant and engine-reproducible
-    # (same pattern as sample_reservoir_per_group); membership never
-    # depends on execution order.
+    # machinery and the explode (O(output rows)). The salted-sha256
+    # rank is partition-invariant and engine-reproducible (same pattern
+    # as sample_reservoir_per_group); membership never depends on
+    # execution order. `lang` has ~5-100 values, so a `row_number()
+    # OVER (PARTITION BY lang ORDER BY hash)` would sort the dominant
+    # language through ONE task at 100 TB (r6 verdict item 1) — the
+    # rank instead rides operators/scale.py grouped_row_number with the
+    # hash's 4-hex-char prefix as the order bucket: 65536 uniform
+    # buckets per language, every window partition ~N_lang/65536 rows,
+    # offsets from a bounded counts-table window. Identical ranks to
+    # the window form (property-pinned), oracle unchanged.
+    from ..operators.scale import grouped_row_number
+
     spec = spark.createDataFrame(MIXTURE_SPEC, "lang string, w double")
     t = Tables(spark, sf_dir)
     d = t.documents.select("doc_id", "lang")
@@ -184,10 +193,13 @@ def sample_mixture_interleave(spark, sf_dir):
         )
     )
     order_h = F.sha2(F.concat(F.lit("mix1|"), F.col("doc_id").cast("string")), 256)
-    from pyspark.sql import Window as W
-
-    w_rank = W.partitionBy("lang").orderBy(order_h.asc(), F.col("doc_id").asc())
-    ranked = d.withColumn("rn", F.row_number().over(w_rank).cast("long"))
+    ranked = grouped_row_number(
+        d.withColumn("__h", order_h),
+        ["lang"],
+        F.substring("__h", 1, 4),
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        out_col="rn",
+    ).drop("__h")
     reps = (
         F.floor(F.col("k_g") / F.col("n_g"))
         + F.when(F.col("rn") <= F.col("k_g") % F.col("n_g"), 1).otherwise(0)

@@ -1176,19 +1176,27 @@ def sample_reservoir_per_group(spark, sf_dir):
     # rank by a salted cryptographic hash of the key and keep the top
     # k per group. sha256 hex ordering is identical across engines, so
     # the "random" order is exact-oracle-verifiable — and partition-
-    # invariant, unlike rand(). One window shuffle on lang; at scale
-    # group count is large so partitions stay balanced (skewed-group
-    # top-k would ride the salted pattern instead).
+    # invariant, unlike rand(). `lang` is LOW-cardinality (~5-100
+    # values), so a window partitioned on it alone would funnel the
+    # dominant language through one task at corpus scale (r6 verdict
+    # item 1 "watch" entry) — the rank rides grouped_row_number with
+    # the hash's 4-char prefix as order bucket instead: 65536 uniform
+    # sort partitions per language, bounded offset control plane,
+    # identical ranks to the window form (property-pinned).
+    from ..operators.scale import grouped_row_number
+
     t = Tables(spark, sf_dir)
     order_h = F.sha2(
         F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string")), 256
     )
-    w = W.partitionBy("lang").orderBy(order_h.asc(), F.col("doc_id").asc())
-    return (
-        t.documents.select("doc_id", "lang")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= 20)
+    ranked = grouped_row_number(
+        t.documents.select("doc_id", "lang").withColumn("__h", order_h),
+        ["lang"],
+        F.substring("__h", 1, 4),
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        out_col="rn",
     )
+    return ranked.where(F.col("rn") <= 20).drop("__h")
 
 
 @query(

@@ -199,15 +199,27 @@ def win_first_last_value(spark, sf_dir):
 )
 def win_ntile(spark, sf_dir):
     # Equal-height bucketing per segment (quantile cohorts, curriculum
-    # tiers). Partitioned by mktsegment so no single task sees the
-    # whole table; for the UNPARTITIONED global case use
-    # operators/scale.py distributed_ntile (sample_balance_buckets),
-    # which replaces the single-task global window with a two-level
-    # control plane.
+    # tiers). c_mktsegment has FIVE values — a plain
+    # `ntile(8) OVER (PARTITION BY c_mktsegment ...)` sorts ~20% of the
+    # table in ONE task at any scale (r6 verdict item 1). Rebuilt on
+    # operators/scale.py grouped_ntile: the window partition becomes
+    # (segment, acctbal-bin) — acctbal is bounded, so the bin domain is
+    # fixed (~220 bins at width 50) and every sort partition holds
+    # ~N_seg/220 rows no matter how big the table gets; the bin
+    # offsets come from a bounded counts-table window, and the exact
+    # SQL ntile formula is applied to the recovered global rank.
+    # Oracle unchanged — results are identical to the window form
+    # (property-pinned in tests/test_properties.py).
+    from ..operators.scale import grouped_ntile
+
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    c = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    out = grouped_ntile(
+        c,
+        ["c_mktsegment"],
+        F.floor(-F.col("c_acctbal") / 50),  # monotone along acctbal DESC
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        n_tiles=8,
+        out_col="octile",
     )
-    return t.customer.select(
-        "c_custkey", "c_mktsegment", F.ntile(8).over(w).alias("octile")
-    )
+    return out.select("c_custkey", "c_mktsegment", "octile")

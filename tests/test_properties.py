@@ -446,3 +446,74 @@ class TestBudgetControlPlaneProperties:
             for r in df.withColumn("t", F.ntile(n_tiles).over(win)).collect()
         }
         assert got == want
+
+
+class TestGroupedControlPlaneEquivalence:
+    """grouped_row_number / grouped_ntile (r6 verdict item 1: the
+    low-cardinality-window killers) must equal the plain window forms
+    on ANY input — null groups, duplicate order values, groups smaller
+    than n_tiles, bucket boundaries."""
+
+    grouped_rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),          # unique id
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # group
+            st.integers(min_value=-6, max_value=6),           # order value
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+
+    @SETTINGS
+    @given(rows=grouped_rows, bin_width=st.sampled_from([1, 3, 100]))
+    def test_grouped_row_number_matches_window(self, spark, rows, bin_width):
+        from pyspark.sql import Window
+
+        from helium_etl_lite_spark.operators import scale
+
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = {
+            (r["id"], r["rn"])
+            for r in scale.grouped_row_number(
+                df,
+                ["g"],
+                F.floor(F.col("v") / bin_width),
+                [F.col("v").asc(), F.col("id").asc()],
+            ).collect()
+        }
+        win = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            (r["id"], r["rn"])
+            for r in df.withColumn("rn", F.row_number().over(win)).collect()
+        }
+        assert got == want
+
+    @SETTINGS
+    @given(
+        rows=grouped_rows,
+        n_tiles=st.sampled_from([1, 2, 8]),
+        bin_width=st.sampled_from([1, 3, 100]),
+    )
+    def test_grouped_ntile_matches_window(self, spark, rows, n_tiles, bin_width):
+        from pyspark.sql import Window
+
+        from helium_etl_lite_spark.operators import scale
+
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = {
+            (r["id"], r["tile"])
+            for r in scale.grouped_ntile(
+                df,
+                ["g"],
+                F.floor(-F.col("v") / bin_width),  # monotone along v DESC
+                [F.col("v").desc(), F.col("id").asc()],
+                n_tiles=n_tiles,
+            ).collect()
+        }
+        win = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(n_tiles).over(win)).collect()
+        }
+        assert got == want
