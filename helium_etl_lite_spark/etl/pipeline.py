@@ -408,17 +408,26 @@ class IncrementalFollower:
                 ).alias("sentinel_accounts"),
             ).first()
             self.last_audit = audit.asDict()
-        except Exception:
-            # a batch with zero reward rows writes no directory at all
-            # on the very first range — that IS the signal the audit
-            # exists to surface, as an explicit zero
-            self.last_audit = {
-                "n_rewards": 0, "amount_total": 0, "sentinel_accounts": 0,
-            }
+        except AnalysisException as e:
+            # ONLY the missing-path case is a legitimate zero: a batch
+            # with zero reward rows writes no directory at all on the
+            # very first range — that IS the signal the audit exists to
+            # surface, as an explicit zero. Any other failure (corrupt
+            # footer, permission error, transient IO) must surface as
+            # an audit FAILURE, not be masked as zeros (r6 ADVICE).
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                self.last_audit = {
+                    "n_rewards": 0, "amount_total": 0, "sentinel_accounts": 0,
+                }
+            else:
+                self.last_audit = {"error": str(e)}
+        except Exception as e:  # noqa: BLE001 — audit is advisory; ingest continues
+            self.last_audit = {"error": str(e)}
         import logging
 
-        logging.getLogger("helium_etl_lite_spark").info(
-            f"audit [{lo},{hi}]: {self.last_audit}"
+        logging.getLogger("helium_etl_lite_spark").log(
+            logging.WARNING if "error" in self.last_audit else logging.INFO,
+            f"audit [{lo},{hi}]: {self.last_audit}",
         )
         if "transactions" in out:
             # PK(hash) idempotence (migrations/V3:43): dedup within the

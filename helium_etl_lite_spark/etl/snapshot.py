@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,9 +65,12 @@ class ConcurrentSnapshotWriteError(RuntimeError):
 class SnapshotStore:
     """Manifest bookkeeping: read CURRENT, publish a new version."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, orphan_grace_seconds: float = 60.0):
         self.root = root
         self.dir = os.path.join(root, "_snapshots")
+        # How long an unreferenced manifest must sit before a replay may
+        # overwrite it (see publish() — closes the r6 ADVICE TOCTOU).
+        self.orphan_grace_seconds = orphan_grace_seconds
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.dir, f"snap-{version:012d}.json")
@@ -101,11 +105,30 @@ class SnapshotStore:
 
         Optimistic concurrency: the version file is claimed with an
         atomic hard link (fails if it exists), so two writers that both
-        computed version N cannot silently overwrite each other — the
-        loser gets ConcurrentSnapshotWriteError and must re-read CURRENT
-        and recommit. A crash-replay republishing the IDENTICAL manifest
-        (commit content is a deterministic function of the batch) is
-        recognized and passes through idempotently."""
+        computed version N cannot silently overwrite each other. On a
+        claim conflict the CONTENT is compared first (r6 ADVICE: the
+        former CURRENT-ordering check had a TOCTOU — writer A links N,
+        B reads CURRENT before A swaps it, B sees an "orphan" and
+        clobbers A's live manifest):
+
+        - identical content -> idempotent crash-replay of the same
+          commit (content is a deterministic function of the batch);
+          pass through and (re)write CURRENT. Safe regardless of where
+          CURRENT points.
+        - different content, CURRENT already at/past N -> a visible
+          version conflict; raise ConcurrentSnapshotWriteError.
+        - different content, CURRENT behind N -> EITHER our own
+          crash-replay after the tip advanced (true orphan, never
+          reader-visible) OR a live writer mid-commit-window. The two
+          are indistinguishable at a point in time, so the overwrite is
+          gated on `orphan_grace_seconds`: a manifest older than the
+          grace whose CURRENT never arrived is a proven orphan (a live
+          writer swaps CURRENT within its commit window); a younger one
+          raises ConcurrentSnapshotWriteError and the caller retries —
+          by then the real writer has either swapped CURRENT (case 2)
+          or crashed (the orphan ages out). Single-logical-writer
+          deployments (the follower) only ever hit the orphan path on
+          restart-after-crash, where the manifest is minutes old."""
         os.makedirs(self.dir, exist_ok=True)
         version = manifest["version"]
         mpath = self._manifest_path(version)
@@ -118,28 +141,37 @@ class SnapshotStore:
             os.link(tmp, mpath)  # atomic claim of version N
             os.unlink(tmp)
         except FileExistsError:
-            cur = self.current_version()
-            if cur is None or cur < version:
-                # The existing manifest N is an ORPHAN: CURRENT never
-                # reached it, so no reader ever saw it — a crash in our
-                # own commit window (manifest linked, CURRENT not yet
-                # written). The replay may legitimately carry different
-                # content (the tip advanced before the retry); the
-                # orphan was never visible, so overwrite it.
-                os.replace(tmp, mpath)
-            else:
+            with open(mpath) as f:
+                existing = json.load(f)
+            if existing == json.loads(json.dumps(manifest)):
+                # identical replay of the same commit: idempotent, fall
+                # through and (re)write CURRENT
                 os.unlink(tmp)
-                with open(mpath) as f:
-                    existing = json.load(f)
-                if existing != json.loads(json.dumps(manifest)):
+            else:
+                cur = self.current_version()
+                age = time.time() - os.path.getmtime(mpath)
+                if (cur is None or cur < version) and age >= self.orphan_grace_seconds:
+                    # proven orphan: linked >= grace ago and CURRENT
+                    # never reached it — no reader ever saw it; the
+                    # replay may carry different content (tip advanced
+                    # before the retry), overwrite it.
+                    os.replace(tmp, mpath)
+                else:
+                    os.unlink(tmp)
                     raise ConcurrentSnapshotWriteError(
-                        f"snapshot version {version} was already published "
-                        "(CURRENT has reached it) with different content — "
-                        "another writer won the race; re-read CURRENT and "
-                        "recommit on top of it"
+                        f"snapshot version {version} is already claimed "
+                        "with different content "
+                        + (
+                            "(CURRENT has reached it — another writer "
+                            "won the race; re-read CURRENT and recommit "
+                            "on top of it)"
+                            if cur is not None and cur >= version
+                            else "(claim is younger than "
+                            f"{self.orphan_grace_seconds}s — possibly a "
+                            "live writer mid-commit; retry after the "
+                            "grace period)"
+                        )
                     )
-                # identical replay of an already-visible version:
-                # idempotent, fall through and (re)write CURRENT
         cpath = os.path.join(self.dir, "CURRENT")
         with open(cpath + ".tmp", "w") as f:
             f.write(str(version))

@@ -95,6 +95,11 @@ def minhash_signatures(
     bucket per band downstream, and such docs can never verify as
     near-dups anyway.
     """
+    if num_perm > len(_PERM_AB):
+        raise ValueError(
+            f"num_perm must be <= {len(_PERM_AB)} (precomputed universal-hash "
+            f"permutation constants), got {num_perm}"
+        )
     toks = _token_set(text_col)
     base = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
     d = docs.where(toks.isNotNull() & (F.size(toks) > 0)).select(

@@ -115,8 +115,14 @@ FRONT_OF_WINDOW: list[str] = [
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
-# silently shifts every later query out of the window (ADVICE r2).
+# silently shifts every later query out of the window (ADVICE r2), and
+# an entry beyond position 50 silently falls outside the driver's exact
+# gate (ADVICE r6) — both must fail loudly at import.
 assert len(set(FRONT_OF_WINDOW)) == len(FRONT_OF_WINDOW), "duplicate in FRONT_OF_WINDOW"
+assert len(FRONT_OF_WINDOW) <= 50, (
+    f"FRONT_OF_WINDOW holds {len(FRONT_OF_WINDOW)} names; the driver "
+    "verifies only the first 50 — trim the list or rotate entries out"
+)
 
 
 def load_all() -> None:

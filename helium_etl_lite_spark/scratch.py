@@ -16,6 +16,10 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
+
+# Age-based GC fallback for pid-reuse (see scratch_dir docstring).
+_MAX_AGE_SECONDS = 6 * 3600.0
 
 
 def scratch_dir(name: str) -> str:
@@ -27,15 +31,33 @@ def scratch_dir(name: str) -> str:
     every call garbage-collects sibling dirs whose owning process is
     gone, so crashed/finished runs leave nothing behind — the same
     self-cleaning guarantee the single-dir form had, without the
-    cross-process race."""
+    cross-process race.
+
+    Liveness is probed via /proc/<pid> (Linux-only, matching this
+    harness). A recycled pid would make a stale dir look live forever
+    (r6 ADVICE), so an AGE fallback backs it up: dirs older than
+    _MAX_AGE_SECONDS (6 h — far beyond any query run) are reclaimed
+    even when a same-numbered process exists. A genuinely live sibling
+    that old would lose its scratch; no query here runs remotely that
+    long, and its next scratch_dir call recreates the dir anyway."""
     root = os.path.join(tempfile.gettempdir(), "helium_spark_scratch")
     os.makedirs(root, exist_ok=True)
     prefix = name + ".pid"
+    now = time.time()
     for d in os.listdir(root):
         if d.startswith(prefix):
             pid = d[len(prefix):]
-            if not pid.isdigit() or not os.path.exists(f"/proc/{pid}"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            path = os.path.join(root, d)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                age = 0.0
+            if (
+                not pid.isdigit()
+                or not os.path.exists(f"/proc/{pid}")
+                or age > _MAX_AGE_SECONDS
+            ):
+                shutil.rmtree(path, ignore_errors=True)
     base = os.path.join(root, f"{prefix}{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)

@@ -341,6 +341,11 @@ def test_publish_recovers_orphan_manifest_beyond_current(spark, tmp_path):
 
     with open(store._manifest_path(2), "w") as f:
         _json.dump(orphan, f)
+    # age the orphan past the grace window (a real crash-restart takes
+    # longer than orphan_grace_seconds; see the TOCTOU test below for
+    # the young-claim case)
+    old = os.path.getmtime(store._manifest_path(2)) - 3600
+    os.utime(store._manifest_path(2), (old, old))
     assert store.current_version() == 1  # CURRENT untouched
 
     b2 = spark.range(5, 12).select(F.col("id").alias("block"), F.col("id").alias("v"))
@@ -348,3 +353,47 @@ def test_publish_recovers_orphan_manifest_beyond_current(spark, tmp_path):
     assert store.current_version() == 2
     assert store.current()["height"] == 11
     assert read_snapshot(spark, root, "t").count() == 12
+
+
+def test_publish_young_conflicting_claim_raises_not_clobbers(spark, tmp_path):
+    # The r6 ADVICE TOCTOU: writer A links manifest N but has not yet
+    # swapped CURRENT when writer B (same N, different content) arrives.
+    # B must NOT overwrite A's manifest just because CURRENT looks
+    # behind — a claim younger than the grace window raises, and A's
+    # content survives. An IDENTICAL young replay still passes through.
+    import json as _json
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        ConcurrentSnapshotWriteError,
+        SnapshotStore,
+        commit_batch_atomic,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 5).select(F.col("id").alias("block"), F.col("id").alias("v"))
+    commit_batch_atomic(spark, root, {"t": b1}, 0, 4, 4, 0, heights=b1.select("block"))
+    store = SnapshotStore(root)
+
+    # writer A mid-commit: manifest v2 linked, CURRENT still at 1
+    a_manifest = dict(store.current())
+    a_manifest["version"] = 2
+    a_manifest["height"] = 77
+    with open(store._manifest_path(2), "w") as f:
+        _json.dump(a_manifest, f, indent=1, sort_keys=True)
+    assert store.current_version() == 1
+
+    # writer B races with different content for v2: must raise, not clobber
+    b_manifest = dict(a_manifest)
+    b_manifest["height"] = 88
+    with _pytest.raises(ConcurrentSnapshotWriteError):
+        store.publish(b_manifest)
+    with open(store._manifest_path(2)) as f:
+        assert _json.load(f)["height"] == 77  # A's manifest intact
+
+    # A's own replay (identical content) completes the commit
+    store.publish(a_manifest)
+    assert store.current_version() == 2
+    assert store.current()["height"] == 77
