@@ -216,14 +216,26 @@ def cmd_start(spark, cfg, log=None, max_ticks: int | None = None) -> None:
     log.info("start: stopped")
 
 
-def cmd_sql(spark, cfg, sql_text: str, log=None, at_version: int | None = None) -> int:
+def cmd_sql(
+    spark,
+    cfg,
+    sql_text: str,
+    log=None,
+    at_version: int | None = None,
+    changes_since: int | None = None,
+) -> int:
     """Serving-layer escape hatch: register the output tables under the
     reference's names (cursor-bounded committed view; --at-version
-    time-travels an atomic sink) and run one SQL statement, printing up
-    to 1000 rows. Returns the row count."""
+    time-travels an atomic sink; --changes-since N adds
+    `<table>_changes` CDC views diffing version N -> the served one)
+    and run one SQL statement, printing up to 1000 rows. Returns the
+    row count."""
     from . import serving
 
-    serving.register_views(spark, str(cfg["out_dir"]), at_version=at_version)
+    serving.register_views(
+        spark, str(cfg["out_dir"]), at_version=at_version,
+        changes_since=changes_since,
+    )
     out = spark.sql(sql_text)
     rows = out.limit(1000).collect()
     header = "\t".join(out.columns)
@@ -326,6 +338,11 @@ def main(argv: list[str] | None = None) -> int:
         help="sql: time-travel an atomic-sink store to this snapshot version",
     )
     p.add_argument(
+        "--changes-since", type=int, default=None,
+        help="sql: register <table>_changes CDC views diffing this "
+        "snapshot version against the served one (atomic sinks only)",
+    )
+    p.add_argument(
         "--keep-versions", type=int, default=2,
         help="vacuum: snapshot versions to keep (default 2)",
     )
@@ -366,7 +383,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "once":
             cmd_once(spark, cfg)
         elif args.command == "sql":
-            cmd_sql(spark, cfg, args.execute, at_version=args.at_version)
+            cmd_sql(
+                spark, cfg, args.execute, at_version=args.at_version,
+                changes_since=args.changes_since,
+            )
         elif args.command == "compact":
             cmd_compact(spark, cfg, args.target_mb)
         else:

@@ -259,6 +259,88 @@ def read_snapshot(
     return _read_version_ranges(spark, root, table, by_version)
 
 
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame | None:
+    """Version-diff (CDC) read: the rows that changed between snapshot
+    `v_from` and `v_to` (CURRENT when None), tagged with a
+    `_change_type` column ('insert' | 'delete') — the readChangeFeed
+    pattern, and the incremental twin of `read_snapshot(version=)`:
+    a downstream consumer of the follower tables polls this instead of
+    re-scanning the whole committed view (r6 verdict "what's missing"
+    item 1). An updated row appears as a delete of the old image plus
+    an insert of the new one.
+
+    Metadata-first: the two manifests' partition->owner maps identify
+    exactly which block_ranges changed (owner version differs, or the
+    partition was added/removed) — UNCHANGED partitions are never read,
+    so the IO is O(churned partitions), not O(table). Only the changed
+    partitions' rows are then diffed with exceptAll in both directions
+    (multiset semantics: duplicate rows count). At 100 TB a steady-state
+    follower touches a handful of ranges per commit, so the diff reads
+    a few partition dirs regardless of table size.
+
+    Returns None when the table exists in neither manifest; an empty
+    (schema-stable) DataFrame when nothing changed. Raises on missing
+    manifests or v_from > v_to.
+    """
+    store = SnapshotStore(root)
+    if v_to is None:
+        v_to = store.current_version()
+        if v_to is None:
+            raise ValueError(f"no snapshot store at {root}")
+    m_from = store.manifest(v_from)
+    m_to = store.manifest(v_to)
+    if m_from is None or m_to is None:
+        missing = v_from if m_from is None else v_to
+        raise ValueError(
+            f"no snapshot version {missing} at {root} (vacuumed or never "
+            "committed) — changes need both endpoint manifests"
+        )
+    if v_from > v_to:
+        raise ValueError(f"v_from={v_from} is newer than v_to={v_to}")
+    parts_from = m_from["tables"].get(table, {})
+    parts_to = m_to["tables"].get(table, {})
+    if not parts_from and not parts_to:
+        return None
+
+    changed = {
+        r
+        for r in set(parts_from) | set(parts_to)
+        if parts_from.get(r) != parts_to.get(r)
+    }
+
+    def read_side(parts: dict) -> DataFrame | None:
+        by_version: dict[int, list[int]] = {}
+        for r in changed:
+            ver = parts.get(r)
+            if ver is not None:
+                by_version.setdefault(int(ver), []).append(int(r))
+        return _read_version_ranges(spark, root, table, by_version)
+
+    side_from = read_side(parts_from)
+    side_to = read_side(parts_to)
+    if side_from is None and side_to is None:
+        # nothing churned: empty result with the table's schema
+        base = read_snapshot(spark, root, table, version=v_to) or read_snapshot(
+            spark, root, table, version=v_from
+        )
+        return base.limit(0).withColumn("_change_type", F.lit("insert"))
+    if side_from is None:
+        side_from = side_to.limit(0)
+    if side_to is None:
+        side_to = side_from.limit(0)
+    side_from = side_from.select(sorted(side_from.columns))
+    side_to = side_to.select(sorted(side_from.columns))
+    inserts = side_to.exceptAll(side_from).withColumn("_change_type", F.lit("insert"))
+    deletes = side_from.exceptAll(side_to).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def commit_batch_atomic(
     spark: SparkSession,
     root: str,

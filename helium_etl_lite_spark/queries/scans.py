@@ -409,3 +409,59 @@ def sink_snapshot_time_travel(spark, sf_dir):
         ).select("version", "n_rows", "sum_value")
 
     return summarize(v1, 1).unionByName(summarize(v2, 2)).orderBy("version")
+
+
+@query(
+    "sink_snapshot_changes",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS block,
+           value + 1.0 AS value,
+           'insert' AS _change_type
+    FROM events WHERE event_id % 10 = 0
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS block,
+           value AS value,
+           'delete' AS _change_type
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def sink_snapshot_changes(spark, sf_dir):
+    """Version-diff (CDC) read over the transactional snapshot sink —
+    the incremental twin of sink_snapshot_time_travel, and the first
+    query a downstream consumer of the follower tables actually runs
+    ("what changed since the version I last synced?"). Fixture: commit
+    1 lands every event; commit 2 re-claims the event_id%5==0 blocks
+    but only re-emits the %10==0 rows with value+1 — so the v1->v2
+    change feed is exactly {updated rows as delete+insert pairs,
+    dropped rows as deletes}, stated independently by the oracle.
+
+    Scale shape (etl/snapshot.py read_changes): the manifests'
+    partition->owner maps are diffed DRIVER-SIDE (control plane,
+    O(#partitions) like Delta's log replay); only churned partitions
+    are read at all, then exceptAll in both directions — multiset
+    semantics — yields the row-level feed. A steady-state follower
+    touches a handful of ranges per commit, so the diff IO is
+    O(churn), not O(table); row-level arithmetic (value+1.0) is
+    FP-exact on both engines."""
+    from ..etl.snapshot import commit_batch_atomic, read_changes
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("block"), F.col("value")
+    )
+    root = scratch_dir("snapshot_cdc")
+    hi = ev.agg(F.max("block")).first()[0]
+    commit_batch_atomic(
+        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
+        first_block=0, heights=ev.select("block"),
+    )
+    claimed = ev.where(F.col("block") % 5 == 0).select("block")
+    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    commit_batch_atomic(
+        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
+        height=int(hi), first_block=0, heights=claimed,
+    )
+    return read_changes(spark, root, "rewards", v_from=1, v_to=2).select(
+        "block", "value", "_change_type"
+    )

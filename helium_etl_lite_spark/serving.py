@@ -44,21 +44,30 @@ def register_views(
     committed: bool = True,
     range_size: int = 1000,
     at_version: int | None = None,
+    changes_since: int | None = None,
 ) -> dict[str, DataFrame]:
     """Expose the output tables under the reference's table names.
     `transactions` is registered only when the pipeline mode produced it
     (full mode). Returns the DataFrames keyed by view name.
     `at_version` time-travels an atomic-sink store to a historical
     snapshot; requesting it against a plain (non-atomic) sink raises —
-    plain sinks keep no history to travel to."""
+    plain sinks keep no history to travel to. `changes_since` (atomic
+    sinks only) additionally registers `<table>_changes` views holding
+    the CDC diff from that version to the served one (read_changes:
+    '_change_type' insert/delete, partition-pruned by manifest diff)."""
     views: dict[str, DataFrame] = {}
 
-    from .etl.snapshot import SnapshotStore, read_snapshot
+    from .etl.snapshot import SnapshotStore, read_changes, read_snapshot
 
     store = SnapshotStore(out_dir)
     snapshot_manifest = (
         store.current() if at_version is None else store.manifest(at_version)
     )
+    if changes_since is not None and snapshot_manifest is None:
+        raise ValueError(
+            f"--changes-since requires an atomic sink (no snapshot "
+            f"store at {out_dir}; plain sinks keep no history)"
+        )
     if at_version is not None and snapshot_manifest is None:
         if store.current_version() is None:
             raise ValueError(
@@ -105,6 +114,12 @@ def register_views(
     views["follower_info"] = spark.createDataFrame(
         [cur] if cur is not None else [], FOLLOWER_INFO_SCHEMA
     )
+    if changes_since is not None:
+        v_to = snapshot_manifest["version"]
+        for table in snapshot_manifest["tables"]:
+            diff = read_changes(spark, out_dir, table, changes_since, v_to)
+            if diff is not None:
+                views[f"{table}_changes"] = diff
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return views

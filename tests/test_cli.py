@@ -312,3 +312,46 @@ def test_sql_at_version_time_travels_atomic_sink(spark, chain_dirs, tmp_path, ca
     cli.cmd_vacuum({"out_dir": out}, keep_versions=1)
     with _pytest.raises(ValueError, match="no snapshot version"):
         cli.cmd_sql(spark, cfg, "SELECT 1", at_version=v1)
+
+
+def test_sql_changes_since_registers_cdc_views(spark, tmp_path, capsys):
+    # --changes-since N registers <table>_changes views: the CDC feed
+    # between snapshot N and the served version, with _change_type.
+    import logging
+
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import commit_batch_atomic
+
+    out = str(tmp_path / "out")
+    b1 = spark.range(0, 50).select(
+        F.col("id").alias("block"), (F.col("id") * 1.0).alias("amount")
+    )
+    commit_batch_atomic(
+        spark, out, {"rewards": b1}, 0, 49, 49, 0, heights=b1.select("block")
+    )
+    # v2: replace block 7 (new amount), drop block 9
+    claimed = spark.createDataFrame([(7,), (9,)], "block long")
+    b2 = spark.createDataFrame([(7, -7.0)], "block long, amount double")
+    commit_batch_atomic(spark, out, {"rewards": b2}, 0, 49, 49, 0, heights=claimed)
+
+    n = cli.cmd_sql(
+        spark,
+        {"out_dir": out},
+        "SELECT block, _change_type FROM rewards_changes "
+        "ORDER BY block, _change_type",
+        log=logging.getLogger("test"),
+        changes_since=1,
+    )
+    assert n == 3  # delete(7) + insert(7) + delete(9)
+    printed = capsys.readouterr().out
+    assert "insert" in printed and "delete" in printed
+
+    # plain (non-atomic) sink: clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="atomic sink"):
+        cli.cmd_sql(
+            spark, {"out_dir": str(tmp_path / "nosnap")}, "SELECT 1",
+            log=logging.getLogger("test"), changes_since=1,
+        )

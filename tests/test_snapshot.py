@@ -397,3 +397,67 @@ def test_publish_young_conflicting_claim_raises_not_clobbers(spark, tmp_path):
     store.publish(a_manifest)
     assert store.current_version() == 2
     assert store.current()["height"] == 77
+
+
+def test_read_changes_prunes_unchanged_partitions(spark, tmp_path):
+    # CDC is metadata-first: v1 lands 5 block_ranges, v2 churns only
+    # range 0 — the diff must read ONLY range-0 files (inputFiles), and
+    # the feed is exactly the replaced row's delete+insert pair.
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        commit_batch_atomic,
+        read_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 5000).select(
+        F.col("id").alias("block"), (F.col("id") * 1.0).alias("v")
+    )
+    commit_batch_atomic(
+        spark, root, {"t": b1}, 0, 4999, 4999, 0, heights=b1.select("block")
+    )
+    b2 = spark.createDataFrame([(10, -1.0)], "block long, v double")
+    commit_batch_atomic(
+        spark, root, {"t": b2}, 0, 4999, 4999, 0, heights=b2.select("block")
+    )
+    diff = read_changes(spark, root, "t", 1, 2)
+    got = {(r["block"], r["v"], r["_change_type"]) for r in diff.collect()}
+    assert got == {(10, -1.0, "insert"), (10, 10.0, "delete")}
+    files = diff.inputFiles()
+    assert files and all("block_range=0" in f for f in files), files
+
+
+def test_read_changes_empty_and_error_cases(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        commit_batch_atomic,
+        read_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 20).select(
+        F.col("id").alias("block"), (F.col("id") * 1.0).alias("v")
+    )
+    commit_batch_atomic(
+        spark, root, {"t": b1}, 0, 19, 19, 0, heights=b1.select("block")
+    )
+    # same endpoints: empty feed, schema stable (+_change_type)
+    same = read_changes(spark, root, "t", 1, 1)
+    assert same.count() == 0
+    assert "_change_type" in same.columns
+    # v_to defaults to CURRENT
+    assert read_changes(spark, root, "t", 1).count() == 0
+    # unknown table -> None; missing versions / inverted range -> raise
+    assert read_changes(spark, root, "nope", 1, 1) is None
+    with _pytest.raises(ValueError, match="no snapshot version"):
+        read_changes(spark, root, "t", 1, 99)
+    with _pytest.raises(ValueError, match="newer than"):
+        # plant both manifests so the order check itself is what fires
+        commit_batch_atomic(
+            spark, root, {"t": b1.limit(1)}, 0, 19, 19, 0,
+            heights=b1.limit(1).select("block"),
+        )
+        read_changes(spark, root, "t", 2, 1)
