@@ -181,6 +181,72 @@ def minhash_lsh_pairs(
     )
 
 
+def containment_screened_pairs(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 8,
+    containment_threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production near-dup path in ONE plan: MinHash band SCREEN →
+    exact containment VERIFY. At 100 TB nobody runs the exact O(N²)
+    verifier unscreened (dedup_containment's docstring promise) — the
+    band join bounds the verifier's input to pairs that collide in at
+    least one LSH bucket, so the quadratic term runs only over
+    screen-survivors.
+
+    Directed pairs (doc_src, doc_sup): ≥ `containment_threshold` of
+    doc_src's distinct tokens appear in doc_sup, computed EXACTLY over
+    xxhash64'd token sets (8-byte longs, same result modulo a 2^-64
+    collision — the minhash_dedup_assign argument). Both directions are
+    emitted, because containment is asymmetric while the screen is
+    symmetric.
+
+    Recall contract: the screen is tuned for JACCARD (bands=8 over 16
+    perms → P(candidate) ≈ 1-(1-j²)^8), so high-containment pairs with
+    LOW Jaccard — a tiny doc quoted inside a huge one — can be missed;
+    that tradeoff is inherent to minhash banding (the
+    containment-faithful screen is size-partitioned banding, LSH
+    Ensemble, Zhu 2016). The pytest gate measures recall on the
+    clustered fixture and pins screened ⊆ exact.
+    """
+    sig = minhash_signatures(docs, num_perm, text_col, id_col)
+    band_rows = _band_rows(sig, num_perm, bands, id_col)
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_src"),
+            F.col(f"r.{id_col}").alias("doc_sup"),
+        )
+        .distinct()
+    )
+    toksets = docs.select(
+        F.col(id_col),
+        F.transform(_token_set(text_col), lambda t: F.xxhash64(t)).alias("toks"),
+    )
+    a = toksets.select(F.col(id_col).alias("doc_src"), F.col("toks").alias("toks_a"))
+    b = toksets.select(F.col(id_col).alias("doc_sup"), F.col("toks").alias("toks_b"))
+    cont = F.round(
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size("toks_a").cast("double"),
+        6,
+    )
+    return (
+        cand.join(a, "doc_src")
+        .join(b, "doc_sup")
+        .select("doc_src", "doc_sup", cont.alias("containment"))
+        .where(F.col("containment") >= containment_threshold)
+    )
+
+
 def minhash_dedup_assign(
     docs: DataFrame,
     num_perm: int = 16,

@@ -1384,6 +1384,25 @@ def dedup_containment(spark, sf_dir):
     )
 
 
+@query("dedup_containment_screened")  # rows-only: LSH screen is hash-seeded
+def dedup_containment_screened(spark, sf_dir):
+    # The composition dedup_containment's docstring promises: MinHash
+    # band screen -> exact containment verify, as ONE plan
+    # (operators/dedup.py containment_screened_pairs). This is the form
+    # that actually runs at 100 TB — the exact verifier's quadratic
+    # term is bounded by the screen's bucket collisions instead of the
+    # per-block pair count. Rows-only: the screen depends on the
+    # engine's xxhash64 permutation constants; the pytest gate
+    # (tests/test_operators.py TestContainmentScreened) pins
+    # screened ⊆ exact, measures recall on a planted near-dup fixture,
+    # and asserts the verifier input is bounded by the screen.
+    t = Tables(spark, sf_dir)
+    pairs = dedup.containment_screened_pairs(
+        t.documents, num_perm=16, bands=8, containment_threshold=0.95
+    )
+    return pairs.orderBy("doc_src", "doc_sup")
+
+
 @query("multimodal_phash_dedup")  # rows-only: binary image decode is not SQL-expressible
 def multimodal_phash_dedup(spark, sf_dir):
     # Image near-dup dedup over the binary asset table: every payload

@@ -886,3 +886,80 @@ class TestIncrementalPCA:
         pca.moments_update(spark, a, state, "e")
         with _pytest.raises(ValueError, match="dimension"):
             pca.moments_update(spark, b, state, "e")
+
+
+class TestContainmentScreened:
+    """dedup_containment_screened gate (r6 verdict item 4): the screen
+    must never invent pairs (screened ⊆ exact), must find the planted
+    high-containment clusters (measured recall), and must bound the
+    exact verifier's input to screen survivors."""
+
+    def _fixture(self, spark):
+        # 4 clusters of 5 near-identical docs (pairwise containment
+        # ~1.0, high Jaccard so the band screen is in-distribution)
+        # + 20 unrelated docs.
+        rows = []
+        did = 0
+        for c in range(4):
+            base = [f"c{c}tok{i}" for i in range(30)]
+            for v in range(5):
+                toks = base + ([f"c{c}extra{v}"] if v else [])
+                rows.append((did, " ".join(toks)))
+                did += 1
+        for j in range(20):
+            rows.append((did, " ".join(f"solo{j}tok{i}" for i in range(25))))
+            did += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _exact_pairs(self, rows, threshold=0.95):
+        toks = {r[0]: set(r[1].split(" ")) for r in rows}
+        out = set()
+        for a in toks:
+            for b in toks:
+                if a != b and len(toks[a] & toks[b]) / len(toks[a]) >= threshold:
+                    out.add((a, b))
+        return out
+
+    def test_screened_subset_of_exact_with_recall(self, spark):
+        docs = self._fixture(spark)
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        exact = self._exact_pairs(rows)
+        got = {
+            (r["doc_src"], r["doc_sup"])
+            for r in dedup.containment_screened_pairs(docs).collect()
+        }
+        assert got <= exact, f"screen invented pairs: {got - exact}"
+        # in-distribution recall: the planted clusters share ~97% of
+        # tokens, P(band collision) ≈ 1 at that Jaccard
+        recall = len(got) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.2f} on planted clusters"
+        # containment values are exact where emitted
+        vals = {
+            (r["doc_src"], r["doc_sup"]): r["containment"]
+            for r in dedup.containment_screened_pairs(docs).collect()
+        }
+        toks = {r[0]: set(r[1].split(" ")) for r in rows}
+        for (a, b), v in vals.items():
+            want = round(len(toks[a] & toks[b]) / len(toks[a]), 6)
+            assert abs(v - want) < 1e-9
+
+    def test_verifier_input_bounded_by_screen(self, spark):
+        docs = self._fixture(spark)
+        n = docs.count()
+        sig = dedup.minhash_signatures(docs, 16)
+        band_rows = dedup._band_rows(sig, 16, 8)
+        l, r = band_rows.alias("l"), band_rows.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc_id") != F.col("r.doc_id")),
+            )
+            .select("l.doc_id", "r.doc_id")
+            .distinct()
+            .count()
+        )
+        # screen survivors ≪ all directed pairs: only intra-cluster
+        # collisions (4 clusters × 5×4 directed) + hash accidents
+        assert cand < n * (n - 1) / 4, f"screen not selective: {cand} of {n*(n-1)}"
