@@ -705,9 +705,19 @@ def pipeline_pretraining_select(spark, sf_dir):
     on a high-cardinality key. This is the query a training-data team
     actually ships, and it inherits every stage's plan posture already
     pinned by the per-stage tests."""
-    from pyspark.sql import Window as W
-
     from ..operators.scale import select_token_budget
+
+    scored = _pretraining_scored(spark, sf_dir)
+    return select_token_budget(
+        scored, "score_raw", "doc_id", "n_tokens", budget=6000, out_col="cum_tokens"
+    )
+
+
+def _pretraining_scored(spark, sf_dir, keep_text: bool = False):
+    """Stages 1-4 of the flagship (gate → dedup → decontaminate →
+    score), shared by the whitespace-count and BPE-count variants.
+    Returns (doc_id, n_tokens, score_raw[, text]), lineage-truncated."""
+    from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "text")
@@ -757,6 +767,7 @@ def pipeline_pretraining_select(spark, sf_dir):
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     scored = clean.select(
         "doc_id",
+        *(["text"] if keep_text else []),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.aggregate(
             F.transform(toks, hashed_token_weight),
@@ -765,13 +776,45 @@ def pipeline_pretraining_select(spark, sf_dir):
         ).alias("score_raw"),
     )
 
-    # stage 5: token budget, (score DESC, doc_id) order, no global sort.
-    # The control plane references its input from several branches;
-    # truncate lineage ONCE here (bounded: 3 scalar cols per doc) so the
+    # stage 5 (in the callers) references this from several branches;
+    # truncate lineage ONCE here (bounded: 3-4 cols per doc) so the
     # expensive gate→dedup→decontaminate→score chain above runs a single
     # time instead of once per branch (same pattern as
     # connected_components' localCheckpoint; measured ~4x on this query).
-    scored = scored.localCheckpoint(eager=True)
-    return select_token_budget(
-        scored, "score_raw", "doc_id", "n_tokens", budget=6000, out_col="cum_tokens"
+    return scored.localCheckpoint(eager=True)
+
+
+@query("pipeline_pretraining_select_bpe")  # rows-only: learned BPE merges not SQL-expressible
+def pipeline_pretraining_select_bpe(spark, sf_dir):
+    """The flagship with REAL token accounting (r6 verdict item 7):
+    stages 1-4 are exactly pipeline_pretraining_select's
+    (gate → dedup → decontaminate → hashed score, shared code path);
+    stage 5 enforces the budget on BPE-encoded token counts
+    (operators/bpe.py — tokenizer trained on the CLEAN candidate
+    corpus itself, the order a training-data team actually runs:
+    curate, then fit the tokenizer, then budget in tokenizer units).
+    Rows-only because greedy merge learning is not SQL-expressible;
+    determinism (count-desc/lexicographic ties end-to-end) makes
+    repeated driver runs identical, and the conservation property test
+    (tests/test_bpe.py) pins n_words <= n_tokens_bpe <= n_chars and
+    merge-monotonicity.
+
+    Scale shape: BPE train = explode+groupBy+top-V (bounded control
+    table), encode = narrow mapInPandas with the merge table in the
+    closure, budget = the same two-level control plane — nothing here
+    adds an unbounded shuffle over stage 1-4's."""
+    from ..operators import bpe
+    from ..operators.scale import select_token_budget
+
+    scored = _pretraining_scored(spark, sf_dir, keep_text=True)
+    merges = bpe.train_bpe(scored.select("doc_id", "text"), num_merges=50,
+                           vocab_limit=100_000)
+    counted = (
+        bpe.bpe_token_counts(scored, merges)
+        .drop("text", "n_tokens")
+        .withColumnRenamed("n_tokens_bpe", "n_tokens")
     )
+    return select_token_budget(
+        counted, "score_raw", "doc_id", "n_tokens", budget=6000,
+        out_col="cum_tokens_bpe",
+    ).orderBy("doc_id")

@@ -770,21 +770,34 @@ def pipeline_corpus_curation(spark, sf_dir):
     """,
 )
 def text_fuzzy_levenshtein(spark, sf_dir):
-    # Typo-candidate pairs over the vocabulary: block on first letter
-    # (bounds the quadratic), edit distance <= 2. The first-letter block
-    # is the EQUI-JOIN KEY — a shuffled hash/sort-merge join, no
-    # broadcast hint: for web-scale text the distinct-token vocabulary
-    # is unbounded (same reasoning as text_tfidf's vocab join), so
-    # forcing a broadcast of a corpus-derived table OOMs at 100 TB. When
-    # the vocab genuinely measures small, AQE converts the join to a
-    # broadcast at runtime on its own.
+    # Typo-candidate pairs over the vocabulary, edit distance <= 2.
+    # COMPOSITE block key (first letter, length band): dist<=2 implies
+    # |len(a)-len(b)|<=2, so the b side explodes over the five length
+    # offsets and the join is equi on (first_char, length) — vs the r6
+    # first-letter-only block, reducer count goes from ~26 keys to
+    # ~26×len-range, and within-block candidate pairs drop from
+    # O(|prefix class|²) to O(|prefix,len class| × 5 bands), with ZERO
+    # recall loss (the oracle — first-letter block only — is unchanged
+    # and still hash-matches). Still no broadcast hint: the vocabulary
+    # is corpus-derived and unbounded (text_tfidf reasoning); AQE
+    # broadcasts a genuinely small side at runtime on its own.
     t = Tables(spark, sf_dir)
     vocab = (
         t.documents.select(F.explode(F.split("text", " ")).alias("token")).distinct()
     )
-    a = vocab.select(F.col("token").alias("tok_a"), F.substring("token", 1, 1).alias("blk"))
-    b = vocab.select(F.col("token").alias("tok_b"), F.substring("token", 1, 1).alias("blk"))
-    pairs = a.join(b, "blk").where(F.col("tok_a") < F.col("tok_b"))
+    a = vocab.select(
+        F.col("token").alias("tok_a"),
+        F.substring("token", 1, 1).alias("blk"),
+        F.length("token").alias("len_key"),
+    )
+    b = vocab.select(
+        F.col("token").alias("tok_b"),
+        F.substring("token", 1, 1).alias("blk"),
+        F.explode(
+            F.sequence(F.length("token") - 2, F.length("token") + 2)
+        ).alias("len_key"),
+    )
+    pairs = a.join(b, ["blk", "len_key"]).where(F.col("tok_a") < F.col("tok_b"))
     return pairs.select(
         "tok_a",
         "tok_b",
@@ -1232,10 +1245,19 @@ def text_paragraph_dedup(spark, sf_dir):
     # Scale shape: span construction is ROW-LOCAL (split + transform/
     # slice — no token explode, no shuffle, same trick as the r5
     # row-local minhash signatures); then exactly two exchanges — the
-    # first-occurrence window on span and the per-doc reassembly on
-    # doc_id. At 100 TB you'd window on xxhash64(span) instead of the
-    # span text to shrink the shuffle (collision-safe at 64 bits); the
-    # string key keeps the oracle engine-portable here.
+    # first-occurrence window keyed on xxhash64(span) (the PRODUCTION
+    # default since r7: the shuffle moves 8-byte longs instead of
+    # ~120-byte span strings, ~10x less exchange payload at corpus
+    # scale; a 2^-64 hash collision is the only divergence from the
+    # string key, and the driver's exact oracle + the equivalence test
+    # below would catch one) and the per-doc reassembly on doc_id.
+    return _paragraph_dedup(spark, sf_dir, hash_key=True)
+
+
+def _paragraph_dedup(spark, sf_dir, hash_key: bool):
+    """Both span-window key forms: hash_key=True shuffles on
+    xxhash64(span) (production), False on the span text (the literal
+    oracle form). tests/test_operators.py pins them equal at sf0.001."""
     t = Tables(spark, sf_dir)
     span_len = 20
     ws = F.split(F.col("text"), " ")
@@ -1253,7 +1275,8 @@ def text_paragraph_dedup(spark, sf_dir):
     ex = t.documents.withColumn("spans", spans).select(
         "doc_id", F.posexplode("spans").alias("span_id", "span")
     )
-    w_first = W.partitionBy("span").orderBy("doc_id", "span_id")
+    key = F.xxhash64("span") if hash_key else F.col("span")
+    w_first = W.partitionBy(key).orderBy("doc_id", "span_id")
     kept = (
         ex.withColumn("rn", F.row_number().over(w_first))
         .where(F.col("rn") == 1)

@@ -169,3 +169,33 @@ class TestBpeProperties:
                 assert 1 <= len(toks) <= len(w) + 1
 
         check()
+
+
+class TestPretrainingBpeVariant:
+    def test_flagship_bpe_conserves_token_accounting(self, spark, sf_dir):
+        # r6 verdict item 7 gate: the BPE-budgeted flagship must (a)
+        # stay within budget, (b) carry per-doc BPE counts inside the
+        # conservation envelope [n_words, n_chars+n_words] vs the doc's
+        # own text, and (c) have cumulative sums that replay exactly in
+        # (score DESC, doc_id) selection order.
+        from helium_etl_lite_spark.queries.curation import (
+            _pretraining_scored,
+            pipeline_pretraining_select_bpe,
+        )
+
+        out = pipeline_pretraining_select_bpe(spark, sf_dir).collect()
+        assert out
+        assert all(r["cum_tokens_bpe"] <= 6000 for r in out)
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in _pretraining_scored(spark, sf_dir, keep_text=True).collect()
+        }
+        for r in out:
+            words = texts[r["doc_id"]].split()
+            n_chars = sum(len(w) for w in words)
+            assert len(words) <= r["n_tokens"] <= n_chars + len(words)
+        sel = sorted(out, key=lambda r: (-r["score_raw"], r["doc_id"]))
+        acc = 0
+        for r in sel:
+            acc += r["n_tokens"]
+            assert r["cum_tokens_bpe"] == acc

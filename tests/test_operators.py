@@ -963,3 +963,21 @@ class TestContainmentScreened:
         # screen survivors ≪ all directed pairs: only intra-cluster
         # collisions (4 clusters × 5×4 directed) + hash accidents
         assert cand < n * (n - 1) / 4, f"screen not selective: {cand} of {n*(n-1)}"
+
+
+class TestParagraphDedupKeyForms:
+    def test_hashed_span_key_equals_string_key(self, spark, sf_dir):
+        # r6 verdict item 5: the production form windows on
+        # xxhash64(span) (8-byte shuffle keys); it must produce exactly
+        # the string-key (oracle) form's result at sf0.001.
+        from helium_etl_lite_spark.queries.llm_ops import _paragraph_dedup
+
+        hashed = {
+            (r["doc_id"], r["n_spans_kept"], r["text_dedup"])
+            for r in _paragraph_dedup(spark, sf_dir, hash_key=True).collect()
+        }
+        strform = {
+            (r["doc_id"], r["n_spans_kept"], r["text_dedup"])
+            for r in _paragraph_dedup(spark, sf_dir, hash_key=False).collect()
+        }
+        assert hashed == strform
