@@ -3,10 +3,13 @@ decoded/feature-extracted via Arrow-batched mapInPandas.
 
 The decode kernel is REAL for the formats a pure-numpy parser can
 handle — binary netpbm (P6 PPM / P5 PGM, including 16-bit samples and
-header comments) and uncompressed 24/32-bit BI_RGB BMP. Payloads whose
-magic bytes match none of those fall back to deterministic
-metadata-from-bytes (clearly marked 'opaque'); JPEG/PNG/MP4 would slot
-into the same dispatch once PIL/ffmpeg exist in the image. All Spark
+header comments), uncompressed 24/32-bit BI_RGB BMP, and (since r7)
+8-bit non-interlaced PNG (gray/RGB/GA/RGBA: chunk walk, zlib IDAT
+inflate, all five scanline filters reversed — stdlib zlib, no PIL).
+Payloads whose magic bytes match none of those fall back to
+deterministic metadata-from-bytes (clearly marked 'opaque');
+JPEG/MP4 would slot into the same dispatch once PIL/ffmpeg exist in
+the image. All Spark
 plumbing is identical either way: binary column, metadata struct,
 Arrow-batched mapInPandas, no shuffle — decode is a narrow map that
 scales linearly with executors at 100 TB.
@@ -108,6 +111,144 @@ def decode_bmp(data: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channel count (8-bit depth; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, width: int, height: int, channels: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth). Sub is a cumsum over pixel-stride groups, Up a
+    vectorized row add; Average/Paeth carry a left-neighbor dependency
+    and run per-pixel (encoders here emit filter 0, so the sequential
+    path is a correctness lane, not the hot one)."""
+    bpp = channels
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    raw = raw.reshape(height, stride + 1)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: cumsum within each pixel-offset lane
+            rec = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential left-dep
+            # each reconstructed byte must be reduced mod 256 BEFORE it
+            # feeds the next pixel's predictor — Average's >>1 and
+            # Paeth's comparisons read true byte values, not unreduced
+            # running sums (filters 1/2 tolerate the deferred mask only
+            # because plain addition is mod-256-linear)
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> dict:
+    """8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA):
+    chunk walk, IHDR parse, zlib-inflate the concatenated IDAT stream,
+    reverse the scanline filters, pixel stats. Pure numpy + stdlib
+    zlib — the container has no PIL, and the PNG spec (RFC 2083) needs
+    neither. Palette (color type 3), 16-bit depth and Adam7 interlace
+    raise rather than guess."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}); only 8-bit non-interlaced gray/RGB/GA/RGBA"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    expect = height * (width * channels + 1)
+    if raw.size != expect:
+        raise ValueError(f"PNG pixel stream {raw.size} != expected {expect}")
+    px = _png_unfilter(raw, width, height, channels)
+    return {
+        "fmt": "png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "maxval": 255,
+        "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+    }
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png_bytes(plane: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal valid PNG writer: 8-bit, filter 0 on every scanline,
+    one zlib IDAT. Any PNG reader (including decode_png) parses it."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    import zlib
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    stride = width * channels
+    scanlines = b"".join(
+        b"\x00" + plane[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes) -> Optional[dict]:
     """Dispatch on magic bytes; None for payloads no installed decoder
     understands (the honest 'opaque' path — PIL/ffmpeg would extend
@@ -116,6 +257,8 @@ def decode_image(data: bytes) -> Optional[dict]:
         return decode_netpbm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     return None
 
 
@@ -161,6 +304,37 @@ def encode_ppm(docs: DataFrame, width: int = 24, text_col: str = "text",
         "payload",
         F.struct(
             F.lit("image/x-portable-pixmap").alias("mime"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def encode_png(docs: DataFrame, width: int = 24, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PNG twin of encode_ppm: the SAME deterministic pixel plane (text
+    bytes zero-padded to width*h*3), transported as a real compressed
+    PNG instead of raw PPM — so decoded geometry/stats must agree with
+    the PPM path bit-for-bit while the payload exercises the inflate +
+    unfilter lane."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: str) -> bytes:
+            raw = text.encode("utf-8")
+            h = max(1, -(-len(raw) // (3 * width)))
+            plane = raw.ljust(width * h * 3, b"\x00")
+            return encode_png_bytes(plane, width, h, channels=3)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
             F.octet_length("payload").cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )

@@ -317,3 +317,40 @@ def rollup_incremental_refresh(spark, sf_dir):
         F.col("min_value").cast("long").alias("min_value"),
         F.col("max_value").cast("long").alias("max_value"),
     )
+
+
+@query("graph_pagerank_topk")  # rows-only: FP summation order is engine-specific
+def graph_pagerank_topk(spark, sf_dir):
+    # Link-graph centrality for corpus curation (operators/graph.py):
+    # crawl pipelines weight documents by their domain's PageRank
+    # (Common Crawl publishes exactly this ranking), so the engine
+    # carries a distributed power iteration. Graph here: the bipartite
+    # customer<->supplier trade graph (edges both directions through
+    # lineitem x orders, suppliers offset into their own id space),
+    # damping 0.85, 8 iterations — deterministic up to FP summation
+    # order, hence rows-only; tests/test_operators.py pins the operator
+    # against a numpy model at 1e-9 and rank conservation (sum == 1).
+    from ..operators.graph import pagerank
+
+    t = Tables(spark, sf_dir)
+    trade = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=8)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )

@@ -398,6 +398,44 @@ def multimodal_decode_stub(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH ch AS (SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_raw,
+                       coalesce(list_aggregate(
+                         list_transform(regexp_extract_all(text, '.'), c -> ord(c)),
+                         'sum'), 0) AS byte_sum
+                FROM documents),
+         g AS (SELECT *, greatest(CAST(ceil(n_raw / 72.0) AS BIGINT), 1) AS h FROM ch)
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(24 AS BIGINT) AS width,
+           h AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(255 AS BIGINT) AS maxval,
+           round(CAST(byte_sum AS DOUBLE) / (72 * h), 6) AS mean_pixel
+    FROM g
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    # The r6 "codec gate" narrowed: a REAL compressed-format decode
+    # lane. Each document renders as a genuine PNG (zlib IDAT, CRC'd
+    # chunks — operators/multimodal.py encode_png) and the pure-numpy
+    # PNG decoder (chunk walk, inflate, scanline unfilter) parses it
+    # back inside the same Arrow mapInPandas kernel as the other
+    # formats. The oracle recomputes geometry + pixel mean straight
+    # from the text (exact: same plane as the PPM path — compression
+    # is lossless, so the stats can't drift). n_bytes is deliberately
+    # NOT in the output: it depends on zlib's compressor, which the
+    # oracle can't (and shouldn't) model.
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_png(t.documents, width=24)
+    return multimodal.decode_assets(assets).select(
+        "doc_id", "fmt", "width", "height", "channels", "maxval", "mean_pixel"
+    )
+
+
+@query(
     "multimodal_feature_extract",
     oracle="""
     WITH ch AS (SELECT doc_id,

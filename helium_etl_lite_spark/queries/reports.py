@@ -679,3 +679,219 @@ def report_dormant_accounts(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "report_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity) * 100) AS BIGINT))
+                 / 100.0, 2) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def report_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year (cost modeled from p_retailprice — the synthetic schema
+    carries no partsupp). The p_name LIKE filter lands on the part
+    scan BEFORE its join, so only matching parts flow into the
+    fact-side joins; nation broadcasts (25 rows, fixed); part/supplier
+    /orders join hint-free on their keys — AQE broadcasts the filtered
+    part side when it measures small. Profit is rounded to integer
+    CENTS per row before summing (both engines compute the identical
+    row-level double, so the longs match and the sum is exact,
+    order-independent — a ROUND(SUM(double)) form diverged on a
+    half-cent boundary at sf0.01)."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.where(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        t.lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t.supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit) / 100.0, 2).alias("profit"))
+    )
+
+
+@query(
+    "report_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def report_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: how many high- vs low-priority orders shipped
+    per line status in a year (the schema has no l_shipmode; line
+    status plays its role). The date window is applied on lineitem
+    BEFORE the join so it reaches the parquet scan; the conditional
+    counts are integer SUM(CASE WHEN)s — exact, order-independent —
+    and the single groupBy aggregates two-phase over a 2-row key
+    space."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linestatus")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "report_waiting_suppliers",
+    oracle="""
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def report_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE returned-flag line
+    in a finished multi-supplier order (the schema has no receipt/
+    commit dates; l_returnflag='R' plays the late-delivery role). The
+    two correlated subqueries compile to a left-semi self-join (some
+    other supplier in the order) and a left-anti self-join (no OTHER
+    supplier returned) on l_orderkey — both hash-partitioned on a
+    high-cardinality key, never a per-row rescan. The anti side's
+    suppkey inequality rides the join condition."""
+    t = Tables(spark, sf_dir)
+    l1 = (
+        t.lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+    )
+    l2 = t.lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            t.supplier.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "report_parts_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size BETWEEN 1 AND 25
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type
+    """,
+)
+def report_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct (non-blacklisted) suppliers
+    can ship each surviving part class. The NOT IN subquery compiles
+    to a left-anti join against the low-balance suppliers (a filtered
+    dimension — no hint, AQE broadcasts it); part filters land on the
+    part scan; COUNT(DISTINCT) runs as the standard two-shuffle
+    expand/partial plan on the (brand, type) key."""
+    t = Tables(spark, sf_dir)
+    parts = t.part.where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").between(1, 25)
+    ).select("p_partkey", "p_brand", "p_type")
+    blacklist = t.supplier.where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(blacklist, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

@@ -465,3 +465,49 @@ def sink_snapshot_changes(spark, sf_dir):
     return read_changes(spark, root, "rewards", v_from=1, v_to=2).select(
         "block", "value", "_change_type"
     )
+
+
+@query(
+    "sink_snapshot_changes_apply",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS block, value
+    FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS block, value + 1.0 AS value
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def sink_snapshot_changes_apply(spark, sf_dir):
+    """The CDC consumer side: apply the v1->v2 change feed to a copy of
+    v1 and get EXACTLY v2 — the end-to-end contract that makes
+    read_changes useful to a downstream materialized view (subscribe
+    once, apply (base ∪ inserts) \\ deletes per sync, never re-scan the
+    table). Same two-commit fixture as sink_snapshot_changes; the
+    oracle states v2's content INDEPENDENTLY from `events` (survivors +
+    updated images), so a feed that dropped, duplicated, or mis-tagged
+    any row hash-mismatches. Multiset apply via unionByName+exceptAll —
+    both hash-partitioned, no driver materialization."""
+    from ..etl.snapshot import commit_batch_atomic, read_changes, read_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("block"), F.col("value")
+    )
+    root = scratch_dir("snapshot_cdc_apply")
+    hi = ev.agg(F.max("block")).first()[0]
+    commit_batch_atomic(
+        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
+        first_block=0, heights=ev.select("block"),
+    )
+    claimed = ev.where(F.col("block") % 5 == 0).select("block")
+    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    commit_batch_atomic(
+        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
+        height=int(hi), first_block=0, heights=claimed,
+    )
+    base = read_snapshot(spark, root, "rewards", version=1).select("block", "value")
+    feed = read_changes(spark, root, "rewards", v_from=1, v_to=2)
+    ins = feed.where(F.col("_change_type") == "insert").select("block", "value")
+    dels = feed.where(F.col("_change_type") == "delete").select("block", "value")
+    return base.unionByName(ins).exceptAll(dels)

@@ -981,3 +981,153 @@ class TestParagraphDedupKeyForms:
             for r in _paragraph_dedup(spark, sf_dir, hash_key=False).collect()
         }
         assert hashed == strform
+
+
+class TestPngCodec:
+    """Pure-numpy PNG lane: filters round-trip, PNG/PPM stat parity,
+    corrupt payloads raise (never return wrong stats)."""
+
+    def _filtered_png(self, px, channels, ftype):
+        # hand-apply PNG filter `ftype` to every scanline, then wrap in
+        # valid chunks — exercises decode paths the filter-0 encoder
+        # never emits.
+        import zlib
+
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        h, stride = px.shape
+        w = stride // channels
+        bpp = channels
+        out = []
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            cur = px[y].astype(np.int32)
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if ftype == 0:
+                f = cur
+            elif ftype == 1:
+                f = cur - left
+            elif ftype == 2:
+                f = cur - prev
+            elif ftype == 3:
+                f = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                f = cur - pred
+            out.append(bytes([ftype]) + bytes((f & 0xFF).astype(np.uint8)))
+            prev = cur
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0])
+        )
+        return (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    def test_all_five_filters_decode_to_same_pixels(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(7)
+        for channels in (1, 3, 4):
+            px = rng.integers(0, 256, size=(5, 6 * channels), dtype=np.uint8)
+            want = round(float(px.mean()), 6)
+            for ftype in range(5):
+                img = mm.decode_png(self._filtered_png(px, channels, ftype))
+                assert img["mean_pixel"] == want, (channels, ftype)
+                assert (img["width"], img["height"]) == (6, 5)
+                assert img["channels"] == channels
+
+    def test_roundtrip_matches_source_plane(self):
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        plane = bytes(range(256)) * 3 + b"\x00" * (24 * 11 * 3 - 768)
+        data = mm.encode_png_bytes(plane, 24, 11, 3)
+        img = mm.decode_png(data)
+        import numpy as np
+
+        assert img["mean_pixel"] == round(
+            float(np.frombuffer(plane, np.uint8).mean()), 6
+        )
+        assert img["fmt"] == "png" and img["maxval"] == 255
+
+    def test_png_and_ppm_paths_agree_on_stats(self, spark, docs):
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        cols = ["doc_id", "width", "height", "channels", "mean_pixel"]
+        png = {
+            tuple(r[c] for c in cols)
+            for r in mm.decode_assets(mm.encode_png(docs)).collect()
+        }
+        ppm = {
+            tuple(r[c] for c in cols)
+            for r in mm.decode_assets(mm.encode_ppm(docs)).collect()
+        }
+        assert png == ppm
+
+    def test_corrupt_and_unsupported_raise(self):
+        import pytest as _pytest
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        good = mm.encode_png_bytes(bytes(range(72)), 24, 1, 3)
+        with _pytest.raises(ValueError):
+            mm.decode_png(good[: len(good) // 2])  # truncated inside IDAT
+        with _pytest.raises(ValueError):
+            mm.decode_png(b"\x89PNG\r\n\x1a\njunk")
+        # 16-bit depth flagged unsupported, not mis-decoded
+        bad_ihdr = bytearray(good)
+        bad_ihdr[8 + 8 + 8] = 16  # bit depth byte inside IHDR body
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            mm.decode_png(bytes(bad_ihdr))
+
+
+class TestPagerank:
+    def _model(self, edges, n_nodes_map, damping, iters):
+        import numpy as np
+
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        out_deg = np.zeros(n)
+        for a, _ in edges:
+            out_deg[idx[a]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for a, b in edges:
+                contrib[idx[b]] += r[idx[a]] / out_deg[idx[a]]
+            dangling = r[out_deg == 0].sum()
+            r = (1 - damping) / n + damping * (contrib + dangling / n)
+        return {v: r[idx[v]] for v in nodes}
+
+    def test_matches_numpy_model_with_dangling(self, spark):
+        from helium_etl_lite_spark.operators.graph import pagerank
+
+        # chain with a hub and a dangling sink (4 has no out-edges)
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (2, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+        want = self._model(edges, None, 0.85, 12)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # rank conservation
+
+    def test_empty_graph(self, spark):
+        from helium_etl_lite_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(df, iterations=3).count() == 0

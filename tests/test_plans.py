@@ -608,3 +608,46 @@ def test_top_supplier_no_single_partition_window(spark, sf_dir):
     df = q("report_top_supplier", spark, sf_dir)
     plan = formatted_plan(df)
     assert "Window" not in plan, plan
+
+
+def test_product_profit_filters_push_and_nation_broadcasts(spark, sf_dir):
+    # Q9 shape: the p_name contains-filter reaches the part scan, the
+    # fixed nation dim broadcasts, profit aggregates two-phase; the
+    # scaling joins carry no forced hint.
+    df = q("report_product_profit", spark, sf_dir)
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_pushed_filter(df, "p_name")
+    assert_partial_aggregate(df)
+
+
+def test_priority_shipping_date_window_pushed(spark, sf_dir):
+    df = q("report_priority_shipping", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_partial_aggregate(df)
+
+
+def test_waiting_suppliers_semi_anti_ride_equi_keys(spark, sf_dir):
+    # Q21 shape: both correlated subqueries must compile to semi/anti
+    # joins on the l_orderkey equi-key (suppkey inequality as residual
+    # condition) — a BroadcastNestedLoopJoin would mean the equi part
+    # was lost and the self-join went quadratic.
+    df = q("report_waiting_suppliers", spark, sf_dir)
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_parts_supplier_count_no_forced_broadcast(spark, sf_dir):
+    # The blacklist side is corpus-derived (scales with sf) — no hint;
+    # COUNT(DISTINCT) runs the two-phase expand plan.
+    df = q("report_parts_supplier_count", spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert_partial_aggregate(df)
+    assert_pushed_filter(df, "p_size")
