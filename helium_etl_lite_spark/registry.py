@@ -48,70 +48,69 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # registry here; everything else keeps module registration order behind
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
-    # r6 rotation. Priority when the window overflows: (1) queries with
+    # r7 rotation. Priority when the window overflows: (1) queries with
     # NO driver verdict yet (first-time registrations — an unverified
-    # row is worse than an unrefreshed one), then (2) r6-changed queries
-    # whose change is behavioral (minhash signature formula, join
-    # reshape), then (3) r6-changed queries whose change was plumbing
-    # (scratch-dir, n_docs fold) — those were rotated OUT this round
-    # after the local full-registry sweep (167 exact / 0 fail, README)
-    # re-verified them; their driver re-verdicts queue for r7.
-    # (a) NEW in r6:
-    "sample_mixture_interleave",
-    "sample_token_budget_bpe",
-    "win_ntile",
-    "merge_upsert_scd1",
-    "scd2_point_in_time",
-    "sample_importance_weighted",
-    "text_paragraph_dedup",
-    "dedup_cluster_stats",
-    "corpus_stats_report",
-    "agg_histogram_width_bucket",
-    "sink_bucketed_colocated_join",
-    "vec_dedup_semantic",       # rewritten r6: sqrt(N) clusters + np kernels
-    "join_asof_tolerance",
-    "dedup_containment",
-    "multimodal_phash_dedup",
-    "vec_ann_pq",
-    "text_gopher_quality_filter",
-    "vec_ann_ivfpq",
-    "text_dedup_exact_incremental",
-    "rollup_incremental_refresh",
-    "join_null_safe_eq",
-    "text_token_entropy",
-    "vec_triplet_mining",
-    "udtf_python_native",
-    "source_csv_permissive_corrupt",
-    "report_pricing_summary",
-    "report_shipping_priority",
-    "report_local_supplier_volume",
-    "report_large_orders",
-    "report_returned_items",
-    "text_chunk_split",
-    "text_quality_classifier_hashed",
-    "report_market_share",
-    "report_top_supplier",
-    "report_order_priority",
-    "vec_pca_project",
-    "report_customer_distribution",
-    "report_promo_revenue",
-    "report_small_quantity_revenue",
-    "report_discounted_revenue",
-    "agg_hll_sketch_union",
-    "source_python_datasource",
-    "sink_snapshot_time_travel",
-    "pipeline_pretraining_select",
-    "report_volume_shipping",
-    "report_dormant_accounts",
-    # (re-verify r6: minhash signature formula changed to universal-hash)
-    # (b) code changed in r6 — re-verify:
-    "text_fuzzy_levenshtein",    # vocab join reshaped to first-letter equi-key
-    "join_theta_range",          # binned instead of forced part broadcast
-    "text_dedup_minhash",        # permutation-collapse fix (ADVICE r5 high)
-    "text_dedup_minhash_incremental",  # signature fix + O(batch) fold-in
-    # (c) oldest-verdict re-confirms (r1/r2/r3 vintages):
-    # (set ops / stream_tumbling re-confirms rotated out in favor of the
-    # five new report_* queries — r2 verdicts on those remain on record)
+    # row is worse than an unrefreshed one), then (2) r7-changed
+    # queries (grouped control-plane reshapes, hashed-span key,
+    # length-band blocking), then (3) the r6-queued stale re-verdicts
+    # (implementations changed in r6 AFTER their last driver check),
+    # then (4) oldest-verdict re-confirms (r1/r2/r3 vintages). All 45
+    # r6-new queries got their verdicts in CORRECTNESS_r06 (45/45
+    # clean) and rotate out.
+    # (a) NEW in r7:
+    "sink_snapshot_changes",
+    "sink_snapshot_changes_apply",
+    "dedup_containment_screened",
+    "pipeline_pretraining_select_bpe",
+    "multimodal_png_decode",
+    "graph_pagerank_topk",
+    "report_product_profit",
+    "report_priority_shipping",
+    "report_waiting_suppliers",
+    "report_parts_supplier_count",
+    # (b) changed in r7 — re-verify:
+    "win_ntile",                  # grouped_ntile control plane
+    "sample_mixture_interleave",  # grouped_row_number control plane
+    "sample_reservoir_per_group", # grouped_row_number control plane
+    "text_paragraph_dedup",       # span window keys on xxhash64(span)
+    "text_fuzzy_levenshtein",     # (first_char, length-band) block key
+    "pipeline_pretraining_select",  # stages 1-4 refactored into shared helper
+    # (c) r6-changed after last driver verdict (queued from r6):
+    "text_tfidf",                 # n_docs fold (changed r6, verdict r5)
+    "text_dedup_simhash",         # dedup.py NULL-token change (r6, verdict r5)
+    "source_schema_evolution",    # scratch-dir plumbing (r6, verdict r5)
+    "sink_roundtrip_parquet",     # scratch-dir plumbing (r6, verdict r4)
+    "sink_compact_files",         # scratch-dir plumbing (r6, verdict r4)
+    # (d) oldest-verdict re-confirms:
+    "join_full_outer",            # r1
+    "join_cross",                 # r1
+    "scan_parquet",               # r2
+    "scan_projection_pushdown",   # r2
+    "scan_predicate_pushdown",    # r2
+    "source_json_lines",          # r2
+    "sort_multi_key",             # r2
+    "limit_topk",                 # r2
+    "distinct_dedup",             # r2
+    "set_union_all",              # r2
+    "set_union_distinct",         # r2
+    "set_intersect",              # r2
+    "set_except",                 # r2
+    "stream_tumbling_window_agg", # r2
+    "stream_sliding_window_agg",  # r2
+    "stream_session_window",      # r2
+    "stream_watermark_late_drop", # r2
+    "stream_dedup_by_key",        # r2
+    "stream_cursor_incremental",  # r2
+    "stream_stateful_running_count",  # r2
+    "udf_scalar_python",          # r2
+    "udf_pandas_vectorized",      # r2
+    "udaf_grouped_agg",           # r2
+    "udtf_flatten",               # r2
+    "stream_stream_interval_join",  # r3
+    "win_sliding_avg_range_frame",  # r3
+    "math_funcs",                 # r3
+    "vec_cluster_assign",         # r3
+    "text_lang_topk",             # r3
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
