@@ -82,6 +82,8 @@ EXTENDED = [
     "report_local_supplier_volume",
     # r6: the five-stage curation flagship.
     "pipeline_pretraining_select",
+    # r7: the widest new report (5-table star, integer-cents agg).
+    "report_product_profit",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -92,7 +94,11 @@ SCALE_ENABLED = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
 SCALE_REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPLICAS", "10"))
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
 SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
-    "vec_dedup_semantic"
+    "vec_dedup_semantic",
+    # r7: the two grouped-control-plane reshapes — their ratios at 10x
+    # are the direct evidence the low-cardinality-window fix holds.
+    "win_ntile",
+    "sample_mixture_interleave",
 ]
 
 

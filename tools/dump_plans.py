@@ -64,17 +64,17 @@ HEADLINE_NOTES = {
     "sample_token_budget": "two-level control-plane running total in (score DESC, id) order: NO SinglePartition anywhere; bounded (score, id-bucket) windows",
     "vec_dedup_semantic": "cluster-then-pair: sqrt(N) clusters, numpy assignment in a narrow mapInPandas (no shuffle), sub-blocked in-cluster pair kernel — ONE applyInPandas exchange, no BNLJ/CartesianProduct",
     "source_schema_evolution": "mergeSchema read-back is a bare union-schema scan, no Exchange",
-    "sample_reservoir_per_group": "salted-sha256 rank window: ONE lang Exchange, no RNG, no SinglePartition",
+    "sample_reservoir_per_group": "salted-sha256 rank via grouped_row_number: (lang, hash-prefix-bucket) windows + bounded offset control plane — no bare-lang partition, no RNG, no SinglePartition",
     "text_dedup_minhash_incremental": "probe = (band,bucket) equi-join vs partition-pruned state; no BNLJ; fold-in appends O(batch)",
     # r6 queries
     "join_theta_range": "band rides the __bin equi-key (r5 fix): no forced part broadcast, no BNLJ",
-    "text_fuzzy_levenshtein": "vocab self-join on the first-letter equi-key, NO broadcast hint (r5 fix); AQE may broadcast a measured-small vocab",
-    "sample_mixture_interleave": "group-count control table + ONE lang rank window + O(output) explode; no SinglePartition",
+    "text_fuzzy_levenshtein": "vocab self-join on the (first_char, length-band) equi-key (b side explodes 5 offsets), NO broadcast hint; AQE may broadcast a measured-small vocab",
+    "sample_mixture_interleave": "group-count control table + grouped_row_number rank ((lang, hash-prefix) windows, bounded offsets) + O(output) explode; no bare-lang partition, no SinglePartition",
     "sample_token_budget_bpe": "BPE encode is a narrow mapInPandas (no shuffle); selection reuses the two-level control plane",
     "sample_importance_weighted": "pure filter: ZERO Exchange, one codegen span — the sampler never reshuffles the corpus",
-    "text_paragraph_dedup": "row-local span construction (split+transform/slice, no token explode-shuffle); two Exchanges: span first-occurrence window + doc_id reassembly",
+    "text_paragraph_dedup": "row-local span construction (no token explode-shuffle); two Exchanges: first-occurrence window on xxhash64(span) (8-byte keys) + doc_id reassembly",
     "merge_upsert_scd1": "full-outer on the key with NO hint; AQE picks the strategy; one shuffle per side",
-    "win_ntile": "single mktsegment Exchange feeding the window",
+    "win_ntile": "grouped_ntile control plane: (segment, acctbal-bin) windows + bounded counts-table offsets + per-group totals — no bare-segment partition",
     "scd2_point_in_time": "both windows + PIT filter share ONE user_id Exchange",
     "sink_bucketed_colocated_join": "bucketed layout both sides: SortMergeJoin AND per-order agg with ZERO Exchange (the agg rides the bucket distribution)",
     "join_asof_tolerance": "band-bounded pairwise as-of: equi-join on user_id carries the plan (no BNLJ); per-event top-1 window",
@@ -108,6 +108,16 @@ HEADLINE_NOTES = {
     "agg_hll_sketch_union": "two-phase sketch agg then 1-row union agg — sketches merge, facts scan once",
     "text_chunk_split": "row-local sequence/filter/slice explode: ZERO Exchange at any corpus size",
     "text_quality_classifier_hashed": "hashing-trick classifier as one codegen projection: zero Exchange, integer-exact score sum",
+    "udtf_python_native": "Python UDTF BatchEvalPythonUDTF over the exploded rows; no shuffle added by the UDTF itself",
+    "dedup_containment_screened": "LSH band-bucket equi-join screen bounds the exact containment verifier; no all-pairs block join",
+    "sink_snapshot_changes": "manifest diff driver-side; only churned partition dirs scanned; exceptAll both ways on hash-partitioned rows",
+    "report_product_profit": "Q9: part LIKE filter pushed pre-join, nation broadcast, integer-cents partial agg through the star",
+    "report_priority_shipping": "Q12: date window pushed to lineitem scan; conditional integer counts in one two-phase agg",
+    "report_waiting_suppliers": "Q21: correlated EXISTS/NOT EXISTS as LeftSemi/LeftAnti on the l_orderkey equi-key, suppkey inequality residual; no BNLJ",
+    "report_parts_supplier_count": "Q16: NOT IN as LeftAnti (no hint), part filters pushed, two-phase COUNT DISTINCT expand",
+    "multimodal_png_decode": "narrow Arrow mapInPandas PNG encode+decode (zlib inflate + scanline unfilter); zero Exchange",
+    "graph_pagerank_topk": "per-iteration: src equi-join + dst hash agg + 1-row dangling agg; lineage checkpointed; TakeOrdered top-k",
+    "pipeline_pretraining_select_bpe": "flagship stages 1-4 shared; BPE top-V control table + narrow encode map + budget control plane",
 }
 
 
