@@ -996,3 +996,59 @@ def pq_ann_topk_ivf(
         .where(F.col("rn") <= k_neighbors)
         .select("q_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rn")
     )
+
+
+def pq_ann_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k_neighbors: int = 10,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve-and-refine — the production ANN serving shape
+    (FAISS IndexRefineFlat): the PQ-ADC stage screens a shortlist of
+    k*oversample candidates from 32x-compressed codes WITHOUT touching
+    the full-precision corpus, then ONLY the shortlist's true vectors
+    are read back and re-scored with exact L2, and the final top-k is
+    taken from the exact scores. Fixes the quantization-error ranking
+    inversions PQ alone makes, at the cost of reading
+    Q x k x oversample full vectors instead of zero.
+
+    Scale shape: the shortlist is Q*k*oversample rows — bounded by the
+    query set, so its join back to `vectors` is the
+    AQE-broadcasts-the-small-side case; the exact re-score is row-local
+    zip_with/aggregate (JVM codegen); the final top-k window partitions
+    per query. The corpus is still never scanned in full precision
+    beyond the candidate join.
+    """
+    shortlist = pq_ann_topk(
+        vectors, queries, codebooks,
+        k_neighbors=k_neighbors * oversample,
+        id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "vec_id")
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__ve")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("__qe")
+    )
+    l2 = F.aggregate(
+        F.zip_with("__qe", "__ve", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = (
+        shortlist.join(v, "vec_id")
+        .join(F.broadcast(q), "q_id")  # queries are bounded by contract
+        .withColumn("l2_dist", F.round(l2, 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("l2_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_neighbors)
+        .select("q_id", "vec_id", "l2_dist", "rn")
+    )

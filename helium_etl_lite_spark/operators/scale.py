@@ -576,6 +576,60 @@ def binned_range_join(
     return out.drop("__bin")
 
 
+def binned_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-INTERVAL overlap join (`l_lo <= r_hi AND r_lo <= l_hi`)
+    as an equi-join on bin ids — the two-sided sibling of
+    :func:`binned_range_join` (point-in-interval). Both sides explode
+    over the bins their interval covers; overlapping intervals share at
+    least one bin; the residual filter removes in-bin false candidates.
+
+    Dedup WITHOUT a distinct shuffle: a pair overlapping across several
+    shared bins would be emitted once per bin, so each match is CLAIMED
+    by exactly one bin — the later of the two intervals' first bins
+    (`greatest(floor(l_lo/w), floor(r_lo/w))`), which any overlapping
+    pair provably shares. The standard interval-join trick (same family
+    as the DBMS "report in the home cell" spatial-join rule).
+
+    Inner only, numeric bounds, same rationale as binned_range_join.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"binned_interval_overlap_join supports how='inner' only, got {how!r}"
+        )
+    lbins = F.sequence(
+        F.floor(F.col(left_lo) / F.lit(bin_width)),
+        F.floor(F.col(left_hi) / F.lit(bin_width)),
+    )
+    rbins = F.sequence(
+        F.floor(F.col(right_lo) / F.lit(bin_width)),
+        F.floor(F.col(right_hi) / F.lit(bin_width)),
+    )
+    lf = left.withColumn("__bin", F.explode(lbins))
+    rf = right.withColumn("__bin", F.explode(rbins))
+    claiming = F.greatest(
+        F.floor(F.col(left_lo) / F.lit(bin_width)),
+        F.floor(F.col(right_lo) / F.lit(bin_width)),
+    )
+    out = (
+        lf.join(rf, "__bin", how)
+        .where(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bin") == claiming)
+        )
+    )
+    return out.drop("__bin")
+
+
 def write_bucketed(
     spark: SparkSession,
     df: DataFrame,

@@ -466,3 +466,70 @@ def agg_hll_sketch_union(spark, sf_dir):
         "n_rows",
     )
     return each.unionByName(union_all).orderBy("event_type")
+
+
+# Count-Min sketch geometry for agg_count_min_sketch: depth hash rows x
+# width counters. Width 1024 >> the event_type cardinality, so the sf
+# fixture estimates are collision-free; the property test exercises the
+# collision regime with a tiny width.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_pairs(col, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """(row, col) cell coordinates of `col` in every sketch row —
+    row r's hash is xxhash64(value, r). Shared by build and probe so
+    both sides address identical cells."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(F.xxhash64(col, F.lit(r)), F.lit(width)).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+@query("agg_count_min_sketch")  # rows-only: xxhash64 cell addressing is engine-specific
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) built FROM
+    PRIMITIVES as a DataFrame — the frequency twin of the HLL query
+    above, and re-aggregatable the same way: the sketch IS a
+    (row, col, count) table, so merging two corpora's sketches is a
+    union+sum on the cell key, never a fact rescan; at 100 TB you
+    store one tiny table per partition/day and sum cells on demand.
+    Build = one explode(depth) + hash agg (map-side combinable);
+    probe = the same cell addressing on the distinct keys joined
+    against the table, MIN over the depth rows. The CMS guarantee
+    (estimate >= exact always; overshoot bounded by collisions) is
+    property-tested in the collision regime; here width 1024 makes the
+    per-type estimates land exactly on the true counts."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type")
+    table = (
+        ev.select(F.explode(cms_pairs(F.col("event_type"))).alias("rc"))
+        .groupBy("rc.row", "rc.col")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    probe = (
+        ev.distinct()
+        .select("event_type", F.explode(cms_pairs(F.col("event_type"))).alias("rc"))
+        .select("event_type", "rc.row", "rc.col")
+    )
+    est = (
+        probe.join(table, ["row", "col"])
+        .groupBy("event_type")
+        .agg(F.min("cell").alias("cms_count"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "cms_count",
+            "exact_count",
+            (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("event_type")
+    )

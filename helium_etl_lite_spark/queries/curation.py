@@ -219,6 +219,83 @@ def sample_mixture_interleave(spark, sf_dir):
 
 
 @query(
+    "sample_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(POWER(n_g, 0.5)) AS w_tot FROM counts),
+         quota AS (SELECT c.lang, c.n_g,
+                          CAST(FLOOR(POWER(c.n_g, 0.5) / t.w_tot
+                                     * {MIXTURE_TOTAL}) AS BIGINT) AS k_g
+                   FROM counts c CROSS JOIN tot t),
+         ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY sha256(concat('tmp1|', CAST(doc_id AS VARCHAR))),
+                             doc_id) AS rn
+           FROM documents),
+         reps AS (
+           SELECT r.doc_id, r.lang,
+                  CAST(FLOOR(q.k_g / q.n_g)
+                       + CASE WHEN r.rn <= q.k_g % q.n_g THEN 1 ELSE 0 END
+                    AS BIGINT) AS reps
+           FROM ranked r JOIN quota q ON r.lang = q.lang)
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS epoch
+    FROM reps WHERE reps > 0
+    """,
+)
+def sample_mixture_temperature(spark, sf_dir):
+    # Temperature-based mixture resampling (the multilingual-pretraining
+    # standard, mBERT/XLM-R exponent smoothing): per-group quota
+    # k_g ∝ n_g^alpha with alpha=0.5 — DERIVED from the corpus itself
+    # instead of a hand-written spec (sample_mixture_interleave's twin;
+    # alpha<1 up-weights low-resource languages, alpha=1 is natural
+    # sampling). Same up/down-sampling epoch formula, same
+    # grouped_row_number rank machinery ((lang, hash-prefix) windows,
+    # no bare-lang partition). Quota arithmetic is IEEE-deterministic
+    # (sqrt and division are correctly-rounded in both engines), so
+    # floor() agrees and the oracle hash-matches.
+    from ..operators.scale import grouped_row_number
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    tot = counts.agg(F.sum(F.pow("n_g", 0.5)).alias("w_tot"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_g",
+        F.floor(F.pow("n_g", 0.5) / F.col("w_tot") * MIXTURE_TOTAL)
+        .cast("long")
+        .alias("k_g"),
+    )
+    order_h = F.sha2(F.concat(F.lit("tmp1|"), F.col("doc_id").cast("string")), 256)
+    ranked = grouped_row_number(
+        d.withColumn("__h", order_h),
+        ["lang"],
+        F.substring("__h", 1, 4),
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        out_col="rn",
+    ).drop("__h")
+    reps = (
+        F.floor(F.col("k_g") / F.col("n_g"))
+        + F.when(F.col("rn") <= F.col("k_g") % F.col("n_g"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.join(quota, "lang")
+        .withColumn("reps", reps)
+        .where(F.col("reps") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("reps") - 1)).alias(
+                "epoch"
+            ),
+        )
+    )
+
+
+@query(
     "pack_sequence_bins",
     oracle="""
     WITH d AS (

@@ -452,3 +452,57 @@ def join_null_safe_eq(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .select(F.col("rseg").alias("seg"), "n_customers")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS a_id,
+                      date_diff('day', DATE '1995-01-01', o_orderdate) AS a_lo,
+                      date_diff('day', DATE '1995-01-01', o_orderdate) + 6 AS a_hi
+               FROM orders),
+         b AS (SELECT o_orderkey AS b_id,
+                      date_diff('day', DATE '1995-01-01', o_orderdate) AS b_lo,
+                      date_diff('day', DATE '1995-01-01', o_orderdate) + 13 AS b_hi
+               FROM orders WHERE o_orderkey % 100 = 0)
+    SELECT a_id, b_id,
+           CAST(LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) + 1 AS BIGINT)
+             AS overlap_days
+    FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    # Interval-INTERVAL overlap join — the two-sided sibling of
+    # join_theta_range's point-in-interval shape (order fulfilment
+    # weeks vs 14-day promo windows here; span-vs-span joins generally:
+    # ad windows, maintenance windows, session overlap). Spark plans a
+    # raw double-inequality join as a BroadcastNestedLoopJoin;
+    # operators/scale.py binned_interval_overlap_join explodes both
+    # sides over coarse bins, equi-joins on bin id, residual-filters,
+    # and dedups WITHOUT a distinct shuffle via the claiming-bin rule
+    # (each pair reports only in greatest(first-bin-a, first-bin-b)).
+    # The oracle states the plain theta join.
+    from ..operators.scale import binned_interval_overlap_join
+
+    t = Tables(spark, sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    a = t.orders.select(
+        F.col("o_orderkey").alias("a_id"),
+        day.cast("long").alias("a_lo"),
+        (day + 6).cast("long").alias("a_hi"),
+    )
+    b = t.orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        day.cast("long").alias("b_lo"),
+        (day + 13).cast("long").alias("b_hi"),
+    )
+    joined = binned_interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=16
+    )
+    return joined.select(
+        "a_id",
+        "b_id",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo") + 1)
+        .cast("long")
+        .alias("overlap_days"),
+    )

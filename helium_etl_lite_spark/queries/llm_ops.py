@@ -1506,6 +1506,25 @@ def vec_ann_pq(spark, sf_dir):
     )
 
 
+@query("vec_ann_pq_rerank")  # rows-only: PQ screen is quantized/engine-specific
+def vec_ann_pq_rerank(spark, sf_dir):
+    # Two-stage retrieve-and-refine (FAISS IndexRefineFlat shape): the
+    # ADC screen shortlists 4x over-sampled candidates from compressed
+    # codes, exact L2 re-scores ONLY the shortlist, final top-k from
+    # the exact scores — the serving topology that buys back PQ's
+    # quantization-error ranking inversions while still never scanning
+    # the full-precision corpus. pytest gates recall@10 >= the
+    # unrefined PQ recall and pins the reranked distances to
+    # brute-force values on the returned pairs.
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    books = knn.pq_train(emb, m=8, k=16)
+    return knn.pq_ann_rerank(
+        emb, emb.where(F.col("vec_id") < 5), books,
+        k_neighbors=10, oversample=4,
+    )
+
+
 @query("vec_ann_ivfpq")  # rows-only: doubly approximate (list pruning + quantized distances)
 def vec_ann_ivfpq(spark, sf_dir):
     # IVF+PQ composition (the FAISS IndexIVFPQ production shape): IVF

@@ -58,6 +58,10 @@ FRONT_OF_WINDOW: list[str] = [
     # r6-new queries got their verdicts in CORRECTNESS_r06 (45/45
     # clean) and rotate out.
     # (a) NEW in r7:
+    "sample_mixture_temperature",
+    "join_interval_overlap",
+    "agg_count_min_sketch",
+    "vec_ann_pq_rerank",
     "sink_snapshot_changes",
     "sink_snapshot_changes_apply",
     "dedup_containment_screened",
@@ -107,10 +111,9 @@ FRONT_OF_WINDOW: list[str] = [
     "udaf_grouped_agg",           # r2
     "udtf_flatten",               # r2
     "stream_stream_interval_join",  # r3
-    "win_sliding_avg_range_frame",  # r3
-    "math_funcs",                 # r3
-    "vec_cluster_assign",         # r3
-    "text_lang_topk",             # r3
+    # (win_sliding_avg_range_frame / math_funcs / vec_cluster_assign /
+    #  text_lang_topk re-confirms displaced by the four late-r7
+    #  registrations above — their r3 verdicts remain on record)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

@@ -1131,3 +1131,49 @@ class TestPagerank:
 
         df = spark.createDataFrame([], "src long, dst long")
         assert pagerank(df, iterations=3).count() == 0
+
+
+class TestPqRerank:
+    def test_rerank_recall_at_least_pq_and_exact_distances(self, spark):
+        # The refine stage can only help: recall@10 of rerank >= plain
+        # PQ on the same clustered fixture, and every returned distance
+        # must equal the brute-force L2 (the rerank IS exact on its
+        # shortlist).
+        import numpy as np
+
+        from tests.test_operators import TestProductQuantization as TPQ
+
+        rows = TPQ._clustered(12, 4)
+        v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = knn.pq_train(v, m=4, k=8)
+        q_ids = [0, 12, 24]
+        queries = v.where(F.col("vec_id").isin(q_ids))
+
+        X = {i: np.asarray(e, dtype=np.float64) for i, e in rows}
+        exact = {}
+        for q in q_ids:
+            d = sorted(
+                (float(((X[q] - X[i]) ** 2).sum()), i) for i in X if i != q
+            )
+            exact[q] = {i for _, i in d[:10]}
+
+        def recall(pairs):
+            got = {}
+            for a, b in pairs:
+                got.setdefault(a, set()).add(b)
+            return sum(len(got.get(q, set()) & s) for q, s in exact.items()) / sum(
+                len(s) for s in exact.values()
+            )
+
+        pq_pairs = {
+            (r["q_id"], r["vec_id"])
+            for r in knn.pq_ann_topk(v, queries, books, 10).collect()
+        }
+        rr = knn.pq_ann_rerank(v, queries, books, k_neighbors=10, oversample=4)
+        rr_rows = rr.collect()
+        rr_pairs = {(r["q_id"], r["vec_id"]) for r in rr_rows}
+        assert recall(rr_pairs) >= recall(pq_pairs)
+        assert recall(rr_pairs) >= 0.9  # refine on separated clusters ~exact
+        for r in rr_rows:
+            want = round(float(((X[r["q_id"]] - X[r["vec_id"]]) ** 2).sum()), 6)
+            assert abs(r["l2_dist"] - want) < 1e-6

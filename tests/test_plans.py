@@ -651,3 +651,13 @@ def test_parts_supplier_count_no_forced_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in analyzed
     assert_partial_aggregate(df)
     assert_pushed_filter(df, "p_size")
+
+
+def test_interval_overlap_join_is_binned_not_bnlj(spark, sf_dir):
+    # The double-inequality overlap predicate must ride the __bin
+    # equi-join; a BroadcastNestedLoopJoin means the bin trick was lost.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_interval_overlap", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -517,3 +517,95 @@ class TestGroupedControlPlaneEquivalence:
             for r in df.withColumn("t", F.ntile(n_tiles).over(win)).collect()
         }
         assert got == want
+
+
+class TestIntervalOverlapEquivalence:
+    @SETTINGS
+    @given(
+        a=st.lists(
+            st.tuples(st.integers(-20, 40), st.integers(0, 12)),
+            min_size=0, max_size=12,
+        ),
+        b=st.lists(
+            st.tuples(st.integers(-20, 40), st.integers(0, 12)),
+            min_size=0, max_size=12,
+        ),
+        bin_width=st.sampled_from([1, 4, 100]),
+    )
+    def test_binned_overlap_equals_theta_join(self, spark, a, b, bin_width):
+        # The claiming-bin dedup must emit every overlapping pair
+        # EXACTLY once for any interval layout (nested, identical,
+        # touching endpoints, negative bounds) and any bin width.
+        from helium_etl_lite_spark.operators.scale import (
+            binned_interval_overlap_join,
+        )
+
+        la = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(a)]
+        lb = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(b)]
+        da = spark.createDataFrame(la or [(None,) * 3], "a_id long, a_lo long, a_hi long").where(F.col("a_id").isNotNull())
+        db = spark.createDataFrame(lb or [(None,) * 3], "b_id long, b_lo long, b_hi long").where(F.col("b_id").isNotNull())
+        got = sorted(
+            (r["a_id"], r["b_id"])
+            for r in binned_interval_overlap_join(
+                da, db, "a_lo", "a_hi", "b_lo", "b_hi", bin_width
+            ).collect()
+        )
+        want = sorted(
+            (ia, ib)
+            for ia, alo, ahi in la
+            for ib, blo, bhi in lb
+            if alo <= bhi and blo <= ahi
+        )
+        assert got == want
+
+
+class TestCountMinGuarantee:
+    @SETTINGS
+    @given(
+        vals=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+        width=st.sampled_from([4, 16]),
+    )
+    def test_estimate_never_undercounts_and_matches_model(self, spark, vals, width):
+        # The one-sided CMS guarantee must hold in the COLLISION regime
+        # (width far below key cardinality): estimate >= exact for every
+        # key, and the DataFrame form must equal an independent Python
+        # model of the same cells (min over depth rows of cell sums).
+        from collections import Counter
+
+        from helium_etl_lite_spark.queries.aggregates import cms_pairs
+
+        depth = 3
+        df = spark.createDataFrame([(str(v),) for v in vals], "k string")
+        table = (
+            df.select(F.explode(cms_pairs(F.col("k"), depth, width)).alias("rc"))
+            .groupBy("rc.row", "rc.col")
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
+        probe = (
+            df.distinct()
+            .select("k", F.explode(cms_pairs(F.col("k"), depth, width)).alias("rc"))
+            .select("k", "rc.row", "rc.col")
+        )
+        got = {
+            r["k"]: r["est"]
+            for r in probe.join(table, ["row", "col"])
+            .groupBy("k")
+            .agg(F.min("cell").alias("est"))
+            .collect()
+        }
+        exact = Counter(str(v) for v in vals)
+        # model the cells with Spark's own hashes (collected once)
+        cells = {}
+        hashes = {
+            (r["k"], r["rc"]["row"]): r["rc"]["col"]
+            for r in df.distinct()
+            .select("k", F.explode(cms_pairs(F.col("k"), depth, width)).alias("rc"))
+            .collect()
+        }
+        for k, n in exact.items():
+            for r in range(depth):
+                cells[(r, hashes[(k, r)])] = cells.get((r, hashes[(k, r)]), 0) + n
+        for k, n in exact.items():
+            model = min(cells[(r, hashes[(k, r)])] for r in range(depth))
+            assert got[k] == model, k
+            assert got[k] >= n, k
