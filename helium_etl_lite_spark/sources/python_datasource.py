@@ -142,3 +142,179 @@ class BlocksJsonlDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(BlocksJsonlDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC over the snapshot sink: subscribe to a follower table's
+# change feed (the Delta readChangeFeed-as-stream pattern). The OFFSET
+# IS THE SNAPSHOT VERSION — the natural exactly-once cursor, because
+# versions are atomic commits: a microbatch covers exactly the net
+# changes between two manifests, replay between the same offsets is
+# deterministic, and nothing can be half-consumed.
+# ---------------------------------------------------------------------------
+
+
+def _read_manifest(root: str, version: int) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(root, "_snapshots", f"snap-{version:012d}.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _current_version(root: str) -> int | None:
+    import os
+
+    try:
+        with open(os.path.join(root, "_snapshots", "CURRENT")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _changes_rows(root: str, table: str, v_from: int, v_to: int, columns):
+    """Net row-level changes between two manifests, computed WITHOUT a
+    SparkSession (this runs inside the data source): manifest diff
+    picks the churned partitions, pyarrow reads only those dirs, and a
+    pandas multiset diff (count by full row) yields insert/delete rows
+    with multiplicity. Mirrors etl/snapshot.py read_changes exactly —
+    the batch/stream twin discipline of the rest of sources/."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    m_from = _read_manifest(root, v_from) if v_from > 0 else {"tables": {}}
+    m_to = _read_manifest(root, v_to)
+    if m_from is None or m_to is None:
+        missing = v_from if m_from is None else v_to
+        raise ValueError(
+            f"snapshot_changes: manifest {missing} missing at {root} "
+            "(vacuumed or never committed)"
+        )
+    parts_from = m_from["tables"].get(table, {})
+    parts_to = m_to["tables"].get(table, {})
+    changed = {
+        r
+        for r in set(parts_from) | set(parts_to)
+        if parts_from.get(r) != parts_to.get(r)
+    }
+
+    def side(parts):
+        frames = []
+        for r in sorted(changed):
+            v = parts.get(r)
+            if v is None:
+                continue
+            d = os.path.join(root, table, f"v={v}", f"block_range={r}")
+            if os.path.isdir(d):
+                frames.append(pq.read_table(d).to_pandas())
+        if not frames:
+            return pd.DataFrame(columns=columns)
+        return pd.concat(frames, ignore_index=True)[list(columns)]
+
+    f_cnt = side(parts_from).groupby(list(columns), dropna=False).size()
+    t_cnt = side(parts_to).groupby(list(columns), dropna=False).size()
+    diff = t_cnt.subtract(f_cnt, fill_value=0).astype(int)
+    rows = []
+    for key, delta in diff.items():
+        if delta == 0:
+            continue
+        tup = key if isinstance(key, tuple) else (key,)
+        tag = "insert" if delta > 0 else "delete"
+        rows.extend([(*tup, tag)] * abs(int(delta)))
+    return rows
+
+
+class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self._root = options.get("root")
+        self._table = options.get("table", "rewards")
+        if not self._root:
+            raise ValueError("snapshot_changes requires option 'root'")
+        self._columns = options["__columns"].split(",")
+
+    def initialOffset(self):
+        # start BEFORE the first commit: the first batch emits the
+        # whole current table as inserts (a consumer bootstraps its
+        # materialized copy, then follows increments)
+        return {"version": 0}
+
+    def read(self, start):
+        cur = _current_version(self._root)
+        v0 = start["version"]
+        if cur is None or cur <= v0:
+            return iter([]), {"version": v0}
+        rows = _changes_rows(self._root, self._table, v0, cur, self._columns)
+        return iter(rows), {"version": cur}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            _changes_rows(
+                self._root, self._table, start["version"], end["version"],
+                self._columns,
+            )
+        )
+
+    def commit(self, end):
+        pass
+
+
+class SnapshotChangesDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "snapshot_changes"
+
+    def schema(self):
+        # driver-side: infer the table's column schema from one leaf
+        # parquet file of the CURRENT manifest, append _change_type.
+        # The column list rides an internal option so executor-side
+        # readers need no second inference pass.
+        import os
+
+        import pyarrow.parquet as pq
+
+        root = self.options.get("root")
+        table = self.options.get("table", "rewards")
+        cur = _current_version(root)
+        if cur is None:
+            raise ValueError(f"snapshot_changes: no snapshot store at {root}")
+        manifest = _read_manifest(root, cur)
+        parts = manifest["tables"].get(table, {})
+        if not parts:
+            raise ValueError(f"snapshot_changes: no table {table} in snapshot {cur}")
+        r, v = next(iter(sorted(parts.items(), key=lambda kv: int(kv[0]))))
+        d = os.path.join(root, table, f"v={v}", f"block_range={r}")
+        leaf = next(
+            f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+        sch = pq.read_schema(os.path.join(d, leaf))
+        _SPARK_TYPES = {
+            "int64": "long", "int32": "int", "double": "double",
+            "float": "float", "string": "string", "large_string": "string",
+            "bool": "boolean",
+        }
+        cols = []
+        for field in sch:
+            t = _SPARK_TYPES.get(str(field.type))
+            if t is None:
+                raise ValueError(
+                    f"snapshot_changes: unsupported column type {field.type} "
+                    f"for {field.name}"
+                )
+            cols.append((field.name, t))
+        self.options["__columns"] = ",".join(n for n, _ in cols)
+        return (
+            ", ".join(f"{n} {t}" for n, t in cols) + ", _change_type string"
+        )
+
+    def simpleStreamReader(self, schema):
+        return SnapshotChangesStreamReader(self.options)
+
+
+def register_snapshot_changes(spark) -> None:
+    spark.dataSource.register(SnapshotChangesDataSource)

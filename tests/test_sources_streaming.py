@@ -633,3 +633,106 @@ class TestPythonDataSource:
         got = spark.read.parquet(str(out))
         assert got.count() == 6
         assert {r["height"] for r in got.collect()} == set(range(6))
+
+
+class TestSnapshotChangesStream:
+    """Streaming CDC over the snapshot sink (sources/python_datasource
+    SnapshotChangesDataSource): the offset IS the snapshot version, so
+    each microbatch covers exactly the net changes between two atomic
+    commits — bootstrap batch, incremental batch, and restart
+    exactly-once are all pinned here."""
+
+    def _commit(self, spark, root, df, heights, hi):
+        from helium_etl_lite_spark.etl.snapshot import commit_batch_atomic
+
+        commit_batch_atomic(
+            spark, root, {"rewards": df}, 0, hi, hi, 0, heights=heights
+        )
+
+    def test_bootstrap_then_increment_then_restart(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.sources import python_datasource
+
+        root = str(tmp_path / "snap")
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        b1 = spark.range(0, 20).select(
+            F.col("id").alias("block"), (F.col("id") * 1.0).alias("amount")
+        )
+        self._commit(spark, root, b1, b1.select("block"), 19)
+        python_datasource.register_snapshot_changes(spark)
+
+        def run():
+            q = (
+                spark.readStream.format("snapshot_changes")
+                .option("root", root)
+                .option("table", "rewards")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: bootstrap — the whole v1 table arrives as inserts
+        run()
+        got = spark.read.parquet(str(out))
+        assert got.count() == 20
+        assert got.where(F.col("_change_type") != "insert").count() == 0
+
+        # v2: replace block 3, drop block 4
+        claimed = spark.createDataFrame([(3,), (4,)], "block long")
+        b2 = spark.createDataFrame([(3, -3.0)], "block long, amount double")
+        self._commit(spark, root, b2, claimed, 19)
+
+        # batch 2 (restart from checkpoint): ONLY the v1->v2 net feed
+        run()
+        got = spark.read.parquet(str(out)).collect()
+        assert len(got) == 23  # 20 bootstrap + ins(3) + del(3) + del(4)
+        feed = {
+            (r["block"], r["amount"], r["_change_type"])
+            for r in got
+            if r["_change_type"] == "delete" or r["amount"] < 0
+        }
+        assert feed == {
+            (3, -3.0, "insert"), (3, 3.0, "delete"), (4, 4.0, "delete")
+        }
+
+        # batch 3: no new commit -> empty batch, offset stays
+        run()
+        assert spark.read.parquet(str(out)).count() == 23
+
+    def test_stream_feed_matches_batch_read_changes(self, spark, tmp_path):
+        # stream/batch twin discipline: the streamed v1->v2 batch must
+        # equal etl/snapshot.py read_changes(1, 2) row for row.
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.etl.snapshot import read_changes
+        from helium_etl_lite_spark.sources.python_datasource import (
+            _changes_rows,
+        )
+
+        root = str(tmp_path / "snap")
+        b1 = spark.range(0, 30).select(
+            F.col("id").alias("block"), (F.col("id") % 7 * 1.0).alias("amount")
+        )
+        self._commit(spark, root, b1, b1.select("block"), 29)
+        claimed = spark.createDataFrame([(5,), (6,), (12,)], "block long")
+        b2 = spark.createDataFrame(
+            [(5, 99.0), (12, 5.0 % 7)], "block long, amount double"
+        )
+        self._commit(spark, root, b2, claimed, 29)
+
+        stream_rows = sorted(
+            _changes_rows(root, "rewards", 1, 2, ["block", "amount"])
+        )
+        batch_rows = sorted(
+            (r["block"], r["amount"], r["_change_type"])
+            for r in read_changes(spark, root, "rewards", 1, 2)
+            .select("block", "amount", "_change_type")
+            .collect()
+        )
+        assert stream_rows == batch_rows
