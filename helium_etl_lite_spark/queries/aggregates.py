@@ -477,21 +477,62 @@ CMS_WIDTH = 1024
 
 
 def cms_pairs(col, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
-    """(row, col) cell coordinates of `col` in every sketch row —
-    row r's hash is xxhash64(value, r). Shared by build and probe so
-    both sides address identical cells."""
+    """(row, col) cell coordinates of `col` in every sketch row — row
+    r's cell is the first 8 hex digits of md5(value|r) mod width.
+    Shared by build and probe so both sides address identical cells.
+    md5 (not xxhash64) for the same reason as
+    text_quality_classifier_hashed: it is bit-identical across engines,
+    so the whole sketch is EXACT-oracle-verifiable; a production
+    deployment would swap in xxhash64 with identical plan shape."""
     return F.array(
         *[
             F.struct(
                 F.lit(r).alias("row"),
-                F.pmod(F.xxhash64(col, F.lit(r)), F.lit(width)).alias("col"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(col, F.lit(f"|{r}"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(width),
+                ).alias("col"),
             )
             for r in range(depth)
         ]
     )
 
 
-@query("agg_count_min_sketch")  # rows-only: xxhash64 cell addressing is engine-specific
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, r,
+             CAST(('0x' || substr(md5(event_type || '|' || r), 1, 8))
+                  AS BIGINT) % 1024 AS col
+      FROM events, UNNEST(generate_series(0, 3)) AS g(r)),
+    table_ AS (
+      SELECT r, col, CAST(COUNT(*) AS BIGINT) AS cell
+      FROM cells GROUP BY r, col),
+    probe AS (
+      SELECT DISTINCT e.event_type, g.r,
+             CAST(('0x' || substr(md5(e.event_type || '|' || g.r), 1, 8))
+                  AS BIGINT) % 1024 AS col
+      FROM events e, UNNEST(generate_series(0, 3)) AS g(r)),
+    est AS (
+      SELECT p.event_type, MIN(t.cell) AS cms_count
+      FROM probe p JOIN table_ t ON p.r = t.r AND p.col = t.col
+      GROUP BY p.event_type),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, est.cms_count, e.exact_count,
+           est.cms_count - e.exact_count AS overcount
+    FROM est JOIN exact e ON est.event_type = e.event_type
+    ORDER BY e.event_type
+    """,
+)
 def agg_count_min_sketch(spark, sf_dir):
     """Count-Min sketch (Cormode-Muthukrishnan 2005) built FROM
     PRIMITIVES as a DataFrame — the frequency twin of the HLL query
@@ -501,10 +542,10 @@ def agg_count_min_sketch(spark, sf_dir):
     store one tiny table per partition/day and sum cells on demand.
     Build = one explode(depth) + hash agg (map-side combinable);
     probe = the same cell addressing on the distinct keys joined
-    against the table, MIN over the depth rows. The CMS guarantee
-    (estimate >= exact always; overshoot bounded by collisions) is
-    property-tested in the collision regime; here width 1024 makes the
-    per-type estimates land exactly on the true counts."""
+    against the table, MIN over the depth rows. md5 cell addressing is
+    bit-identical across engines, so the ENTIRE sketch + estimates
+    hash-match a pure SQL oracle; the CMS guarantee (estimate >= exact
+    always) is additionally property-tested in the collision regime."""
     t = Tables(spark, sf_dir)
     ev = t.events.select("event_type")
     table = (
