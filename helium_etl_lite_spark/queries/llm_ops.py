@@ -603,14 +603,41 @@ def sessionize_gap30(spark, sf_dir):
     )
 
 
-@query("sample_split_train_test")  # rows-only: split hash (xxhash64) is engine-specific
+@query(
+    "sample_split_train_test",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('split42|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
+    FROM b
+    """,
+)
 def sample_split_train_test(spark, sf_dir):
-    # Deterministic corpus split: bucket = xxhash64(doc_id, salt) mod 100
+    # Deterministic corpus split: bucket = hash(salt|doc_id) mod 100
     # → 90/10 train/test. Stable across runs, partitionings and
     # cluster sizes (pure function of the key — no RNG state), so the
     # same doc never migrates between splits as the corpus grows.
+    # md5-based bucketing (first 8 hex digits) is bit-identical across
+    # engines, so membership itself is EXACT-oracle-verified (upgraded
+    # from the r3 rows-only xxhash64 form; production would use
+    # xxhash64 for speed with the identical plan shape).
     t = Tables(spark, sf_dir)
-    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(100))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split42|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
     return t.documents.select(
         "doc_id",
         "lang",

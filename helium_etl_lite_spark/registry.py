@@ -110,10 +110,11 @@ FRONT_OF_WINDOW: list[str] = [
     "udf_pandas_vectorized",      # r2
     "udaf_grouped_agg",           # r2
     "udtf_flatten",               # r2
-    "stream_stream_interval_join",  # r3
-    # (win_sliding_avg_range_frame / math_funcs / vec_cluster_assign /
-    #  text_lang_topk re-confirms displaced by the four late-r7
-    #  registrations above — their r3 verdicts remain on record)
+    "sample_split_train_test",    # r7: md5 buckets, now exact-oracle
+    # (stream_stream_interval_join / win_sliding_avg_range_frame /
+    #  math_funcs / vec_cluster_assign / text_lang_topk re-confirms
+    #  displaced by late-r7 registrations and changes — their r3
+    #  verdicts remain on record)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
