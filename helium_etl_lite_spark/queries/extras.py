@@ -354,3 +354,105 @@ def graph_pagerank_topk(spark, sf_dir):
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'lineitem.l_discount_in_range' AS rule,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_quantity_positive',
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_returnflag_accepted',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def dq_expectations_report(spark, sf_dir):
+    """Data-quality expectations over the serving tables — the
+    DLT-expectations / Great-Expectations pattern every production
+    pipeline publishes next to its data: per-rule violation counts for
+    range, positivity, accepted-values, not-null and uniqueness
+    checks. The engine-relevant part is the PLAN: all per-row rules on
+    a table fold into ONE scan + one two-phase agg of conditional
+    integer sums (adding a rule costs one column, not one pass);
+    uniqueness rides the same scan as COUNT(*) - COUNT(DISTINCT).
+    Integer counters — exact, order-free, hash-matches the oracle."""
+    t = Tables(spark, sf_dir)
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    li = t.lineitem.agg(
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("discount_range"),
+        viol(F.col("l_quantity") <= 0).alias("quantity_pos"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("flag_accept"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    od = t.orders.agg(
+        viol(F.col("o_custkey").isNull()).alias("custkey_null"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("orderkey_dup"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    li_rules = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_discount_in_range").alias("rule"),
+                    F.col("discount_range").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_quantity_positive").alias("rule"),
+                    F.col("quantity_pos").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_returnflag_accepted").alias("rule"),
+                    F.col("flag_accept").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_violations", "r.n_rows")
+    od_rules = od.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders.o_custkey_not_null").alias("rule"),
+                    F.col("custkey_null").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("orders.o_orderkey_unique").alias("rule"),
+                    F.col("orderkey_dup").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_violations", "r.n_rows")
+    return li_rules.unionByName(od_rules).orderBy("rule")

@@ -60,6 +60,7 @@ FRONT_OF_WINDOW: list[str] = [
     # (a) NEW in r7:
     "sample_mixture_temperature",
     "join_interval_overlap",
+    "dq_expectations_report",
     "agg_count_min_sketch",
     "vec_ann_pq_rerank",
     "sink_snapshot_changes",
@@ -109,7 +110,6 @@ FRONT_OF_WINDOW: list[str] = [
     "udf_scalar_python",          # r2
     "udf_pandas_vectorized",      # r2
     "udaf_grouped_agg",           # r2
-    "udtf_flatten",               # r2
     "sample_split_train_test",    # r7: md5 buckets, now exact-oracle
     # (stream_stream_interval_join / win_sliding_avg_range_frame /
     #  math_funcs / vec_cluster_assign / text_lang_topk re-confirms

@@ -661,3 +661,14 @@ def test_interval_overlap_join_is_binned_not_bnlj(spark, sf_dir):
     plan = formatted_plan(q("join_interval_overlap", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dq_expectations_single_scan_per_table(spark, sf_dir):
+    # Adding a per-row rule must cost a COLUMN, not a pass: exactly one
+    # lineitem scan and one orders scan in the whole report.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("dq_expectations_report", spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert plan.count("orders.parquet") == 1
+    assert_partial_aggregate(q("dq_expectations_report", spark, sf_dir))
