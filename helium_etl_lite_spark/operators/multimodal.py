@@ -259,6 +259,12 @@ def decode_image(data: bytes) -> Optional[dict]:
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from . import jpeg
+
+        d = jpeg.decode_jpeg(data)
+        d.pop("pixels", None)  # stats contract only
+        return d
     return None
 
 
@@ -335,6 +341,41 @@ def encode_png(docs: DataFrame, width: int = 24, text_col: str = "text",
         "payload",
         F.struct(
             F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def encode_jpeg(docs: DataFrame, width: int = 24, text_col: str = "text",
+                id_col: str = "doc_id", subsample_420: bool = True) -> DataFrame:
+    """JPEG twin of encode_ppm/encode_png: the same deterministic RGB
+    plane, transported as a REAL baseline JPEG (operators/jpeg.py —
+    Annex K tables, 4:2:0 by default like real-world encoders). Lossy,
+    so unlike the PPM/PNG twins the decoded stats are close to, not
+    equal to, the source plane's — the pytest gate bounds the error."""
+    import numpy as np
+
+    from . import jpeg as jpeg_codec
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: str) -> bytes:
+            raw = text.encode("utf-8")
+            h = max(1, -(-len(raw) // (3 * width)))
+            plane = raw.ljust(width * h * 3, b"\x00")
+            px = np.frombuffer(plane, dtype=np.uint8).reshape(h, width, 3)
+            return jpeg_codec.encode_jpeg_bytes(px, subsample_420=subsample_420)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(encode, schema="doc_id long, payload binary")
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
             F.octet_length("payload").cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )

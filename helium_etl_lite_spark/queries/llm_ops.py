@@ -435,6 +435,27 @@ def multimodal_png_decode(spark, sf_dir):
     )
 
 
+@query("multimodal_jpeg_decode")  # rows-only: DCT roundoff is not SQL-statable
+def multimodal_jpeg_decode(spark, sf_dir):
+    # The LAST r6 codec gate closed: a REAL baseline JPEG lane — each
+    # document's deterministic RGB plane is encoded as a genuine
+    # 4:2:0 JFIF stream (operators/jpeg.py: Annex K quant + Huffman
+    # tables, byte stuffing, restart support) and the pure-numpy
+    # decoder (marker walk, Huffman entropy decode, dequant + IDCT,
+    # chroma upsample, YCbCr->RGB) parses it back inside the same
+    # Arrow mapInPandas kernel as PPM/PNG/BMP. Unlike those lossless
+    # twins, JPEG's DCT quantization makes the decoded mean CLOSE to
+    # the source plane's rather than equal — so this is rows-only
+    # (both codec halves are deterministic, so repeated runs hash
+    # identically) with a pytest gate bounding |decoded - source|
+    # per doc and pinning the geometry columns exactly.
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_jpeg(t.documents, width=24)
+    return multimodal.decode_assets(assets).select(
+        "doc_id", "fmt", "width", "height", "channels", "maxval", "mean_pixel"
+    )
+
+
 @query(
     "multimodal_feature_extract",
     oracle="""

@@ -61,6 +61,7 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_mixture_temperature",
     "join_interval_overlap",
     "dq_expectations_report",
+    "multimodal_jpeg_decode",
     "agg_count_min_sketch",
     "vec_ann_pq_rerank",
     "sink_snapshot_changes",
@@ -106,7 +107,6 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_watermark_late_drop", # r2
     "stream_dedup_by_key",        # r2
     "stream_cursor_incremental",  # r2
-    "stream_stateful_running_count",  # r2
     "udf_scalar_python",          # r2
     "udf_pandas_vectorized",      # r2
     "udaf_grouped_agg",           # r2

@@ -1177,3 +1177,112 @@ class TestPqRerank:
         for r in rr_rows:
             want = round(float(((X[r["q_id"]] - X[r["vec_id"]]) ** 2).sum()), 6)
             assert abs(r["l2_dist"] - want) < 1e-6
+
+
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG (operators/jpeg.py): known-answer
+    blocks, tolerance-bounded roundtrips across 4:4:4 / 4:2:0 /
+    restart-marker layouts, Spark-lane parity, fail-stop on modes the
+    decoder does not implement."""
+
+    def test_flat_blocks_roundtrip_exactly(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        for val in (0, 90, 128, 200, 255):
+            px = np.full((16, 24), val, dtype=np.uint8)
+            d = jpeg.decode_jpeg(jpeg.encode_jpeg_bytes(px))
+            assert np.array_equal(d["pixels"], px), val
+            assert (d["width"], d["height"], d["channels"]) == (24, 16, 1)
+
+    def test_gradient_roundtrip_within_quant_tolerance(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        x = np.linspace(0, 255, 32)
+        gray = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg_bytes(gray))
+        assert np.abs(d["pixels"].astype(int) - gray.astype(int)).max() <= 8
+
+        g = np.clip(np.add.outer(np.linspace(0, 200, 24), np.linspace(0, 55, 24)), 0, 255)
+        rgb = np.stack([g, g * 0.5, 255 - g], axis=-1).astype(np.uint8)
+        for kwargs in (
+            {},  # 4:4:4
+            {"subsample_420": True},
+            {"subsample_420": True, "restart_interval": 1},
+            {"restart_interval": 2},
+        ):
+            d = jpeg.decode_jpeg(jpeg.encode_jpeg_bytes(rgb, **kwargs))
+            err = np.abs(d["pixels"].astype(int) - rgb.astype(int)).max()
+            assert err <= 25, (kwargs, err)  # chroma quant dominates
+            assert (d["width"], d["height"], d["channels"]) == (24, 24, 3)
+
+    def test_odd_sizes_pad_and_crop(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        # 90 - 128 = -38: 8*(-38)/16 = -19 exactly, so the flat value
+        # survives quantization bit-for-bit even at odd dimensions
+        px = np.full((13, 19), 90, dtype=np.uint8)
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg_bytes(px))
+        assert (d["width"], d["height"]) == (19, 13)
+        assert np.abs(d["pixels"].astype(int) - 90).max() == 0
+
+    def test_dc_only_known_answer(self):
+        # A flat block quantizes to a single DC coefficient
+        # DC = round(8*(v-128)/q00) with q00 = 16: every even offset
+        # (v-128) gives an exactly-representable DC, so the decode must
+        # reproduce v bit-for-bit — this pins the DCT scale factor, the
+        # quant-table slot and zigzag position 0 in one identity (any
+        # scaling error shifts every v != 128). Odd offsets sit on the
+        # .5 quantizer boundary where FP decides the direction, so they
+        # belong to the tolerance test, not here.
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        assert int(jpeg.QUANT_LUMA[0, 0]) == 16
+        for v in (2, 50, 90, 130, 254):
+            px = np.full((8, 8), v, dtype=np.uint8)
+            d = jpeg.decode_jpeg(jpeg.encode_jpeg_bytes(px))
+            assert np.array_equal(d["pixels"], np.full((8, 8), v, np.uint8)), v
+
+    def test_unsupported_modes_and_corruption_raise(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        px = np.full((8, 8), 128, dtype=np.uint8)
+        good = jpeg.encode_jpeg_bytes(px)
+        with _pytest.raises(ValueError):
+            jpeg.decode_jpeg(b"\x00\x01junk")
+        with _pytest.raises(ValueError):
+            jpeg.decode_jpeg(good[: len(good) // 2])
+        # flip SOF0 -> SOF2 (progressive): must fail fast, not mis-decode
+        prog = bytearray(good)
+        idx = prog.find(b"\xff\xc0")
+        prog[idx + 1] = 0xC2
+        with _pytest.raises(ValueError, match="baseline"):
+            jpeg.decode_jpeg(bytes(prog))
+
+    def test_spark_lane_stats_close_to_source_plane(self, spark, docs):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        decoded = {
+            r["doc_id"]: r
+            for r in mm.decode_assets(mm.encode_jpeg(docs)).collect()
+        }
+        for row in docs.collect():
+            raw = row["text"].encode()
+            h = max(1, -(-len(raw) // 72))
+            plane = np.frombuffer(raw.ljust(72 * h, b"\x00"), np.uint8)
+            d = decoded[row["doc_id"]]
+            assert d["fmt"] == "jpeg" and d["channels"] == 3
+            assert (d["width"], d["height"]) == (24, h)
+            assert abs(d["mean_pixel"] - plane.mean()) <= 6.0
