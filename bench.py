@@ -96,9 +96,11 @@ SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
 SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "vec_dedup_semantic",
     # r7: the two grouped-control-plane reshapes — their ratios at 10x
-    # are the direct evidence the low-cardinality-window fix holds.
+    # are the direct evidence the low-cardinality-window fix holds —
+    # plus the hashed-span paragraph dedup (8-byte shuffle keys).
     "win_ntile",
     "sample_mixture_interleave",
+    "text_paragraph_dedup",
 ]
 
 

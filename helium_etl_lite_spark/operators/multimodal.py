@@ -98,9 +98,12 @@ def decode_bmp(data: bytes) -> dict:
     rows = np.frombuffer(data[off : off + row_bytes * abs_h], dtype=np.uint8)
     if rows.size < row_bytes * abs_h:
         raise ValueError("truncated BMP pixel array")
-    # strip per-row padding; row order (bottom-up vs top-down) does not
-    # change pixel stats
+    # strip per-row padding (stats are row-order-independent, but the
+    # pixel array is normalized top-down for perceptual hashing)
     px = rows.reshape(abs_h, row_bytes)[:, : width * channels]
+    pixels = px.reshape(abs_h, width, channels)
+    if height > 0:  # positive height = bottom-up storage
+        pixels = pixels[::-1]
     return {
         "fmt": "bmp",
         "width": width,
@@ -108,6 +111,7 @@ def decode_bmp(data: bytes) -> dict:
         "channels": channels,
         "maxval": 255,
         "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+        "pixels": pixels,
     }
 
 
@@ -212,6 +216,7 @@ def decode_png(data: bytes) -> dict:
         "channels": channels,
         "maxval": 255,
         "mean_pixel": round(float(px.mean()), 6) if px.size else 0.0,
+        "pixels": px.reshape(height, width, channels),
     }
 
 
@@ -251,8 +256,18 @@ def encode_png_bytes(plane: bytes, width: int, height: int, channels: int = 3) -
 
 def decode_image(data: bytes) -> Optional[dict]:
     """Dispatch on magic bytes; None for payloads no installed decoder
-    understands (the honest 'opaque' path — PIL/ffmpeg would extend
-    this dict of magics)."""
+    understands (the honest 'opaque' path — ffmpeg would extend this
+    dict of magics). Returns the metadata/stats contract only; use
+    :func:`decode_gray_pixels` when the pixel plane itself is needed
+    (perceptual hashing)."""
+    d = _decode_image_full(data)
+    if d is not None:
+        d = dict(d)
+        d.pop("pixels", None)
+    return d
+
+
+def _decode_image_full(data: bytes) -> Optional[dict]:
     if data[:2] in (b"P6", b"P5"):
         return decode_netpbm(data)
     if data[:2] == b"BM":
@@ -262,10 +277,24 @@ def decode_image(data: bytes) -> Optional[dict]:
     if data[:2] == b"\xff\xd8":
         from . import jpeg
 
-        d = jpeg.decode_jpeg(data)
-        d.pop("pixels", None)  # stats contract only
-        return d
+        return jpeg.decode_jpeg(data)
     return None
+
+
+def decode_gray_pixels(data: bytes):
+    """(grayscale float64 plane, fmt) for any decodable payload —
+    channel-averaged, alpha included as a channel — or (None, None)
+    for opaque bytes. The shared front end of perceptual hashing: the
+    SAME image transported as PPM, BMP, PNG (lossless) hashes
+    identically, and as JPEG within a few bits."""
+    if data[:2] in (b"P6", b"P5"):
+        return _pixels_netpbm(data), "ppm" if data[:2] == b"P6" else "pgm"
+    d = _decode_image_full(data)
+    if d is None or "pixels" not in d:
+        return None, None
+    px = np.asarray(d["pixels"], dtype=np.float64)
+    gray = px.mean(axis=2) if px.ndim == 3 else px
+    return gray, d["fmt"]
 
 
 def to_binary_assets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -590,10 +619,8 @@ def dhash_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, hashes, fmts = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
-                if b[:2] in (b"P6", b"P5"):
-                    gray = _pixels_netpbm(b)
-                    fmt = "ppm" if b[:2] == b"P6" else "pgm"
-                else:
+                gray, fmt = decode_gray_pixels(b)
+                if gray is None:
                     # opaque fallback: bytes as a 1-row image
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
                     gray = arr.reshape(1, -1) if arr.size else np.zeros((1, 9))

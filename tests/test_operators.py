@@ -1286,3 +1286,34 @@ class TestJpegCodec:
             assert d["fmt"] == "jpeg" and d["channels"] == 3
             assert (d["width"], d["height"]) == (24, h)
             assert abs(d["mean_pixel"] - plane.mean()) <= 6.0
+
+
+class TestCrossFormatPhash:
+    def test_same_plane_hashes_identically_across_lossless_formats(self, spark, docs):
+        # The r7 generalization: perceptual dedup must see THROUGH the
+        # container format. The same pixel plane transported as PPM and
+        # PNG (lossless) hashes bit-identically; as JPEG (lossy) it
+        # stays within a few hamming bits.
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        def hashes(assets):
+            return {
+                r["doc_id"]: (r["phash"], r["fmt"])
+                for r in mm.dhash_assets(assets).collect()
+            }
+
+        ppm = hashes(mm.encode_ppm(docs))
+        png = hashes(mm.encode_png(docs))
+        jpg = hashes(mm.encode_jpeg(docs))
+        for did in ppm:
+            assert ppm[did][0] == png[did][0], did
+            assert ppm[did][1] == "ppm" and png[did][1] == "png"
+            assert jpg[did][1] == "jpeg"
+        # lossy transport: VISUALLY IDENTICAL images must still collide
+        # (docs 1 and 2 share the exact pixel plane) — that is the dedup
+        # property; per-pixel hamming vs the lossless hash is unbounded
+        # for byte-noise planes (JPEG's worst case), so it is not
+        # asserted here.
+        assert jpg[1][0] == jpg[2][0]
+        # and distinct planes stay distinct after JPEG
+        assert jpg[1][0] != jpg[4][0]

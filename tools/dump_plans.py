@@ -118,6 +118,14 @@ HEADLINE_NOTES = {
     "multimodal_png_decode": "narrow Arrow mapInPandas PNG encode+decode (zlib inflate + scanline unfilter); zero Exchange",
     "graph_pagerank_topk": "per-iteration: src equi-join + dst hash agg + 1-row dangling agg; lineage checkpointed; TakeOrdered top-k",
     "pipeline_pretraining_select_bpe": "flagship stages 1-4 shared; BPE top-V control table + narrow encode map + budget control plane",
+    "sample_mixture_temperature": "corpus-derived n^0.5 quotas (bounded control table) + grouped_row_number rank; no bare-lang window",
+    "join_interval_overlap": "interval-interval overlap as __bin equi-join + claiming-bin dedup; no BNLJ, no distinct shuffle",
+    "agg_count_min_sketch": "sketch = (row,col,count) hash agg; probe joins cells + MIN over rows; md5 addressing engine-identical",
+    "vec_ann_pq_rerank": "ADC shortlist (bounded) joins true vectors; exact zip_with re-score; per-query top-k window",
+    "dq_expectations_report": "every per-row rule folds into ONE scan + one two-phase agg per table (plan-tested single scan)",
+    "multimodal_jpeg_decode": "narrow Arrow mapInPandas JPEG encode+decode (Huffman entropy + IDCT); zero Exchange",
+    "sink_snapshot_changes_apply": "(base UNION inserts) EXCEPT ALL deletes — hash-partitioned multiset apply, no driver materialization",
+    "sample_split_train_test": "md5 bucket mod 100: one codegen projection, zero Exchange, membership exact vs oracle",
 }
 
 
