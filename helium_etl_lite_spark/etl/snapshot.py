@@ -172,6 +172,16 @@ class SnapshotStore:
                             "grace period)"
                         )
                     )
+        cur = self.current_version()
+        if cur is not None and cur >= version:
+            # An identical replay of an already-visible (possibly OLD)
+            # version must not move CURRENT backwards: a crash-recovery
+            # republishing manifest N after the store advanced to N+1
+            # would otherwise hide the newer commit — and poison the
+            # next writer, whose freshly computed version N+1 would
+            # collide with the real N+1 manifest (review find). The
+            # commit is already visible; nothing left to do.
+            return
         cpath = os.path.join(self.dir, "CURRENT")
         with open(cpath + ".tmp", "w") as f:
             f.write(str(version))
@@ -334,8 +344,18 @@ def read_changes(
         side_from = side_to.limit(0)
     if side_to is None:
         side_to = side_from.limit(0)
+    if sorted(side_from.columns) != sorted(side_to.columns):
+        # a silent one-sided projection here would drop an evolved
+        # column from the feed (review find) — schema change between
+        # the endpoints needs an explicit migration read, so fail loud
+        raise ValueError(
+            f"read_changes: schema changed between v{v_from} "
+            f"({sorted(side_from.columns)}) and v{v_to} "
+            f"({sorted(side_to.columns)}); diff the versions separately "
+            "across the migration boundary"
+        )
     side_from = side_from.select(sorted(side_from.columns))
-    side_to = side_to.select(sorted(side_from.columns))
+    side_to = side_to.select(sorted(side_to.columns))
     inserts = side_to.exceptAll(side_from).withColumn("_change_type", F.lit("insert"))
     deletes = side_from.exceptAll(side_to).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)

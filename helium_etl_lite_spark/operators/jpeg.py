@@ -48,11 +48,18 @@ QUANT_CHROMA = np.array([
     [99, 99, 99, 99, 99, 99, 99, 99],
 ], dtype=np.int32)
 
-# A.3.6 zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient.
+# A.3.6 zigzag scan order: ZIGZAG[k] = (row, col) of the k-th
+# coefficient. Diagonal d runs UP-RIGHT when d is even ((d,0)..(0,d):
+# col ascending) and DOWN-LEFT when odd ((0,d)..(d,0): row ascending) —
+# so (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),... A review caught the first
+# cut TRANSPOSED (col/row keys swapped): self-consistent, invisible to
+# encode->decode roundtrips, and wrong against every real JPEG — the
+# test suite now pins this table against the spec's literal index
+# array instead of trusting the generator.
 def _zigzag_order():
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     return order
 
@@ -356,6 +363,10 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+        # truncate consumed bits: without this mask the accumulator
+        # grows by 8 bits per byte for the whole scan, making decode
+        # O(n^2) bignum arithmetic on real-sized images (review find)
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:

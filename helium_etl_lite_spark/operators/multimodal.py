@@ -284,12 +284,22 @@ def _decode_image_full(data: bytes) -> Optional[dict]:
 def decode_gray_pixels(data: bytes):
     """(grayscale float64 plane, fmt) for any decodable payload —
     channel-averaged, alpha included as a channel — or (None, None)
-    for opaque bytes. The shared front end of perceptual hashing: the
-    SAME image transported as PPM, BMP, PNG (lossless) hashes
-    identically, and as JPEG within a few bits."""
-    if data[:2] in (b"P6", b"P5"):
-        return _pixels_netpbm(data), "ppm" if data[:2] == b"P6" else "pgm"
-    d = _decode_image_full(data)
+    for opaque/corrupt bytes. The shared front end of perceptual
+    hashing: the SAME image transported as PPM, BMP, PNG (lossless)
+    hashes identically, and as JPEG within a few bits.
+
+    Corrupt payloads whose LEADING BYTES merely coincide with a magic
+    ('BM', 0xFFD8, a text doc starting with 'P6 ...') must fall back
+    to the opaque path, not blow up the whole hashing query — decoders
+    fail-stop with ValueError, and here that means "not an image after
+    all" (review find: the first cut let the ValueError escape the
+    mapInPandas kernel)."""
+    try:
+        if data[:2] in (b"P6", b"P5"):
+            return _pixels_netpbm(data), "ppm" if data[:2] == b"P6" else "pgm"
+        d = _decode_image_full(data)
+    except ValueError:
+        return None, None
     if d is None or "pixels" not in d:
         return None, None
     px = np.asarray(d["pixels"], dtype=np.float64)

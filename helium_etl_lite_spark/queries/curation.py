@@ -221,11 +221,14 @@ def sample_mixture_interleave(spark, sf_dir):
 @query(
     "sample_mixture_temperature",
     oracle=f"""
-    WITH counts AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
-         tot AS (SELECT SUM(POWER(n_g, 0.5)) AS w_tot FROM counts),
+    WITH counts AS (SELECT lang, COUNT(*) AS n_g,
+                           CAST(ROUND(SQRT(COUNT(*)) * 1000000) AS BIGINT)
+                             AS w_int
+                    FROM documents GROUP BY lang),
+         tot AS (SELECT SUM(w_int) AS w_tot FROM counts),
          quota AS (SELECT c.lang, c.n_g,
-                          CAST(FLOOR(POWER(c.n_g, 0.5) / t.w_tot
-                                     * {MIXTURE_TOTAL}) AS BIGINT) AS k_g
+                          CAST((c.w_int * {MIXTURE_TOTAL}) // t.w_tot
+                               AS BIGINT) AS k_g
                    FROM counts c CROSS JOIN tot t),
          ranked AS (
            SELECT doc_id, lang,
@@ -253,21 +256,31 @@ def sample_mixture_temperature(spark, sf_dir):
     # alpha<1 up-weights low-resource languages, alpha=1 is natural
     # sampling). Same up/down-sampling epoch formula, same
     # grouped_row_number rank machinery ((lang, hash-prefix) windows,
-    # no bare-lang partition). Quota arithmetic is IEEE-deterministic
-    # (sqrt and division are correctly-rounded in both engines), so
-    # floor() agrees and the oracle hash-matches.
+    # no bare-lang partition). Quota arithmetic is INTEGERIZED before
+    # any aggregation: per-lang weight = round(sqrt(n_g)*1e6) as a
+    # BIGINT (sqrt is correctly rounded IEEE, so both engines produce
+    # the identical integer), the total is an exact order-free integer
+    # sum, and the quota is integer floor-division — a review pass
+    # caught the first cut summing raw doubles, whose cross-engine
+    # summation ORDER could flip FLOOR at a quota boundary (the same
+    # failure mode report_product_profit integerized away).
     from ..operators.scale import grouped_row_number
 
     t = Tables(spark, sf_dir)
     d = t.documents.select("doc_id", "lang")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
-    tot = counts.agg(F.sum(F.pow("n_g", 0.5)).alias("w_tot"))
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.round(F.sqrt(F.count(F.lit(1))) * 1_000_000)
+        .cast("long")
+        .alias("w_int"),
+    )
+    tot = counts.agg(F.sum("w_int").alias("w_tot"))
     quota = counts.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_g",
-        F.floor(F.pow("n_g", 0.5) / F.col("w_tot") * MIXTURE_TOTAL)
-        .cast("long")
-        .alias("k_g"),
+        F.expr(f"CAST((w_int * {MIXTURE_TOTAL}) DIV w_tot AS BIGINT)").alias(
+            "k_g"
+        ),
     )
     order_h = F.sha2(F.concat(F.lit("tmp1|"), F.col("doc_id").cast("string")), 256)
     ranked = grouped_row_number(

@@ -149,10 +149,14 @@ def load_all() -> None:
         windows,
     )
 
+    # a misspelled window entry would otherwise be skipped silently,
+    # quietly dropping the intended query out of the driver's exact
+    # gate — same fail-loud contract as the size/dup asserts above
+    missing = [n for n in FRONT_OF_WINDOW if n not in QUERIES]
+    assert not missing, f"FRONT_OF_WINDOW names not in registry: {missing}"
     ordered: dict[str, QueryFn] = {}
     for name in FRONT_OF_WINDOW:
-        if name in QUERIES:
-            ordered[name] = QUERIES[name]
+        ordered[name] = QUERIES[name]
     for name, fn in QUERIES.items():
         if name not in ordered:
             ordered[name] = fn

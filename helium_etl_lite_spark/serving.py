@@ -63,7 +63,12 @@ def register_views(
     snapshot_manifest = (
         store.current() if at_version is None else store.manifest(at_version)
     )
-    if changes_since is not None and snapshot_manifest is None:
+    # --changes-since needs a snapshot STORE; check store existence
+    # (current_version), not the resolved manifest — otherwise a
+    # missing --at-version manifest would be misreported as "no
+    # snapshot store" before the accurate at_version diagnostics below
+    # run (review find).
+    if changes_since is not None and store.current_version() is None:
         raise ValueError(
             f"--changes-since requires an atomic sink (no snapshot "
             f"store at {out_dir}; plain sinks keep no history)"

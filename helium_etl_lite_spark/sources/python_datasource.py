@@ -231,12 +231,12 @@ def _changes_rows(root: str, table: str, v_from: int, v_to: int, columns):
 
 
 class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, columns):
         self._root = options.get("root")
         self._table = options.get("table", "rewards")
         if not self._root:
             raise ValueError("snapshot_changes requires option 'root'")
-        self._columns = options["__columns"].split(",")
+        self._columns = columns
 
     def initialOffset(self):
         # start BEFORE the first commit: the first batch emits the
@@ -272,8 +272,11 @@ class SnapshotChangesDataSource(DataSource):
     def schema(self):
         # driver-side: infer the table's column schema from one leaf
         # parquet file of the CURRENT manifest, append _change_type.
-        # The column list rides an internal option so executor-side
-        # readers need no second inference pass.
+        # (Skipped entirely when the caller supplies .schema(...) —
+        # the reader derives its column list from whatever schema the
+        # engine hands it, so both paths work: review find, the first
+        # cut smuggled the columns through an option that only the
+        # inference path populated.)
         import os
 
         import pyarrow.parquet as pq
@@ -307,13 +310,18 @@ class SnapshotChangesDataSource(DataSource):
                     f"for {field.name}"
                 )
             cols.append((field.name, t))
-        self.options["__columns"] = ",".join(n for n, _ in cols)
         return (
             ", ".join(f"{n} {t}" for n, t in cols) + ", _change_type string"
         )
 
     def simpleStreamReader(self, schema):
-        return SnapshotChangesStreamReader(self.options)
+        # `schema` is whatever the engine resolved — inferred via
+        # schema() above or supplied by the caller; the data columns
+        # are everything except the appended _change_type tag.
+        columns = [f.name for f in schema.fields if f.name != "_change_type"]
+        if not columns:
+            raise ValueError("snapshot_changes: schema has no data columns")
+        return SnapshotChangesStreamReader(self.options, columns)
 
 
 def register_snapshot_changes(spark) -> None:

@@ -1317,3 +1317,20 @@ class TestCrossFormatPhash:
         assert jpg[1][0] == jpg[2][0]
         # and distinct planes stay distinct after JPEG
         assert jpg[1][0] != jpg[4][0]
+
+
+def test_jpeg_zigzag_matches_spec_literal():
+    # Pin the generated scan order against ITU T.81's literal zigzag
+    # index sequence (row-major indices; the same table libjpeg ships
+    # as jpeg_natural_order). A TRANSPOSED generator is self-consistent
+    # across our encode->decode roundtrips and only this external
+    # constant catches it (review find).
+    from helium_etl_lite_spark.operators import jpeg
+
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert [8 * r + c for r, c in jpeg.ZIGZAG] == spec

@@ -461,3 +461,30 @@ def test_read_changes_empty_and_error_cases(spark, tmp_path):
             heights=b1.limit(1).select("block"),
         )
         read_changes(spark, root, "t", 2, 1)
+
+
+def test_publish_replay_of_old_version_never_rolls_current_back(spark, tmp_path):
+    # Review find: an identical-content replay of manifest N arriving
+    # AFTER the store advanced to N+1 must be a no-op — not rewind
+    # CURRENT (hiding the newer commit and poisoning the next writer's
+    # version computation).
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        SnapshotStore,
+        commit_batch_atomic,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 10).select(F.col("id").alias("block"), (F.col("id") * 1.0).alias("v"))
+    commit_batch_atomic(spark, root, {"t": b1}, 0, 9, 9, 0, heights=b1.select("block"))
+    store = SnapshotStore(root)
+    m1 = store.current()
+    b2 = spark.range(10, 15).select(F.col("id").alias("block"), (F.col("id") * 1.0).alias("v"))
+    commit_batch_atomic(spark, root, {"t": b2}, 10, 14, 14, 0, heights=b2.select("block"))
+    assert store.current_version() == 2
+
+    store.publish(m1)  # delayed replay of v1 (identical content)
+    assert store.current_version() == 2  # tip NOT rolled back
+    assert read_snapshot(spark, root, "t").count() == 15
