@@ -1334,3 +1334,38 @@ def test_jpeg_zigzag_matches_spec_literal():
         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
     ]
     assert [8 * r + c for r, c in jpeg.ZIGZAG] == spec
+
+
+def test_jpeg_decodes_hand_built_spec_stream():
+    # Independent validation: a JPEG byte stream constructed BY HAND
+    # from the spec (identity quant table, Annex K Huffman tables, DC
+    # category 3 code '100' + amplitude '101' = DC 5, AC EOB '1010')
+    # must decode to the flat value round(5/8 + 128) = 129. Unlike the
+    # encode->decode roundtrips, nothing here flows through our
+    # encoder, so marker parsing, canonical Huffman construction, the
+    # EXTEND rule and IDCT scaling are all checked against the spec's
+    # own arithmetic.
+    import numpy as np
+
+    from helium_etl_lite_spark.operators import jpeg
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    stream = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(
+            0xC0,
+            bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1]) + bytes([1, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00] + jpeg.DC_LUMA_BITS) + bytes(jpeg.DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10] + jpeg.AC_LUMA_BITS) + bytes(jpeg.AC_LUMA_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0b10010110, 0b10111111])  # '100'+'101'+'1010'+1-padding
+        + b"\xff\xd9"
+    )
+    d = jpeg.decode_jpeg(stream)
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+    assert np.array_equal(d["pixels"], np.full((8, 8), 129, np.uint8))
