@@ -17,8 +17,17 @@ bit_count) — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _path_missing(exc: AnalysisException) -> bool:
+    # Only the state-not-yet-created case may fall back to "empty
+    # state" — a CORRUPT state file must raise, not silently wave every
+    # duplicate through (same masking class as the r6 ingest-audit
+    # advice).
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 
 def normalize_text(col):
@@ -649,7 +658,9 @@ def dedup_filter_new(
     b = b.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     try:
         seen = spark.read.parquet(state_path).select("text_hash")
-    except Exception:
+    except AnalysisException as exc:
+        if not _path_missing(exc):
+            raise
         return b
     # materialize the (small, guarded) fingerprint set ONCE: without the
     # checkpoint the guard count and the broadcast each re-derive the
@@ -815,7 +826,9 @@ def minhash_filter_new(
     )
     try:
         state = spark.read.parquet(state_path)
-    except Exception:
+    except AnalysisException as exc:
+        if not _path_missing(exc):
+            raise
         return kept.unionByName(no_sig)
     _check_sig_version(state_path)
     probe = _band_rows(

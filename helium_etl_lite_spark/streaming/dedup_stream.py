@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import minhash_filter_new, minhash_state_add
@@ -46,8 +47,11 @@ def dedup_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = os.path.join(out_dir, "corpus")
     try:
         return spark.read.parquet(path).dropDuplicates(["doc_id"])
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        # only not-yet-created is "no corpus"; corrupt files must raise
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 def start_dedup_ingest_stream(
