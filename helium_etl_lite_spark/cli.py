@@ -246,6 +246,73 @@ def cmd_sql(
     return len(rows)
 
 
+def cmd_status(cfg, log=None) -> dict:
+    """Operational status without a SparkSession (the reference's
+    follower_info peek, src/follower.rs:123-142, plus the physical
+    inventory an operator actually wants): cursor position, sink mode,
+    snapshot version, and per-table partition/file/byte counts. Atomic
+    sinks read everything from the manifest; plain sinks read the
+    cursor with pyarrow and walk the table dirs."""
+    import pyarrow.parquet as pq
+
+    from .etl.snapshot import SnapshotStore
+
+    out = str(cfg["out_dir"])
+    status: dict = {"out_dir": out}
+
+    def table_stats(paths: list[str]) -> dict:
+        n_files = 0
+        n_bytes = 0
+        for p in paths:
+            if not os.path.isdir(p):
+                continue
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(p, f))
+        return {"n_partitions": len(paths), "n_files": n_files, "n_bytes": n_bytes}
+
+    store = SnapshotStore(out)
+    m = store.current()
+    if m is not None:
+        status["sink"] = "atomic"
+        status["snapshot_version"] = m["version"]
+        status["height"] = m["height"]
+        status["first_block"] = m["first_block"]
+        status["tables"] = {
+            t: table_stats(
+                [
+                    os.path.join(out, t, f"v={v}", f"block_range={r}")
+                    for r, v in parts.items()
+                ]
+            )
+            for t, parts in m["tables"].items()
+        }
+    else:
+        status["sink"] = "plain"
+        cursor_dir = os.path.join(out, "_meta", "follower_info")
+        try:
+            t = pq.read_table(cursor_dir)
+            status["height"] = int(t.column("height")[0].as_py())
+            status["first_block"] = int(t.column("first_block")[0].as_py())
+        except (FileNotFoundError, OSError):
+            status["height"] = None
+            status["first_block"] = None
+        status["tables"] = {}
+        for table in ("rewards", "transactions"):
+            tdir = os.path.join(out, table)
+            if os.path.isdir(tdir):
+                parts = [
+                    os.path.join(tdir, d)
+                    for d in os.listdir(tdir)
+                    if d.startswith("block_range=")
+                ]
+                status["tables"][table] = table_stats(parts)
+    print(json.dumps(status, indent=1, sort_keys=True))
+    (log or setup_logger(cfg)).info(f"status: {status['sink']} sink at {out}")
+    return status
+
+
 def cmd_vacuum(cfg, keep_versions: int, log=None) -> list[str]:
     """Reclaim snapshot-sink data directories no kept version references
     (atomic = true sinks only). Needs no SparkSession — pure manifest
@@ -321,7 +388,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "migrate", "once", "start", "sql", "vacuum", "compact",
-            "dedup-state",
+            "dedup-state", "status",
         ],
     )
     p.add_argument("--config", help="TOML config path")
@@ -362,7 +429,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if not args.config:
         raise SystemExit(f"{args.command} requires --config")
-    if args.command in ("vacuum", "compact"):
+    if args.command in ("vacuum", "compact", "status"):
         # maintenance verbs: only out_dir matters; skip source-path
         # validation
         with open(args.config, "rb") as f:
@@ -371,6 +438,9 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("config missing required key: out_dir")
         if args.command == "vacuum":
             cmd_vacuum(cfg, args.keep_versions)  # no Spark needed
+            return 0
+        if args.command == "status":
+            cmd_status(cfg)  # no Spark needed
             return 0
     else:
         cfg = load_config(args.config)

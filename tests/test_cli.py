@@ -355,3 +355,31 @@ def test_sql_changes_since_registers_cdc_views(spark, tmp_path, capsys):
             spark, {"out_dir": str(tmp_path / "nosnap")}, "SELECT 1",
             log=logging.getLogger("test"), changes_since=1,
         )
+
+
+def test_status_reports_both_sink_modes(spark, chain_dirs, tmp_path, capsys):
+    # `status` works WITHOUT a SparkSession: plain sinks read the
+    # cursor via pyarrow + walk partition dirs; atomic sinks read
+    # everything from the manifest.
+    import logging
+
+    bp, tp, _ = chain_dirs
+    for atomic in (False, True):
+        out = str(tmp_path / ("a" if atomic else "p"))
+        cfg = cli.load_config(
+            write_config(
+                tmp_path / f"s{atomic}.toml", bp, tp, out, mode="rewards",
+                backfill=True, atomic=atomic, block_range_size=20,
+            )
+        )
+        cli.cmd_once(spark, cfg)
+        capsys.readouterr()
+        st = cli.cmd_status({"out_dir": out}, log=logging.getLogger("t"))
+        assert st["sink"] == ("atomic" if atomic else "plain")
+        assert st["height"] == 1059 and st["first_block"] == 1000
+        assert st["tables"]["rewards"]["n_files"] >= 1
+        assert st["tables"]["rewards"]["n_bytes"] > 0
+        if atomic:
+            assert st["snapshot_version"] >= 1
+        printed = capsys.readouterr().out
+        assert '"height": 1059' in printed
