@@ -27,6 +27,7 @@ Plan discipline (checked in tests/test_plans.py and PLANS.md):
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..registry import query
 from ..tables import Tables
@@ -894,4 +895,237 @@ def report_parts_supplier_count(spark, sf_dir):
         .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "report_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def report_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: revenue a blanket discount change would have moved —
+    one scan, three pushed predicates, one global sum. The whole query
+    is a single PushedFilters parquet scan feeding a 1-row partial/
+    final aggregate; no exchange carries more than one row per
+    partition. The per-row product is rounded to integer cents BEFORE
+    summing (l_extendedprice * l_discount is the same IEEE double in
+    both engines, so the cents longs match and the sum is
+    order-independent — the report_product_profit discipline)."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+        "long"
+    )
+    return li.agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+
+
+@query(
+    "report_min_cost_supplier",
+    oracle="""
+    WITH spc AS (
+      SELECT l_suppkey, l_partkey,
+             MIN(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM part
+    JOIN spc ON p_partkey = l_partkey
+    JOIN eu  ON l_suppkey = s_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND supply_cost = (
+        SELECT MIN(s2.supply_cost)
+        FROM spc s2 JOIN eu e2 ON s2.l_suppkey = e2.s_suppkey
+        WHERE s2.l_partkey = p_partkey)
+    """,
+)
+def report_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at minimum cost. The synthetic schema has no partsupp,
+    so supply cost derives from observed sales — MIN(l_extendedprice /
+    l_quantity) per (supplier, part), the Q16 reshaping pattern
+    (reports.py:704). The correlated MIN subquery compiles to a window
+    MIN over p_partkey on the already-filtered candidate set — one
+    extra exchange on a high-cardinality key instead of a per-row
+    rescan; the region/nation dims broadcast. The row-level division
+    is the identical IEEE double in both engines and MIN is order-free,
+    so equality with the window MIN is hash-exact. Ties (several
+    suppliers at the exact minimum) are all emitted, as in Q2."""
+    t = Tables(spark, sf_dir)
+    spc = (
+        t.lineitem.groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
+    )
+    eu = (
+        t.supplier.select("s_suppkey", "s_acctbal", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t.region.where(F.col("r_name") == "EUROPE").select("r_regionkey")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    parts = t.part.where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    cand = (
+        spc.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w_min = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("__min_cost", F.min("supply_cost").over(w_min))
+        .where(F.col("supply_cost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+    )
+
+
+@query(
+    "report_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS val_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT l_partkey AS p_partkey,
+           ROUND(SUM(val_cents) / 100.0, 2) AS part_value
+    FROM ps
+    GROUP BY l_partkey
+    HAVING SUM(val_cents) * 400 > (SELECT SUM(val_cents) FROM ps)
+    """,
+)
+def report_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value (no partsupp — value derives from lineitem
+    sales through NATION_3 suppliers, the Q16 reshaping). The scalar
+    total is the SUM of the per-part sums — a 1-row aggregate of the
+    grouped output, broadcast back into the HAVING filter (the Q22
+    pattern), so lineitem is scanned once per branch and never
+    rescanned per row. Row values integerize to cents before ANY sum
+    and the share test stays in BIGINTs (sum*400 > total, i.e. share
+    > 0.25%) — no double comparison anywhere, hash-exact by
+    construction."""
+    t = Tables(spark, sf_dir)
+    nat = t.nation.where(F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = (
+        t.supplier.select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    part_sums = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "__val_sum"
+            )
+        )
+    )
+    total = part_sums.agg(F.sum("__val_sum").alias("__total"))
+    return (
+        part_sums.crossJoin(F.broadcast(total))
+        .where(F.col("__val_sum") * 400 > F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__val_sum") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "report_excess_inventory",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey,
+             SUM(l_quantity) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_1997
+      FROM lineitem
+      WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN
+          (SELECT l_suppkey FROM sp
+           WHERE qty_1997 > 0 AND total_qty > 2 * qty_1997)
+    """,
+)
+def report_excess_inventory(spark, sf_dir):
+    """TPC-H Q20 shape: NATION_3 suppliers holding excess stock of
+    'small' parts. Availability has no partsupp source, so the proxy is
+    observed flow — a supplier has excess when their ALL-TIME shipped
+    quantity of a part is more than twice what they shipped in 1997
+    (and they did ship it in 1997, mirroring Q20's correlated year
+    filter). The nested IN chain compiles to semi-joins end to end:
+    part names filter lineitem by left-semi (AQE broadcasts the
+    filtered part list), the per-(supplier, part) conditional sums are
+    one hash agg, and qualifying suppliers semi-join back into the
+    nation-filtered supplier dim. Quantities are integral doubles, so
+    every sum and the 2x comparison are exact."""
+    t = Tables(spark, sf_dir)
+    small_parts = t.part.where(F.col("p_name").like("small%")).select("p_partkey")
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    sp = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1997"
+            ),
+        )
+        .where((F.col("qty_1997") > 0) & (F.col("total_qty") > 2 * F.col("qty_1997")))
+        .select("l_suppkey")
+    )
+    nat = t.nation.where(F.col("n_name") == "NATION_3").select("n_nationkey")
+    return (
+        t.supplier.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(sp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
     )
