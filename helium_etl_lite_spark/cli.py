@@ -291,13 +291,21 @@ def cmd_status(cfg, log=None) -> dict:
     else:
         status["sink"] = "plain"
         cursor_dir = os.path.join(out, "_meta", "follower_info")
-        try:
-            t = pq.read_table(cursor_dir)
-            status["height"] = int(t.column("height")[0].as_py())
-            status["first_block"] = int(t.column("first_block")[0].as_py())
-        except (FileNotFoundError, OSError):
-            status["height"] = None
-            status["first_block"] = None
+        # Mirror CursorStore.read() (etl/pipeline.py): during the
+        # two-rename cursor swap (or after a crash between renames) the
+        # live cursor sits in follower_info.old — falling back there
+        # keeps status truthful instead of reporting null (r7 ADVICE).
+        status["height"] = None
+        status["first_block"] = None
+        for d in (cursor_dir, cursor_dir + ".old"):
+            try:
+                t = pq.read_table(d)
+            except (FileNotFoundError, OSError):
+                continue
+            if t.num_rows:
+                status["height"] = int(t.column("height")[0].as_py())
+                status["first_block"] = int(t.column("first_block")[0].as_py())
+                break
         status["tables"] = {}
         for table in ("rewards", "transactions"):
             tdir = os.path.join(out, table)

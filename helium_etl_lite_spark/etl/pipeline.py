@@ -415,7 +415,9 @@ class IncrementalFollower:
             # surface, as an explicit zero. Any other failure (corrupt
             # footer, permission error, transient IO) must surface as
             # an audit FAILURE, not be masked as zeros (r6 ADVICE).
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            from ..errors import is_path_not_found
+
+            if is_path_not_found(e):
                 self.last_audit = {
                     "n_rewards": 0, "amount_total": 0, "sentinel_accounts": 0,
                 }

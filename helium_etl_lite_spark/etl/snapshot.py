@@ -70,6 +70,12 @@ class SnapshotStore:
         self.dir = os.path.join(root, "_snapshots")
         # How long an unreferenced manifest must sit before a replay may
         # overwrite it (see publish() — closes the r6 ADVICE TOCTOU).
+        # The orphan-age test trusts filesystem mtime: on NFS or
+        # object-store gateways mtime can be coarse (whole seconds) or
+        # clock-skewed, which narrows the protection — size the grace
+        # WELL above the worst skew you expect there (minutes, not the
+        # 60 s local-disk default); callers tune it through
+        # commit_batch_atomic(orphan_grace_seconds=) (r7 ADVICE).
         self.orphan_grace_seconds = orphan_grace_seconds
 
     def _manifest_path(self, version: int) -> str:
@@ -371,14 +377,19 @@ def commit_batch_atomic(
     first_block: int,
     range_size: int = 1000,
     heights: DataFrame | None = None,
+    orphan_grace_seconds: float = 60.0,
 ) -> dict:
     """Land a batch into every output table AND advance the cursor as
     ONE atomic commit. Claim semantics match
     write_block_range_idempotent: heights=None claims the whole span
     [lo, hi]; heights=<df> claims exactly that block set.
 
+    ``orphan_grace_seconds`` tunes the publish() orphan-reclaim window
+    (see SnapshotStore.__init__ for the mtime-resolution caveat on
+    network filesystems).
+
     Returns the published manifest."""
-    store = SnapshotStore(root)
+    store = SnapshotStore(root, orphan_grace_seconds=orphan_grace_seconds)
     cur = store.current()
     version = (cur["version"] + 1) if cur else 1
     cur_tables: dict[str, dict] = dict(cur["tables"]) if cur else {}

@@ -27,7 +27,9 @@ def _path_missing(exc: AnalysisException) -> bool:
     # state" — a CORRUPT state file must raise, not silently wave every
     # duplicate through (same masking class as the r6 ingest-audit
     # advice).
-    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+    from ..errors import is_path_not_found
+
+    return is_path_not_found(exc)
 
 
 def normalize_text(col):

@@ -109,7 +109,9 @@ def register_views(
     try:
         views["transactions"] = load("transactions")
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+        from .errors import is_path_not_found
+
+        if not is_path_not_found(exc):
             raise
         # rewards/filters mode: no transactions table
     if snapshot_manifest is not None:

@@ -49,7 +49,9 @@ def dedup_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return spark.read.parquet(path).dropDuplicates(["doc_id"])
     except AnalysisException as exc:
         # only not-yet-created is "no corpus"; corrupt files must raise
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        from ..errors import is_path_not_found
+
+        if is_path_not_found(exc):
             return None
         raise
 

@@ -383,3 +383,27 @@ def test_status_reports_both_sink_modes(spark, chain_dirs, tmp_path, capsys):
             assert st["snapshot_version"] >= 1
         printed = capsys.readouterr().out
         assert '"height": 1059' in printed
+
+def test_status_falls_back_to_old_cursor_dir(spark, chain_dirs, tmp_path, capsys):
+    # Mid-swap crash window: CursorStore.write renames the live cursor
+    # to follower_info.old before promoting the new one. status must
+    # read the .old cursor instead of reporting null (r7 ADVICE —
+    # mirrors CursorStore.read()).
+    import logging
+    import os
+    import shutil
+
+    bp, tp, _ = chain_dirs
+    out = str(tmp_path / "p")
+    cfg = cli.load_config(
+        write_config(
+            tmp_path / "s.toml", bp, tp, out, mode="rewards",
+            backfill=True, atomic=False, block_range_size=20,
+        )
+    )
+    cli.cmd_once(spark, cfg)
+    cur = os.path.join(out, "_meta", "follower_info")
+    shutil.move(cur, cur + ".old")
+    capsys.readouterr()
+    st = cli.cmd_status({"out_dir": out}, log=logging.getLogger("t"))
+    assert st["height"] == 1059 and st["first_block"] == 1000

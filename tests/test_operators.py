@@ -1369,3 +1369,29 @@ def test_jpeg_decodes_hand_built_spec_stream():
     d = jpeg.decode_jpeg(stream)
     assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
     assert np.array_equal(d["pixels"], np.full((8, 8), 129, np.uint8))
+
+
+class TestPathNotFoundClassifier:
+    def test_substring_fallback_and_class_precedence(self):
+        from pyspark.errors import AnalysisException
+
+        from helium_etl_lite_spark.errors import is_path_not_found
+
+        # hand-constructed exceptions carry no error class -> substring
+        assert is_path_not_found(AnalysisException("[PATH_NOT_FOUND] x"))
+        assert is_path_not_found(AnalysisException("Path does not exist: /x"))
+        assert not is_path_not_found(AnalysisException("TABLE_OR_VIEW_NOT_FOUND"))
+        # non-Analysis exceptions only ever match by substring
+        assert not is_path_not_found(RuntimeError("boom"))
+
+    def test_real_missing_path_read(self, spark, tmp_path):
+        from pyspark.errors import AnalysisException
+
+        from helium_etl_lite_spark.errors import is_path_not_found
+
+        try:
+            spark.read.parquet(str(tmp_path / "nope")).collect()
+            raise AssertionError("expected AnalysisException")
+        except AnalysisException as exc:
+            # the engine-raised form must classify via its error class
+            assert is_path_not_found(exc)
