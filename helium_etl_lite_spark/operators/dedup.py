@@ -963,3 +963,89 @@ def dedup_state_compact(
         spark, state_path, target_file_bytes, partition_prefix="shard=",
         distinct_rows=True,
     )
+
+
+def span_dedup_overlap(
+    docs: DataFrame,
+    span_len: int = 20,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Alignment-robust intra-corpus span dedup — the overlapping-span
+    upgrade of the C4-style form (llm_ops text_paragraph_dedup): spans
+    of `span_len` tokens start every `stride` tokens (plus one
+    tail-covering span at n - span_len), every span content keeps only
+    its FIRST corpus-wide occurrence ((doc_id, start) order), and a
+    token is DROPPED iff ANY duplicate span covers it. Non-overlapping
+    spans only catch passages duplicated at offsets ≡ 0 (mod span_len)
+    between the two documents; the stride grid tightens that to
+    (mod stride) — stride=1 is fully alignment-free (the published
+    exact-substring-dedup standard, Lee 2022) at one hash per token.
+    stride=10 halves the blindspot at a tenth of that cost.
+
+    The "each duplicated region removed once" contract falls out of the
+    token-level rule: overlapping duplicate spans claim overlapping
+    token intervals, but a token is emitted (or not) exactly once —
+    no claiming-order ambiguity, and the first occurrence of every
+    passage survives untouched because ITS spans are all rank 1.
+
+    Scale shape: span hashes are built ROW-LOCALLY (slice + xxhash64
+    inside a transform — no token explode, no text carried through the
+    explode; ~n/stride 8-byte keys per doc); one window exchange on the
+    span hash; duplicate starts fold back to one array row per doc;
+    the final token filter is row-local again (exists() over the
+    per-doc duplicate-start list). Two shuffles end to end, both on
+    high-cardinality keys, payload ~= token count * 8 bytes / stride.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    last = F.greatest(n - F.lit(span_len), F.lit(0))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(0), last, F.lit(stride)).cast("array<int>"),
+            F.array(last.cast("int")),
+        )
+    )
+    span_at = lambda p: F.array_join(F.slice(ws, p + 1, span_len), " ")  # noqa: E731
+    spans = F.transform(
+        starts,
+        lambda p: F.struct(
+            p.cast("long").alias("p"), F.xxhash64(span_at(p)).alias("h")
+        ),
+    )
+    ex = docs.withColumn("__spans", spans).select(
+        id_col, F.explode("__spans").alias("s")
+    ).select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
+    dups = (
+        ex.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("p").alias("__dup_starts"))
+    )
+    joined = docs.select(id_col, text_col).join(dups, id_col, "left").withColumn(
+        "__dup_starts",
+        F.coalesce(F.col("__dup_starts"), F.array().cast("array<long>")),
+    )
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.transform(
+        toks, lambda tk, i: F.struct(i.cast("long").alias("q"), tk.alias("tk"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__dup_starts"),
+            lambda p: (p <= s["q"]) & (s["q"] < p + F.lit(span_len)),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            F.array_join(
+                F.transform(kept, lambda s: s["tk"]), " "
+            ).alias("text_dedup"),
+        )
+        .where(F.col("n_tokens_kept") > 0)
+    )

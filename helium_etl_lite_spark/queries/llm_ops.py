@@ -1779,3 +1779,44 @@ def vec_pca_project(spark, sf_dir):
             for i in range(8)
         ],
     )
+
+
+@query(
+    "text_span_dedup_overlap",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    sp AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                  array_to_string(ws[p+1 : p+20], ' ') AS span
+           FROM st, unnest(list_distinct(list_append(
+                    generate_series(0, GREATEST(n-20, 0), 10),
+                    GREATEST(n-20, 0)))) AS g(p)),
+    r AS (SELECT doc_id, p,
+                 row_number() OVER (PARTITION BY span
+                                    ORDER BY doc_id, p) AS rn
+          FROM sp),
+    d AS (SELECT doc_id, p FROM r WHERE rn > 1),
+    tok AS (SELECT doc_id, CAST(q - 1 AS BIGINT) AS q, ws[q] AS tk
+            FROM st, unnest(generate_series(1, n)) AS g(q)),
+    kept AS (SELECT t.doc_id, t.q, t.tk FROM tok t
+             WHERE NOT EXISTS (SELECT 1 FROM d
+                               WHERE d.doc_id = t.doc_id
+                                 AND d.p <= t.q AND t.q < d.p + 20))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+           string_agg(tk, ' ' ORDER BY q) AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_span_dedup_overlap(spark, sf_dir):
+    # Alignment-robust upgrade of text_paragraph_dedup (r7 verdict
+    # "what's missing" #1): 20-token spans at stride 10 plus a
+    # tail-covering span, first occurrence corpus-wide, token dropped
+    # iff ANY duplicate span covers it. The aligned form only removes
+    # passages duplicated at offsets ≡ 0 (mod 20) between documents;
+    # this catches ≡ 0 (mod 10) — and the fixture test plants a
+    # shifted passage the aligned form provably keeps
+    # (tests/test_operators.py TestSpanDedupOverlap). Window keys on
+    # xxhash64(span) like the aligned form (8-byte exchange payload;
+    # the string-key oracle diverges only on a 2^-64 collision).
+    t = Tables(spark, sf_dir)
+    return dedup.span_dedup_overlap(t.documents, span_len=20, stride=10)

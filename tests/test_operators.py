@@ -1395,3 +1395,84 @@ class TestPathNotFoundClassifier:
         except AnalysisException as exc:
             # the engine-raised form must classify via its error class
             assert is_path_not_found(exc)
+
+
+class TestSpanDedupOverlap:
+    """Alignment-robustness contract (r7 verdict missing #1): a passage
+    duplicated at an offset shift of 10 tokens is invisible to the
+    aligned 20-token form and removed by the stride-10 overlap form."""
+
+    @staticmethod
+    def _fixture_docs(spark, tmp_path):
+        a_toks = [f"a{i}" for i in range(100)]
+        # B: 10 fresh tokens, then A[20:60] (a 40-token passage whose
+        # offset differs from A's by 10 — ≡ 0 mod 10 but NOT mod 20),
+        # then 10 fresh tokens.
+        b_toks = [f"b{i}" for i in range(10)] + a_toks[20:60] + [
+            f"c{i}" for i in range(10)
+        ]
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(a_toks), "en", "web", len(" ".join(a_toks))),
+                (2, " ".join(b_toks), "en", "web", len(" ".join(b_toks))),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        sf_dir = str(tmp_path / "fixture")
+        docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        return sf_dir, " ".join(a_toks), " ".join(b_toks)
+
+    def test_aligned_form_misses_shifted_passage(self, spark, tmp_path):
+        from helium_etl_lite_spark.queries.llm_ops import text_paragraph_dedup
+
+        sf_dir, a_text, b_text = self._fixture_docs(spark, tmp_path)
+        out = {
+            r["doc_id"]: r for r in text_paragraph_dedup(spark, sf_dir).collect()
+        }
+        # the aligned form provably keeps the whole duplicated passage:
+        # B's spans at multiples of 20 never line up with A's
+        assert out[2]["text_dedup"] == b_text
+        assert out[1]["text_dedup"] == a_text
+
+    def test_overlap_form_removes_shifted_passage(self, spark, tmp_path):
+        from helium_etl_lite_spark.queries.llm_ops import text_span_dedup_overlap
+
+        sf_dir, a_text, b_text = self._fixture_docs(spark, tmp_path)
+        out = {
+            r["doc_id"]: r
+            for r in text_span_dedup_overlap(spark, sf_dir).collect()
+        }
+        # first occurrence (doc A) survives untouched
+        assert out[1]["text_dedup"] == a_text
+        assert out[1]["n_tokens_kept"] == 100
+        # B keeps exactly its fresh head and tail; the copied passage
+        # B[10:50] is removed once, in order
+        expect_b = " ".join([f"b{i}" for i in range(10)] + [f"c{i}" for i in range(10)])
+        assert out[2]["text_dedup"] == expect_b
+        assert out[2]["n_tokens_kept"] == 20
+
+    def test_fully_duplicate_doc_drops_out(self, spark):
+        from helium_etl_lite_spark.operators.dedup import span_dedup_overlap
+
+        toks = " ".join(f"t{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, toks), (2, toks)], "doc_id long, text string"
+        )
+        out = span_dedup_overlap(docs, span_len=20, stride=10)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["n_tokens_kept"] == 40
+        assert 2 not in rows  # every token covered by a duplicate span
+
+    def test_output_is_subsequence_and_short_docs_survive(self, spark):
+        from helium_etl_lite_spark.operators.dedup import span_dedup_overlap
+
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "p q"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in span_dedup_overlap(docs).collect()}
+        # docs shorter than span_len form one whole-doc span: doc 3 is
+        # an exact dup of doc 1 and drops; doc 2 is unique and survives
+        assert out[1]["text_dedup"] == "x y z"
+        assert out[2]["text_dedup"] == "p q"
+        assert 3 not in out
