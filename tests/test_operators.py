@@ -1476,3 +1476,71 @@ class TestSpanDedupOverlap:
         assert out[1]["text_dedup"] == "x y z"
         assert out[2]["text_dedup"] == "p q"
         assert 3 not in out
+
+
+class TestPhashNearDup:
+    """Hamming-band near-dup contract: pigeonhole recall at k<=3,
+    dHash perceptual invariance, exact verification."""
+
+    def test_planted_pairs_collapse_and_far_hashes_stay(self, spark):
+        from helium_etl_lite_spark.operators.multimodal import phash_band_neardup
+
+        base1 = 0x0123456789ABCDEF
+        near1 = base1 ^ 0b101  # 2 bits flipped, same 16-bit band
+        base2 = 0xFEDCBA9876543210
+        near2 = base2 ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)  # 3 bits, 3 bands
+        far = 0x00FF00FF00FF00FF
+        rows = [
+            (1, format(base1, "016x")),
+            (2, format(near1, "016x")),
+            (3, format(base2, "016x")),
+            (4, format(near2, "016x")),
+            (5, format(far, "016x")),
+        ]
+        hashed = spark.createDataFrame(rows, "doc_id long, phash string")
+        out = {r["doc_id"]: r for r in phash_band_neardup(hashed, k=3).collect()}
+        assert out[2]["keeper_doc_id"] == 1 and out[2]["hamming"] == 2
+        assert out[4]["keeper_doc_id"] == 3 and out[4]["hamming"] == 3
+        for selfkept in (1, 3, 5):
+            assert out[selfkept]["keeper_doc_id"] == selfkept
+            assert out[selfkept]["hamming"] == 0
+
+    def test_pigeonhole_recall_on_random_pairs(self, spark):
+        import random
+
+        from helium_etl_lite_spark.operators.multimodal import phash_band_neardup
+
+        rng = random.Random(7)
+        rows, expected = [], {}
+        for i in range(40):
+            base = rng.getrandbits(64)
+            flips = rng.sample(range(64), rng.randint(1, 3))
+            near = base
+            for b in flips:
+                near ^= 1 << b
+            a_id, b_id = 2 * i, 2 * i + 1
+            rows += [(a_id, format(base, "016x")), (b_id, format(near, "016x"))]
+            expected[b_id] = a_id
+        hashed = spark.createDataFrame(rows, "doc_id long, phash string")
+        out = {r["doc_id"]: r["keeper_doc_id"]
+               for r in phash_band_neardup(hashed, k=3).collect()}
+        # every planted near pair must collapse (pigeonhole: <=3 flips
+        # leave >=1 of 4 bands exact). Random 64-bit bases make cross-
+        # pair collisions vanishingly unlikely, so keepers match exactly.
+        hits = sum(1 for b_id, a_id in expected.items() if out[b_id] == a_id)
+        assert hits == len(expected), f"recall {hits}/{len(expected)}"
+
+    def test_dhash_invariant_to_brightness_and_contrast(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators.multimodal import _dhash_bits
+
+        rng = np.random.default_rng(3)
+        gray = rng.uniform(0, 200, size=(16, 16))
+        h0 = _dhash_bits(gray)
+        assert _dhash_bits(gray + 30.0) == h0          # brightness shift
+        assert _dhash_bits(gray * 1.25) == h0          # contrast scale
+        # a real content change must move the hash
+        other = gray.copy()
+        other[:, :8] = other[:, :8][:, ::-1]
+        assert _dhash_bits(other) != h0
