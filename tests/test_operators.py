@@ -1544,3 +1544,60 @@ class TestPhashNearDup:
         other = gray.copy()
         other[:, :8] = other[:, :8][:, ::-1]
         assert _dhash_bits(other) != h0
+
+
+class TestContainmentScreenedBucketCap:
+    """r7 verdict directive 3: hot (band, bucket) groups must not
+    materialize quadratic candidate pairs; at-or-under-cap corpora are
+    byte-identical to the uncapped form."""
+
+    def test_output_identical_when_no_bucket_overflows(self, spark):
+        fix = TestContainmentScreened()
+        docs = fix._fixture(spark)
+        capped = {
+            (r["doc_src"], r["doc_sup"], r["containment"])
+            for r in dedup.containment_screened_pairs(docs, bucket_cap=256).collect()
+        }
+        uncapped = {
+            (r["doc_src"], r["doc_sup"], r["containment"])
+            for r in dedup.containment_screened_pairs(
+                docs, bucket_cap=10**9
+            ).collect()
+        }
+        assert capped == uncapped
+
+    def test_hot_bucket_routes_through_representative(self, spark, caplog):
+        import logging
+
+        # 300 byte-identical docs: every band bucket holds all 300.
+        # All-pairs would emit 300*299 = 89700 directed candidates; the
+        # routed form emits exactly 2*(300-1) = 598 (every member vs the
+        # min-id representative, both directions), all of which verify
+        # at containment 1.0.
+        n = 300
+        text = " ".join(f"tok{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(n)], "doc_id long, text string"
+        )
+        with caplog.at_level(logging.WARNING, logger="helium_etl_lite_spark"):
+            out = dedup.containment_screened_pairs(docs, bucket_cap=64).collect()
+        assert len(out) == 2 * (n - 1)
+        assert all(r["containment"] == 1.0 for r in out)
+        assert {r["doc_sup"] for r in out if r["doc_src"] != 0} == {0}
+        # the cap is never silent
+        assert any("over cap" in m for m in caplog.messages)
+
+    def test_mixed_corpus_keeps_small_bucket_pairs(self, spark):
+        # one hot cluster + one small pair: capping the hot bucket must
+        # not affect the small bucket's all-pairs screen
+        text_hot = " ".join(f"h{i}" for i in range(30))
+        text_a = " ".join(f"p{i}" for i in range(30))
+        rows = [(i, text_hot) for i in range(100)]
+        rows += [(1000, text_a), (1001, text_a + " p_extra")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_src"], r["doc_sup"])
+            for r in dedup.containment_screened_pairs(docs, bucket_cap=16).collect()
+        }
+        assert (1000, 1001) in got  # small-bucket pair survives capping
+        assert all(s == 0 or d == 0 for (s, d) in got if s < 1000 and d < 1000)
