@@ -101,6 +101,16 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "win_ntile",
     "sample_mixture_interleave",
     "text_paragraph_dedup",
+    # r8 (r7 verdict item 7): the r7 heavies had no measured scale
+    # ratio — the lane is the only instrument that has caught a
+    # super-linear shape (r6: 26.5x) — plus the r8-new overlap dedup
+    # and banded pHash near-dup.
+    "dedup_containment_screened",
+    "graph_pagerank_topk",
+    "join_interval_overlap",
+    "agg_count_min_sketch",
+    "text_span_dedup_overlap",
+    "multimodal_phash_neardup",
 ]
 
 
