@@ -114,3 +114,71 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text", id_col: str = "do
         return texts.map(score)
 
     return docs.select(F.col(id_col), detect(F.col(text_col)).alias("lang_pred"))
+
+
+def winnow_gram_table(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-gram winnowing table (doc_id, i, key, wmin): 4-token gram
+    hashes keyed as hash * 2^20 + position (leftmost-wins tie-break;
+    docs bounded at 2^20 grams), with the rolling w-window minimum.
+    Hash = first 8 md5 hex chars as int — engine-portable, so the
+    selection is exact-oracle checkable. Row-local gram/key build, one
+    exchange on doc_id for the ordered window."""
+    from pyspark.sql import Window as W
+
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    gram_at = lambda i: F.array_join(F.slice(ws, i + 1, k), " ")  # noqa: E731
+    key_at = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5(gram_at(i)), 1, 8), 16, 10).cast("long")
+        * F.lit(1048576)
+        + i.cast("long")
+    )
+    pairs = F.transform(
+        idx, lambda i: F.struct(i.cast("long").alias("i"), key_at(i).alias("key"))
+    )
+    ex = (
+        docs.withColumn("__p", pairs)
+        .select(id_col, F.explode("__p").alias("s"))
+        .select(id_col, F.col("s.i").alias("i"), F.col("s.key").alias("key"))
+    )
+    win = W.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
+    return ex.withColumn("wmin", F.min("key").over(win))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selected winnowing fingerprints (doc_id, fp_hash, pos):
+    distinct full-window minima (Schleimer 2003 guarantee: two docs
+    sharing >= w+k-1 consecutive tokens share >= 1 fp_hash); docs with
+    fewer than w grams keep their global minimum as the single
+    fingerprint."""
+    g = winnow_gram_table(docs, k, w, text_col, id_col)
+    counts = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.min("key").alias("__min_key")
+    )
+    full = (
+        g.where(F.col("i") >= w - 1)
+        .join(counts.where(F.col("__n") >= w).select(id_col), id_col, "left_semi")
+        .select(id_col, F.col("wmin").alias("fp_key"))
+        .distinct()
+    )
+    short = counts.where(F.col("__n") < w).select(
+        id_col, F.col("__min_key").alias("fp_key")
+    )
+    return full.unionByName(short).select(
+        F.col(id_col),
+        (F.col("fp_key") / F.lit(1048576)).cast("long").alias("fp_hash"),
+        F.pmod(F.col("fp_key"), F.lit(1048576)).cast("long").alias("pos"),
+    )

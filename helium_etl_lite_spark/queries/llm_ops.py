@@ -1848,3 +1848,66 @@ def multimodal_phash_neardup(spark, sf_dir):
         )
         .orderBy("keeper_doc_id")
     )
+
+
+@query(
+    "text_fingerprint_winnow",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(ws[i+1 : i+4], ' ') AS gram
+          FROM st, unnest(generate_series(0, GREATEST(n-4, 0))) AS t(i)),
+    h AS (SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
+                 + i AS key
+          FROM g),
+    r AS (SELECT doc_id, i, key,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 4 PRECEDING
+                                         AND CURRENT ROW) AS wmin
+          FROM h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN COUNT(*) >= 5
+                     THEN COUNT(DISTINCT CASE WHEN i >= 4 THEN wmin END)
+                     ELSE 1 END AS BIGINT) AS n_fingerprints,
+           MIN(key) AS fp_min
+    FROM r GROUP BY doc_id
+    """,
+)
+def text_fingerprint_winnow(spark, sf_dir):
+    # Winnowing document fingerprinting (Schleimer/Wilkerson/Aiken
+    # 2003 — the MOSS algorithm): hash every 4-token gram, slide a
+    # 5-gram window, keep the window MINIMUM as the fingerprint.
+    # Guarantees: any shared run of >= w+k-1 tokens between two docs
+    # shares >= 1 fingerprint (alignment-free match detection at
+    # density 2/(w+1) ~ 1/3 instead of 1/1 for full shingling) — the
+    # selection stage the stride-based span dedup doesn't give.
+    # Tie-break: fingerprint key = hash * 2^20 + position, so equal
+    # hashes pick the LEFTmost position deterministically (documented
+    # deviation from the paper's rightmost rule; docs are bounded at
+    # 2^20 grams by the encoding). Hash = first 8 md5 hex chars parsed
+    # as int — bit-identical in DuckDB, so the whole selection is
+    # EXACT-oracle checkable. Short docs (< w grams) keep their global
+    # min as the single fingerprint.
+    #
+    # Scale: gram keys are built row-locally (slice + md5 in a
+    # transform), ONE exchange on doc_id for the per-doc ordered
+    # window, one hash agg — per-doc work is sequential by contract
+    # (the rolling min is order-defined), matching every published
+    # winnowing implementation.
+    t = Tables(spark, sf_dir)
+    k, w = 4, 5
+    r = text.winnow_gram_table(t.documents, k=k, w=w)
+    full_fps = F.count_distinct(
+        F.when(F.col("i") >= w - 1, F.col("wmin"))
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.when(F.count(F.lit(1)) >= w, full_fps)
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_fingerprints"),
+        F.min("key").alias("fp_min"),
+    )

@@ -1601,3 +1601,46 @@ class TestContainmentScreenedBucketCap:
         }
         assert (1000, 1001) in got  # small-bucket pair survives capping
         assert all(s == 0 or d == 0 for (s, d) in got if s < 1000 and d < 1000)
+
+
+class TestWinnowFingerprints:
+    """Schleimer 2003 contracts: the density bound and the shared-run
+    guarantee (two docs sharing >= w+k-1 consecutive tokens share at
+    least one fingerprint hash, at ANY alignment)."""
+
+    def test_shared_run_guarantee_any_alignment(self, spark):
+        from helium_etl_lite_spark.operators.text import winnow_fingerprints
+
+        a_toks = [f"a{i}" for i in range(60)]
+        shared = a_toks[23:31]  # 8 = w+k-1 tokens, arbitrary offset
+        rows = [(1, " ".join(a_toks))]
+        # plant the shared run at every alignment 0..9 in doc B
+        for shift in range(10):
+            b = [f"b{shift}x{j}" for j in range(shift)] + shared + [
+                f"b{shift}y{j}" for j in range(8)
+            ]
+            rows.append((100 + shift, " ".join(b)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints(docs, k=4, w=5).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+        for shift in range(10):
+            assert by_doc[1] & by_doc[100 + shift], f"no shared fp at shift {shift}"
+
+    def test_density_and_short_doc(self, spark):
+        import random
+
+        from helium_etl_lite_spark.operators.text import winnow_fingerprints
+
+        rng = random.Random(11)
+        text = " ".join(f"t{rng.randrange(10**9)}" for _ in range(2000))
+        docs = spark.createDataFrame(
+            [(1, text), (2, "only three tokens")], "doc_id long, text string"
+        )
+        out = winnow_fingerprints(docs, k=4, w=5).collect()
+        n1 = sum(1 for r in out if r["doc_id"] == 1)
+        # expected density 2/(w+1) = 1/3 of ~1997 grams; generous band
+        assert 0.2 * 1997 < n1 < 0.5 * 1997, n1
+        # short doc (< w grams) keeps exactly its global-min fingerprint
+        assert sum(1 for r in out if r["doc_id"] == 2) == 1
