@@ -1911,3 +1911,72 @@ def text_fingerprint_winnow(spark, sf_dir):
         .alias("n_fingerprints"),
         F.min("key").alias("fp_min"),
     )
+
+
+@query(
+    "text_dedup_winnow",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(ws[i+1 : i+4], ' ') AS gram
+          FROM st, unnest(generate_series(0, GREATEST(n-4, 0))) AS t(i)),
+    h AS (SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
+                 + i AS key
+          FROM g),
+    r AS (SELECT doc_id, i, key,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 4 PRECEDING
+                                         AND CURRENT ROW) AS wmin
+          FROM h),
+    counts AS (SELECT doc_id, COUNT(*) AS n, MIN(key) AS min_key
+               FROM r GROUP BY doc_id),
+    fp AS (SELECT DISTINCT r.doc_id, r.wmin AS fp_key
+           FROM r JOIN counts USING (doc_id)
+           WHERE counts.n >= 5 AND r.i >= 4
+           UNION ALL
+           SELECT doc_id, min_key AS fp_key FROM counts WHERE n < 5),
+    fpd AS (SELECT DISTINCT doc_id,
+                   CAST(fp_key // 1048576 AS BIGINT) AS fp_hash
+            FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpd a JOIN fpd b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def text_dedup_winnow(spark, sf_dir):
+    # Cross-doc near-dup candidates by SHARED WINNOWING FINGERPRINTS —
+    # how MOSS detects plagiarized passages and how fingerprint-based
+    # corpus dedup (winnowing selection over shingle hashes) screens at
+    # a third of full-shingle cost. Any pair sharing a run of >= w+k-1
+    # = 8 tokens shares >= 1 fingerprint at ANY alignment (the
+    # guarantee the stride-grid span dedup lacks); requiring >= 3
+    # shared fingerprints suppresses single-gram accidents. Exact
+    # oracle end to end: md5-prefix hashes, deterministic leftmost
+    # tie-break, integer ops only.
+    #
+    # Scale: fingerprint sets are ~n_grams/3 rows per doc; the join key
+    # fp_hash is a 32-bit content hash, so a boilerplate gram shared by
+    # B docs contributes a B-sized bucket — the same hot-bucket law as
+    # every LSH screen; at corpus scale route over-cap hashes through
+    # the containment_screened_pairs bucket-cap discipline (stop-gram
+    # dropping in the fingerprint domain).
+    t = Tables(spark, sf_dir)
+    fpd = (
+        text.winnow_fingerprints(t.documents, k=4, w=5)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    a = fpd.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fpd.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, ["fp_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
