@@ -574,3 +574,126 @@ def agg_count_min_sketch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_bloom_filter_probe",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+    mbits AS (
+      SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                    || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 256) AS pos
+      FROM members, unnest([0, 1, 2]) AS t(j)),
+    bloom AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS wbits
+      FROM mbits GROUP BY pos // 32),
+    probe AS (
+      SELECT c_custkey AS k,
+             (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#'
+                    || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 256) AS pos
+      FROM customer, unnest([0, 1, 2]) AS t(j)),
+    hit AS (
+      SELECT p.k,
+             SUM(CASE WHEN ((b.wbits >> CAST(p.pos % 32 AS INTEGER)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS nset
+      FROM probe p LEFT JOIN bloom b ON b.word = p.pos // 32
+      GROUP BY p.k),
+    maybe AS (SELECT k FROM hit WHERE nset = 3)
+    SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_probes,
+           CAST((SELECT COUNT(*) FROM maybe) AS BIGINT) AS n_maybe,
+           CAST((SELECT COUNT(*) FROM maybe m
+                 LEFT JOIN members t ON m.k = t.k
+                 WHERE t.k IS NULL) AS BIGINT) AS n_false_pos,
+           CAST((SELECT SUM(wbits * (word + 1)) FROM bloom) AS BIGINT)
+             AS bloom_checksum
+    """,
+)
+def agg_bloom_filter_probe(spark, sf_dir):
+    """Re-aggregatable Bloom filter, hash-exact cross-engine — the
+    membership-sketch sibling of agg_count_min_sketch: m=256 bits as
+    8x32-bit words in BIGINTs, k=3 positions per key from md5 prefixes
+    (engine-portable, like the CMS cells), BUILD = explode(3) + bit_or
+    hash agg (map-side combinable: per-partition blooms OR together,
+    which is exactly how a 1000-executor build merges — union is
+    bit_or on 8 rows, never a rescan), PROBE = 3-row explode per
+    candidate + broadcast join against the 8-word sketch + all-bits-set
+    test. Output pins the sketch content (integer checksum), the maybe
+    count, and the measured false-positive count against the exact
+    membership — the property a Bloom filter exists to trade on.
+    Spark's own bloom_filter_agg is engine-opaque; this form is
+    cross-engine exact AND demonstrates the same plan shape."""
+    t = Tables(spark, sf_dir)
+
+    def pos_at(key_col, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    members = (
+        t.orders.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    mbits = members.select(
+        F.explode(F.array(*[pos_at(F.col("k"), j) for j in range(3)])).alias("pos")
+    )
+    bloom = mbits.groupBy((F.col("pos") / 32).cast("long").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("wbits")
+    )
+    probe = t.customer.select(
+        F.col("c_custkey").alias("k"),
+        F.explode(
+            F.array(*[pos_at(F.col("c_custkey"), j) for j in range(3)])
+        ).alias("pos"),
+    )
+    hit = (
+        probe.join(
+            F.broadcast(bloom),
+            bloom["word"] == (probe["pos"] / 32).cast("long"),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(shiftright(wbits, CAST(pos % 32 AS INT)) & 1) = 1"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("nset")
+        )
+    )
+    maybe = hit.where(F.col("nset") == 3).select("k")
+    false_pos = maybe.join(members, "k", "left_anti")
+    stats = (
+        members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .crossJoin(t.customer.agg(F.count(F.lit(1)).cast("long").alias("n_probes")))
+        .crossJoin(maybe.agg(F.count(F.lit(1)).cast("long").alias("n_maybe")))
+        .crossJoin(
+            false_pos.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+        )
+        .crossJoin(
+            bloom.agg(
+                F.sum(F.col("wbits") * (F.col("word") + 1)).alias("bloom_checksum")
+            )
+        )
+    )
+    return stats
