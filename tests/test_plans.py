@@ -672,3 +672,95 @@ def test_dq_expectations_single_scan_per_table(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert plan.count("orders.parquet") == 1
     assert_partial_aggregate(q("dq_expectations_report", spark, sf_dir))
+
+
+# r8 queries
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    # Q6: the whole query is one pushed-filter scan + a 1-row agg.
+    df = q("report_forecast_revenue", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+    assert_pushed_filter(df, "l_quantity")
+    assert_partial_aggregate(df)
+
+
+def test_min_cost_supplier_window_not_rescan(spark, sf_dir):
+    # Q2: the correlated MIN must be a p_partkey window over the
+    # filtered candidates — one Window node, no BNLJ, dims broadcast.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_min_cost_supplier", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "p_size")
+    # lineitem feeds the derived cost pairs exactly once
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_important_stock_scalar_total_broadcast(spark, sf_dir):
+    # Q11: the share threshold joins as a broadcast 1-row aggregate;
+    # the share comparison stays integer (no double sum anywhere).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("report_important_stock", spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_partial_aggregate(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_excess_inventory_semi_join_chain(spark, sf_dir):
+    # Q20: both INs compile to LeftSemi; no BNLJ anywhere.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("report_excess_inventory", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_overlap_two_exchanges_no_token_shuffle(spark, sf_dir):
+    # span hashes are built row-locally; the only exchanges are the
+    # span-hash window and the per-doc dup-start fold (+1 for the final
+    # doc join). A token-level explode-shuffle would blow this bound.
+    df = q("text_span_dedup_overlap", spark, sf_dir)
+    assert count_shuffles(df) <= 3
+
+
+def test_winnow_single_doc_exchange(spark, sf_dir):
+    # gram keys row-local; rolling-min window and final agg share the
+    # doc_id Exchange.
+    df = q("text_fingerprint_winnow", spark, sf_dir)
+    assert count_shuffles(df) <= 2
+
+
+def test_winnow_dedup_no_cross_product(spark, sf_dir):
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("text_dedup_winnow", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_sketch(spark, sf_dir):
+    # the 8-word sketch must broadcast into the probe join; the build
+    # agg is two-phase (per-partition blooms OR map-side).
+    df = q("agg_bloom_filter_probe", spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_partial_aggregate(df)
+
+
+def test_phash_neardup_no_pair_materialization(spark, sf_dir):
+    # the band screen folds to per-bucket/per-doc MIN aggs; any join in
+    # the plan is equi (verify join on the candidate keeper) — no BNLJ,
+    # no cross product, no within-bucket pair join.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("multimodal_phash_neardup", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -126,6 +126,16 @@ HEADLINE_NOTES = {
     "multimodal_jpeg_decode": "narrow Arrow mapInPandas JPEG encode+decode (Huffman entropy + IDCT); zero Exchange",
     "sink_snapshot_changes_apply": "(base UNION inserts) EXCEPT ALL deletes — hash-partitioned multiset apply, no driver materialization",
     "sample_split_train_test": "md5 bucket mod 100: one codegen projection, zero Exchange, membership exact vs oracle",
+    # r8 queries
+    "report_forecast_revenue": "Q6: all three predicates in PushedFilters, one 1-row two-phase agg — no Exchange moves data rows",
+    "report_min_cost_supplier": "Q2: region/nation broadcast; correlated MIN as a p_partkey window over the filtered candidates, no per-row rescan",
+    "report_important_stock": "Q11: scalar total = 1-row agg of the part sums, broadcast back; share test all-BIGINT; nation broadcast",
+    "report_excess_inventory": "Q20: nested INs as LeftSemi chain (part list AQE-broadcasts); conditional sums one hash agg; nation broadcast",
+    "text_span_dedup_overlap": "row-local stride-10 span hashes (no token explode); two Exchanges: xxhash64(span) first-occurrence window + doc_id dup-start fold; token filter row-local",
+    "multimodal_phash_neardup": "dhash narrow mapInPandas; band explode + per-(band,value) min agg + per-doc min agg + verify join — no within-bucket pair materialization",
+    "text_fingerprint_winnow": "row-local gram keys; ONE doc_id Exchange shared by rolling-min window and final agg",
+    "text_dedup_winnow": "fingerprint sets equi-join on fp_hash + pair hash agg; no cross product",
+    "agg_bloom_filter_probe": "bloom build = explode(3)+bit_or two-phase agg (8 rows out); probe joins the BROADCAST 8-word sketch; counts are 1-row aggs",
 }
 
 
