@@ -48,73 +48,78 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # registry here; everything else keeps module registration order behind
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
-    # r7 rotation. Priority when the window overflows: (1) queries with
-    # NO driver verdict yet (first-time registrations — an unverified
-    # row is worse than an unrefreshed one), then (2) r7-changed
-    # queries (grouped control-plane reshapes, hashed-span key,
-    # length-band blocking), then (3) the r6-queued stale re-verdicts
-    # (implementations changed in r6 AFTER their last driver check),
-    # then (4) oldest-verdict re-confirms (r1/r2/r3 vintages). All 45
-    # r6-new queries got their verdicts in CORRECTNESS_r06 (45/45
-    # clean) and rotate out.
-    # (a) NEW in r7:
-    "sample_mixture_temperature",
-    "join_interval_overlap",
-    "dq_expectations_report",
-    "multimodal_jpeg_decode",
-    "agg_count_min_sketch",
-    "vec_ann_pq_rerank",
-    "sink_snapshot_changes",
-    "sink_snapshot_changes_apply",
-    "dedup_containment_screened",
-    "pipeline_pretraining_select_bpe",
-    "multimodal_png_decode",
-    "graph_pagerank_topk",
-    "report_product_profit",
-    "report_priority_shipping",
-    "report_waiting_suppliers",
-    "report_parts_supplier_count",
-    # (b) changed in r7 — re-verify:
-    "win_ntile",                  # grouped_ntile control plane
-    "sample_mixture_interleave",  # grouped_row_number control plane
-    "sample_reservoir_per_group", # grouped_row_number control plane
-    "text_paragraph_dedup",       # span window keys on xxhash64(span)
-    "text_fuzzy_levenshtein",     # (first_char, length-band) block key
-    "pipeline_pretraining_select",  # stages 1-4 refactored into shared helper
-    # (c) r6-changed after last driver verdict (queued from r6):
-    "text_tfidf",                 # n_docs fold (changed r6, verdict r5)
-    "text_dedup_simhash",         # dedup.py NULL-token change (r6, verdict r5)
-    "source_schema_evolution",    # scratch-dir plumbing (r6, verdict r5)
-    "sink_roundtrip_parquet",     # scratch-dir plumbing (r6, verdict r4)
-    "sink_compact_files",         # scratch-dir plumbing (r6, verdict r4)
-    # (d) oldest-verdict re-confirms:
-    "join_full_outer",            # r1
-    "join_cross",                 # r1
-    "scan_parquet",               # r2
-    "scan_projection_pushdown",   # r2
-    "scan_predicate_pushdown",    # r2
-    "source_json_lines",          # r2
-    "sort_multi_key",             # r2
-    "limit_topk",                 # r2
-    "distinct_dedup",             # r2
-    "set_union_all",              # r2
-    "set_union_distinct",         # r2
-    "set_intersect",              # r2
-    "set_except",                 # r2
-    "stream_tumbling_window_agg", # r2
-    "stream_sliding_window_agg",  # r2
-    "stream_session_window",      # r2
-    "stream_watermark_late_drop", # r2
-    "stream_dedup_by_key",        # r2
-    "stream_cursor_incremental",  # r2
-    "udf_scalar_python",          # r2
-    "udf_pandas_vectorized",      # r2
-    "udaf_grouped_agg",           # r2
-    "sample_split_train_test",    # r7: md5 buckets, now exact-oracle
-    # (stream_stream_interval_join / win_sliding_avg_range_frame /
-    #  math_funcs / vec_cluster_assign / text_lang_topk re-confirms
-    #  displaced by late-r7 registrations and changes — their r3
-    #  verdicts remain on record)
+    # r8 rotation (r7 verdict directive 5: oldest vintages first).
+    # Priority: (1) r8 first-time registrations, (2) r8-changed
+    # queries, (3) EVERY remaining r2/r3-vintage verdict (the full
+    # cohort, not just the §2.4 core — after this round no verdict on
+    # record is older than r4), (4) the oldest r4 re-confirms up to
+    # the 50-slot boundary (the ~23 remaining r4s roll to r9). All 23
+    # r7-window queries were confirmed clean in CORRECTNESS_r07 and
+    # rotate out.
+    # (a) NEW in r8:
+    "report_forecast_revenue",    # TPC-H Q6
+    "report_min_cost_supplier",   # TPC-H Q2
+    "report_important_stock",     # TPC-H Q11
+    "report_excess_inventory",    # TPC-H Q20
+    "text_span_dedup_overlap",    # stride-10 alignment-robust dedup
+    "text_fingerprint_winnow",    # winnowing fingerprints (MOSS)
+    "text_dedup_winnow",          # shared-fingerprint near-dup pairs
+    "agg_bloom_filter_probe",     # exact cross-engine bloom sketch
+    "multimodal_phash_neardup",   # hamming-band image near-dup
+    # (b) changed in r8 — re-verify:
+    "dedup_containment_screened", # hot-bucket cap routing
+    "graph_pagerank_topk",        # in-plan dangling-mass fold
+    # (c) r2 vintages:
+    "stream_stateful_running_count",
+    "udtf_flatten",
+    # (d) r3 vintages (complete cohort):
+    "math_funcs",
+    "vec_cluster_assign",
+    "text_lang_topk",
+    "win_sliding_avg_range_frame",
+    "stream_stream_interval_join",
+    "vec_ann_ivf",
+    "vec_kmeans",
+    "feature_user_activity",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "sample_stratified",
+    "text_clean_normalize",
+    "text_dedup_keep_longest",
+    "text_ngram_topk",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_vocab_prune",
+    "source_csv_roundtrip",
+    "vec_quantize_int8",
+    # (e) oldest r4 re-confirms (§2.4 core cohort):
+    "project_rename_cast",
+    "filter_equality",
+    "filter_range_and_or_not",
+    "agg_global",
+    "agg_groupby_hash",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_avg_stddev_var",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "agg_collect_list_set",
+    "agg_percentile",
+    "agg_partial_final",
+    "join_multiway_star",
+    "vec_knn_cosine",
+    # (remaining r4 vintages — agg_argminmax, agg_corr_covar,
+    #  agg_mode_deterministic, agg_percentile_approx, agg_pivot,
+    #  agg_string_listagg, anomaly_zscore, dedup_cluster_components,
+    #  dedup_ngram_jaccard, exists_in_block_range, json_variant_extract,
+    #  rollup_time_hypertable, scd2_intervals, sessionize_gap30,
+    #  sink_partitioned_prune, source_orc_roundtrip, subquery_in_exists,
+    #  subquery_scalar, text_contamination_ngram, unpivot_melt,
+    #  win_cume_dist_nth, pipeline_corpus_curation, vec_dedup_cosine —
+    #  queue for the r9 window)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
