@@ -511,3 +511,56 @@ def sink_snapshot_changes_apply(spark, sf_dir):
     ins = feed.where(F.col("_change_type") == "insert").select("block", "value")
     dels = feed.where(F.col("_change_type") == "delete").select("block", "value")
     return base.unionByName(ins).exceptAll(dels)
+
+
+@query(
+    "stream_cdc_mirror",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS block, value
+    FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS block, value + 1.0 AS value
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def stream_cdc_mirror(spark, sf_dir):
+    """The STREAMING consumer of the change feed, driver-checked end to
+    end: same two-commit fixture as sink_snapshot_changes_apply, but
+    the apply runs through the real Structured Streaming path —
+    snapshot_changes source (offset = snapshot version) → foreachBatch
+    → streaming/mirror.py's idempotent versioned apply — with TWO
+    separate availableNow drains (bootstrap after commit 1, incremental
+    after commit 2, restarting from the checkpoint in between, i.e. the
+    kill/catch-up cycle). The oracle states v2's content INDEPENDENTLY
+    from `events`, so a consumer that double-applied a replayed batch,
+    missed a delta, or mis-folded deletes hash-mismatches. The batch
+    twin proves feed correctness; this proves the CONSUMER — together
+    they close the subscribe-apply contract in both execution models."""
+    from ..streaming import mirror
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("block"), F.col("value")
+    )
+    from ..etl.snapshot import commit_batch_atomic
+
+    root = scratch_dir("stream_cdc_mirror_src")
+    mdir = scratch_dir("stream_cdc_mirror_dst")
+    ckpt = scratch_dir("stream_cdc_mirror_ckpt")
+    hi = ev.agg(F.max("block")).first()[0]
+    commit_batch_atomic(
+        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
+        first_block=0, heights=ev.select("block"),
+    )
+    q1 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
+    q1.awaitTermination(300)
+    claimed = ev.where(F.col("block") % 5 == 0).select("block")
+    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    commit_batch_atomic(
+        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
+        height=int(hi), first_block=0, heights=claimed,
+    )
+    q2 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
+    q2.awaitTermination(300)
+    return mirror.read_mirror(spark, mdir).select("block", "value")

@@ -136,6 +136,7 @@ HEADLINE_NOTES = {
     "text_fingerprint_winnow": "row-local gram keys; ONE doc_id Exchange shared by rolling-min window and final agg",
     "text_dedup_winnow": "fingerprint sets equi-join on fp_hash + pair hash agg; no cross product",
     "agg_bloom_filter_probe": "bloom build = explode(3)+bit_or two-phase agg (8 rows out); probe joins the BROADCAST 8-word sketch; counts are 1-row aggs",
+    "stream_cdc_mirror": "mirror read-back after two availableNow drains is a bare parquet scan — the apply work happened inside foreachBatch, versioned + idempotent",
 }
 
 
