@@ -182,3 +182,33 @@ def winnow_fingerprints(
         (F.col("fp_key") / F.lit(1048576)).cast("long").alias("fp_hash"),
         F.pmod(F.col("fp_key"), F.lit(1048576)).cast("long").alias("pos"),
     )
+
+
+def winnow_stopgram_filter(
+    fpd: DataFrame, max_docs_per_fp: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop fingerprint hashes shared by more than `max_docs_per_fp`
+    documents before any pair join — the fingerprint-domain stop-gram
+    rule. A boilerplate gram (license header, nav bar) shared by B docs
+    would contribute a B² pair bucket; removing it is standard practice
+    in fingerprint dedup AND deterministic (a pure doc-count threshold),
+    so unlike an LSH hot-bucket cap it keeps the whole pipeline
+    exact-oracle checkable. The dropped hash/doc-row counts are logged
+    via one bounded 1-row aggregate over the per-hash size table — the
+    no-silent-caps discipline."""
+    sizes = fpd.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__n"))
+    hot = sizes.where(F.col("__n") > max_docs_per_fp)
+    stats = hot.agg(
+        F.count(F.lit(1)).alias("n_hot"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("rows_dropped"),
+    ).first()
+    if stats["n_hot"]:
+        import logging
+
+        logging.getLogger("helium_etl_lite_spark").warning(
+            f"winnow stop-gram filter: {stats['n_hot']} fingerprint "
+            f"hash(es) shared by > {max_docs_per_fp} docs dropped "
+            f"({stats['rows_dropped']} doc-fingerprint rows) — "
+            "boilerplate grams; raise max_docs_per_fp to keep them"
+        )
+    return fpd.join(hot.select("fp_hash"), "fp_hash", "left_anti")

@@ -1937,9 +1937,12 @@ def text_fingerprint_winnow(spark, sf_dir):
            WHERE counts.n >= 5 AND r.i >= 4
            UNION ALL
            SELECT doc_id, min_key AS fp_key FROM counts WHERE n < 5),
-    fpd AS (SELECT DISTINCT doc_id,
-                   CAST(fp_key // 1048576 AS BIGINT) AS fp_hash
-            FROM fp)
+    fpd0 AS (SELECT DISTINCT doc_id,
+                    CAST(fp_key // 1048576 AS BIGINT) AS fp_hash
+             FROM fp),
+    fpd AS (SELECT * FROM fpd0 WHERE fp_hash IN
+            (SELECT fp_hash FROM fpd0 GROUP BY fp_hash
+             HAVING COUNT(*) <= 64))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM fpd a JOIN fpd b
@@ -1957,19 +1960,22 @@ def text_dedup_winnow(spark, sf_dir):
     # guarantee the stride-grid span dedup lacks); requiring >= 3
     # shared fingerprints suppresses single-gram accidents. Exact
     # oracle end to end: md5-prefix hashes, deterministic leftmost
-    # tie-break, integer ops only.
+    # tie-break, integer ops only — INCLUDING the hot-bucket defense:
+    # fingerprint hashes shared by > 64 docs (boilerplate grams, the
+    # B² pair bombs) are dropped by a pure doc-count threshold
+    # (winnow_stopgram_filter), which the oracle restates as a HAVING —
+    # deterministic, so unlike an LSH bucket cap the capped pipeline
+    # stays hash-exact. Drop counts are logged, never silent.
     #
-    # Scale: fingerprint sets are ~n_grams/3 rows per doc; the join key
-    # fp_hash is a 32-bit content hash, so a boilerplate gram shared by
-    # B docs contributes a B-sized bucket — the same hot-bucket law as
-    # every LSH screen; at corpus scale route over-cap hashes through
-    # the containment_screened_pairs bucket-cap discipline (stop-gram
-    # dropping in the fingerprint domain).
+    # Scale: fingerprint sets are ~n_grams/3 rows per doc; after the
+    # stop-gram filter no fp_hash joins more than 64 docs, so the pair
+    # stage is bounded at 64x fan-out per row.
     t = Tables(spark, sf_dir)
-    fpd = (
+    fpd = text.winnow_stopgram_filter(
         text.winnow_fingerprints(t.documents, k=4, w=5)
         .select("doc_id", "fp_hash")
-        .distinct()
+        .distinct(),
+        max_docs_per_fp=64,
     )
     a = fpd.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fpd.select(F.col("doc_id").alias("doc_b"), "fp_hash")

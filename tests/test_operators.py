@@ -1644,3 +1644,29 @@ class TestWinnowFingerprints:
         assert 0.2 * 1997 < n1 < 0.5 * 1997, n1
         # short doc (< w grams) keeps exactly its global-min fingerprint
         assert sum(1 for r in out if r["doc_id"] == 2) == 1
+
+
+class TestWinnowStopgramFilter:
+    def test_hot_fingerprint_dropped_small_kept(self, spark, caplog):
+        import logging
+
+        from helium_etl_lite_spark.operators.text import winnow_stopgram_filter
+
+        rows = [(d, 7) for d in range(100)]          # hot: 100 docs share fp 7
+        rows += [(1, 11), (2, 11), (3, 99)]          # small fps survive
+        fpd = spark.createDataFrame(rows, "doc_id long, fp_hash long")
+        with caplog.at_level(logging.WARNING, logger="helium_etl_lite_spark"):
+            out = winnow_stopgram_filter(fpd, max_docs_per_fp=64).collect()
+        hashes = {r["fp_hash"] for r in out}
+        assert 7 not in hashes
+        assert hashes == {11, 99}
+        assert len(out) == 3
+        assert any("stop-gram" in m for m in caplog.messages)
+
+    def test_noop_below_cap(self, spark):
+        from helium_etl_lite_spark.operators.text import winnow_stopgram_filter
+
+        fpd = spark.createDataFrame(
+            [(1, 5), (2, 5), (3, 6)], "doc_id long, fp_hash long"
+        )
+        assert winnow_stopgram_filter(fpd, max_docs_per_fp=64).count() == 3
