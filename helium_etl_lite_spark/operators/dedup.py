@@ -1100,3 +1100,165 @@ def span_dedup_overlap(
         )
         .where(F.col("n_tokens_kept") > 0)
     )
+
+
+def _md5_32(col):
+    """First 8 md5 hex chars as a BIGINT — the engine-portable token
+    hash (DuckDB: CAST(('0x'||substr(md5(x),1,8)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_dedup_assign_portable(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENGINE-PORTABLE twin of minhash_dedup_assign: identical linear
+    dataflow (row-local signatures → band rows → per-bucket min →
+    per-doc min → verify doc→keeper only), but every engine-specific
+    hash is replaced by a deterministic cross-engine form so the WHOLE
+    LSH pipeline — signatures, banding, bucket collisions, keeper
+    choice, verification — hash-matches a pure SQL oracle:
+
+    - base token hash: md5-prefix int instead of xxhash64 (the
+      exactness-upgrades trick used by the CMS/bloom/split queries);
+    - band bucket: polynomial encoding sig[2b]*M + sig[2b+1] instead
+      of xxhash64(slice) — injective for rows_per_band=2 since sig
+      values are < M = 2^31-1 (fits a BIGINT), so collisions are
+      EXACTLY signature-slice equality, same semantics as hashing;
+    - verify sets: md5-prefix token hashes (collisions identical on
+      both engines, so Jaccard values agree bit-for-bit).
+
+    The universal-hash permutation constants are shared with the
+    production form (_PERM_AB — deterministic module constants, so the
+    oracle embeds the same numbers). Production keeps xxhash64 (it is
+    measurably cheaper); this form exists because a driver-verified
+    exact run of the FULL pipeline is stronger evidence than the
+    production form's pytest-only gates — and it doubles as the
+    cross-engine spec of the algorithm.
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band != 2:
+        raise ValueError(
+            "portable bucket encoding requires rows_per_band == 2 "
+            f"(num_perm={num_perm}, bands={bands})"
+        )
+    toks = _token_set(text_col)
+    base = F.transform(toks, lambda t: F.pmod(_md5_32(t), F.lit(_MERSENNE)))
+    d = docs.where(toks.isNotNull() & (F.size(toks) > 0)).select(
+        F.col(id_col), base.alias("__bh")
+    )
+    mins = [_perm_min(F.col("__bh"), p) for p in range(num_perm)]
+    sig = d.select(F.col(id_col), F.array(*mins).alias("sig"))
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col("sig").getItem(2 * b) * F.lit(_MERSENNE)
+                            + F.col("sig").getItem(2 * b + 1)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    wb = Window.partitionBy("band", "bucket")
+    candidate_keeper = (
+        band_rows.withColumn("bucket_min", F.min(id_col).over(wb))
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("cand_keeper"))
+    )
+    toksets = docs.select(
+        F.col(id_col),
+        # distinct AFTER hashing: an md5-32 collision between two
+        # distinct tokens must collapse identically on both engines
+        F.array_distinct(
+            F.transform(_token_set(text_col), lambda t: _md5_32(t))
+        ).alias("toks"),
+    )
+    a = toksets.select(F.col(id_col), F.col("toks").alias("toks_self"))
+    b2 = toksets.select(
+        F.col(id_col).alias("cand_keeper"), F.col("toks").alias("toks_keeper")
+    )
+    inter = F.size(F.array_intersect("toks_self", "toks_keeper")).cast("double")
+    union = F.size(F.array_union("toks_self", "toks_keeper")).cast("double")
+    verified = (
+        candidate_keeper.join(a, id_col)
+        .join(b2, "cand_keeper")
+        .select(
+            F.col(id_col),
+            F.col("cand_keeper"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+    return verified.select(
+        id_col,
+        F.when(
+            (F.col("cand_keeper") < F.col(id_col))
+            & (F.col("jaccard") >= jaccard_threshold),
+            F.col("cand_keeper"),
+        )
+        .otherwise(F.col(id_col))
+        .alias("keeper_doc_id"),
+        F.col("jaccard").alias("keeper_jaccard"),
+    )
+
+
+def portable_minhash_oracle_sql(
+    num_perm: int = 16, bands: int = 8, jaccard_threshold: float = 0.7
+) -> str:
+    """DuckDB oracle for minhash_dedup_assign_portable — generated from
+    the SAME _PERM_AB constants the Spark form uses, so the two are one
+    spec in two dialects."""
+    rows_per_band = num_perm // bands
+    assert rows_per_band == 2
+    m = _MERSENNE
+    mins = ",\n             ".join(
+        f"list_min(list_transform(bh, h -> ({a}*h + {b}) % {m}))"
+        for a, b in _PERM_AB[:num_perm]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    base AS (SELECT doc_id,
+                    list_transform(toks, x ->
+                      CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % {m})
+                    AS bh
+             FROM t WHERE toks IS NOT NULL AND len(toks) > 0),
+    sig AS (SELECT doc_id,
+            [{mins}] AS sig
+            FROM base),
+    bands AS (SELECT doc_id, b.band,
+                     sig[2*b.band + 1] * {m} + sig[2*b.band + 2] AS bucket
+              FROM sig, (SELECT unnest(range({bands})) AS band) b),
+    wb AS (SELECT doc_id,
+                  MIN(doc_id) OVER (PARTITION BY band, bucket) AS bucket_min
+           FROM bands),
+    cand AS (SELECT doc_id, MIN(bucket_min) AS cand_keeper
+             FROM wb GROUP BY doc_id),
+    hs AS (SELECT doc_id,
+                  list_distinct(
+                    list_transform(list_distinct(string_split(text, ' ')), x ->
+                      CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))) AS hset
+           FROM documents),
+    ver AS (SELECT c.doc_id, c.cand_keeper,
+                   ROUND(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+                         / len(list_distinct(a.hset || b.hset)), 6) AS jaccard
+            FROM cand c
+            JOIN hs a ON a.doc_id = c.doc_id
+            JOIN hs b ON b.doc_id = c.cand_keeper)
+    SELECT doc_id,
+           CASE WHEN cand_keeper < doc_id AND jaccard >= {jaccard_threshold}
+                THEN cand_keeper ELSE doc_id END AS keeper_doc_id,
+           jaccard AS keeper_jaccard
+    FROM ver
+    """

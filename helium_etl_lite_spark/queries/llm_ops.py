@@ -1986,3 +1986,27 @@ def text_dedup_winnow(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= 3)
     )
+
+
+@query(
+    "text_dedup_minhash_portable",
+    oracle=dedup.portable_minhash_oracle_sql(
+        num_perm=16, bands=8, jaccard_threshold=0.7
+    ),
+)
+def text_dedup_minhash_portable(spark, sf_dir):
+    # The FULL MinHash->LSH-band->bucket->keeper->verify pipeline,
+    # driver-verified EXACT: minhash_dedup_assign_portable swaps the
+    # two engine-specific hashes (xxhash64 base hash, xxhash64 band
+    # bucket) for portable forms (md5-prefix ints; injective
+    # polynomial bucket encoding) so the DuckDB oracle — generated
+    # from the SAME permutation constants — replays signatures,
+    # bucket collisions, keeper assignment and Jaccard verification
+    # bit-for-bit. Production (text_dedup_minhash) keeps xxhash64 for
+    # speed; this registration turns the LSH pipeline's correctness
+    # from pytest-only gates into a driver-checked exact verdict, and
+    # the generated SQL doubles as the algorithm's cross-engine spec.
+    t = Tables(spark, sf_dir)
+    return dedup.minhash_dedup_assign_portable(
+        t.documents, num_perm=16, bands=8, jaccard_threshold=0.7
+    )

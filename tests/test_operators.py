@@ -1670,3 +1670,41 @@ class TestWinnowStopgramFilter:
             [(1, 5), (2, 5), (3, 6)], "doc_id long, fp_hash long"
         )
         assert winnow_stopgram_filter(fpd, max_docs_per_fp=64).count() == 3
+
+
+class TestPortableMinhash:
+    def test_portable_collapses_planted_cluster_like_production(self, spark):
+        # Same planted-cluster fixture contract as the production form:
+        # near-identical docs collapse to the min-id keeper with high
+        # jaccard; unrelated docs stay self-kept. (Bucket collisions
+        # differ between hash families, so keepers are compared on the
+        # planted structure, not row-for-row.)
+        base = [f"tok{i}" for i in range(40)]
+        rows = [(i, " ".join(base + ([f"x{i}"] if i else []))) for i in range(5)]
+        rows += [(100 + j, " ".join(f"solo{j}w{i}" for i in range(30)))
+                 for j in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for fn in (dedup.minhash_dedup_assign, dedup.minhash_dedup_assign_portable):
+            out = {r["doc_id"]: r for r in fn(docs).collect()}
+            for i in range(1, 5):
+                assert out[i]["keeper_doc_id"] == 0, fn.__name__
+                assert out[i]["keeper_jaccard"] >= 0.9
+            for j in range(5):
+                assert out[100 + j]["keeper_doc_id"] == 100 + j, fn.__name__
+
+    def test_portable_signatures_are_distinct_per_position(self, spark):
+        # same r5-ADVICE pin as the production form: the permutation
+        # lambdas must not collapse to one
+        from helium_etl_lite_spark.operators.dedup import (
+            _MERSENNE,
+            _md5_32,
+            _perm_min,
+            _token_set,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(50)))], "doc_id long, text string"
+        )
+        base = F.transform(_token_set("text"), lambda t: F.pmod(_md5_32(t), F.lit(_MERSENNE)))
+        sig = docs.select(F.array(*[_perm_min(base, p) for p in range(16)]).alias("s")).first()["s"]
+        assert len(set(sig)) > 8, sig
