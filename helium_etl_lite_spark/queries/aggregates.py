@@ -697,3 +697,88 @@ def agg_bloom_filter_probe(spark, sf_dir):
         )
     )
     return stats
+
+
+def _hll_registers(keys, key_col="k", m=64):
+    """Portable HLL registers (bucket, reg) over a distinct-key frame:
+    h = md5-prefix int, bucket = h % m, rho = 1-based position of the
+    lowest set bit of h//m (trailing-zero variant of the rank function
+    — same geometric distribution as Flajolet's leading-zero form, and
+    exactly computable cross-engine via length(bin(w & -w)); w = 0 maps
+    to the max rank 27). MAX per bucket — a two-phase, map-side-
+    combinable hash agg, so per-partition register sets merge by MAX
+    exactly like per-corpus sketches do."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = (h / m).cast("long")
+    rho = F.when(w == 0, F.lit(27)).otherwise(
+        F.length(F.conv((w.bitwiseAND(-w)).cast("string"), 10, 2))
+    )
+    return (
+        keys.select((h % m).alias("bucket"), rho.cast("long").alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("reg"))
+    )
+
+
+@query(
+    "agg_hll_sketch_portable",
+    oracle="""
+    WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    h AS (SELECT k,
+                 CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM members),
+    parts AS (SELECT k % 2 AS half, hv % 64 AS bucket, hv // 64 AS w FROM h),
+    rho AS (SELECT half, bucket,
+                   CASE WHEN w = 0 THEN 27
+                        ELSE length(bin(w & -w)) END AS r
+            FROM parts),
+    regs AS (SELECT half, bucket, MAX(r) AS reg FROM rho
+             GROUP BY half, bucket),
+    unioned AS (SELECT bucket, MAX(reg) AS reg FROM regs GROUP BY bucket),
+    full_regs AS (SELECT bucket, MAX(r) AS reg FROM rho GROUP BY bucket)
+    SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM full_regs) AS BIGINT) AS n_registers,
+           CAST((SELECT SUM(reg * (bucket + 1)) FROM full_regs) AS BIGINT)
+             AS checksum_full,
+           CAST((SELECT SUM(reg * (bucket + 1)) FROM unioned) AS BIGINT)
+             AS checksum_union
+    """,
+)
+def agg_hll_sketch_portable(spark, sf_dir):
+    """HyperLogLog rebuilt from primitives with EXACT cross-engine
+    register content — completing the portable sketch family (CMS:
+    agg_count_min_sketch, Bloom: agg_bloom_filter_probe, HLL: here;
+    Spark's own hll_sketch_agg is engine-opaque, hence the separate
+    rows-only agg_hll_sketch_union registration). m=64 registers,
+    md5-prefix hash, trailing-zero rank via the integer-only
+    length(bin(w & -w)) trick — no FP anywhere, so sketch content AND
+    the split-build/merge (two half-corpus sketches MAX-merged ==
+    one-pass sketch, the associativity a 1000-executor build relies
+    on) are driver-checkable hash-exact. The ESTIMATE stays FP
+    (harmonic mean) and is gated in pytest at the standard
+    1.04/sqrt(m) error instead."""
+    t = Tables(spark, sf_dir)
+    members = t.orders.select(F.col("o_custkey").alias("k")).distinct()
+    full_regs = _hll_registers(members)
+    half_a = _hll_registers(members.where(F.col("k") % 2 == 0))
+    half_b = _hll_registers(members.where(F.col("k") % 2 == 1))
+    unioned = (
+        half_a.unionByName(half_b).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+
+    def checksum(regs, name):
+        return regs.agg(
+            F.sum(F.col("reg") * (F.col("bucket") + 1)).cast("long").alias(name)
+        )
+
+    return (
+        members.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(
+            full_regs.agg(F.count(F.lit(1)).cast("long").alias("n_registers"))
+        )
+        .crossJoin(checksum(full_regs, "checksum_full"))
+        .crossJoin(checksum(unioned, "checksum_union"))
+    )

@@ -1708,3 +1708,35 @@ class TestPortableMinhash:
         base = F.transform(_token_set("text"), lambda t: F.pmod(_md5_32(t), F.lit(_MERSENNE)))
         sig = docs.select(F.array(*[_perm_min(base, p) for p in range(16)]).alias("s")).first()["s"]
         assert len(set(sig)) > 8, sig
+
+
+class TestPortableHll:
+    def test_estimate_within_standard_error(self, spark):
+        import math
+
+        from helium_etl_lite_spark.queries.aggregates import _hll_registers
+
+        n, m = 5000, 64
+        keys = spark.range(n).select((F.col("id") * 7919 + 13).alias("k"))
+        regs = {r["bucket"]: r["reg"] for r in _hll_registers(keys, m=m).collect()}
+        alpha = 0.709  # alpha_64
+        s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+        est = alpha * m * m / s
+        # 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
+        assert abs(est - n) / n < 3 * 1.04 / math.sqrt(m), est
+
+    def test_merge_equals_one_pass(self, spark):
+        from helium_etl_lite_spark.queries.aggregates import _hll_registers
+
+        keys = spark.range(2000).select((F.col("id") * 31 + 5).alias("k"))
+        full = {(r["bucket"], r["reg"]) for r in _hll_registers(keys).collect()}
+        a = _hll_registers(keys.where(F.col("k") % 3 == 0))
+        b = _hll_registers(keys.where(F.col("k") % 3 != 0))
+        merged = {
+            (r["bucket"], r["reg"])
+            for r in a.unionByName(b)
+            .groupBy("bucket")
+            .agg(F.max("reg").alias("reg"))
+            .collect()
+        }
+        assert merged == full

@@ -138,6 +138,7 @@ HEADLINE_NOTES = {
     "agg_bloom_filter_probe": "bloom build = explode(3)+bit_or two-phase agg (8 rows out); probe joins the BROADCAST 8-word sketch; counts are 1-row aggs",
     "stream_cdc_mirror": "mirror read-back after two availableNow drains is a bare parquet scan — the apply work happened inside foreachBatch, versioned + idempotent",
     "text_dedup_minhash_portable": "same linear LSH dataflow as production (row-local sigs, (band,bucket) window min, per-doc min, verify-keeper-only) with portable hashes — no all-pairs join",
+    "agg_hll_sketch_portable": "register build = two-phase MAX hash agg on 64 buckets (map-side combinable); split/merge and one-pass branches both end in 1-row checksum aggs",
 }
 
 
