@@ -1262,3 +1262,139 @@ def portable_minhash_oracle_sql(
            jaccard AS keeper_jaccard
     FROM ver
     """
+
+
+def simhash_assign_portable(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash near-dup keeper assignment — the SimHash
+    sibling of minhash_dedup_assign_portable, closing the last
+    engine-opaque member of the text near-dup family: a 32-bit SimHash
+    from md5-prefix token hashes (bit b votes sign(Σ ±1); ties >= 0
+    round to 1, deterministically on both engines), pigeonholed into
+    4 x 8-bit bands, per-bucket/per-doc MIN keeper fold (the
+    phash_band_neardup dataflow — no pair materialization), verified
+    by exact bit_count(xor) <= k. Every step is integer-only, so the
+    FULL pipeline hash-matches the generated SQL oracle
+    (simhash_portable_oracle_sql). Production text_dedup_simhash keeps
+    the 64-bit xxhash64 form.
+
+    Scale: one token explode + 32 conditional sums in ONE two-phase
+    hash agg (map-side combinable), then band explode (4 rows/doc) +
+    two MIN aggs + a 1:1 verify join. Docs with empty token sets get
+    simhash votes over the single '' token, matching the oracle.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_token_set(text_col)).alias("tok")
+    )
+    th = _md5_32(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(f"(shiftright(__th, {b}) & 1) = 1"), 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = toks.withColumn("__th", th).groupBy(id_col).agg(*votes)
+    sh = agg.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+                for b in range(32)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(shiftright(simhash, {8 * b}) & 255)").alias(
+                            "bval"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bval")
+    bucket_min = bands.groupBy("band", "bval").agg(
+        F.min(id_col).alias("__bucket_keeper")
+    )
+    cand = (
+        bands.join(bucket_min, ["band", "bval"])
+        .groupBy(id_col, "simhash")
+        .agg(F.min("__bucket_keeper").alias("__cand"))
+    )
+    keeper_hash = sh.select(
+        F.col(id_col).alias("__cand"), F.col("simhash").alias("__cand_sh")
+    )
+    ham = F.bit_count(
+        F.col("simhash").bitwiseXOR(F.col("__cand_sh"))
+    ).cast("long")
+    return cand.join(keeper_hash, "__cand").select(
+        F.col(id_col),
+        F.when(
+            (ham <= k) & (F.col("__cand") != F.col(id_col)), F.col("__cand")
+        )
+        .otherwise(F.col(id_col))
+        .cast("long")
+        .alias("keeper_doc_id"),
+        F.when((ham <= k) & (F.col("__cand") != F.col(id_col)), ham)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hamming"),
+    )
+
+
+def simhash_portable_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of simhash_assign_portable, generated so the 32
+    vote sums and band folds stay one spec in two dialects."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    hbits = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                         AS tok
+                  FROM documents),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th
+           FROM toks),
+    votes AS (SELECT doc_id,
+             {votes}
+              FROM th GROUP BY doc_id),
+    sh AS (SELECT doc_id, {hbits} AS simhash FROM votes),
+    bands AS (SELECT doc_id, simhash, b.band,
+                     (simhash >> (8 * b.band)) & 255 AS bval
+              FROM sh, (SELECT unnest(range(4)) AS band) b),
+    bmin AS (SELECT band, bval, MIN(doc_id) AS bucket_keeper
+             FROM bands GROUP BY band, bval),
+    cand AS (SELECT doc_id, simhash, MIN(bucket_keeper) AS c
+             FROM bands JOIN bmin USING (band, bval)
+             GROUP BY doc_id, simhash),
+    ver AS (SELECT cand.doc_id, cand.c,
+                   bit_count(xor(cand.simhash, s2.simhash)) AS ham
+            FROM cand JOIN sh s2 ON s2.doc_id = cand.c)
+    SELECT doc_id,
+           CAST(CASE WHEN ham <= {k} AND c <> doc_id
+                     THEN c ELSE doc_id END AS BIGINT) AS keeper_doc_id,
+           CAST(CASE WHEN ham <= {k} AND c <> doc_id
+                     THEN ham ELSE 0 END AS BIGINT) AS hamming
+    FROM ver
+    """

@@ -2010,3 +2010,19 @@ def text_dedup_minhash_portable(spark, sf_dir):
     return dedup.minhash_dedup_assign_portable(
         t.documents, num_perm=16, bands=8, jaccard_threshold=0.7
     )
+
+
+@query(
+    "text_dedup_simhash_portable",
+    oracle=dedup.simhash_portable_oracle_sql(k=3),
+)
+def text_dedup_simhash_portable(spark, sf_dir):
+    # SimHash near-dup with a fully driver-checked EXACT pipeline —
+    # the SimHash sibling of text_dedup_minhash_portable: 32-bit
+    # md5-based simhash (deterministic tie rule), 4x8-bit pigeonhole
+    # bands folded straight to a per-doc keeper (no pair blowup),
+    # exact bit_count(xor) <= 3 verify. Production text_dedup_simhash
+    # stays on 64-bit xxhash64; this registration is the cross-engine
+    # spec plus a driver-exact verdict for the whole family.
+    t = Tables(spark, sf_dir)
+    return dedup.simhash_assign_portable(t.documents, k=3)
