@@ -16,6 +16,7 @@ product at scale.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.asof_join import asof_join
 from ..registry import query
@@ -505,4 +506,70 @@ def join_interval_overlap(spark, sf_dir):
         (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo") + 1)
         .cast("long")
         .alias("overlap_days"),
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH probe AS (SELECT event_id AS pid, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+    ref AS (SELECT event_id AS rid, user_id AS ruid, ts AS rts
+            FROM events WHERE event_type = 'view'),
+    cand AS (SELECT p.pid, p.user_id, p.ts, r.rid,
+                    CAST(FLOOR(ABS(epoch(p.ts) - epoch(r.rts))) AS BIGINT) AS adiff,
+                    r.rts
+             FROM probe p JOIN ref r ON p.user_id = r.ruid
+             WHERE ABS(epoch(p.ts) - epoch(r.rts)) <= 3600),
+    best AS (SELECT pid, user_id, ts, rid, adiff,
+                    row_number() OVER (PARTITION BY pid
+                                       ORDER BY adiff, rts, rid) AS rn
+             FROM cand)
+    SELECT pid, user_id, ts, rid AS nearest_view_id,
+           adiff AS abs_delta_s
+    FROM best WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction='nearest' (the pandas merge_asof variant
+    the backward/forward forms don't give): each click matches the
+    closest view by the SAME user within a 1-hour tolerance, ties
+    broken by earlier reference time then id — deterministic, so the
+    whole match is exact-oracle checkable (time deltas are integer
+    epoch seconds). Completes the as-of family: event-order carry-
+    forward (join_asof_event_order), tolerance-bounded backward
+    (join_asof_tolerance), and nearest-either-direction here.
+
+    Scale shape: the candidate stage is a plain user_id equi-join with
+    the tolerance as a residual (the stream-stream interval-join
+    shape) — per-user event lists are bounded in practice; for
+    pathological single-user firehoses the band-bin trick from
+    join_asof_tolerance applies verbatim. Then ONE top-1 window per
+    probe id (high-cardinality key). No BNLJ anywhere; plan-tested."""
+    t = Tables(spark, sf_dir)
+    probe = t.events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    ref = t.events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("rid"),
+        F.col("user_id").alias("ruid"),
+        F.col("ts").alias("rts"),
+    )
+    secs = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    adiff = F.abs(secs("ts") - secs("rts")).cast("long")
+    cand = probe.join(ref, F.col("user_id") == F.col("ruid")).where(
+        F.abs(secs("ts") - secs("rts")) <= 3600
+    )
+    w = W.partitionBy("pid").orderBy("adiff", "rts", "rid")
+    return (
+        cand.select("pid", "user_id", "ts", "rid", adiff.alias("adiff"), "rts")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "pid",
+            "user_id",
+            "ts",
+            F.col("rid").alias("nearest_view_id"),
+            F.col("adiff").alias("abs_delta_s"),
+        )
     )

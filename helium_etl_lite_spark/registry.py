@@ -70,6 +70,7 @@ FRONT_OF_WINDOW: list[str] = [
     "text_dedup_minhash_portable", # full LSH pipeline, exact oracle
     "agg_hll_sketch_portable",    # register-exact HLL + merge proof
     "text_dedup_simhash_portable", # full SimHash pipeline, exact oracle
+    "join_asof_nearest",          # nearest-direction as-of, exact oracle
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,8 +111,8 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_rollup",
     "agg_cube",
     "agg_having",
-    "agg_collect_list_set",
-    # (remaining r4 vintages — agg_percentile, agg_partial_final,
+    # (remaining r4 vintages — agg_collect_list_set, agg_percentile,
+    #  agg_partial_final,
     #  join_multiway_star,
     #  vec_knn_cosine,
     #  agg_argminmax, agg_corr_covar,

@@ -764,3 +764,16 @@ def test_phash_neardup_no_pair_materialization(spark, sf_dir):
     plan = formatted_plan(q("multimodal_phash_neardup", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_equi_join_top1_window(spark, sf_dir):
+    # nearest-direction as-of must ride the user_id equi-key with the
+    # tolerance as residual — no BNLJ — and end in one probe-keyed
+    # window.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("join_asof_nearest", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

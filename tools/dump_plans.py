@@ -140,6 +140,7 @@ HEADLINE_NOTES = {
     "text_dedup_minhash_portable": "same linear LSH dataflow as production (row-local sigs, (band,bucket) window min, per-doc min, verify-keeper-only) with portable hashes — no all-pairs join",
     "agg_hll_sketch_portable": "register build = two-phase MAX hash agg on 64 buckets (map-side combinable); split/merge and one-pass branches both end in 1-row checksum aggs",
     "text_dedup_simhash_portable": "token explode + 32 conditional sums in ONE two-phase agg; 4-row band explode + two MIN aggs + 1:1 verify join — no pair join anywhere",
+    "join_asof_nearest": "user_id equi-join with the tolerance residual (stream-stream interval shape) + ONE top-1 window per probe — no BNLJ",
 }
 
 
