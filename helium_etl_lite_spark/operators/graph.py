@@ -110,3 +110,75 @@ def pagerank(
     nodes.unpersist()
     e.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts on the undirected graph `edges`
+    (self-loops and duplicate/reversed edges tolerated). Returns
+    (node, degree, triangles) — all BIGINT, so exact cross-engine.
+
+    Algorithm: degree-ordered edge orientation ("compact-forward",
+    the standard distributed triangle enumeration — e.g. Cohen 2009,
+    MapReduce graph twiddling; Suri & Vassilvitskii 2011): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, enumerate wedges by self-joining oriented edges on
+    src, and close each wedge with one equi-join back on (src, dst).
+    Orientation bounds every node's out-degree by O(sqrt(m)), so the
+    wedge join is O(m^1.5) total work instead of sum(degree^2) — the
+    difference between a plan that survives a power-law graph at
+    100 TB and one that quadratically explodes on its hub nodes.
+
+    Spark shape: three hash/sort-merge equi-joins on node ids plus
+    one hash agg; the only inequality is a residual filter on an
+    equi-join, never a BNLJ. Each triangle is found exactly once
+    (only the rank-ordered wedge (v, w) matches an oriented edge).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    lower = (
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    oriented = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+        .select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    od = oriented.join(
+        deg.select(F.col("node").alias("dst"), F.col("degree").alias("dd")), "dst"
+    )
+    e1 = od.select(F.col("src"), F.col("dst").alias("v"), F.col("dd").alias("d1"))
+    e2 = od.select(F.col("src"), F.col("dst").alias("w"), F.col("dd").alias("d2"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select(F.col("src").alias("u"), "v", "w")
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node.join(deg, "node").select("node", "degree", "triangles")

@@ -1,0 +1,44 @@
+"""Z-order (Morton curve) clustering for multi-dimensional data skipping.
+
+A 100 TB table can be range-clustered on only ONE sort key; predicates
+on any other column then scan every file. Interleaving the bits of two
+key columns into a single Morton value and range-partitioning + sorting
+on it bounds each file's min/max extent on BOTH dimensions at once, so
+parquet footer stats (and Spark's row-group filter pushdown) skip data
+for predicates on either key — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+layout, expressed with stock repartitionByRange + sortWithinPartitions.
+
+The curve itself is pure integer bit arithmetic, generated here for
+both engines from the same bit-layout loop (the round-8 generated-
+oracle pattern): Spark gets shiftleft/shiftright calls, DuckDB gets
+`<<`/`>>` operators, and both produce the identical BIGINT — which is
+what lets a Z-order query be hash-exact against the oracle.
+"""
+
+from __future__ import annotations
+
+ZBITS = 16  # bits kept per dimension; zval fits in 32 bits << BIGINT
+
+
+def z_interleave_spark_sql(a_expr: str, b_expr: str, bits: int = ZBITS) -> str:
+    """Spark-SQL expression interleaving the low `bits` of two
+    non-negative integer expressions (a even positions, b odd)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright(CAST(({a_expr}) AS BIGINT), {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright(CAST(({b_expr}) AS BIGINT), {i}) & 1, {2 * i + 1})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def z_interleave_duckdb_sql(a_expr: str, b_expr: str, bits: int = ZBITS) -> str:
+    """DuckDB twin of z_interleave_spark_sql — same bit layout, same
+    BIGINT result, operator syntax instead of shift functions."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST(({a_expr}) AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST(({b_expr}) AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -456,3 +456,148 @@ def dq_expectations_report(spark, sf_dir):
         ).alias("r")
     ).select("r.rule", "r.n_violations", "r.n_rows")
     return li_rules.unionByName(od_rules).orderBy("rule")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                      GREATEST(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.degree < db.degree)
+                    OR (da.degree = db.degree AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    od AS (SELECT o.src, o.dst, d.degree AS dd
+           FROM o JOIN deg d ON d.node = o.dst),
+    tri AS (
+      SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      FROM od e1 JOIN od e2
+        ON e1.src = e2.src
+       AND ((e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    pn AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+      ) GROUP BY node
+    )
+    SELECT pn.node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(pn.triangles AS BIGINT) AS triangles
+    FROM pn JOIN deg ON deg.node = pn.node
+    ORDER BY triangles DESC, pn.node ASC LIMIT 15
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting / local clustering structure on the part
+    co-purchase graph (parts sharing an order), the second classic
+    graph signal after PageRank (extras.py:graph_pagerank_topk):
+    community density drives near-dup cluster QA and spam-farm
+    detection in crawl curation. Degree-ordered compact-forward
+    enumeration (operators/graph.py:triangle_counts) keeps the wedge
+    join O(m^1.5) — hub nodes never expand quadratically. Everything
+    is BIGINT counting, so unlike PageRank this iteration-free graph
+    query is hash-exact against the oracle. Edge construction is a
+    co-partitioned self-equi-join on l_orderkey (per-order item
+    counts are bounded, so pair expansion is row-local-bounded)."""
+    from ..operators.graph import triangle_counts
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    pairs = li.join(
+        li.withColumnRenamed("l_partkey", "p2"), "l_orderkey"
+    ).where(F.col("l_partkey") != F.col("p2"))
+    out = triangle_counts(pairs, a_col="l_partkey", b_col="p2")
+    return out.orderBy(F.col("triangles").desc(), F.col("node").asc()).limit(15)
+
+
+@query(
+    "er_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+             lead(p_name, 1) OVER w AS n1, lead(p_partkey, 1) OVER w AS k1,
+             lead(p_name, 2) OVER w AS n2, lead(p_partkey, 2) OVER w AS k2,
+             lead(p_name, 3) OVER w AS n3, lead(p_partkey, 3) OVER w AS k3
+      FROM part
+      WINDOW w AS (PARTITION BY substr(p_name, 1, 1)
+                   ORDER BY p_name, p_partkey)
+    ),
+    cand AS (
+      SELECT p_partkey AS key_a, p_name AS name_a, k1 AS key_b, n1 AS name_b
+      FROM ranked WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT p_partkey, p_name, k2, n2 FROM ranked WHERE n2 IS NOT NULL
+      UNION ALL
+      SELECT p_partkey, p_name, k3, n3 FROM ranked WHERE n3 IS NOT NULL
+    )
+    SELECT key_a, key_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY key_a, key_b
+    """,
+)
+def er_sorted_neighborhood(spark, sf_dir):
+    """Entity resolution / record linkage by the sorted-neighborhood
+    method (Hernandez & Stolfo 1995): sort records on a blocking key,
+    compare each record only to its next w-1 neighbors, match on edit
+    distance. This is the scale-safe ER shape — O(n*w) candidate
+    pairs, never the O(sum(block^2)) blowup of naive key blocking on a
+    hot key (the same hot-bucket class r8 capped in the LSH screen).
+    Spark shape: neighbors come from lead(k) window columns — entirely
+    row-local after ONE sort, no self-join at all; the window is
+    partitioned by the first sort-key character so no single task owns
+    the whole table (boundary pairs across partitions are the method's
+    documented multi-pass tradeoff). levenshtein is built-in on both
+    engines and integer-valued, so the query is hash-exact."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy(F.substring("p_name", 1, 1)).orderBy(
+        "p_name", "p_partkey"
+    )
+    ranked = t.part.select(
+        "p_partkey",
+        "p_name",
+        *[
+            c
+            for k in (1, 2, 3)
+            for c in (
+                F.lead("p_name", k).over(w).alias(f"n{k}"),
+                F.lead("p_partkey", k).over(w).alias(f"k{k}"),
+            )
+        ],
+    )
+    cand = None
+    for k in (1, 2, 3):
+        part_k = ranked.where(F.col(f"n{k}").isNotNull()).select(
+            F.col("p_partkey").alias("key_a"),
+            F.col("p_name").alias("name_a"),
+            F.col(f"k{k}").alias("key_b"),
+            F.col(f"n{k}").alias("name_b"),
+        )
+        cand = part_k if cand is None else cand.unionByName(part_k)
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+    )

@@ -573,3 +573,97 @@ def join_asof_nearest(spark, sf_dir):
             F.col("adiff").alias("abs_delta_s"),
         )
     )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey IN (3, 7)
+    GROUP BY s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Runtime-filter join: the Spark 3 DPP/runtime-bloom pattern made
+    explicit. When the dim side is selectively filtered but too large
+    to broadcast-join outright at 100 TB, the winning plan builds a
+    COMPACT membership sketch of the surviving dim keys (here the
+    re-aggregatable 1024-bit Bloom from agg_bloom_filter_probe,
+    aggregates.py:616 — per-partition bit_or, merge = 32-row bit_or),
+    ships it to every fact task as ONE broadcast row, and drops
+    non-matching fact rows BEFORE the shuffle join. False positives
+    pass the sketch and are removed by the real join, so the result is
+    bit-identical to the plain join — which is exactly what the oracle
+    states. Pruning is row-local bit tests (md5 positions + shiftright
+    on a map-lookup word): no explode, no extra shuffle; the fact-side
+    exchange shrinks from |fact| to |matches| + epsilon. pytest pins
+    the plan (sketch broadcast, pruned exchange) and the survivor
+    count; the driver pins result equality."""
+    t = Tables(spark, sf_dir)
+    dim = t.supplier.where(F.col("s_nationkey").isin(3, 7)).select(
+        "s_suppkey"
+    )
+
+    def pos_at(key_col, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    mbits = dim.select(
+        F.explode(
+            F.array(*[pos_at(F.col("s_suppkey"), j) for j in range(3)])
+        ).alias("pos")
+    )
+    sketch = (
+        mbits.groupBy((F.col("pos") / 32).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("wbits")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "wbits"))
+            ).alias("bm")
+        )
+    )
+    fact = t.lineitem.select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    probed = fact.crossJoin(F.broadcast(sketch))
+    for j in range(3):
+        probed = probed.withColumn(f"p{j}", pos_at(F.col("l_suppkey"), j))
+    bit_tests = " AND ".join(
+        f"(shiftright(coalesce(element_at(bm, CAST(p{j} / 32 AS BIGINT)),"
+        f" CAST(0 AS BIGINT)), CAST(p{j} % 32 AS INT)) & 1) = 1"
+        for j in range(3)
+    )
+    pruned = probed.where(F.expr(bit_tests)).select("l_suppkey", "rev_cents")
+    return (
+        pruned.join(
+            t.supplier.where(F.col("s_nationkey").isin(3, 7)).select("s_suppkey"),
+            pruned["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -2026,3 +2026,109 @@ def text_dedup_simhash_portable(spark, sf_dir):
     # spec plus a driver-exact verdict for the whole family.
     t = Tables(spark, sf_dir)
     return dedup.simhash_assign_portable(t.documents, k=3)
+
+
+def _bitsample_sig_sql(dialect: str, col: str = "embedding", nbits: int = 32) -> str:
+    """Comparison-coded 32-bit signature of a 64-dim vector, generated
+    for both dialects from the same bit layout (bit i set iff element
+    2i+1 > element 2i+2, 1-based): pure float COMPARISONS of stored
+    values — no arithmetic at all — so the signature is bit-identical
+    across engines, unlike any dot-product-based hash."""
+    terms = []
+    for i in range(nbits):
+        a, b = 2 * i + 1, 2 * i + 2
+        if dialect == "spark":
+            terms.append(
+                f"shiftleft(CAST((element_at({col}, {a}) > element_at({col}, {b}))"
+                f" AS BIGINT), {i})"
+            )
+        else:
+            terms.append(
+                f"(CAST(({col}[{a}] > {col}[{b}]) AS BIGINT) << {i})"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+_BITSAMPLE_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, {_bitsample_sig_sql('duckdb')} AS sig FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, sig, CAST(k AS BIGINT) AS band_idx,
+             (sig >> CAST(8 * k AS INTEGER)) & 255 AS band_val
+      FROM sig, unnest(generate_series(0, 3)) AS t(k)
+    ),
+    q AS (SELECT * FROM bands WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, q.sig AS q_sig,
+                      c.vec_id AS c_id, c.sig AS c_sig
+      FROM q JOIN bands c
+        ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+       AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT q_id, c_id AS neighbor_id,
+             CAST(bit_count(xor(q_sig, c_sig)) AS BIGINT) AS hamming
+      FROM cand
+    )
+    SELECT q_id, neighbor_id, hamming, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY hamming ASC, neighbor_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    ORDER BY q_id, rn
+"""
+
+
+@query("vec_ann_bitsample_portable", oracle=_BITSAMPLE_ORACLE)
+def vec_ann_bitsample_portable(spark, sf_dir):
+    """ANN by bit-sampling LSH with an EXACT cross-engine oracle — the
+    first hash-exact member of the ANN family (LSH/IVF/PQ/IVFPQ are
+    rows-only: their float dot products and k-means codebooks are
+    FP-summation-order-specific). Signature = 32 pure comparisons of
+    stored float elements (a +-1 sparse-projection LSH family; bit i =
+    e[2i] > e[2i+1]) — comparisons carry no arithmetic, so both
+    engines compute the identical BIGINT. Candidates by 4x8-bit
+    pigeonhole banding (any pair at hamming <= 3 shares a full band —
+    the multimodal_phash_neardup geometry on embeddings), rerank by
+    exact hamming distance on the full signature, top-5 per query via
+    one bounded window. Plan: row-local signature, explode(4) band
+    table, equi-join on (band_idx, band_val), distinct, window over
+    per-query candidates — no cross join, no FP anywhere after the
+    scan. tests/test_queries.py gates recall of true cosine top-5
+    against this integer path."""
+    t = Tables(spark, sf_dir)
+    sig = t.embeddings.select(
+        "vec_id", F.expr(_bitsample_sig_sql("spark")).alias("sig")
+    )
+    bands = sig.select(
+        "vec_id",
+        "sig",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftright(sig, CAST(8 * band_idx AS INT)) & 255"),
+    )
+    q = bands.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("sig").alias("q_sig"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        q.join(bands, ["band_idx", "band_val"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "q_sig", F.col("vec_id").alias("c_id"), F.col("sig").alias("c_sig"))
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("c_id").alias("neighbor_id"),
+        F.expr("CAST(bit_count(q_sig ^ c_sig) AS BIGINT)").alias("hamming"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    )

@@ -564,3 +564,72 @@ def stream_cdc_mirror(spark, sf_dir):
     q2 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
     q2.awaitTermination(300)
     return mirror.read_mirror(spark, mdir).select("block", "value")
+
+
+from ..operators.zorder import (  # noqa: E402
+    z_interleave_duckdb_sql,
+    z_interleave_spark_sql,
+)
+
+_Z_DUCK = z_interleave_duckdb_sql("l_partkey % 65536", "l_suppkey % 65536")
+
+
+@query(
+    "sink_zorder_cluster",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey, {_Z_DUCK} AS zval
+      FROM lineitem
+    )
+    SELECT CAST(l_suppkey % 10 AS BIGINT) AS supp_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(zval) AS BIGINT) AS sum_zval,
+           CAST(MIN(zval) AS BIGINT) AS min_zval,
+           CAST(MAX(zval) AS BIGINT) AS max_zval
+    FROM z WHERE l_partkey BETWEEN 100 AND 199
+    GROUP BY l_suppkey % 10
+    ORDER BY supp_bucket
+    """,
+)
+def sink_zorder_cluster(spark, sf_dir):
+    """Z-order clustered write + clustered read-back — multi-dim data
+    skipping (operators/zorder.py; the Delta/Iceberg OPTIMIZE ZORDER
+    layout on stock Spark). lineitem is written repartitionByRange +
+    sortWithinPartitions on the Morton interleave of (l_partkey,
+    l_suppkey), so every parquet file covers a narrow zval range and
+    therefore a BOUNDED min/max box on BOTH keys: footer stats prune
+    row groups for predicates on either column, where a single-key
+    sort only prunes its own column. The curve is engine-identical
+    integer bit math (generated for both dialects from one bit-layout
+    loop), so the post-roundtrip filtered aggregate is hash-exact.
+    tests/test_plans.py asserts the layout claim itself: per-file
+    footer extents on the NON-leading dimension shrink vs a
+    single-key sort layout."""
+    out = scratch_dir("sink_zorder") + "/t"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    z = li.withColumn(
+        "zval",
+        F.expr(
+            z_interleave_spark_sql("l_partkey % 65536", "l_suppkey % 65536")
+        ).cast("long"),
+    )
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("l_partkey").between(100, 199))
+        .groupBy((F.col("l_suppkey") % 10).alias("supp_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("zval").alias("sum_zval"),
+            F.min("zval").alias("min_zval"),
+            F.max("zval").alias("max_zval"),
+        )
+        .orderBy("supp_bucket")
+    )
