@@ -42,3 +42,20 @@ def z_interleave_duckdb_sql(a_expr: str, b_expr: str, bits: int = ZBITS) -> str:
         terms.append(f"(((CAST(({a_expr}) AS BIGINT) >> {i}) & 1) << {2 * i})")
         terms.append(f"(((CAST(({b_expr}) AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def minmax_scale_sql(dialect: str, col: str, minv: str, maxv: str,
+                     bits: int = ZBITS) -> str:
+    """Min-max scale an integer expression onto [0, 2^bits), integer
+    arithmetic only (exact cross-engine). Z-ordering REQUIRES this
+    normalization: raw keys with unequal ranges (say 2000 parts vs 100
+    suppliers) make the wide dimension own every high Morton bit, and
+    the curve degenerates into a single-key sort — measured on this
+    very testdata before the fix. Scaling gives both dimensions equal
+    weight at every bit level. Integer division differs by dialect
+    (Spark `DIV`, DuckDB `//`); everything else is shared."""
+    top = (1 << bits) - 1
+    rng = f"GREATEST({maxv} - {minv}, 1)"
+    if dialect == "spark":
+        return f"CAST((({col} - {minv}) * {top}) DIV {rng} AS BIGINT)"
+    return f"CAST((({col} - {minv}) * {top}) // {rng} AS BIGINT)"

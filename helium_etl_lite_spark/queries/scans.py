@@ -567,19 +567,32 @@ def stream_cdc_mirror(spark, sf_dir):
 
 
 from ..operators.zorder import (  # noqa: E402
+    minmax_scale_sql,
     z_interleave_duckdb_sql,
     z_interleave_spark_sql,
 )
 
-_Z_DUCK = z_interleave_duckdb_sql("l_partkey % 65536", "l_suppkey % 65536")
+_Z_DUCK = z_interleave_duckdb_sql(
+    minmax_scale_sql("duckdb", "l_partkey", "pmin", "pmax"),
+    minmax_scale_sql("duckdb", "l_suppkey", "smin", "smax"),
+)
+_Z_SPARK = z_interleave_spark_sql(
+    minmax_scale_sql("spark", "l_partkey", "pmin", "pmax"),
+    minmax_scale_sql("spark", "l_suppkey", "smin", "smax"),
+)
 
 
 @query(
     "sink_zorder_cluster",
     oracle=f"""
-    WITH z AS (
-      SELECT l_partkey, l_suppkey, {_Z_DUCK} AS zval
+    WITH b AS (
+      SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+             MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
       FROM lineitem
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey, {_Z_DUCK} AS zval
+      FROM lineitem, b
     )
     SELECT CAST(l_suppkey % 10 AS BIGINT) AS supp_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -609,12 +622,15 @@ def sink_zorder_cluster(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
-    z = li.withColumn(
-        "zval",
-        F.expr(
-            z_interleave_spark_sql("l_partkey % 65536", "l_suppkey % 65536")
-        ).cast("long"),
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
     )
+    z = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "zval", F.expr(_Z_SPARK).cast("long")
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "zval")
     (
         z.repartitionByRange(8, "zval")
         .sortWithinPartitions("zval")

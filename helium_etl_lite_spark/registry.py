@@ -71,6 +71,11 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_hll_sketch_portable",    # register-exact HLL + merge proof
     "text_dedup_simhash_portable", # full SimHash pipeline, exact oracle
     "join_asof_nearest",          # nearest-direction as-of, exact oracle
+    "graph_triangle_count",       # compact-forward triangles, exact oracle
+    "join_bloom_pruned",          # runtime-bloom-filter join, exact oracle
+    "sink_zorder_cluster",        # Morton-clustered write, exact oracle
+    "er_sorted_neighborhood",     # sorted-neighborhood ER, exact oracle
+    "vec_ann_bitsample_portable", # integer bit-sampling LSH, exact oracle
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -106,12 +111,9 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_groupby_hash",
     "agg_count_distinct",
     "agg_approx_count_distinct",
-    "agg_avg_stddev_var",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    # (remaining r4 vintages — agg_collect_list_set, agg_percentile,
+    # (remaining r4 vintages — agg_avg_stddev_var, agg_grouping_sets,
+    #  agg_rollup, agg_cube, agg_having,
+    #  agg_collect_list_set, agg_percentile,
     #  agg_partial_final,
     #  join_multiway_star,
     #  vec_knn_cosine,

@@ -62,3 +62,12 @@ def scratch_dir(name: str) -> str:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base
+
+
+def scratch_path(name: str) -> str:
+    """Read-only twin of scratch_dir: the path the CURRENT process's
+    scratch for `name` lives at, without wiping or GC — for tests and
+    tools that inspect what a query just wrote (calling scratch_dir
+    again would destroy it)."""
+    root = os.path.join(tempfile.gettempdir(), "helium_spark_scratch")
+    return os.path.join(root, f"{name}.pid{os.getpid()}")

@@ -1805,3 +1805,146 @@ class TestPortableSimhash:
             + " FROM votes"
         ).fetchone()[0]
         assert sh_sql == model(toks)
+
+
+class TestTriangleCounts:
+    def test_k4_plus_pendant(self, spark):
+        from helium_etl_lite_spark.operators.graph import triangle_counts
+
+        # K4 on {1,2,3,4}: 4 triangles total, every node in 3 of them;
+        # pendant node 5 hangs off 1 and joins none. Feed duplicates,
+        # a reversed edge and a self-loop to prove normalization.
+        edges = [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (2, 1),          # reversed duplicate
+            (3, 4), (3, 3),  # duplicate + self-loop
+            (1, 5),
+        ]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: (r["degree"], r["triangles"])
+               for r in triangle_counts(df).collect()}
+        assert got == {1: (4, 3), 2: (3, 3), 3: (3, 3), 4: (3, 3)}
+        # node 5 participates in no triangle, so it has no row
+
+    def test_triangle_free_bipartite(self, spark):
+        from helium_etl_lite_spark.operators.graph import triangle_counts
+
+        # complete bipartite K2,3 is triangle-free
+        edges = [(a, b) for a in (1, 2) for b in (10, 20, 30)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        assert triangle_counts(df).count() == 0
+
+    def test_each_triangle_counted_once(self, spark):
+        from helium_etl_lite_spark.operators.graph import triangle_counts
+
+        # two triangles sharing an edge: {1,2,3} and {2,3,4}
+        edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+        assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+class TestBloomPrunedJoin:
+    def test_equals_plain_join(self, spark, sf_dir):
+        # the bloom prune is semantics-free: false positives die in the
+        # real join, true matches always pass the sketch (no false
+        # negatives by Bloom construction) — so the query must equal
+        # the plain join+agg bit-for-bit inside Spark too, not just
+        # against the DuckDB oracle.
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.tables import Tables
+
+        registry.load_all()
+        got = registry.QUERIES["join_bloom_pruned"](spark, sf_dir)
+        t = Tables(spark, sf_dir)
+        plain = (
+            t.lineitem.join(
+                t.supplier.where(F.col("s_nationkey").isin(3, 7)),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .groupBy("s_suppkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).alias("revenue_cents"),
+            )
+            .orderBy("s_suppkey")
+        )
+        assert got.collect() == plain.collect()
+
+
+class TestBitsamplePortable:
+    def test_planted_near_pair_found_at_rank_one(self, spark, tmp_path):
+        # pigeonhole guarantee made concrete: flip exactly 2 of the 32
+        # comparison bits -> hamming 2 <= 3 -> the pair MUST share a
+        # band and surface as each other's top candidate.
+        import numpy as np
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rng = np.random.RandomState(7)
+        base = rng.randn(64).astype("float32")
+        near = base.copy()
+        for pair in (0, 5):  # swap two element pairs -> flips bits 0 and 5
+            a, b = 2 * pair, 2 * pair + 1
+            near[a], near[b] = near[b], near[a]
+        far = [rng.randn(64).astype("float32") for _ in range(20)]
+        rows = [(0, [float(x) for x in base], 0),
+                (100, [float(x) for x in near], 0)] + [
+            (200 + i, [float(x) for x in v], 1) for i, v in enumerate(far)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = registry.QUERIES["vec_ann_bitsample_portable"](
+            spark, str(tmp_path)
+        ).collect()
+        mine = [r for r in out if r["q_id"] == 0]
+        assert mine, "query vector produced no candidates"
+        top = min(mine, key=lambda r: r["rn"])
+        assert top["neighbor_id"] == 100
+        assert top["hamming"] == 2
+
+    def test_signature_orders_by_similarity_in_expectation(self, spark, sf_dir):
+        # on a diffuse corpus true cosine neighbors are NOT within the
+        # banding radius (measured: mean hamming ~13/32 at sf0.001) —
+        # the honest property of a comparison-coded signature is
+        # ORDERING: cosine top-5 pairs sit measurably closer in hamming
+        # than random pairs.
+        import random
+
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.operators import knn
+        from helium_etl_lite_spark.queries.llm_ops import _bitsample_sig_sql
+        from helium_etl_lite_spark.tables import Tables
+
+        t = Tables(spark, sf_dir)
+        sig = {
+            r["vec_id"]: r["sig"]
+            for r in t.embeddings.selectExpr(
+                "vec_id", _bitsample_sig_sql("spark") + " AS sig"
+            ).collect()
+        }
+        exact = knn.cosine_topk(
+            t.embeddings, t.embeddings.where(F.col("vec_id") < 8), k=5
+        ).collect()
+        ham_top = [
+            bin(sig[r["q_id"]] ^ sig[r["vec_id"]]).count("1") for r in exact
+        ]
+        rnd = random.Random(0)
+        ids = sorted(sig)
+        ham_rand = [
+            bin(sig[rnd.choice(ids)] ^ sig[rnd.choice(ids)]).count("1")
+            for _ in range(1000)
+        ]
+        top_mean = sum(ham_top) / len(ham_top)
+        rand_mean = sum(ham_rand) / len(ham_rand)
+        assert top_mean < rand_mean - 1.0, (top_mean, rand_mean)

@@ -777,3 +777,126 @@ def test_asof_nearest_equi_join_top1_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    # compact-forward triangle enumeration: wedge + closure are equi
+    # joins with residuals — a BNLJ or cartesian here means the
+    # orientation trick regressed and hub nodes explode at scale.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("graph_triangle_count", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_er_sorted_neighborhood_is_join_free(spark, sf_dir):
+    # sorted-neighborhood ER generates candidates from lead() columns:
+    # ONE sort, zero joins. Any Join node means it regressed to the
+    # quadratic block self-join it exists to avoid.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("er_sorted_neighborhood", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_bloom_pruned_join_broadcasts_sketch(spark, sf_dir):
+    # the one-row bloom map must broadcast to the fact scan (never
+    # shuffle the fact to meet the sketch), and the sketch build agg
+    # must combine map-side (per-partition blooms OR together).
+    df = q("join_bloom_pruned", spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_partial_aggregate(df)
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(df)
+    # the 1-row sketch rides the declared broadcast-cross glue
+    # (BuildRight, bounded side); what must never appear is an
+    # unbounded cartesian
+    assert "CartesianProduct" not in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+        assert "BroadcastNestedLoopJoin Cross BuildLeft" not in plan
+
+
+def test_bitsample_band_join_no_cartesian(spark, sf_dir):
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("vec_ann_bitsample_portable", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir):
+    # the claim sink_zorder_cluster makes: after the Morton-clustered
+    # write, EVERY file covers a bounded min/max box on BOTH keys
+    # (footer-stats skipping works for predicates on either), whereas a
+    # single-key sort leaves the second key spanning its full range in
+    # every file.
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.scratch import scratch_path
+    from helium_etl_lite_spark.tables import load_table
+
+    q("sink_zorder_cluster", spark, sf_dir).collect()
+    zfiles = sorted(glob.glob(scratch_path("sink_zorder") + "/t/*.parquet"))
+    assert len(zfiles) >= 4
+
+    def extents(files):
+        out = []
+        for f in files:
+            md = pq.read_metadata(f)
+            mm = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None or col.path_in_schema not in (
+                        "l_partkey",
+                        "l_suppkey",
+                    ):
+                        continue
+                    k = col.path_in_schema
+                    lo, hi = mm.get(k, (st.min, st.max))
+                    mm[k] = (min(lo, st.min), max(hi, st.max))
+            out.append(
+                (
+                    mm["l_partkey"][1] - mm["l_partkey"][0],
+                    mm["l_suppkey"][1] - mm["l_suppkey"][0],
+                )
+            )
+        return out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    p_range = bounds[1] - bounds[0]
+    s_range = bounds[3] - bounds[2]
+
+    single = scratch_path("sink_zorder") + "/single_key"
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(single)
+    )
+    sfiles = sorted(glob.glob(single + "/*.parquet"))
+
+    ze = extents(zfiles)
+    se = extents(sfiles)
+    # Z layout: both dims bounded (measured at sf0.001: supp extents
+    # 2-4 of range 9, mean part extent ~0.57 of range)
+    assert max(s for _, s in ze) <= 0.6 * s_range, ze
+    assert sum(p for p, _ in ze) / len(ze) <= 0.75 * p_range, ze
+    # single-key layout: leading key tightly bounded, second key spans
+    # the FULL range in every file — the blindspot Z-order removes
+    assert all(s == s_range for _, s in se), se

@@ -141,6 +141,11 @@ HEADLINE_NOTES = {
     "agg_hll_sketch_portable": "register build = two-phase MAX hash agg on 64 buckets (map-side combinable); split/merge and one-pass branches both end in 1-row checksum aggs",
     "text_dedup_simhash_portable": "token explode + 32 conditional sums in ONE two-phase agg; 4-row band explode + two MIN aggs + 1:1 verify join — no pair join anywhere",
     "join_asof_nearest": "user_id equi-join with the tolerance residual (stream-stream interval shape) + ONE top-1 window per probe — no BNLJ",
+    "graph_triangle_count": "degree-ordered orientation: wedge self-join and closure are equi-joins with residuals, O(m^1.5) — no BNLJ/cartesian even on hub nodes",
+    "join_bloom_pruned": "1-row bloom map broadcast-cross into the fact scan (row-local bit tests), fact exchange carries only sketch survivors; build agg is two-phase bit_or",
+    "sink_zorder_cluster": "min-max-scaled Morton interleave → repartitionByRange + sortWithinPartitions: every file a bounded box on BOTH keys (footer-stats skipping on either predicate)",
+    "er_sorted_neighborhood": "candidates from lead(k) windows after ONE sort — zero Join nodes; never the quadratic block self-join",
+    "vec_ann_bitsample_portable": "row-local comparison signature → explode(4) band equi-join → hamming window; all-integer, no FP after the scan",
 }
 
 
