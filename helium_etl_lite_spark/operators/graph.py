@@ -182,3 +182,62 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_node.join(deg, "node").select("node", "degree", "triangles")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """`rounds` rounds of k-core peeling on the undirected graph
+    `edges`: each round recomputes degrees over surviving nodes and
+    drops every node with degree < k. Returns the survivors after the
+    last round as (node, core_degree) — all BIGINT, exact cross-engine.
+
+    The peel is the standard iterative k-core algorithm (Batagelj &
+    Zaversnik 2003 made distributed — e.g. the Pregel/GraphX k-core
+    pattern); a round that removes nothing is a fixed point, so with
+    enough rounds the result IS the k-core. The BOUNDED round count is
+    the contract here (it is what a generated SQL oracle can unroll);
+    pytest asserts the fixed point is reached on the test corpus, so
+    the registered query's output is the true core, exactly.
+
+    Scale shape per round: one self-equi-join of the symmetric edge
+    list against the alive set (node ids both sides) + one hash agg —
+    the PageRank iteration cost without the FP. Lineage is truncated
+    every few rounds (localCheckpoint) so the plan stays bounded.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("other"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("other")))
+        .persist()
+    )
+    alive = sym.select("node").distinct()
+    deg = None
+    for r in range(rounds):
+        deg = (
+            sym.join(alive.select(F.col("node")), "node")
+            .join(alive.select(F.col("node").alias("other")), "other")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.where(F.col("d") >= k).select("node")
+        if (r + 1) % 3 == 0:
+            alive = alive.localCheckpoint(eager=True)
+    out = (
+        deg.where(F.col("d") >= k)
+        .select("node", F.col("d").alias("core_degree"))
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return out

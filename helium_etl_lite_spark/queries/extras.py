@@ -601,3 +601,63 @@ def er_sorted_neighborhood(spark, sf_dir):
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
     )
+
+
+_KCORE_K = 60
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of operators/graph.py kcore_peel, UNROLLED: one CTE
+    pair (degree recompute, survivor filter) per peel round, generated
+    from the same (k, rounds) constants the Spark query uses — the
+    round-8 generated-oracle pattern applied to an ITERATIVE algorithm
+    (PageRank stays rows-only because its iterate carries FP sums;
+    the k-core iterate is pure integer counting, so it can be exact)."""
+    s = """
+    WITH edges AS (
+      SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                      GREATEST(l1.l_partkey, l2.l_partkey) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+    ),
+    und AS (SELECT a AS node, b AS other FROM edges
+            UNION ALL SELECT b AS node, a AS other FROM edges),
+    alive0 AS (SELECT DISTINCT node FROM und)"""
+    for r in range(rounds):
+        s += f""",
+    deg{r} AS (SELECT u.node, COUNT(*) AS d FROM und u
+               JOIN alive{r} x ON x.node = u.node
+               JOIN alive{r} y ON y.node = u.other
+               GROUP BY u.node),
+    alive{r + 1} AS (SELECT node FROM deg{r} WHERE d >= {k})"""
+    s += f"""
+    SELECT node, CAST(d AS BIGINT) AS core_degree
+    FROM deg{rounds - 1} WHERE d >= {k}
+    ORDER BY node"""
+    return s
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_peel(spark, sf_dir):
+    """k-core of the part co-purchase graph by bounded-round peeling
+    (operators/graph.py:kcore_peel, k=60, 6 rounds): the third graph
+    signal (PageRank = centrality, triangles = local density, k-core =
+    cohesive-subgraph membership — the standard spam-cluster /
+    community-strength feature in crawl curation). The peel converges
+    on this corpus within the round budget (pytest pins round 5 ==
+    round 6), so the output is the TRUE core; and because the iterate
+    is pure integer counting, the whole iterative algorithm is
+    hash-exact against a generated oracle that unrolls the same six
+    rounds — the only iterative query in the registry with an exact
+    driver verdict."""
+    from ..operators.graph import kcore_peel
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey")
+    pairs = li.join(
+        li.withColumnRenamed("l_partkey", "p2"), "l_orderkey"
+    ).where(F.col("l_partkey") != F.col("p2"))
+    out = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS,
+                     a_col="l_partkey", b_col="p2")
+    return out.orderBy("node")

@@ -2139,3 +2139,109 @@ def vec_ann_bitsample_portable(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .orderBy("q_id", "rn")
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl,
+                     (SELECT COUNT(*) FROM documents) AS n_docs),
+    tfq AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN ('scan', 'merge', 'window')
+            GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok WHERE token IN ('scan', 'merge', 'window')
+            GROUP BY token),
+    contrib AS (
+      SELECT t.doc_id, t.token,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+      FROM tfq t
+      JOIN dfq d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    pivoted AS (
+      SELECT doc_id,
+             SUM(CASE WHEN token = 'scan' THEN c END) AS c_scan,
+             SUM(CASE WHEN token = 'merge' THEN c END) AS c_merge,
+             SUM(CASE WHEN token = 'window' THEN c END) AS c_window
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id,
+           round(COALESCE(c_scan, 0.0) + COALESCE(c_merge, 0.0)
+                 + COALESCE(c_window, 0.0), 6) AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval over the corpus (Robertson-Sparck Jones
+    probabilistic weighting, k1=1.2 b=0.75, Lucene's non-negative
+    ln(1 + .) idf) — the retrieval sibling of text_tfidf and the
+    scoring half of every RAG / contamination-lookup pipeline. FP
+    discipline that makes a 3-term ranker hash-exact: per-(doc, term)
+    contributions are single row-level IEEE expressions (no
+    multi-row float SUM anywhere — tf, df, dl, avgdl are integers or
+    integer ratios), the per-doc fold PIVOTS the three terms into
+    columns and adds them in FIXED left-to-right order, and the
+    ranking key is the ROUNDED score with doc_id tiebreak. Plan: one
+    explode, three hash aggs (tf, df, dl), vocab join on token (AQE
+    may broadcast the 3-row df side), 1-row stats broadcast, top-k
+    via TakeOrderedAndProject — no global sort."""
+    terms = ["scan", "merge", "window"]
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = (
+        tok.agg(F.count(F.lit(1)).cast("double").alias("total_tok"))
+        .crossJoin(t.documents.agg(F.count(F.lit(1)).alias("n_docs")))
+        .select(
+            (F.col("total_tok") / F.col("n_docs").cast("double")).alias("avgdl"),
+            "n_docs",
+        )
+    )
+    inq = tok.where(F.col("token").isin(terms))
+    tfq = inq.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = inq.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tfq.join(dfq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    pivoted = contrib.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == term, F.col("c"))).alias(f"c_{term}")
+            for term in terms
+        ]
+    )
+    score = (
+        F.coalesce(F.col("c_scan"), F.lit(0.0))
+        + F.coalesce(F.col("c_merge"), F.lit(0.0))
+        + F.coalesce(F.col("c_window"), F.lit(0.0))
+    )
+    return (
+        pivoted.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -76,6 +76,8 @@ FRONT_OF_WINDOW: list[str] = [
     "sink_zorder_cluster",        # Morton-clustered write, exact oracle
     "er_sorted_neighborhood",     # sorted-neighborhood ER, exact oracle
     "vec_ann_bitsample_portable", # integer bit-sampling LSH, exact oracle
+    "graph_kcore_peel",           # iterative k-core, exact unrolled oracle
+    "text_bm25_topk",             # BM25 ranked retrieval, exact oracle
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -109,9 +111,8 @@ FRONT_OF_WINDOW: list[str] = [
     "filter_range_and_or_not",
     "agg_global",
     "agg_groupby_hash",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    # (remaining r4 vintages — agg_avg_stddev_var, agg_grouping_sets,
+    # (remaining r4 vintages — agg_count_distinct,
+    #  agg_approx_count_distinct, agg_avg_stddev_var, agg_grouping_sets,
     #  agg_rollup, agg_cube, agg_having,
     #  agg_collect_list_set, agg_percentile,
     #  agg_partial_final,

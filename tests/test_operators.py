@@ -1948,3 +1948,87 @@ class TestBitsamplePortable:
         top_mean = sum(ham_top) / len(ham_top)
         rand_mean = sum(ham_rand) / len(ham_rand)
         assert top_mean < rand_mean - 1.0, (top_mean, rand_mean)
+
+
+class TestKcorePeel:
+    def test_k5_with_pendant_chain(self, spark):
+        from helium_etl_lite_spark.operators.graph import kcore_peel
+
+        # K5 on {1..5} plus chain 5-6-7: at k=3 the chain peels away
+        # over two rounds (7 first, then 6) and the 3-core is exactly
+        # K5, every member at degree 4.
+        k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        edges = k5 + [(5, 6), (6, 7)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["node"]: r["core_degree"]
+               for r in kcore_peel(df, k=3, rounds=4).collect()}
+        assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+    def test_registered_query_is_at_fixed_point(self, spark, sf_dir):
+        # the registry contract says 6 peel rounds; the exactness claim
+        # "this IS the k-core" needs the fixed point reached within the
+        # budget — peel one extra round and require identical output.
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.operators.graph import kcore_peel
+        from helium_etl_lite_spark.queries.extras import (
+            _KCORE_K,
+            _KCORE_ROUNDS,
+        )
+        from helium_etl_lite_spark.tables import Tables
+
+        t = Tables(spark, sf_dir)
+        li = t.lineitem.select("l_orderkey", "l_partkey")
+        pairs = li.join(
+            li.withColumnRenamed("l_partkey", "p2"), "l_orderkey"
+        ).where(F.col("l_partkey") != F.col("p2"))
+        a = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS,
+                       a_col="l_partkey", b_col="p2").orderBy("node").collect()
+        b = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1,
+                       a_col="l_partkey", b_col="p2").orderBy("node").collect()
+        assert a == b
+        assert len(a) > 0
+
+
+class TestBm25:
+    def test_matches_reference_formula_on_tiny_corpus(self, spark, tmp_path):
+        import math
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        docs = [
+            (0, "scan merge window scan", "en", "s", 23),
+            (1, "scan table table table", "en", "s", 22),
+            (2, "group sort filter join", "en", "s", 22),
+            (3, "window window merge scan table sort", "en", "s", 35),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r["bm25"] for r in registry.QUERIES[
+            "text_bm25_topk"](spark, str(tmp_path)).collect()}
+
+        # reference computation, same k1/b/idf convention
+        k1, b = 1.2, 0.75
+        texts = {d[0]: d[1].split(" ") for d in docs}
+        n = len(docs)
+        avgdl = sum(len(v) for v in texts.values()) / n
+        terms = ["scan", "merge", "window"]
+        want = {}
+        for did, toks in texts.items():
+            score = 0.0
+            for term in terms:
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in texts.values() if term in v)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                score += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(toks) / avgdl)
+                )
+            if score:
+                want[did] = round(score, 6)
+        assert set(got) == set(want)
+        for did in want:
+            assert abs(got[did] - want[did]) < 1e-9, did

@@ -900,3 +900,25 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir):
     # single-key layout: leading key tightly bounded, second key spans
     # the FULL range in every file — the blindspot Z-order removes
     assert all(s == s_range for _, s in se), se
+
+
+def test_kcore_rounds_are_equi_joins(spark, sf_dir):
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("graph_kcore_peel", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_no_global_sort(spark, sf_dir):
+    # ranked retrieval must end in TakeOrderedAndProject (bounded
+    # top-k), never a full global Sort; the 1-row stats ride the
+    # declared broadcast-cross glue.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("text_bm25_topk", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan

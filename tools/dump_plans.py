@@ -146,6 +146,8 @@ HEADLINE_NOTES = {
     "sink_zorder_cluster": "min-max-scaled Morton interleave → repartitionByRange + sortWithinPartitions: every file a bounded box on BOTH keys (footer-stats skipping on either predicate)",
     "er_sorted_neighborhood": "candidates from lead(k) windows after ONE sort — zero Join nodes; never the quadratic block self-join",
     "vec_ann_bitsample_portable": "row-local comparison signature → explode(4) band equi-join → hamming window; all-integer, no FP after the scan",
+    "graph_kcore_peel": "six peel rounds, each ONE alive-set equi-join + hash agg on node ids (the PageRank iteration without the FP); checkpointed lineage, no BNLJ",
+    "text_bm25_topk": "one explode, three hash aggs, token vocab join, 1-row stats broadcast-cross, TakeOrderedAndProject top-k — no global sort",
 }
 
 
