@@ -111,6 +111,15 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "agg_count_min_sketch",
     "text_span_dedup_overlap",
     "multimodal_phash_neardup",
+    # r8 second batch: the runtime-bloom join and BM25 (both cheap at
+    # 10x: ~2s each). graph_triangle_count / graph_kcore_peel are NOT
+    # in this lane: at 13s/26s base they would multiply the lane's
+    # total by ~20x and risk the driver's bench budget — their 10x
+    # ratios were measured once manually instead (README, scale-lane
+    # section; replicas are key-disjoint so both scale linearly in
+    # component count by construction).
+    "join_bloom_pruned",
+    "text_bm25_topk",
 ]
 
 

@@ -731,3 +731,156 @@ def phash_band_neardup(
             .alias("hamming"),
         )
     )
+
+
+# --- audio: RIFF/WAV PCM codec (the image family's audio sibling) ----
+#
+# WAV is the natural "baseline codec" for audio the way netpbm is for
+# images: a RIFF container (chunk walk) around raw PCM samples. The
+# encoder synthesizes a deterministic mono PCM16 payload from document
+# text (consecutive byte pairs little-endian, the same
+# fixture-generation move as encode_ppm's pixel plane), and the
+# decoder is a REAL RIFF parser — chunk-id walk with even-padding,
+# fmt validation, fail-stop on truncation / non-PCM — so any external
+# WAV tool (or the stdlib `wave` module, which pytest uses as the
+# known-answer oracle) reads what we write and vice versa.
+
+
+def encode_wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: fmt (PCM, mono, 16-bit) +
+    data. `samples` is int16."""
+    import struct
+
+    pcm = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    if len(pcm) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a RIFF/WAVE byte string: walk chunks (word-aligned, as the
+    spec requires), validate a PCM16 mono/stereo fmt, return samples +
+    format fields. Fail-stop (ValueError) on bad magic, truncated
+    chunks, missing fmt/data, or non-PCM encodings — the E3 missing-
+    payload discipline (reference src/follower.rs:128) applied to a
+    media format."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    declared = struct.unpack("<I", data[4:8])[0]
+    if declared + 8 > len(data):
+        raise ValueError("RIFF size exceeds payload (truncated)")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported encoding (fmt={audio_format}, bits={bits})")
+    if n_channels not in (1, 2) or block_align != 2 * n_channels:
+        raise ValueError("unsupported channel layout")
+    samples = np.frombuffer(pcm[: len(pcm) - len(pcm) % 2], dtype="<i2")
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "bits": int(bits),
+        "samples": samples,
+    }
+
+
+def encode_wav(docs: DataFrame, sample_rate: int = 8000,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Audio twin of encode_ppm: each document's UTF-8 bytes become a
+    mono PCM16 WAV (consecutive byte pairs little-endian; odd tails
+    dropped; empty text yields one zero sample). Deterministic, so a
+    decode query's stats can be restated from the source text by a
+    SQL oracle."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: str) -> bytes:
+            raw = text.encode("utf-8")
+            n = len(raw) // 2
+            if n == 0:
+                samples = np.zeros(1, dtype="<i2")
+            else:
+                samples = (
+                    np.frombuffer(raw[: 2 * n], dtype=np.uint8)
+                    .reshape(n, 2)
+                    .astype(np.int32)
+                )
+                samples = (samples[:, 0] + samples[:, 1] * 256).astype("<i2")
+            return encode_wav_bytes(samples, sample_rate)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        encode, schema="doc_id long, payload binary"
+    )
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_wav_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode WAV payloads to per-asset audio stats: sample counts and
+    format fields plus energy (sum of squared samples) and peak — all
+    INTEGERS, so a decode query over a deterministic corpus is exact
+    cross-engine. Narrow Arrow kernel: binary in, 6 scalar columns
+    out, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                s = d["samples"].astype(np.int64)
+                rows.append(
+                    (
+                        did,
+                        d["sample_rate"],
+                        d["n_channels"],
+                        len(s),
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels",
+                    "n_samples", "sum_sq", "peak",
+                ],
+            )
+
+    return assets.select(id_col, "payload").mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, "
+            "n_samples long, sum_sq long, peak long"
+        ),
+    )

@@ -600,8 +600,11 @@ def join_bloom_pruned(spark, sf_dir):
     non-matching fact rows BEFORE the shuffle join. False positives
     pass the sketch and are removed by the real join, so the result is
     bit-identical to the plain join — which is exactly what the oracle
-    states. Pruning is row-local bit tests (md5 positions + shiftright
-    on a map-lookup word): no explode, no extra shuffle; the fact-side
+    states. Pruning is row-local bit tests (xxhash64 positions +
+    shiftright on a map-lookup word — the hash choice cannot affect
+    the RESULT, only the false-positive rate, so the runtime filter
+    keeps the cheap production hash even in an exact-oracle query):
+    no explode, no extra shuffle; the fact-side
     exchange shrinks from |fact| to |matches| + epsilon. pytest pins
     the plan (sketch broadcast, pruned exchange) and the survivor
     count; the driver pins result equality."""
@@ -611,16 +614,7 @@ def join_bloom_pruned(spark, sf_dir):
     )
 
     def pos_at(key_col, j):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1024
-        )
+        return F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(1024)).cast("long")
 
     mbits = dim.select(
         F.explode(

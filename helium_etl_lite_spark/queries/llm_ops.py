@@ -2245,3 +2245,43 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
+    s AS (SELECT doc_id,
+                 ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+                 + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1)) AS v
+          FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+          WHERE n > 0),
+    agg AS (SELECT doc_id,
+                   COUNT(*) AS n_samples,
+                   SUM(CAST(v AS BIGINT) * v) AS sum_sq,
+                   MAX(v) AS peak
+            FROM s GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(COALESCE(a.n_samples, 1) AS BIGINT) AS n_samples,
+           CAST(COALESCE(a.sum_sq, 0) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(a.peak, 0) AS BIGINT) AS peak
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """,
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """Audio decode through a REAL RIFF/WAV parser — the audio leg of
+    the multimodal codec family (netpbm/BMP/PNG/JPEG images, now WAV
+    PCM; operators/multimodal.py decode_wav: chunk walk with the
+    spec's word alignment, fmt validation, fail-stop on truncation /
+    non-PCM, stdlib-`wave` cross-validated in pytest). Assets are
+    deterministic mono PCM16 synthesized from document bytes
+    (encode_wav), so per-asset energy/peak/count stats are INTEGERS
+    the oracle restates from the source text — the same
+    lossless-transport trick that makes the PPM/PNG decode queries
+    exact where lossy JPEG cannot be. Plan: two narrow Arrow
+    mapInPandas kernels (encode, decode), zero shuffles."""
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_wav(t.documents, sample_rate=8000)
+    return multimodal.decode_wav_assets(assets)

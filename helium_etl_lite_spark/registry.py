@@ -78,6 +78,7 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_ann_bitsample_portable", # integer bit-sampling LSH, exact oracle
     "graph_kcore_peel",           # iterative k-core, exact unrolled oracle
     "text_bm25_topk",             # BM25 ranked retrieval, exact oracle
+    "multimodal_wav_decode",      # RIFF/WAV PCM codec, exact oracle
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,8 +111,7 @@ FRONT_OF_WINDOW: list[str] = [
     "filter_equality",
     "filter_range_and_or_not",
     "agg_global",
-    "agg_groupby_hash",
-    # (remaining r4 vintages — agg_count_distinct,
+    # (remaining r4 vintages — agg_groupby_hash, agg_count_distinct,
     #  agg_approx_count_distinct, agg_avg_stddev_var, agg_grouping_sets,
     #  agg_rollup, agg_cube, agg_having,
     #  agg_collect_list_set, agg_percentile,

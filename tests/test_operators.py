@@ -2032,3 +2032,94 @@ class TestBm25:
         assert set(got) == set(want)
         for did in want:
             assert abs(got[did] - want[did]) < 1e-9, did
+
+
+class TestWavCodec:
+    def test_stdlib_wave_reads_our_output(self):
+        import io
+        import wave
+
+        import numpy as np
+
+        from helium_etl_lite_spark.operators.multimodal import (
+            encode_wav_bytes,
+        )
+
+        s = np.array([0, 1000, -2000, 32767, -32768, 7], dtype="<i2")
+        w = wave.open(io.BytesIO(encode_wav_bytes(s, 16000)))
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth(),
+                w.getnframes()) == (16000, 1, 2, 6)
+        got = np.frombuffer(w.readframes(6), dtype="<i2")
+        assert (got == s).all()
+
+    def test_we_read_stdlib_wave_output(self):
+        import io
+        import wave
+
+        import numpy as np
+
+        from helium_etl_lite_spark.operators.multimodal import decode_wav
+
+        s = np.array([5, -5, 12345, -12345], dtype="<i2")
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(s.tobytes())
+        w.close()
+        d = decode_wav(buf.getvalue())
+        assert d["sample_rate"] == 44100
+        assert d["n_channels"] == 1
+        assert (d["samples"] == s).all()
+
+    def test_fail_stop_on_garbage(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from helium_etl_lite_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_bytes,
+        )
+
+        good = encode_wav_bytes(np.array([1, 2, 3], dtype="<i2"), 8000)
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFX" + good[4:])          # bad magic
+        with pytest.raises(ValueError):
+            decode_wav(good[:20])                   # truncated
+        # declared RIFF size exceeding actual payload
+        bad_sz = good[:4] + struct.pack("<I", len(good) + 100) + good[8:]
+        with pytest.raises(ValueError):
+            decode_wav(bad_sz)
+        # non-PCM encoding (IEEE float = format 3)
+        nonpcm = bytearray(good)
+        nonpcm[20] = 3
+        with pytest.raises(ValueError):
+            decode_wav(bytes(nonpcm))
+
+    def test_chunk_walk_skips_foreign_chunks(self):
+        # a LIST/INFO chunk before fmt/data (common in real files, and
+        # chunks are word-aligned) must be skipped, not break parsing
+        import struct
+
+        import numpy as np
+
+        from helium_etl_lite_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav_bytes,
+        )
+
+        good = encode_wav_bytes(np.array([9, -9, 42], dtype="<i2"), 8000)
+        body = good[12:]
+        foreign = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+        patched = (
+            b"RIFF"
+            + struct.pack("<I", 4 + len(foreign) + len(body))
+            + b"WAVE"
+            + foreign
+            + body
+        )
+        d = decode_wav(patched)
+        assert list(d["samples"]) == [9, -9, 42]

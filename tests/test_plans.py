@@ -922,3 +922,10 @@ def test_bm25_topk_no_global_sort(spark, sf_dir):
     assert "CartesianProduct" not in plan
     if "BroadcastNestedLoopJoin" in plan:
         assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+
+
+def test_wav_decode_shuffle_free(spark, sf_dir):
+    # encode + decode are two narrow Arrow kernels over the scan: no
+    # Exchange anywhere.
+    df = q("multimodal_wav_decode", spark, sf_dir)
+    assert count_shuffles(df) == 0

@@ -148,6 +148,7 @@ HEADLINE_NOTES = {
     "vec_ann_bitsample_portable": "row-local comparison signature → explode(4) band equi-join → hamming window; all-integer, no FP after the scan",
     "graph_kcore_peel": "six peel rounds, each ONE alive-set equi-join + hash agg on node ids (the PageRank iteration without the FP); checkpointed lineage, no BNLJ",
     "text_bm25_topk": "one explode, three hash aggs, token vocab join, 1-row stats broadcast-cross, TakeOrderedAndProject top-k — no global sort",
+    "multimodal_wav_decode": "two narrow Arrow mapInPandas kernels (RIFF encode, RIFF parse) over the documents scan — zero Exchange",
 }
 
 
