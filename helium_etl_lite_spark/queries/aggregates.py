@@ -782,3 +782,46 @@ def agg_hll_sketch_portable(spark, sf_dir):
         .crossJoin(checksum(full_regs, "checksum_full"))
         .crossJoin(checksum(unioned, "checksum_union"))
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN value >= 50 THEN user_id END)
+                AS BIGINT) AS n_big_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via re-aggregatable bitmaps (Spark 4's
+    bitmap_construct_agg family — the ClickHouse/Iceberg segment-
+    bitmap pattern): per (group, bucket-of-2^15-ids) bitmaps built by
+    a map-side-combinable agg, counts summed per group. Same answer
+    as COUNT(DISTINCT) — the oracle — but the bitmap form is what a
+    100 TB rollup stores: per-segment bitmaps MERGE by OR (like the
+    Bloom/HLL/CMS sketches here, but lossless), so daily partials
+    union into monthly exact distincts without ever rescanning facts,
+    and two distinct measures ride one pass. The plain
+    COUNT(DISTINCT) plan must instead re-shuffle raw (group, id)
+    pairs for every merge."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT event_type,
+               SUM(cnt) AS n_users,
+               SUM(cnt_big) AS n_big_users
+        FROM (
+          SELECT event_type, bitmap_bucket_number(user_id) AS b,
+                 bitmap_count(bitmap_construct_agg(
+                   bitmap_bit_position(user_id))) AS cnt,
+                 bitmap_count(bitmap_construct_agg(
+                   CASE WHEN value >= 50
+                        THEN bitmap_bit_position(user_id) END)) AS cnt_big
+          FROM events
+          GROUP BY event_type, bitmap_bucket_number(user_id))
+        GROUP BY event_type ORDER BY event_type
+        """
+    )

@@ -661,3 +661,37 @@ def join_bloom_pruned(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+    """,
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL top-k — 'for each customer, its 2 most
+    expensive orders' written the way an analyst writes it. Catalyst
+    decorrelates the LATERAL subquery with its ORDER BY + LIMIT into a
+    join + per-key rank (the same physical shape as the explicit
+    row_number form in win_row_number_topk_per_group) rather than
+    executing the subquery once per outer row — which is exactly why
+    the declarative form is safe at 100 TB where a per-row re-scan
+    would not be. Deterministic tie-break (price DESC, orderkey ASC)
+    keeps the 2-row cut hash-exact. Customers with no orders drop out
+    (LATERAL without OUTER), matching the oracle."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        """
+    )

@@ -79,6 +79,8 @@ FRONT_OF_WINDOW: list[str] = [
     "graph_kcore_peel",           # iterative k-core, exact unrolled oracle
     "text_bm25_topk",             # BM25 ranked retrieval, exact oracle
     "multimodal_wav_decode",      # RIFF/WAV PCM codec, exact oracle
+    "join_lateral_topk",          # correlated LATERAL top-k, exact oracle
+    "agg_bitmap_distinct",        # re-aggregatable bitmap distinct, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -109,9 +111,8 @@ FRONT_OF_WINDOW: list[str] = [
     # (e) oldest r4 re-confirms (§2.4 core cohort):
     "project_rename_cast",
     "filter_equality",
-    "filter_range_and_or_not",
-    "agg_global",
-    # (remaining r4 vintages — agg_groupby_hash, agg_count_distinct,
+    # (remaining r4 vintages — filter_range_and_or_not, agg_global,
+    #  agg_groupby_hash, agg_count_distinct,
     #  agg_approx_count_distinct, agg_avg_stddev_var, agg_grouping_sets,
     #  agg_rollup, agg_cube, agg_having,
     #  agg_collect_list_set, agg_percentile,

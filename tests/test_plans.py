@@ -929,3 +929,23 @@ def test_wav_decode_shuffle_free(spark, sf_dir):
     # Exchange anywhere.
     df = q("multimodal_wav_decode", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    # the LATERAL ORDER BY+LIMIT must decorrelate into a join + ranked
+    # window with map-side WindowGroupLimit pruning — never a per-outer-
+    # row subquery re-scan (which would show as BNLJ/CartesianProduct).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_lateral_topk", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_two_phase(spark, sf_dir):
+    # bitmap_construct_agg must combine map-side (partial bitmaps OR
+    # together) — that merge-by-OR is the whole reason to prefer it
+    # over COUNT(DISTINCT)'s raw-pair reshuffle.
+    df = q("agg_bitmap_distinct", spark, sf_dir)
+    assert_partial_aggregate(df)

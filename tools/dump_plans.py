@@ -149,6 +149,8 @@ HEADLINE_NOTES = {
     "graph_kcore_peel": "six peel rounds, each ONE alive-set equi-join + hash agg on node ids (the PageRank iteration without the FP); checkpointed lineage, no BNLJ",
     "text_bm25_topk": "one explode, three hash aggs, token vocab join, 1-row stats broadcast-cross, TakeOrderedAndProject top-k — no global sort",
     "multimodal_wav_decode": "two narrow Arrow mapInPandas kernels (RIFF encode, RIFF parse) over the documents scan — zero Exchange",
+    "join_lateral_topk": "LATERAL ORDER BY+LIMIT decorrelated to hash join + Window with map-side WindowGroupLimit pruning — never a per-row subquery re-scan",
+    "agg_bitmap_distinct": "per-(group, id-bucket) bitmap_construct_agg with map-side partial merge-by-OR, then a bounded per-group SUM — no raw-pair distinct reshuffle",
 }
 
 
