@@ -49,13 +49,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
     # r8 rotation (r7 verdict directive 5: oldest vintages first).
-    # Priority: (1) r8 first-time registrations, (2) r8-changed
+    # Priority: (1) r8 first-time registrations (24 of them — the
+    # second r8 build session added triangles/k-core/bloom-join/
+    # Z-order/ER/bitsample/BM25/WAV/lateral/bitmap), (2) r8-changed
     # queries, (3) EVERY remaining r2/r3-vintage verdict (the full
-    # cohort, not just the §2.4 core — after this round no verdict on
-    # record is older than r4), (4) the oldest r4 re-confirms up to
-    # the 50-slot boundary (the ~23 remaining r4s roll to r9). All 23
-    # r7-window queries were confirmed clean in CORRECTNESS_r07 and
-    # rotate out.
+    # cohort — after this round no verdict on record is older than
+    # r4), (4) the oldest r4 re-confirms up to the 50-slot boundary
+    # (the remaining ~31 r4s roll to r9). All 23 r7-window queries
+    # were confirmed clean in CORRECTNESS_r07 and rotate out.
     # (a) NEW in r8:
     "report_forecast_revenue",    # TPC-H Q6
     "report_min_cost_supplier",   # TPC-H Q2
