@@ -1052,3 +1052,109 @@ def pq_ann_rerank(
         .where(F.col("rn") <= k_neighbors)
         .select("q_id", "vec_id", "l2_dist", "rn")
     )
+
+
+def kmeans_portable_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    scale: int = 10000,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tasks: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means whose EVERY intermediate is an integer-valued
+    double, so the whole iterative algorithm is bit-exact across
+    engines (the graph_kcore_peel trick applied to clustering).
+
+    Exactness argument: elements quantize to round(x*scale) — one IEEE
+    multiply + one half-away-from-zero round, both engine-identical.
+    From there all arithmetic is on integer-valued doubles: squared-L2
+    distances via dot(q,q) - 2*dot(q,c) + dot(c,c) stay below 2^53
+    (|q| <= ~scale, dim 64 => dist <= 64*(2*scale)^2 ~ 2.6e13), so
+    float summation is EXACT in any order — no FP-environment
+    dependence, unlike the plain `vec_kmeans`/`lloyd_refine` path
+    whose mean re-centering carries order-dependent double sums.
+    Re-centering uses floor(sum/count): sum is an exact integer-valued
+    double (N*scale bounds), the single division is IEEE-deterministic,
+    and floor pins the result back to an integer — both engines agree.
+    Ties in assignment break on centroid_id; empty clusters drop out
+    of the next round identically on both sides.
+
+    Scale posture: assignment = broadcast of K centroid rows against a
+    repartitioned fact side (O(N*K) map work, no shuffle of N);
+    re-centering = posexplode to (centroid, dim) and ONE hash agg with
+    map-side partials (N*dim narrow rows); per-round driver traffic is
+    the K-row centroid localCheckpoint only. Inertia output is BIGINT:
+    per-point dist <= 2.6e13 at scale=1e4 keeps even a 1e5-member sum
+    far from the 9.2e18 int64 edge (1e9 members per cluster still
+    fits by ~350x headroom at scale=1e3; callers at extreme N shrink
+    `scale`).
+
+    Returns (per_cluster_stats, final_centroids): stats has
+    centroid_id / n_members / inertia_q (BIGINT).
+    """
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        ).alias("q"),
+    )
+    q = q.repartition(n_tasks).localCheckpoint(eager=False)
+    cents = q.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+    )
+
+    def _assign(points: DataFrame, cs: DataFrame) -> DataFrame:
+        d = (
+            F.aggregate(F.zip_with("q", "q", lambda x, y: x * y),
+                        F.lit(0.0), lambda a, x: a + x)
+            - 2.0 * F.aggregate(F.zip_with("q", "cq", lambda x, y: x * y),
+                                F.lit(0.0), lambda a, x: a + x)
+            + F.aggregate(F.zip_with("cq", "cq", lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        )
+        pairs = points.join(F.broadcast(cs)).withColumn("dist", d)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "q", "centroid_id", "dist")
+        )
+
+    for _ in range(rounds):
+        best = _assign(q, cents)
+        sums = (
+            best.select("centroid_id", F.posexplode("q").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = (
+            sums.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                (F.floor(F.col("s") / F.col("n"))).cast("double").alias("cv"),
+                            )
+                        )
+                    ),
+                    lambda st: st.getField("cv"),
+                ).alias("cq")
+            )
+        ).localCheckpoint(eager=True)
+
+    final = _assign(q, cents)
+    stats = (
+        final.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia_q"),
+        )
+        .orderBy("centroid_id")
+    )
+    return stats, cents

@@ -2285,3 +2285,86 @@ def multimodal_wav_decode(spark, sf_dir):
     t = Tables(spark, sf_dir)
     assets = multimodal.encode_wav(t.documents, sample_rate=8000)
     return multimodal.decode_wav_assets(assets)
+
+
+_KMP_K = 8
+_KMP_SCALE = 10000
+_KMP_ROUNDS = 2
+_KMP_DIM = 64
+
+
+def _kmeans_portable_oracle_sql(k: int, scale: int, rounds: int, dim: int) -> str:
+    """DuckDB twin of operators/knn.py kmeans_portable_quantized,
+    UNROLLED: one (assign, re-center) CTE pair per Lloyd round,
+    generated from the same (k, scale, rounds, dim) constants the
+    Spark query uses — the generated-oracle pattern (kcore/minhash/
+    simhash/HLL) applied to CLUSTERING. Exact because every
+    intermediate is an integer-valued double below 2^53 (see the
+    operator docstring for the bounds argument): dot products of
+    quantized vectors, integer squared distances, floor(sum/count)
+    re-centering — no order-dependent float summation anywhere."""
+    dist = (
+        "list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.cq)"
+        " + list_dot_product(c.cq, c.cq)"
+    )
+    s = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {scale}.0)) AS q
+      FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {dim})) AS idx),
+    c0 AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < {k})"""
+    for r in range(rounds):
+        s += f""",
+    best{r} AS (
+      SELECT vec_id, q, centroid_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, c{r} c) WHERE rn = 1),
+    c{r + 1} AS (
+      SELECT centroid_id, list(CAST(floor(s / n) AS DOUBLE) ORDER BY idx) AS cq
+      FROM (SELECT centroid_id, idx, SUM(q[idx]) AS s, COUNT(*) AS n
+            FROM best{r}, dims GROUP BY centroid_id, idx)
+      GROUP BY centroid_id)"""
+    s += f""",
+    final_best AS (
+      SELECT vec_id, centroid_id, dist FROM (
+        SELECT v.vec_id, c.centroid_id, {dist} AS dist,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, c{rounds} c) WHERE rn = 1)
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia_q
+    FROM final_best GROUP BY centroid_id ORDER BY centroid_id"""
+    return s
+
+
+@query(
+    "vec_kmeans_portable",
+    oracle=_kmeans_portable_oracle_sql(_KMP_K, _KMP_SCALE, _KMP_ROUNDS, _KMP_DIM),
+)
+def vec_kmeans_portable(spark, sf_dir):
+    """Distributed Lloyd k-means with a DRIVER-EXACT unrolled oracle —
+    the first clustering algorithm in the registry with a hash-exact
+    verdict (vec_kmeans stays rows-only: its mean re-centering sums
+    doubles in engine-specific order). The integerization trick:
+    quantize once (round(x*1e4) — IEEE multiply + half-away round,
+    engine-identical), then every distance, member sum and
+    floor(sum/count) centroid is an integer-valued double below 2^53,
+    where float arithmetic is EXACT in any summation order. Same
+    Lloyd semantics, deterministic ties on centroid_id. Plan per
+    round: K-row centroid broadcast against the repartitioned fact
+    side (no N-row shuffle), posexplode + ONE map-side-combinable
+    hash agg for re-centering, K-row localCheckpoint — the
+    billion-vector codebook-training shape (operators/knn.py
+    kmeans_portable_quantized; pq_train uses the same loop with
+    engine-native floats where exactness isn't required)."""
+    from ..operators.knn import kmeans_portable_quantized
+
+    t = Tables(spark, sf_dir)
+    stats, _cents = kmeans_portable_quantized(
+        t.embeddings, k=_KMP_K, scale=_KMP_SCALE, rounds=_KMP_ROUNDS
+    )
+    return stats

@@ -171,6 +171,78 @@ class TestKnn:
         assert lists.select("vec_id").distinct().count() == vecs.count()
 
 
+class TestKmeansPortable:
+    """kmeans_portable_quantized vs an independent numpy model of the
+    same quantized-Lloyd spec — the operator's exactness claim is that
+    EVERY engine computes these integers identically, so the test
+    model recomputes them from scratch (half-away rounding, integer
+    squared distances, floor(sum/count) re-centering, centroid-id
+    ties)."""
+
+    SCALE = 1000
+
+    @pytest.fixture()
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        self._emb = rng.uniform(-0.5, 0.5, size=(12, 4)).astype("float32")
+        rows = [(i, [float(x) for x in self._emb[i]]) for i in range(12)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _numpy_model(self, emb, k, rounds, scale):
+        import numpy as np
+
+        v = emb.astype("float64") * scale
+        q = np.sign(v) * np.floor(np.abs(v) + 0.5)  # half away from zero
+        cents = {i: q[i].copy() for i in range(k)}
+
+        def assign():
+            out = {}
+            for i in range(len(q)):
+                best = min(
+                    cents.items(),
+                    key=lambda kv: (float(np.sum((q[i] - kv[1]) ** 2)), kv[0]),
+                )
+                out[i] = (best[0], float(np.sum((q[i] - best[1]) ** 2)))
+            return out
+
+        for _ in range(rounds):
+            a = assign()
+            new = {}
+            for cid in set(c for c, _ in a.values()):
+                members = [q[i] for i, (c, _) in a.items() if c == cid]
+                new[cid] = np.floor(np.sum(members, axis=0) / len(members))
+            cents = new
+        final = assign()
+        stats = {}
+        for i, (c, d) in final.items():
+            n, s = stats.get(c, (0, 0))
+            stats[c] = (n + 1, s + int(d))
+        return stats
+
+    def test_matches_numpy_model(self, spark, vecs):
+        stats, _ = knn.kmeans_portable_quantized(
+            vecs, k=2, scale=self.SCALE, rounds=2, n_tasks=4
+        )
+        got = {r["centroid_id"]: (r["n_members"], r["inertia_q"]) for r in stats.collect()}
+        want = self._numpy_model(self._emb, k=2, rounds=2, scale=self.SCALE)
+        assert got == want
+
+    def test_inertia_monotone_over_rounds(self, spark, vecs):
+        # Lloyd's algorithm never increases total inertia: each assign
+        # step is optimal given centroids, each re-center is optimal
+        # given assignments (floor() perturbs by <1 quantum per dim —
+        # negligible against these inertia magnitudes).
+        totals = []
+        for r in (1, 2, 3):
+            stats, _ = knn.kmeans_portable_quantized(
+                vecs, k=2, scale=self.SCALE, rounds=r, n_tasks=4
+            )
+            totals.append(sum(row["inertia_q"] for row in stats.collect()))
+        assert totals[0] >= totals[1] >= totals[2]
+
+
 class TestText:
     def test_quality_features(self, spark, docs):
         out = {r["doc_id"]: r for r in text.quality_features(docs).collect()}
