@@ -1158,3 +1158,93 @@ def kmeans_portable_quantized(
         .orderBy("centroid_id")
     )
     return stats, cents
+
+
+def ann_topk_ivf_portable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    scale: int = 10000,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tasks: int = 32,
+) -> DataFrame:
+    """IVF ANN whose ENTIRE train -> build -> probe path is integer-
+    exact (codebook from kmeans_portable_quantized, assignment and
+    re-ranking on quantized squared distances), so unlike ann_topk_ivf
+    the probe result is bit-identical across engines and carries an
+    exact driver oracle. Same plan economics as the float IVF:
+    candidates come from an equi-join on list_id — per-query work is
+    the nprobe/n_lists fraction of the corpus, never a cross join;
+    the codebook (n_lists rows) broadcasts both for the list build
+    and the query-side probe selection.
+
+    Approximation contract is IVF's own (a true neighbor whose list
+    isn't probed is missed — pytest pins nprobe=n_lists == exact
+    brute force); the EXACTNESS claim is about determinism, not
+    recall. Ties: probe lists on centroid_id, neighbors on vec_id.
+    """
+    stats_unused, cents = kmeans_portable_quantized(
+        vectors, k=n_lists, scale=scale, rounds=rounds,
+        id_col=id_col, vec_col=vec_col, n_tasks=n_tasks,
+    )
+
+    qv = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        ).alias("q"),
+    ).repartition(n_tasks)
+
+    def _sq(a: str, b: str):
+        return (
+            F.aggregate(F.zip_with(a, a, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            - 2.0 * F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x)
+            + F.aggregate(F.zip_with(b, b, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        )
+
+    # Inverted lists: every vector -> nearest codebook entry.
+    lw = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    lists = (
+        qv.join(F.broadcast(cents))
+        .withColumn("dist", _sq("q", "cq"))
+        .withColumn("rn", F.row_number().over(lw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("centroid_id").alias("list_id"))
+    )
+
+    # Probe: nprobe nearest lists per query.
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        ).alias("qq"),
+    )
+    pw = Window.partitionBy("q_id").orderBy(
+        F.col("pdist").asc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        qq.join(F.broadcast(cents))
+        .withColumn("pdist", _sq("qq", "cq"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= nprobe)
+        .select("q_id", "qq", F.col("centroid_id").alias("list_id"))
+    )
+
+    cand = probe.join(lists, "list_id").where(F.col("q_id") != F.col("vec_id"))
+    scored = cand.withColumn("dist_q", _sq("qq", "q").cast("long"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist_q").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "dist_q", "rn")
+        .orderBy("q_id", "rn")
+    )

@@ -2293,20 +2293,19 @@ _KMP_ROUNDS = 2
 _KMP_DIM = 64
 
 
-def _kmeans_portable_oracle_sql(k: int, scale: int, rounds: int, dim: int) -> str:
-    """DuckDB twin of operators/knn.py kmeans_portable_quantized,
-    UNROLLED: one (assign, re-center) CTE pair per Lloyd round,
-    generated from the same (k, scale, rounds, dim) constants the
-    Spark query uses — the generated-oracle pattern (kcore/minhash/
-    simhash/HLL) applied to CLUSTERING. Exact because every
-    intermediate is an integer-valued double below 2^53 (see the
-    operator docstring for the bounds argument): dot products of
-    quantized vectors, integer squared distances, floor(sum/count)
-    re-centering — no order-dependent float summation anywhere."""
-    dist = (
-        "list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.cq)"
-        " + list_dot_product(c.cq, c.cq)"
-    )
+_KMP_DIST = (
+    "list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.cq)"
+    " + list_dot_product(c.cq, c.cq)"
+)
+
+
+def _kmp_cte_prefix(k: int, scale: int, rounds: int, dim: int) -> str:
+    """Shared generated-CTE prefix for the portable-kmeans family:
+    quantized vectors `v` plus `rounds` unrolled Lloyd (assign,
+    re-center) pairs ending in codebook `c{rounds}`. Both
+    vec_kmeans_portable and vec_ann_ivf_portable splice their own
+    tail onto this, so the two oracles can never drift apart."""
+    dist = _KMP_DIST
     s = f"""
     WITH v AS (
       SELECT vec_id,
@@ -2328,6 +2327,21 @@ def _kmeans_portable_oracle_sql(k: int, scale: int, rounds: int, dim: int) -> st
       FROM (SELECT centroid_id, idx, SUM(q[idx]) AS s, COUNT(*) AS n
             FROM best{r}, dims GROUP BY centroid_id, idx)
       GROUP BY centroid_id)"""
+    return s
+
+
+def _kmeans_portable_oracle_sql(k: int, scale: int, rounds: int, dim: int) -> str:
+    """DuckDB twin of operators/knn.py kmeans_portable_quantized,
+    UNROLLED: one (assign, re-center) CTE pair per Lloyd round,
+    generated from the same (k, scale, rounds, dim) constants the
+    Spark query uses — the generated-oracle pattern (kcore/minhash/
+    simhash/HLL) applied to CLUSTERING. Exact because every
+    intermediate is an integer-valued double below 2^53 (see the
+    operator docstring for the bounds argument): dot products of
+    quantized vectors, integer squared distances, floor(sum/count)
+    re-centering — no order-dependent float summation anywhere."""
+    dist = _KMP_DIST
+    s = _kmp_cte_prefix(k, scale, rounds, dim)
     s += f""",
     final_best AS (
       SELECT vec_id, centroid_id, dist FROM (
@@ -2368,3 +2382,87 @@ def vec_kmeans_portable(spark, sf_dir):
         t.embeddings, k=_KMP_K, scale=_KMP_SCALE, rounds=_KMP_ROUNDS
     )
     return stats
+
+
+_IVFP_NPROBE = 3
+_IVFP_TOPK = 10
+_IVFP_NQ = 5
+
+
+def _ivf_portable_oracle_sql(
+    n_lists: int, scale: int, rounds: int, dim: int, nq: int, nprobe: int, k: int
+) -> str:
+    """DuckDB twin of operators/knn.py ann_topk_ivf_portable: splices
+    list build + probe + re-rank onto the shared portable-kmeans CTE
+    prefix, so codebook training and probing are verified in ONE
+    generated statement."""
+    dist = _KMP_DIST
+    qdist = (
+        "list_dot_product(t.qq, t.qq) - 2*list_dot_product(t.qq, c.cq)"
+        " + list_dot_product(c.cq, c.cq)"
+    )
+    s = _kmp_cte_prefix(n_lists, scale, rounds, dim)
+    s += f""",
+    lists AS (
+      SELECT vec_id, q, centroid_id AS list_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, c{rounds} c) WHERE rn = 1),
+    qv AS (SELECT vec_id AS q_id, q AS qq FROM v WHERE vec_id < {nq}),
+    probe AS (
+      SELECT q_id, qq, centroid_id AS list_id FROM (
+        SELECT t.q_id, t.qq, c.centroid_id,
+               row_number() OVER (PARTITION BY t.q_id
+                                  ORDER BY {qdist} ASC, c.centroid_id ASC) AS rn
+        FROM qv t, c{rounds} c) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.q_id, l.vec_id,
+             CAST(list_dot_product(p.qq, p.qq)
+                  - 2*list_dot_product(p.qq, l.q)
+                  + list_dot_product(l.q, l.q) AS BIGINT) AS dist_q
+      FROM probe p JOIN lists l
+        ON p.list_id = l.list_id AND p.q_id <> l.vec_id)
+    SELECT q_id, vec_id, dist_q, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist_q ASC, vec_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= {k}
+    ORDER BY q_id, rn"""
+    return s
+
+
+@query(
+    "vec_ann_ivf_portable",
+    oracle=_ivf_portable_oracle_sql(
+        _KMP_K, _KMP_SCALE, _KMP_ROUNDS, _KMP_DIM, _IVFP_NQ, _IVFP_NPROBE, _IVFP_TOPK
+    ),
+)
+def vec_ann_ivf_portable(spark, sf_dir):
+    """IVF ANN with a DRIVER-EXACT oracle over the ENTIRE train ->
+    build -> probe path — the real-IVF counterpart of
+    vec_ann_bitsample_portable, and the answer to why the float ANN
+    family (vec_ann_ivf/pq/ivfpq) is rows-only: swap the
+    FP-order-specific codebook for the integer-exact one
+    (vec_kmeans_portable's) and every stage becomes bit-identical
+    across engines, including which lists each query probes and the
+    quantized re-rank distances. Same scale shape as production IVF —
+    codebook broadcast (n_lists rows), inverted-list equi-join on
+    list_id, per-query work = nprobe/n_lists of the corpus. The
+    recall contract is pinned in pytest (nprobe=n_lists == integer
+    brute force; partial probe recall vs that baseline), the
+    DETERMINISM contract by this oracle (operators/knn.py
+    ann_topk_ivf_portable)."""
+    from ..operators.knn import ann_topk_ivf_portable
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return ann_topk_ivf_portable(
+        emb,
+        emb.where(F.col("vec_id") < _IVFP_NQ),
+        k=_IVFP_TOPK,
+        n_lists=_KMP_K,
+        nprobe=_IVFP_NPROBE,
+        scale=_KMP_SCALE,
+        rounds=_KMP_ROUNDS,
+    )

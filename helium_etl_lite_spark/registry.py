@@ -83,6 +83,7 @@ FRONT_OF_WINDOW: list[str] = [
     "join_lateral_topk",          # correlated LATERAL top-k, exact oracle
     "agg_bitmap_distinct",        # re-aggregatable bitmap distinct, exact
     "vec_kmeans_portable",        # integer-exact Lloyd k-means, exact oracle
+    "vec_ann_ivf_portable",       # integer-exact IVF train+probe, exact oracle
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,9 +111,10 @@ FRONT_OF_WINDOW: list[str] = [
     "text_vocab_prune",
     "source_csv_roundtrip",
     "vec_quantize_int8",
-    # (e) oldest r4 re-confirms (§2.4 core cohort):
-    "project_rename_cast",
-    # (remaining r4 vintages — filter_equality, filter_range_and_or_not, agg_global,
+    # (e) r4 re-confirms: none this round — both tail slots went to the
+    # new portable exact queries above.
+    # (remaining r4 vintages — project_rename_cast, filter_equality,
+    #  filter_range_and_or_not, agg_global,
     #  agg_groupby_hash, agg_count_distinct,
     #  agg_approx_count_distinct, agg_avg_stddev_var, agg_grouping_sets,
     #  agg_rollup, agg_cube, agg_having,

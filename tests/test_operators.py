@@ -229,6 +229,50 @@ class TestKmeansPortable:
         want = self._numpy_model(self._emb, k=2, rounds=2, scale=self.SCALE)
         assert got == want
 
+    def test_ivf_portable_full_probe_equals_brute_force(self, spark, vecs):
+        # nprobe == n_lists removes the approximation: the probe must
+        # return exactly the integer-distance brute-force top-k.
+        out = knn.ann_topk_ivf_portable(
+            vecs, vecs.where(F.col("vec_id") < 2), k=3,
+            n_lists=2, nprobe=2, scale=self.SCALE, rounds=1, n_tasks=4,
+        ).collect()
+        import numpy as np
+
+        v = self._emb.astype("float64") * self.SCALE
+        q = np.sign(v) * np.floor(np.abs(v) + 0.5)
+        for qid in (0, 1):
+            dists = sorted(
+                (int(np.sum((q[qid] - q[j]) ** 2)), j)
+                for j in range(len(q)) if j != qid
+            )
+            want = [(j, d) for d, j in dists[:3]]
+            got = [
+                (r["vec_id"], r["dist_q"])
+                for r in sorted(
+                    (r for r in out if r["q_id"] == qid), key=lambda r: r["rn"]
+                )
+            ]
+            assert got == want
+
+    def test_ivf_portable_partial_probe_is_subset(self, spark, vecs):
+        # nprobe < n_lists may MISS neighbors but must never invent
+        # one: every returned (q, neighbor, dist) also appears in the
+        # full-probe result with the same exact distance.
+        full = {
+            (r["q_id"], r["vec_id"]): r["dist_q"]
+            for r in knn.ann_topk_ivf_portable(
+                vecs, vecs.where(F.col("vec_id") < 2), k=12,
+                n_lists=3, nprobe=3, scale=self.SCALE, rounds=1, n_tasks=4,
+            ).collect()
+        }
+        part = knn.ann_topk_ivf_portable(
+            vecs, vecs.where(F.col("vec_id") < 2), k=12,
+            n_lists=3, nprobe=1, scale=self.SCALE, rounds=1, n_tasks=4,
+        ).collect()
+        assert part  # probe of the query's own nearest list is never empty
+        for r in part:
+            assert full[(r["q_id"], r["vec_id"])] == r["dist_q"]
+
     def test_inertia_monotone_over_rounds(self, spark, vecs):
         # Lloyd's algorithm never increases total inertia: each assign
         # step is optimal given centroids, each re-center is optimal
