@@ -825,3 +825,64 @@ def agg_bitmap_distinct(spark, sf_dir):
         GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+@query(
+    "agg_bitmap_setops",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                                      THEN user_id END) AS BIGINT) AS n_first,
+             CAST(COUNT(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                                      THEN user_id END) AS BIGINT) AS n_second,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_union
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_first, n_second, n_union,
+           n_first + n_second - n_union AS n_retained,
+           n_union - n_second AS n_churned
+    FROM base ORDER BY event_type
+    """,
+)
+def agg_bitmap_setops(spark, sf_dir):
+    """Period-over-period retention via BITMAP SET ALGEBRA — the merge
+    story that makes agg_bitmap_distinct's per-segment bitmaps worth
+    storing. Spark 4 ships construct/or_agg/count but no bitmap AND,
+    so intersection rides inclusion-exclusion per 2^15-id bucket:
+    |A∩B| = |A| + |B| - |A∪B|, where |A∪B| comes from bitmap_or_agg
+    MERGING the two periods' already-built bitmaps — at 100 TB the
+    periods are daily rollup partials and this outer query never
+    rescans facts, exactly how ClickHouse/Iceberg segment bitmaps
+    compute retention/churn. All counts are integers; the oracle
+    restates the same measures from raw COUNT(DISTINCT ...) — the
+    lossless-sketch contract (same answer, mergeable
+    representation). Plan: two hash aggs (per-period bitmaps, OR-
+    merge), then a bucket-sum — every stage map-side combinable."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT event_type,
+                 CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN 'a' ELSE 'b' END AS period,
+                 bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm,
+                 bitmap_count(bitmap_construct_agg(
+                   bitmap_bit_position(user_id))) AS cnt
+          FROM events GROUP BY 1, 2, 3),
+        merged AS (
+          SELECT event_type, bkt,
+                 bitmap_count(bitmap_or_agg(bm)) AS cnt_u,
+                 SUM(CASE WHEN period = 'a' THEN cnt ELSE 0 END) AS cnt_a,
+                 SUM(CASE WHEN period = 'b' THEN cnt ELSE 0 END) AS cnt_b
+          FROM per GROUP BY event_type, bkt)
+        SELECT event_type,
+               SUM(cnt_a) AS n_first,
+               SUM(cnt_b) AS n_second,
+               SUM(cnt_u) AS n_union,
+               SUM(cnt_a + cnt_b - cnt_u) AS n_retained,
+               SUM(cnt_u - cnt_b) AS n_churned
+        FROM merged GROUP BY event_type ORDER BY event_type
+        """
+    )

@@ -84,6 +84,7 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_bitmap_distinct",        # re-aggregatable bitmap distinct, exact
     "vec_kmeans_portable",        # integer-exact Lloyd k-means, exact oracle
     "vec_ann_ivf_portable",       # integer-exact IVF train+probe, exact oracle
+    "agg_bitmap_setops",          # bitmap retention/churn set algebra, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,7 +111,8 @@ FRONT_OF_WINDOW: list[str] = [
     "text_repetition_stats",
     "text_vocab_prune",
     "source_csv_roundtrip",
-    "vec_quantize_int8",
+    # (vec_quantize_int8 r3 re-confirm rolled to r9 — displaced by the
+    #  r8 third-session registrations above)
     # (e) r4 re-confirms: none this round — both tail slots went to the
     # new portable exact queries above.
     # (remaining r4 vintages — project_rename_cast, filter_equality,
