@@ -1,0 +1,93 @@
+"""File-level min/max skipping index over a parquet directory — the
+lakehouse data-skipping pattern (Delta/Iceberg column stats) built from
+nothing but parquet FOOTERS.
+
+Why it matters at 100 TB: partition pruning (sink_partitioned_prune)
+only helps on the partition column; a skipping index extends pruning to
+any clustered column (write with repartitionByRange and every file
+carries a tight value range).  The index build reads ONLY footer
+metadata — a few KB per file, never row data — and is itself
+distributed: the file list fans out over executors via mapInPandas, so
+a million-file table indexes in parallel.  The index table is one row
+per file (bounded by file count, not rows) and lives next to the data;
+planning a query = one scan of the index + an explicit file-list read.
+
+This is the "poor man's Delta" half of the snapshot store: etl/snapshot
+tracks files transactionally, this module prunes them statistically.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_INDEX_SCHEMA = (
+    "file string, n_rows long, min_val string, max_val string"
+)
+
+
+def _footer_stats(paths: Iterable[str], col: str) -> Iterator[pd.DataFrame]:
+    """Executor-side: read parquet footers (metadata pages only) and
+    emit one (file, n_rows, min, max) row per file.  Values are
+    stringified via repr-stable ISO forms so one index schema serves
+    timestamp/date/numeric/string columns; callers compare after
+    casting back."""
+    import pyarrow.parquet as pq
+
+    for batch in paths:
+        rows = []
+        for path in batch["file"]:
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.names.index(col)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    # A file without stats can never be pruned — honest
+                    # fallback is an unbounded range, not an error.
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            rows.append(
+                {
+                    "file": path,
+                    "n_rows": md.num_rows,
+                    "min_val": None if lo is None else str(lo),
+                    "max_val": None if hi is None else str(hi),
+                }
+            )
+        yield pd.DataFrame(rows, columns=["file", "n_rows", "min_val", "max_val"])
+
+
+def build_minmax_index(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """One index row per data file under ``path`` with footer-derived
+    min/max of ``col``.  Distributed footer reads (mapInPandas over the
+    file list); no row data is touched."""
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    fdf = fdf.repartition(min(len(files), 32))
+    return fdf.mapInPandas(
+        lambda it: _footer_stats(it, col), schema=_INDEX_SCHEMA
+    )
+
+
+def prune_files(index: DataFrame, lo: str, hi: str) -> list[str]:
+    """Files whose [min_val, max_val] range intersects [lo, hi] —
+    stats-less files (NULL range) are conservatively kept.  Returns a
+    driver-side path list: bounded by matching FILE count (the same
+    contract as Spark's own PartitioningAwareFileIndex listing)."""
+    from pyspark.sql import functions as F
+
+    kept = index.where(
+        F.col("min_val").isNull()
+        | ((F.col("max_val") >= lo) & (F.col("min_val") <= hi))
+    )
+    return [r["file"] for r in kept.select("file").collect()]

@@ -649,3 +649,54 @@ def sink_zorder_cluster(spark, sf_dir):
         )
         .orderBy("supp_bucket")
     )
+
+
+@query(
+    "sink_file_skipping_index",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sink_file_skipping_index(spark, sf_dir):
+    """Min/max FILE-SKIPPING index over a range-clustered sink — data
+    skipping on a NON-partition column, the other half of lakehouse
+    pruning (sink_partitioned_prune covers directory pruning).
+    lineitem lands via repartitionByRange(l_shipdate) so every file
+    carries a tight date range; the index is built from parquet
+    FOOTERS only (distributed mapInPandas over the file list,
+    etl/skipping.py — KBs of metadata per file, zero row data); the
+    1996 ship-year query then reads ONLY intersecting files (pytest
+    pins inputFiles < total) plus the residual filter for file-edge
+    rows. The oracle proves skipped files contained no qualifying
+    rows. At 100 TB this is why you CLUSTER on query columns: scan
+    cost becomes proportional to the selected range, with or without
+    a table format. Sum is exact: l_quantity is integral-valued."""
+    from ..etl.skipping import build_minmax_index, prune_files
+
+    out = scratch_dir("sink_skip") + "/t"
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    ).repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(out)
+
+    index = build_minmax_index(spark, out, "l_shipdate")
+    lo, hi = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+    files = prune_files(index, lo, hi)
+    return (
+        spark.read.parquet(*files)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -204,6 +204,33 @@ def test_sink_partitioned_prune_reads_one_partition(spark, sf_dir):
     assert pf and any("event_type" in l for l in pf), plan[:2000]
 
 
+def test_file_skipping_index_prunes_files(spark, sf_dir):
+    # The min/max index must actually SKIP files: the 1996 ship-year
+    # read touches a strict subset of the 8 range-clustered files, and
+    # the skipped files provably held no qualifying rows (the pruned
+    # aggregate equals the full-scan aggregate).
+    df = q("sink_file_skipping_index", spark, sf_dir)
+    n_read = len(df.inputFiles())
+    assert 0 < n_read < 8, df.inputFiles()
+
+    from helium_etl_lite_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    full = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full.collect()))
+
+
 def test_token_budget_no_single_partition(spark, sf_dir):
     # The point of select_token_budget: no SUM() OVER (ORDER BY score)
     # single-task sort anywhere in the selection plan.
