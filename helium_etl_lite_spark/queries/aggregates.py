@@ -886,3 +886,72 @@ def agg_bitmap_setops(spark, sf_dir):
         FROM merged GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+_QSKETCH_BINS = 32
+_QSKETCH_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+_QSKETCH_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem),
+binned AS (
+  SELECT l_returnflag AS grp,
+         LEAST({_QSKETCH_BINS - 1},
+               CAST(FLOOR((l_extendedprice - b.lo)
+                          / ((b.hi - b.lo) / CAST({_QSKETCH_BINS} AS DOUBLE)))
+                    AS BIGINT)) AS bin
+  FROM lineitem, bounds b),
+sketch AS (
+  SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY grp, bin),
+merged AS (
+  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sketch GROUP BY bin),
+cum AS (
+  SELECT bin, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (ORDER BY bin) - cnt AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total
+  FROM merged),
+qs AS (
+  SELECT CAST(q AS DOUBLE) AS q
+  FROM (VALUES {", ".join(f"({q})" for q in _QSKETCH_QS)}) AS v(q)),
+hit AS (
+  SELECT qs.q, MIN(c.bin) AS qbin
+  FROM qs JOIN cum c ON c.cum >= qs.q * c.total
+  GROUP BY qs.q)
+SELECT h.q, h.qbin, c.cnt AS bin_count,
+       b.lo + ((b.hi - b.lo) / CAST({_QSKETCH_BINS} AS DOUBLE))
+            * (c.bin + (h.q * c.total - c.cum_before) / c.cnt) AS est
+FROM hit h JOIN cum c ON h.qbin = c.bin, bounds b
+ORDER BY h.q
+"""
+
+
+@query("agg_quantile_sketch_portable", oracle=_QSKETCH_SQL)
+def agg_quantile_sketch_portable(spark, sf_dir):
+    """Mergeable equi-width HISTOGRAM QUANTILE sketch, hash-exact
+    cross-engine — the quantile member of the portable-sketch family
+    (CMS aggregates.py:536, HLL :750, Bloom :616, bitmaps :797): the
+    sketch IS a (bin, count) table, so per-group/per-day partials
+    MERGE by summing counts per bin (the `sketch` -> `merged` step
+    below is exactly that merge), never a fact rescan — at 100 TB you
+    store 32 rows per segment and answer any quantile later. Estimate
+    = linear interpolation inside the first bin whose cumulative count
+    reaches q*N (the classic equi-width histogram estimator; error is
+    bounded by one bin width, property-tested vs the true quantile).
+
+    Exactness: bin edges, the cumulative counts and the interpolation
+    are each a SINGLE IEEE scalar expression over identical inputs
+    ((hi-lo)/32 division, floor, one multiply-add chain), so Spark and
+    DuckDB produce bit-identical doubles — no sum-of-doubles anywhere
+    (all accumulation is on BIGINT counts). Plan: one 1-row bounds agg
+    broadcast as scalar glue, two map-side-combinable hash aggs, then
+    windows over a <=32-row bounded control table (not a scale risk:
+    partition size is fixed by the bin count, independent of data).
+    percentile_approx (agg_percentile_approx, :278) is the built-in
+    engine-specific twin; this one is engine-portable and mergeable
+    with an EXACT oracle."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(_QSKETCH_SQL)

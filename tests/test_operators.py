@@ -2239,3 +2239,81 @@ class TestWavCodec:
         )
         d = decode_wav(patched)
         assert list(d["samples"]) == [9, -9, 42]
+
+
+class TestQuantileSketchPortable:
+    """agg_quantile_sketch_portable: merge semantics + estimator error
+    bound (the exact-oracle sweep already pins cross-engine equality)."""
+
+    def _true_quantiles(self, spark, sf_dir, qs):
+        import numpy as np
+
+        from helium_etl_lite_spark.tables import Tables
+
+        vals = np.array(
+            [
+                r[0]
+                for r in Tables(spark, sf_dir)
+                .lineitem.select("l_extendedprice")
+                .collect()
+            ]
+        )
+        return {q: float(np.quantile(vals, q)) for q in qs}, vals
+
+    def test_estimates_within_one_bin_width(self, spark, sf_dir):
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.queries.aggregates import (
+            _QSKETCH_BINS,
+            _QSKETCH_QS,
+        )
+
+        registry.load_all()
+        rows = registry.QUERIES["agg_quantile_sketch_portable"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == len(_QSKETCH_QS)
+        true, vals = self._true_quantiles(spark, sf_dir, _QSKETCH_QS)
+        width = (vals.max() - vals.min()) / _QSKETCH_BINS
+        for r in rows:
+            # classic equi-width histogram bound: the interpolated
+            # estimate lands inside the bin containing the true
+            # quantile, so |err| <= one bin width.
+            assert abs(r["est"] - true[r["q"]]) <= width + 1e-9, (
+                r["q"],
+                r["est"],
+                true[r["q"]],
+            )
+
+    def test_per_group_sketches_merge_to_global(self, spark, sf_dir):
+        # The re-aggregatability contract: summing per-group (bin,cnt)
+        # partials equals building one global sketch — same invariant
+        # the CMS/HLL/bitmap family pins, lossless here.
+        from helium_etl_lite_spark.queries.aggregates import _QSKETCH_BINS
+        from helium_etl_lite_spark.tables import Tables
+
+        t = Tables(spark, sf_dir)
+        t.register_views()
+        edges = spark.sql(
+            "SELECT MIN(l_extendedprice) lo, MAX(l_extendedprice) hi FROM lineitem"
+        ).first()
+        w = (edges["hi"] - edges["lo"]) / _QSKETCH_BINS
+        binned = t.lineitem.select(
+            "l_returnflag",
+            F.least(
+                F.lit(_QSKETCH_BINS - 1),
+                F.floor((F.col("l_extendedprice") - edges["lo"]) / w).cast(
+                    "bigint"
+                ),
+            ).alias("bin"),
+        )
+        per_group = binned.groupBy("l_returnflag", "bin").count()
+        merged = {
+            r["bin"]: r["n"]
+            for r in per_group.groupBy("bin")
+            .agg(F.sum("count").alias("n"))
+            .collect()
+        }
+        direct = {
+            r["bin"]: r["count"] for r in binned.groupBy("bin").count().collect()
+        }
+        assert merged == direct
