@@ -661,3 +661,62 @@ def graph_kcore_peel(spark, sf_dir):
     out = kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS,
                      a_col="l_partkey", b_col="p2")
     return out.orderBy("node")
+
+
+@query(
+    "view_incremental_join_refresh",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           o.o_orderstatus, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def view_incremental_join_refresh(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view by DELTA
+    RULES (the Materialize/DBSP/classic-IVM identity, insert-only
+    case):  V2 = V1 ∪ (ΔA⋈B1) ∪ (A1⋈ΔB) ∪ (ΔA⋈ΔB).  The aggregate twin
+    is rollup_incremental_refresh (:276); this closes the JOIN half of
+    view maintenance: phase 1 lands 90% of orders and 95% of customers
+    and materializes V1; phase 2 lands the delta batches and appends
+    ONLY the three delta joins — the base join is never recomputed.
+    The oracle is the from-scratch full join, so the hash-match proves
+    the delta rule converges exactly.
+
+    Scale: each refresh costs O(|Δ|·join-selectivity) — at 100 TB the
+    delta batch is ingest-bounded (here it IS what sink_snapshot_changes
+    emits: compose read_changes -> these three joins -> append for a
+    CDC-fed maintained view), AQE broadcasts the measured-small delta
+    sides, and the big-side scans are plain pushed-filter scans. Cents
+    are rounded row-level before any aggregation-free transport, so the
+    doubles never sum (FP discipline, SURVEY §7)."""
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        "o_orderstatus",
+    )
+    cust = t.customer.select("c_custkey", "c_name", "c_mktsegment")
+    cols = [
+        "o_orderkey", "o_custkey", "total_cents",
+        "o_orderstatus", "c_name", "c_mktsegment",
+    ]
+    on = F.col("o_custkey") == F.col("c_custkey")
+    d_o = orders.where(F.col("o_orderkey") % 10 == 0)
+    a1 = orders.where(F.col("o_orderkey") % 10 != 0)
+    d_c = cust.where(F.col("c_custkey") % 20 == 0)
+    b1 = cust.where(F.col("c_custkey") % 20 != 0)
+
+    path = scratch_dir("view_join_mv") + "/mv"
+    a1.join(b1, on).select(*cols).write.mode("overwrite").parquet(path)
+    (
+        d_o.join(b1, on).select(*cols)
+        .unionByName(a1.join(d_c, on).select(*cols))
+        .unionByName(d_o.join(d_c, on).select(*cols))
+        .write.mode("append").parquet(path)
+    )
+    return spark.read.parquet(path).orderBy("o_orderkey")

@@ -450,3 +450,45 @@ class TestStreamingDedupIngest:
         state = spark.read.parquet(os.path.join(out, "minhash_state"))
         assert state.count() == len(clusters) * 8
         assert state.select("doc_id").distinct().count() == len(clusters)
+
+
+class TestIncrementalJoinView:
+    """view_incremental_join_refresh: the delta-rule identity
+    V2 = V1 ∪ ΔA⋈B1 ∪ A1⋈ΔB ∪ ΔA⋈ΔB (insert-only). The exact-oracle
+    sweep pins V2 == full recompute; here we pin the STRUCTURE the
+    identity relies on: the three delta terms are pairwise disjoint and
+    exactly cover full − V1 (so append-only maintenance neither drops
+    nor double-counts a row)."""
+
+    def test_delta_terms_partition_the_difference(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.tables import Tables
+
+        t = Tables(spark, sf_dir)
+        orders = t.orders.select("o_orderkey", "o_custkey")
+        cust = t.customer.select("c_custkey")
+        on = F.col("o_custkey") == F.col("c_custkey")
+        d_o = orders.where(F.col("o_orderkey") % 10 == 0)
+        a1 = orders.where(F.col("o_orderkey") % 10 != 0)
+        d_c = cust.where(F.col("c_custkey") % 20 == 0)
+        b1 = cust.where(F.col("c_custkey") % 20 != 0)
+
+        full = orders.join(cust, on).select("o_orderkey")
+        v1 = a1.join(b1, on).select("o_orderkey")
+        t1 = d_o.join(b1, on).select("o_orderkey")
+        t2 = a1.join(d_c, on).select("o_orderkey")
+        t3 = d_o.join(d_c, on).select("o_orderkey")
+
+        n_full, n_v1 = full.count(), v1.count()
+        n1, n2, n3 = t1.count(), t2.count(), t3.count()
+        # disjoint: each order key appears in exactly one term (keys are
+        # unique in orders and each order matches <=1 customer).
+        assert t1.intersect(t2).count() == 0
+        assert t1.intersect(t3).count() == 0
+        assert t2.intersect(t3).count() == 0
+        # cover: the three terms sum exactly to the difference.
+        assert n1 + n2 + n3 == n_full - n_v1
+        # and the deltas are non-trivial at this sf (the test means
+        # nothing if a split is empty).
+        assert n1 > 0 and n2 > 0 and n3 > 0

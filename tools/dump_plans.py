@@ -151,6 +151,12 @@ HEADLINE_NOTES = {
     "multimodal_wav_decode": "two narrow Arrow mapInPandas kernels (RIFF encode, RIFF parse) over the documents scan — zero Exchange",
     "join_lateral_topk": "LATERAL ORDER BY+LIMIT decorrelated to hash join + Window with map-side WindowGroupLimit pruning — never a per-row subquery re-scan",
     "agg_bitmap_distinct": "per-(group, id-bucket) bitmap_construct_agg with map-side partial merge-by-OR, then a bounded per-group SUM — no raw-pair distinct reshuffle",
+    "agg_bitmap_setops": "two hash aggs (per-period bitmaps, OR-merge) + bucket SUM — retention by inclusion-exclusion over merged bitmaps, facts scanned once",
+    "vec_kmeans_portable": "integer Lloyd rounds are driver-side over a bounded sample; the full-corpus assign is ONE broadcast-centroid row-local map + hash agg",
+    "vec_ann_ivf_portable": "integer codebook broadcast; list build and probe are equi-joins on list id — inverted-list ANN with zero FP in the plan",
+    "sink_file_skipping_index": "footer min/max stats read driver-side (metadata only); file pruning BEFORE the scan so the plan reads only overlapping files",
+    "agg_quantile_sketch_portable": "1-row bounds glue + two map-side-combinable hash aggs; windows only over the <=32-row bin table — sketch merge is a bin-key SUM",
+    "view_incremental_join_refresh": "delta-rule IVM: three O(|Δ|) equi-joins appended to the materialized store — the base join is built once and never recomputed on refresh",
 }
 
 
