@@ -91,3 +91,87 @@ def prune_files(index: DataFrame, lo: str, hi: str) -> list[str]:
         | ((F.col("max_val") >= lo) & (F.col("min_val") <= hi))
     )
     return [r["file"] for r in kept.select("file").collect()]
+
+
+# ---- per-file Bloom skipping (point lookups; the min/max complement) ----
+
+BLOOM_K = 3
+
+
+def _bloom_pos(key_col, j: int, m_bits: int):
+    """Engine-portable bit position: first 8 md5 hex digits of
+    "<key>#<j>" mod m_bits — identical math to the probe side so build
+    and probe address the same bits (same construction as the
+    agg_bloom_filter_probe sketch)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key_col.cast("string"), F.lit(f"#{j}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bits_for(n_rows: int, n_files: int, bits_per_key: int = 16) -> int:
+    """Power-of-two bloom width sized from measured rows-per-file —
+    the knob Delta exposes as fpp/numItems. 16 bits/key at k=3 gives
+    ~0.4% per-file false-positive rate."""
+    per_file = max(n_rows, 1) // max(n_files, 1)
+    return 1 << max(12, (bits_per_key * max(per_file, 1)).bit_length())
+
+
+def build_bloom_index(df, key: str, m_bits: int):
+    """One bloom per data file over ``key``: (file, word, wbits) rows
+    from input_file_name() + explode(k) + bit_or — a single
+    distributed pass, map-side combinable (per-partition blooms OR
+    together). ``df`` must be a fresh parquet read of the target so
+    input_file_name() is populated."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.input_file_name().alias("file"),
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col(key), j, m_bits) for j in range(BLOOM_K)]
+                )
+            ).alias("pos"),
+        )
+        .groupBy("file", (F.col("pos") / 32).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            ).alias("wbits")
+        )
+    )
+
+
+def bloom_candidate_files(index, probe, key: str, m_bits: int):
+    """(key, file) pairs whose bloom sets ALL k bits for the key —
+    the files a point lookup must read. ``probe`` is a small DataFrame
+    of keys (broadcast); missing (file, word) rows count as unset
+    bits, so sparse blooms prune correctly."""
+    from pyspark.sql import functions as F
+
+    probe_pos = probe.select(
+        key,
+        F.explode(
+            F.array(*[_bloom_pos(F.col(key), j, m_bits) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    return (
+        index.join(
+            F.broadcast(probe_pos),
+            index["word"] == (probe_pos["pos"] / 32).cast("long"),
+        )
+        .where(F.expr("(shiftright(wbits, CAST(pos % 32 AS INT)) & 1) = 1"))
+        .groupBy(key, "file")
+        .agg(F.count(F.lit(1)).alias("nset"))
+        .where(F.col("nset") == BLOOM_K)
+        .select(key, "file")
+    )

@@ -700,3 +700,87 @@ def sink_file_skipping_index(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sink_bloom_skipping_index",
+    oracle="""
+    WITH pk AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 97 = 1
+      ORDER BY o_orderkey LIMIT 5)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders o JOIN pk ON o.o_orderkey = pk.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def sink_bloom_skipping_index(spark, sf_dir):
+    """Per-file BLOOM skipping index — the point-lookup half of
+    data skipping, next to sink_file_skipping_index's min/max half
+    (scans.py:666): orders land hash-clustered on o_custkey, so every
+    file's o_orderkey RANGE spans the whole table and min/max stats
+    prune NOTHING — exactly the layout where Delta's bloom-filter
+    index earns its keep. The index is one bloom per file (m sized
+    from measured rows-per-file at ~16 bits/key, stored as 32-bit
+    words in BIGINTs — the same engine-portable md5/bit_or sketch as
+    agg_bloom_filter_probe), built in ONE distributed pass with
+    input_file_name() + a (file, word) bit_or hash agg (map-side
+    combinable; at 100 TB the build merges per-partition blooms by OR,
+    and maintenance is per-NEW-file only). A 10-key probe (5 present,
+    5 constructed absent) joins its k=3 bit positions against the
+    index; only files setting all three bits for a key are read —
+    pytest pins candidate files << total and absent keys pruning to
+    zero files. The oracle restates the final fetch from raw orders,
+    proving skipped files held no qualifying rows. Driver traffic is
+    bounded: 10 probe keys + the surviving file list."""
+    from ..etl.skipping import (
+        bloom_bits_for,
+        bloom_candidate_files,
+        build_bloom_index,
+    )
+    from ..scratch import scratch_dir
+
+    out = scratch_dir("sink_bloom_skip") + "/t"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    orders.repartition(8, "o_custkey").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+
+    n_total = back.count()
+    n_files = back.select(F.input_file_name()).distinct().count()
+    m_bits = bloom_bits_for(n_total, n_files)
+    index = build_bloom_index(back, "o_orderkey", m_bits)
+
+    present = (
+        back.select("o_orderkey")
+        .where(F.col("o_orderkey") % 97 == 1)
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+    mx = back.agg(F.max("o_orderkey").alias("mx"))
+    absent = (
+        spark.range(1, 6)
+        .crossJoin(F.broadcast(mx))
+        .select((F.col("mx") + F.col("id")).alias("o_orderkey"))
+    )
+    probe = present.unionByName(absent)
+    candidates = bloom_candidate_files(index, probe, "o_orderkey", m_bits)
+    files = [r["file"] for r in candidates.select("file").distinct().collect()]
+    keys = [r["o_orderkey"] for r in probe.collect()]
+    if not files:
+        # every probe key pruned everywhere (possible only if all
+        # probes are absent) — an empty, correctly-typed result.
+        return (
+            back.select("o_orderkey", "o_custkey", "total_cents")
+            .where(F.lit(False))
+        )
+    return (
+        spark.read.parquet(*files)
+        .where(F.col("o_orderkey").isin(keys))
+        .select("o_orderkey", "o_custkey", "total_cents")
+        .orderBy("o_orderkey")
+    )

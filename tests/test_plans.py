@@ -976,3 +976,56 @@ def test_bitmap_distinct_two_phase(spark, sf_dir):
     # over COUNT(DISTINCT)'s raw-pair reshuffle.
     df = q("agg_bitmap_distinct", spark, sf_dir)
     assert_partial_aggregate(df)
+
+
+def test_bloom_skipping_index_prunes_files(spark, sf_dir):
+    # The per-file bloom must prune where min/max CANNOT: orders land
+    # hash-clustered on o_custkey, so each file's o_orderkey range
+    # spans the whole table. Present keys (unique) should resolve to
+    # ~1 candidate file each; absent keys should prune to (almost)
+    # nothing — a false positive or two out of 5 keys x 8 files is the
+    # bloom's contract, and md5 positions are deterministic so the
+    # observed count is stable, not flaky.
+    from pyspark.sql import functions as F
+
+    from helium_etl_lite_spark.etl.skipping import (
+        bloom_bits_for,
+        bloom_candidate_files,
+        build_bloom_index,
+    )
+    from helium_etl_lite_spark.scratch import scratch_dir
+    from helium_etl_lite_spark.tables import load_table
+
+    out = scratch_dir("test_bloom_skip") + "/t"
+    load_table(spark, sf_dir, "orders").select("o_orderkey").repartition(
+        8, F.col("o_orderkey") % 997  # scatter keys across files
+    ).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    n_files = back.select(F.input_file_name()).distinct().count()
+    m_bits = bloom_bits_for(back.count(), n_files)
+    index = build_bloom_index(back, "o_orderkey", m_bits)
+
+    present = back.orderBy("o_orderkey").limit(5)
+    mx = back.agg(F.max("o_orderkey")).first()[0]
+    absent = spark.range(1, 6).select(
+        (F.lit(mx) + F.col("id")).alias("o_orderkey")
+    )
+
+    cand_present = bloom_candidate_files(index, present, "o_orderkey", m_bits)
+    cand_absent = bloom_candidate_files(index, absent, "o_orderkey", m_bits)
+
+    # every present key found somewhere, with strong pruning: fewer
+    # candidate files in total than a no-index scan of all files for
+    # each of the 5 keys would touch.
+    per_key = {
+        r["o_orderkey"]: r["n"]
+        for r in cand_present.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(per_key) == 5
+    assert all(1 <= n < n_files for n in per_key.values()), per_key
+    # 5 absent keys x 8 files = 40 bloom cells; deterministic FP count
+    # observed at this sf is 1 — assert the PRUNING claim (>=95% of
+    # cells rejected), not impossibly zero FPs.
+    assert cand_absent.count() <= 2
