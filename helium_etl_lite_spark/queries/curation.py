@@ -908,3 +908,94 @@ def pipeline_pretraining_select_bpe(spark, sf_dir):
         counted, "score_raw", "doc_id", "n_tokens", budget=6000,
         out_col="cum_tokens_bpe",
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_incremental_curation",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS batch
+      FROM w
+      WHERE len(ws) > 0
+        AND len(ws) BETWEEN 30 AND 100000
+        AND ROUND(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                  / len(ws), 4) BETWEEN 3.0 AND 10.0
+        AND ROUND(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(ws), 4) >= 0.8
+        AND len(list_filter(ws, x -> list_contains([{_STOP_SQL}], x))) >= 2),
+    firsts AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY sha256(lower(trim(text)))
+               ORDER BY batch, doc_id) AS rn
+      FROM g)
+    SELECT doc_id, lang FROM firsts WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def pipeline_incremental_curation(spark, sf_dir):
+    """The INCREMENTAL curation loop end to end, driver-verified — the
+    composition the batch flagships (pipeline_corpus_curation,
+    pipeline_pretraining_select) run once, restated as the production
+    steady-state: a versioned source table emits a CDC feed, each
+    cycle curates ONLY the feed (gopher gate -> incremental exact
+    dedup against the persisted corpus state -> append to the curated
+    sink), and the state/sink carry across cycles.
+
+      cycle 1: docs v1 (doc_id %3 != 0) commits; bootstrap curates the
+               full snapshot.
+      cycle 2: v2 replaces the table (all docs); the cycle reads
+               read_changes(v1, v2) — O(churn) IO, never a rescan —
+               and curates only the inserts.
+
+    The oracle states the FIXED POINT independently: gopher-passing
+    docs that are the first occurrence of their content hash in
+    processing order (batch asc, doc_id asc). The hash-match proves
+    the two-cycle incremental loop lands exactly what a from-scratch
+    batch curation of the full corpus would land — the IVM convergence
+    claim (view_incremental_join_refresh) lifted to the whole curation
+    pipeline. Scale: feed is ingest-bounded, the dedup state never
+    shuffles (broadcast fingerprint probe, operators/dedup.py:666),
+    the gate is row-local codegen, and the curated sink is
+    append-only."""
+    from ..etl.snapshot import commit_batch_atomic, read_changes, read_snapshot
+    from ..operators import dedup
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "lang", "text", F.col("doc_id").cast("long").alias("block")
+    )
+    root = scratch_dir("incr_curation_src")
+    state = scratch_dir("incr_curation_state") + "/state"
+    curated = scratch_dir("incr_curation_out") + "/curated"
+    hi = int(docs.agg(F.max("block")).first()[0])
+
+    def curate(batch_df, first: bool) -> None:
+        gated = batch_df.select("doc_id", "lang", "text").where(
+            gopher_keep_condition()
+        )
+        fresh = dedup.dedup_filter_new(spark, gated, state)
+        dedup.dedup_state_add(spark, fresh, state)
+        fresh.select("doc_id", "lang").write.mode(
+            "overwrite" if first else "append"
+        ).parquet(curated)
+
+    b1 = docs.where(F.col("doc_id") % 3 != 0)
+    commit_batch_atomic(
+        spark, root, {"docs": b1}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=b1.select("block"),
+    )
+    curate(read_snapshot(spark, root, "docs", version=1), first=True)
+
+    commit_batch_atomic(
+        spark, root, {"docs": docs}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=docs.select("block"),
+    )
+    feed = read_changes(spark, root, "docs", v_from=1, v_to=2)
+    curate(feed.where(F.col("_change_type") == "insert"), first=False)
+
+    return spark.read.parquet(curated).orderBy("doc_id")

@@ -89,6 +89,7 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_quantile_sketch_portable", # mergeable histogram quantiles, exact
     "view_incremental_join_refresh", # delta-rule join-view IVM, exact
     "sink_bloom_skipping_index",  # per-file bloom point-lookup pruning, exact
+    "pipeline_incremental_curation", # CDC-fed incremental curation loop, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,10 +111,10 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_stratified",
     "text_clean_normalize",
     "text_dedup_keep_longest",
-    "text_ngram_topk",
-    # (text_pii_scrub + text_repetition_stats + text_vocab_prune +
-    #  source_csv_roundtrip + vec_quantize_int8 r3 re-confirms rolled
-    #  to r9 — displaced by the r8 third-session registrations above)
+    # (text_ngram_topk + text_pii_scrub + text_repetition_stats +
+    #  text_vocab_prune + source_csv_roundtrip + vec_quantize_int8 r3
+    #  re-confirms rolled to r9 — displaced by the r8 third-session
+    #  registrations above)
     # (e) r4 re-confirms: none this round — both tail slots went to the
     # new portable exact queries above.
     # (remaining r4 vintages — project_rename_cast, filter_equality,

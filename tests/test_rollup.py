@@ -492,3 +492,49 @@ class TestIncrementalJoinView:
         # and the deltas are non-trivial at this sf (the test means
         # nothing if a split is empty).
         assert n1 > 0 and n2 > 0 and n3 > 0
+
+
+class TestIncrementalCuration:
+    """pipeline_incremental_curation: the exact-oracle sweep pins the
+    two-cycle fixed point; here we pin the CRASH-REPLAY property the
+    loop leans on — re-curating the same CDC feed is a no-op because
+    the dedup state already holds every landed hash (set-semantics
+    appends, operators/dedup.py dedup_state_add)."""
+
+    def test_replayed_feed_lands_nothing(self, spark, sf_dir, tmp_path):
+        import pyspark.sql.functions as F
+
+        from helium_etl_lite_spark.operators import dedup
+        from helium_etl_lite_spark.queries.curation import (
+            gopher_keep_condition,
+        )
+        from helium_etl_lite_spark.tables import Tables
+
+        state = str(tmp_path / "state")
+        curated = str(tmp_path / "curated")
+        docs = Tables(spark, sf_dir).documents.select("doc_id", "lang", "text")
+
+        def curate(batch_df, first):
+            gated = batch_df.where(gopher_keep_condition())
+            fresh = dedup.dedup_filter_new(spark, gated, state)
+            dedup.dedup_state_add(spark, fresh, state)
+            fresh.select("doc_id").write.mode(
+                "overwrite" if first else "append"
+            ).parquet(curated)
+
+        b1 = docs.where(F.col("doc_id") % 3 != 0)
+        b2 = docs.where(F.col("doc_id") % 3 == 0)
+        curate(b1, first=True)
+        n1 = spark.read.parquet(curated).count()
+        curate(b2, first=False)
+        landed = sorted(
+            r[0] for r in spark.read.parquet(curated).collect()
+        )
+        assert len(landed) > n1  # cycle 2 added something
+        # crash between sink-append and cursor advance -> the same feed
+        # replays; the state must swallow it whole.
+        curate(b2, first=False)
+        replayed = sorted(
+            r[0] for r in spark.read.parquet(curated).collect()
+        )
+        assert replayed == landed

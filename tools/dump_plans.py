@@ -158,6 +158,7 @@ HEADLINE_NOTES = {
     "agg_quantile_sketch_portable": "1-row bounds glue + two map-side-combinable hash aggs; windows only over the <=32-row bin table — sketch merge is a bin-key SUM",
     "view_incremental_join_refresh": "delta-rule IVM: three O(|Δ|) equi-joins appended to the materialized store — the base join is built once and never recomputed on refresh",
     "sink_bloom_skipping_index": "one distributed bit_or pass builds per-file blooms; probe = 30-row broadcast vs the index; the data read is a pruned explicit file list",
+    "pipeline_incremental_curation": "per cycle: row-local gopher gate + broadcast-fingerprint dedup probe (state never shuffles) + append — feed-bounded work, CDC read is O(churn)",
 }
 
 
