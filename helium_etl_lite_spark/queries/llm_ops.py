@@ -2466,3 +2466,138 @@ def vec_ann_ivf_portable(spark, sf_dir):
         scale=_KMP_SCALE,
         rounds=_KMP_ROUNDS,
     )
+
+
+@query(
+    "text_dedup_source_priority",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, sha256(lower(trim(text))) AS h,
+             CAST(substr(source, 4) AS INT) AS prio
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, h,
+             row_number() OVER (PARTITION BY h ORDER BY prio, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n_copies
+      FROM d)
+    SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def text_dedup_source_priority(spark, sf_dir):
+    """Exact dedup with SOURCE-PRIORITY keeper selection — the policy
+    production corpora actually use (Dolma/RefinedWeb/MassiveText keep
+    the curated-source copy of a duplicated page, not an arbitrary
+    one): within each content-hash group the keeper is the copy from
+    the highest-priority source (here the numeric source rank,
+    standing in for a wiki > books > crawl ladder), doc_id as the
+    deterministic tie-break; n_copies reports cluster size for QA.
+    Plan: one window over the high-cardinality content hash (shuffle
+    on 32-byte keys — same shape as text_dedup_exact, no
+    low-cardinality partition risk); keeper choice and copy count ride
+    the SAME window exchange. The dedup-policy twin of
+    text_dedup_keep_longest (:1218), which keeps the longest copy
+    instead."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "source",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+        F.substring("source", 4, 10).cast("int").alias("prio"),
+    )
+    w = Window.partitionBy("h")
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(w.orderBy("prio", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return (
+        r.where(F.col("rn") == 1)
+        .select("doc_id", "source", F.col("n_copies").cast("long").alias("n_copies"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "vec_knn_classify",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS true_label, e AS qe
+               FROM v WHERE vec_id < 20),
+         scored AS (
+           SELECT q_id, true_label, vec_id, label,
+                  round(list_dot_product(qe, e)
+                        / (sqrt(list_dot_product(qe, qe))
+                           * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+           FROM v, q WHERE vec_id <> q_id),
+         nn AS (
+           SELECT q_id, true_label, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos_sim DESC, vec_id ASC) AS rn
+             FROM scored) WHERE rn <= 5),
+         votes AS (
+           SELECT q_id, true_label, label,
+                  CAST(COUNT(*) AS BIGINT) AS n_votes
+           FROM nn GROUP BY q_id, true_label, label)
+    SELECT q_id, CAST(true_label AS INT) AS true_label,
+           CAST(label AS INT) AS pred_label, n_votes,
+           CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, label ASC) AS vr FROM votes)
+    WHERE vr = 1 ORDER BY q_id
+    """,
+)
+def vec_knn_classify(spark, sf_dir):
+    """kNN CLASSIFICATION over the embedding column — the quality-
+    labeling step of a curation pipeline (fastText-style classifiers
+    score documents by nearest labeled exemplars; SemDeDup/SSL-filter
+    pipelines do exactly this with embedding neighbors): predict each
+    query vector's label by majority vote of its k=5 cosine
+    neighbors, deterministic tie-breaks (vote count desc, label asc)
+    so the whole eval is hash-exact cross-engine. Reuses the
+    cosine_topk operator (bounded query broadcast, no all-pairs
+    shuffle — knn.py); the vote is one tiny hash agg + top-1 window
+    over q_id. Output includes the true label and a correctness flag,
+    so the query doubles as the accuracy-eval report."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    queries = emb.where(F.col("vec_id") < 20)
+    nn = knn.cosine_topk(emb, queries, k=5).where(F.col("rn") <= 5)
+    labeled = nn.join(
+        emb.select("vec_id", F.col("label").alias("nn_label")), "vec_id"
+    ).join(
+        queries.select(
+            F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+        ),
+        "q_id",
+    )
+    votes = labeled.groupBy("q_id", "true_label", "nn_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    top = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("n_votes").desc(), F.col("nn_label").asc()
+            )
+        ),
+    ).where(F.col("vr") == 1)
+    return top.select(
+        "q_id",
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("nn_label").cast("int").alias("pred_label"),
+        "n_votes",
+        F.when(F.col("nn_label") == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    ).orderBy("q_id")

@@ -159,6 +159,8 @@ HEADLINE_NOTES = {
     "view_incremental_join_refresh": "delta-rule IVM: three O(|Δ|) equi-joins appended to the materialized store — the base join is built once and never recomputed on refresh",
     "sink_bloom_skipping_index": "one distributed bit_or pass builds per-file blooms; probe = 30-row broadcast vs the index; the data read is a pruned explicit file list",
     "pipeline_incremental_curation": "per cycle: row-local gopher gate + broadcast-fingerprint dedup probe (state never shuffles) + append — feed-bounded work, CDC read is O(churn)",
+    "text_dedup_source_priority": "keeper choice AND copy count ride ONE window exchange on the 32-byte content hash — high-cardinality partitions, no skew risk",
+    "vec_knn_classify": "cosine_topk's bounded query broadcast + one tiny vote hash agg + top-1 window on q_id — classification adds no new shuffle shape",
 }
 
 
