@@ -720,3 +720,171 @@ def view_incremental_join_refresh(spark, sf_dir):
         .write.mode("append").parquet(path)
     )
     return spark.read.parquet(path).orderBy("o_orderkey")
+
+
+@query(
+    "table_analyze_stats",
+    oracle="""
+    WITH per AS (
+      SELECT 'o_custkey' AS col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(o_orderstatus) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(o_totalprice) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+             CAST(CAST(round(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+             CAST(CAST(round(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+      FROM orders)
+    SELECT col, n_rows, n_nonnull, ndv, min_val, max_val
+    FROM per ORDER BY col
+    """,
+)
+def table_analyze_stats(spark, sf_dir):
+    """ANALYZE-style one-pass column statistics — the table the
+    cost-based optimizer (and every data catalog) feeds on: row count,
+    non-null count, exact NDV, min/max per column, computed for ALL
+    requested columns in a SINGLE scan (one hash agg computes every
+    per-column measure side by side; COUNT(DISTINCT x, y, z) in one
+    agg expands to Spark's EXPAND + partial-agg plan, still one pass
+    over the facts). At 100 TB stats runs are scheduled maintenance —
+    one scan amortized across every column matters. min/max transport
+    as strings so one schema serves all types (the same trick as the
+    footer skipping index); price min/max in integer cents keeps the
+    doubles comparison-only. The NDV here is exact (the CBO-grade
+    path); agg_hll_sketch_* are the approximate twins when a scan
+    budget forces it."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    row = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_custkey").cast("long").alias("nn_ck"),
+        F.countDistinct("o_custkey").cast("long").alias("ndv_ck"),
+        F.min("o_custkey").cast("string").alias("min_ck"),
+        F.max("o_custkey").cast("string").alias("max_ck"),
+        F.count("o_orderstatus").cast("long").alias("nn_st"),
+        F.countDistinct("o_orderstatus").cast("long").alias("ndv_st"),
+        F.min("o_orderstatus").cast("string").alias("min_st"),
+        F.max("o_orderstatus").cast("string").alias("max_st"),
+        F.count("o_totalprice").cast("long").alias("nn_tp"),
+        F.countDistinct("o_totalprice").cast("long").alias("ndv_tp"),
+        F.round(F.min("o_totalprice") * 100).cast("long").cast("string").alias("min_tp"),
+        F.round(F.max("o_totalprice") * 100).cast("long").cast("string").alias("max_tp"),
+    )
+    per = row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_ck").alias("n_nonnull"),
+                    F.col("ndv_ck").alias("ndv"),
+                    F.col("min_ck").alias("min_val"),
+                    F.col("max_ck").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_st").alias("n_nonnull"),
+                    F.col("ndv_st").alias("ndv"),
+                    F.col("min_st").alias("min_val"),
+                    F.col("max_st").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_tp").alias("n_nonnull"),
+                    F.col("ndv_tp").alias("ndv"),
+                    F.col("min_tp").alias("min_val"),
+                    F.col("max_tp").alias("max_val"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return per.orderBy("col")
+
+
+@query(
+    "table_diff_audit",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 7 <> 0),
+         b AS (SELECT o_orderkey, o_orderstatus,
+                      CASE WHEN o_orderkey % 5 = 0 THEN
+                        CAST(round(o_totalprice * 100) AS BIGINT) + 1
+                      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+               FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT 'only_in_a' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM a
+      LEFT JOIN b USING (o_orderkey) WHERE b.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'only_in_b', CAST(COUNT(*) AS BIGINT) FROM b
+      LEFT JOIN a USING (o_orderkey) WHERE a.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'changed', CAST(COUNT(*) AS BIGINT)
+    FROM a JOIN b USING (o_orderkey)
+    WHERE a.cents <> b.cents OR a.o_orderstatus <> b.o_orderstatus
+    UNION ALL
+    SELECT 'identical', CAST(COUNT(*) AS BIGINT)
+    FROM a JOIN b USING (o_orderkey)
+    WHERE a.cents = b.cents AND a.o_orderstatus = b.o_orderstatus
+    ORDER BY bucket
+    """,
+)
+def table_diff_audit(spark, sf_dir):
+    """Keyed DATA-DIFF between two table versions — the reconciliation
+    report every migration/backfill ends with (datafold/data-diff,
+    Delta's table comparison): bucket every key into only_in_a /
+    only_in_b / changed / identical, counted in ONE full-outer-join
+    pass on the key (never exceptAll twice over the full width —
+    that's two shuffles of every byte; the join shuffles each side
+    once and compares row-local). Here version B simulates a backfill
+    that dropped keys (%7 filter vs %11), and perturbed some values
+    (+1 cent on %5): the report quantifies exactly what changed. At
+    100 TB both sides bucket by the join key — co-partitioned sinks
+    (sink_bucketed_colocated_join) make this diff shuffle-free."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    a = base.where(F.col("o_orderkey") % 7 != 0)
+    b = base.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    bucket = (
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("only_in_a"))
+        .when(F.col("a.o_orderkey").isNull(), F.lit("only_in_b"))
+        .when(
+            (F.col("a.cents") != F.col("b.cents"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("identical"))
+    )
+    return (
+        j.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("bucket")
+    )

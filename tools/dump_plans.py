@@ -161,6 +161,8 @@ HEADLINE_NOTES = {
     "pipeline_incremental_curation": "per cycle: row-local gopher gate + broadcast-fingerprint dedup probe (state never shuffles) + append — feed-bounded work, CDC read is O(churn)",
     "text_dedup_source_priority": "keeper choice AND copy count ride ONE window exchange on the 32-byte content hash — high-cardinality partitions, no skew risk",
     "vec_knn_classify": "cosine_topk's bounded query broadcast + one tiny vote hash agg + top-1 window on q_id — classification adds no new shuffle shape",
+    "table_analyze_stats": "every column's count/nulls/NDV/min/max in ONE scan (EXPAND + partial agg); 1-row result exploded to per-column rows driver-free",
+    "table_diff_audit": "one full-outer join on the key + row-local bucket CASE + hash agg — never two full-width exceptAll shuffles",
 }
 
 
