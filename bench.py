@@ -84,6 +84,10 @@ EXTENDED = [
     "pipeline_pretraining_select",
     # r7: the widest new report (5-table star, integer-cents agg).
     "report_product_profit",
+    # r8 fourth session: the incremental/maintenance tools lane.
+    "view_incremental_join_refresh",
+    "pipeline_incremental_curation",
+    "table_diff_audit",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -120,6 +124,13 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     # component count by construction).
     "join_bloom_pruned",
     "text_bm25_topk",
+    # r8 fourth session: the new incremental/maintenance heavies — the
+    # IVM refresh, the CDC-fed curation loop and the keyed data-diff
+    # all write or double-scan, so their 10x ratios are worth watching
+    # (cheap singles: ~1-3s base each).
+    "view_incremental_join_refresh",
+    "pipeline_incremental_curation",
+    "table_diff_audit",
 ]
 
 

@@ -1248,3 +1248,124 @@ def ann_topk_ivf_portable(
         .select("q_id", "vec_id", "dist_q", "rn")
         .orderBy("q_id", "rn")
     )
+
+
+def ann_topk_pq_portable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    scale: int = 10000,
+    rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tasks: int = 32,
+) -> DataFrame:
+    """Product-Quantization ANN whose ENTIRE train -> encode -> ADC
+    probe path is integer-exact — the PQ member of the portable family
+    (kmeans_portable_quantized / ann_topk_ivf_portable), so unlike
+    ann_topk_pq the result carries an exact driver oracle.
+
+    Construction: split the quantized dim-`dim` vectors into `m_sub`
+    subspaces, train a `k_codes`-entry codebook per subspace with
+    kmeans_portable_quantized (scale=1: the sub-vectors are already
+    integer-valued doubles, so the inner quantization is the
+    identity), encode every vector as m_sub code ids, then score by
+    ASYMMETRIC DISTANCE: per query, a (m, code) -> squared-distance
+    lookup table (m_sub*k_codes rows, broadcast), candidate score =
+    SUM over subspaces of the LUT entry for the candidate's code —
+    PQ's standard full-scan ADC (the IVF composition restricts the
+    candidate set; this form scores all N codes rows, which is the
+    honest baseline the ADC paper measures).
+
+    Exactness bounds: per-subspace squared distance <= (dim/m_sub) *
+    (2*scale)^2 = 16*4e8 = 6.4e9; the ADC sum over 4 subspaces stays
+    < 2^35, far below 2^53 — every float add is exact in any order.
+    Ties break on (adc_dist, vec_id); code assignment ties on
+    centroid_id (inherited from the kmeans operator).
+
+    Scale: codes table is N*m_sub narrow rows; the LUT join is a
+    broadcast hash join (LUT = queries * m_sub * k_codes rows); the
+    only wide shuffle is the (q_id, vec_id) partial-aggregable SUM.
+    """
+    sub_len = dim // m_sub
+    qv = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        ).alias("q"),
+    ).repartition(n_tasks).localCheckpoint(eager=False)
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        ).alias("q"),
+    )
+
+    def _sq(a: str, b: str):
+        return (
+            F.aggregate(F.zip_with(a, a, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            - 2.0 * F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                                F.lit(0.0), lambda acc, x: acc + x)
+            + F.aggregate(F.zip_with(b, b, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        )
+
+    codes = None
+    luts = None
+    for m in range(m_sub):
+        sub = qv.select(
+            "vec_id", F.slice("q", m * sub_len + 1, sub_len).alias("embedding")
+        )
+        _, cents = kmeans_portable_quantized(
+            sub, k=k_codes, scale=1, rounds=rounds,
+            id_col="vec_id", vec_col="embedding", n_tasks=n_tasks,
+        )
+        ew = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        enc = (
+            sub.withColumnRenamed("embedding", "sq")
+            .join(F.broadcast(cents))
+            .withColumn("dist", _sq("sq", "cq"))
+            .withColumn("rn", F.row_number().over(ew))
+            .where(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                F.lit(m).alias("m"),
+                F.col("centroid_id").alias("code"),
+            )
+        )
+        qsub = qq.select(
+            "q_id", F.slice("q", m * sub_len + 1, sub_len).alias("sq")
+        )
+        lut = (
+            qsub.join(F.broadcast(cents))
+            .select(
+                "q_id",
+                F.lit(m).alias("m"),
+                F.col("centroid_id").alias("code"),
+                _sq("sq", "cq").alias("d"),
+            )
+        )
+        codes = enc if codes is None else codes.unionByName(enc)
+        luts = lut if luts is None else luts.unionByName(lut)
+
+    adc = (
+        codes.join(F.broadcast(luts), ["m", "code"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rn")
+        .orderBy("q_id", "rn")
+    )

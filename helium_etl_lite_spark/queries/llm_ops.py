@@ -2601,3 +2601,113 @@ def vec_knn_classify(spark, sf_dir):
         .cast("long")
         .alias("correct"),
     ).orderBy("q_id")
+
+
+_PQP_M = 4
+_PQP_KC = 8
+_PQP_SCALE = 10000
+_PQP_ROUNDS = 2
+_PQP_DIM = 64
+_PQP_NQ = 5
+_PQP_K = 10
+
+
+def _pq_portable_oracle_sql(
+    m_sub: int, k_codes: int, scale: int, rounds: int, dim: int,
+    n_queries: int, k: int,
+) -> str:
+    """DuckDB twin of operators/knn.py ann_topk_pq_portable, UNROLLED
+    per subspace AND per Lloyd round from the same module constants —
+    the generated-oracle pattern (kmeans/ivf/minhash/simhash/HLL/kcore)
+    applied to PRODUCT QUANTIZATION. Every intermediate is an
+    integer-valued double below 2^53 (per-subspace squared distance
+    <= (dim/m)*(2*scale)^2 ~ 6.4e9; the 4-way ADC sum < 2^35), so no
+    order-dependent float summation exists on either side."""
+    sub_len = dim // m_sub
+    dist = (
+        "list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.cq)"
+        " + list_dot_product(c.cq, c.cq)"
+    )
+    s = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {scale}.0)) AS q
+      FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, {sub_len})) AS idx)"""
+    for m in range(m_sub):
+        lo, hi = m * sub_len + 1, m * sub_len + sub_len
+        s += f""",
+    v{m} AS (SELECT vec_id, list_slice(q, {lo}, {hi}) AS q FROM v),
+    c{m}_0 AS (SELECT vec_id AS centroid_id, q AS cq
+               FROM v{m} WHERE vec_id < {k_codes})"""
+        for r in range(rounds):
+            s += f""",
+    best{m}_{r} AS (
+      SELECT vec_id, q, centroid_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v{m} v, c{m}_{r} c) WHERE rn = 1),
+    c{m}_{r + 1} AS (
+      SELECT centroid_id, list(CAST(floor(s / n) AS DOUBLE) ORDER BY idx) AS cq
+      FROM (SELECT centroid_id, idx, SUM(q[idx]) AS s, COUNT(*) AS n
+            FROM best{m}_{r}, dims GROUP BY centroid_id, idx)
+      GROUP BY centroid_id)"""
+        s += f""",
+    enc{m} AS (
+      SELECT vec_id, {m} AS m, centroid_id AS code FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v{m} v, c{m}_{rounds} c) WHERE rn = 1),
+    lut{m} AS (
+      SELECT v.vec_id AS q_id, {m} AS m, c.centroid_id AS code,
+             {dist} AS d
+      FROM v{m} v, c{m}_{rounds} c WHERE v.vec_id < {n_queries})"""
+    enc_union = " UNION ALL ".join(f"SELECT * FROM enc{m}" for m in range(m_sub))
+    lut_union = " UNION ALL ".join(f"SELECT * FROM lut{m}" for m in range(m_sub))
+    s += f""",
+    codes AS ({enc_union}),
+    luts AS ({lut_union}),
+    adc AS (
+      SELECT l.q_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM codes e JOIN luts l ON e.m = l.m AND e.code = l.code
+      WHERE l.q_id <> e.vec_id GROUP BY l.q_id, e.vec_id)
+    SELECT q_id, vec_id, adc_dist, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc_dist ASC, vec_id ASC) AS rn
+      FROM adc) WHERE rn <= {k}
+    ORDER BY q_id, rn"""
+    return s
+
+
+@query(
+    "vec_ann_pq_portable",
+    oracle=_pq_portable_oracle_sql(
+        _PQP_M, _PQP_KC, _PQP_SCALE, _PQP_ROUNDS, _PQP_DIM, _PQP_NQ, _PQP_K
+    ),
+)
+def vec_ann_pq_portable(spark, sf_dir):
+    """Product-Quantization ANN with a DRIVER-EXACT oracle — the PQ
+    member of the portable family, closing the last ANN algorithm
+    class (LSH: bitsample, IVF, k-means; now PQ) without a hash-exact
+    variant. Train/encode/ADC all ride integer-valued doubles (see
+    operators/knn.py ann_topk_pq_portable for the 2^53 bounds), and
+    the oracle UNROLLS all four per-subspace Lloyd trainings plus the
+    ADC scan from the same module constants, so Spark and DuckDB run
+    the SAME algorithm end to end. The float twin (vec_ann_pq,
+    llm_ops.py:1538) stays rows-only with recall gates — production
+    keeps float codebooks; this form proves the machinery exactly."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return knn.ann_topk_pq_portable(
+        emb,
+        emb.where(F.col("vec_id") < _PQP_NQ),
+        k=_PQP_K,
+        m_sub=_PQP_M,
+        k_codes=_PQP_KC,
+        scale=_PQP_SCALE,
+        rounds=_PQP_ROUNDS,
+        dim=_PQP_DIM,
+    )

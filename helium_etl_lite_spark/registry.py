@@ -94,6 +94,7 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_knn_classify",           # kNN majority-vote labeling eval, exact
     "table_analyze_stats",        # one-pass ANALYZE column stats, exact
     "table_diff_audit",           # keyed data-diff reconciliation, exact
+    "vec_ann_pq_portable",        # integer-exact PQ train+encode+ADC, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,12 +111,12 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_kmeans",
     "feature_user_activity",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    # (multimodal_resize + sample_stratified + text_clean_normalize +
+    # (multimodal_frame_sample + multimodal_resize + sample_stratified
+    #  + text_clean_normalize +
     #  text_dedup_keep_longest + text_ngram_topk + text_pii_scrub +
     #  text_repetition_stats + text_vocab_prune + source_csv_roundtrip
     #  + vec_quantize_int8 r3 re-confirms rolled to r9 — displaced by
-    #  the r8 third-session registrations above)
+    #  the r8 third/fourth-session registrations above)
     # (e) r4 re-confirms: none this round — both tail slots went to the
     # new portable exact queries above.
     # (remaining r4 vintages — project_rename_cast, filter_equality,

@@ -2317,3 +2317,20 @@ class TestQuantileSketchPortable:
             r["bin"]: r["count"] for r in binned.groupBy("bin").count().collect()
         }
         assert merged == direct
+
+
+class TestPqPortable:
+    def test_partitioning_invariant(self, spark, sf_dir):
+        # The exactness claim is determinism: the full train->encode->
+        # ADC path must be bit-identical under a different input
+        # partitioning (no order-dependent float summation anywhere).
+        from helium_etl_lite_spark.operators import knn
+        from helium_etl_lite_spark.tables import Tables
+
+        emb = Tables(spark, sf_dir).embeddings
+        q = emb.where(F.col("vec_id") < 3)
+        a = knn.ann_topk_pq_portable(emb, q, k=5).collect()
+        b = knn.ann_topk_pq_portable(emb.repartition(7), q, k=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # ADC distances are integral (quantized arithmetic end to end)
+        assert all(isinstance(r["adc_dist"], int) for r in a)

@@ -163,6 +163,7 @@ HEADLINE_NOTES = {
     "vec_knn_classify": "cosine_topk's bounded query broadcast + one tiny vote hash agg + top-1 window on q_id — classification adds no new shuffle shape",
     "table_analyze_stats": "every column's count/nulls/NDV/min/max in ONE scan (EXPAND + partial agg); 1-row result exploded to per-column rows driver-free",
     "table_diff_audit": "one full-outer join on the key + row-local bucket CASE + hash agg — never two full-width exceptAll shuffles",
+    "vec_ann_pq_portable": "4 subspace codebooks broadcast; codes = N*4 narrow rows; ADC = broadcast LUT join + partial-aggregable (q,vec) SUM — no cross join",
 }
 
 
