@@ -257,3 +257,66 @@ def kcore_peel(
     )
     sym.unpersist()
     return out
+
+
+def pagerank_portable_quantized(
+    edges: DataFrame,
+    rounds: int = 4,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Power iteration on INTEGER mass — the portable-quantized twin of
+    `pagerank` above (the kcore/kmeans/PQ trick applied to the
+    registry's last iterative float algorithm): total mass `scale`
+    splits as r0 = scale div N per node; each round every node sends
+    r div out_deg along each out-edge and re-ranks as
+        r' = (15 * (scale div N)) div 100 + (85 * in_sum) div 100.
+    Every operation is BIGINT `div`/sum (in_sum <= scale = 1e12, the
+    85x product <= 8.5e13 — far below both int64 and 2^53), so the
+    whole iteration is bit-identical across engines and an unrolled
+    SQL oracle can verify it EXACTLY — unlike the float operator,
+    which is deterministic only up to summation order.
+
+    Contract notes: requires a dangling-free graph (every node has an
+    out-edge — true for any symmetrized edge set, like the trade graph
+    both registered queries use); floor division leaks O(1) mass per
+    node per round, so ranks are a fixed-point SCORE (ordering-faithful
+    vs the float ranks — pytest pins top-k agreement), not a
+    probability. Plan per round: one equi-join on src + one hash agg
+    on dst, identical economics to the float twin; no driver traffic
+    except the bounded N count.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    r0 = scale // n
+    base = (100 - damping_pct) * r0 // 100
+    ed = e.join(deg, "src").persist()
+    ranks = nodes.withColumn("r", F.lit(r0).cast("long"))
+    for i in range(rounds):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_q"))

@@ -888,3 +888,100 @@ def table_diff_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("bucket")
     )
+
+
+_PRP_ROUNDS = 4
+_PRP_SCALE = 10**12
+_PRP_DAMP = 85
+_PRP_TOPK = 20
+
+
+def _pagerank_portable_oracle_sql(
+    rounds: int, scale: int, damp: int, topk: int
+) -> str:
+    """DuckDB twin of operators/graph.py pagerank_portable_quantized,
+    UNROLLED one (contrib, re-rank) CTE pair per round from the same
+    module constants — the generated-oracle pattern applied to the
+    registry's last iterative float algorithm. All arithmetic is
+    BIGINT floor division and sums bounded by the 1e12 total mass."""
+    s = f"""
+    WITH trade AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    p AS (SELECT CAST({scale} // COUNT(*) AS BIGINT) AS r0,
+                 CAST(({100 - damp} * ({scale} // COUNT(*))) // 100 AS BIGINT)
+                   AS base
+          FROM nodes),
+    r0 AS (SELECT node, (SELECT r0 FROM p) AS r FROM nodes)"""
+    for i in range(rounds):
+        s += f""",
+    c{i} AS (
+      SELECT e.dst AS node, CAST(SUM(r.r // d.d) AS BIGINT) AS s
+      FROM edges e JOIN r{i} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST((SELECT base FROM p)
+                  + ({damp} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
+    s += f"""
+    SELECT node, r AS rank_q FROM r{rounds}
+    ORDER BY rank_q DESC, node ASC LIMIT {topk}"""
+    return s
+
+
+@query(
+    "graph_pagerank_portable",
+    oracle=_pagerank_portable_oracle_sql(
+        _PRP_ROUNDS, _PRP_SCALE, _PRP_DAMP, _PRP_TOPK
+    ),
+)
+def graph_pagerank_portable(spark, sf_dir):
+    """PageRank with a DRIVER-EXACT verdict — integer mass, BIGINT
+    floor division everywhere (operators/graph.py
+    pagerank_portable_quantized), so the power iteration is
+    bit-identical across engines and the oracle UNROLLS all four
+    rounds from shared constants. Closes the last rows-only ITERATIVE
+    algorithm class: the float twin (graph_pagerank_topk, :322) stays
+    registered as the production form (true probability ranks,
+    dangling handling), pinned to a numpy model at 1e-9; this form
+    proves the distributed iteration machinery exactly, like
+    vec_kmeans_portable does for Lloyd and graph_kcore_peel for
+    peeling. Same plan economics per round: one equi-join on src, one
+    hash agg on dst, zero per-round driver traffic. The trade graph is
+    symmetrized, hence dangling-free — the integer form's documented
+    contract."""
+    from ..operators.graph import pagerank_portable_quantized
+
+    t = Tables(spark, sf_dir)
+    trade = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ranks = pagerank_portable_quantized(
+        edges, rounds=_PRP_ROUNDS, scale=_PRP_SCALE, damping_pct=_PRP_DAMP
+    )
+    return ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc()).limit(
+        _PRP_TOPK
+    )

@@ -2334,3 +2334,73 @@ class TestPqPortable:
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
         # ADC distances are integral (quantized arithmetic end to end)
         assert all(isinstance(r["adc_dist"], int) for r in a)
+
+
+class TestPageRankPortable:
+    def _edges(self, spark, sf_dir):
+        from helium_etl_lite_spark.tables import Tables
+
+        t = Tables(spark, sf_dir)
+        trade = (
+            t.lineitem.select("l_orderkey", "l_suppkey")
+            .join(
+                t.orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("cust"),
+                (F.col("l_suppkey") + F.lit(1_000_000)).alias("supp"),
+            )
+            .distinct()
+        )
+        return trade.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst")
+        ).unionByName(
+            trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+
+    def test_partitioning_invariant(self, spark, sf_dir):
+        from helium_etl_lite_spark.operators.graph import (
+            pagerank_portable_quantized,
+        )
+
+        e = self._edges(spark, sf_dir)
+        a = {
+            r["node"]: r["rank_q"]
+            for r in pagerank_portable_quantized(e, rounds=3).collect()
+        }
+        b = {
+            r["node"]: r["rank_q"]
+            for r in pagerank_portable_quantized(
+                e.repartition(7), rounds=3
+            ).collect()
+        }
+        assert a == b  # bit-identical, not just close
+
+    def test_ordering_faithful_to_float_pagerank(self, spark, sf_dir):
+        # The integer fixed point is a SCORE; its ranking must track
+        # the float operator's at the same round count (floor division
+        # perturbs ranks by O(1) mass units, far below the rank gaps
+        # on this graph).
+        from helium_etl_lite_spark.operators.graph import (
+            pagerank,
+            pagerank_portable_quantized,
+        )
+
+        e = self._edges(spark, sf_dir)
+        fi = [
+            r["node"]
+            for r in pagerank(e, iterations=4)
+            .orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(10)
+            .collect()
+        ]
+        qi = [
+            r["node"]
+            for r in pagerank_portable_quantized(e, rounds=4)
+            .orderBy(F.col("rank_q").desc(), F.col("node").asc())
+            .limit(10)
+            .collect()
+        ]
+        assert len(set(fi) & set(qi)) >= 8, (fi, qi)
+        assert fi[:3] == qi[:3]
