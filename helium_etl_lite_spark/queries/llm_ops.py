@@ -2711,3 +2711,174 @@ def vec_ann_pq_portable(spark, sf_dir):
         rounds=_PQP_ROUNDS,
         dim=_PQP_DIM,
     )
+
+
+_IVFPQ_NL = 8
+_IVFPQ_NPROBE = 3
+_IVFPQ_SHORT = 50
+
+
+def _ivfpq_portable_oracle_sql(
+    n_lists: int, nprobe: int, m_sub: int, k_codes: int, scale: int,
+    rounds: int, dim: int, n_queries: int, shortlist: int, k: int,
+) -> str:
+    """DuckDB twin of operators/knn.py ann_topk_ivfpq_portable — the
+    LARGEST generated oracle in the registry: coarse k-means unrolled
+    (`g*` CTEs), residual computation, four per-subspace PQ trainings
+    unrolled (`pb*/pc*`), per-(query, probed-list) ADC lookup tables,
+    shortlist, and the exact integer rerank, all from the same module
+    constants the Spark operator uses. Exact for the same reason as
+    the PQ/kmeans oracles: every intermediate is an integer-valued
+    double far below 2^53 (residuals <= 2*scale, ADC sums < 2^37,
+    rerank distances < 2^37)."""
+    sub_len = dim // m_sub
+    dist = (
+        "list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.cq)"
+        " + list_dot_product(c.cq, c.cq)"
+    )
+    s = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {scale}.0)) AS q
+      FROM embeddings),
+    cdims AS (SELECT unnest(generate_series(1, {dim})) AS idx),
+    sdims AS (SELECT unnest(generate_series(1, {sub_len})) AS idx),
+    g0 AS (SELECT vec_id AS centroid_id, q AS cq FROM v WHERE vec_id < {n_lists})"""
+    for r in range(rounds):
+        s += f""",
+    gbest{r} AS (
+      SELECT vec_id, q, centroid_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, g{r} c) WHERE rn = 1),
+    g{r + 1} AS (
+      SELECT centroid_id, list(CAST(floor(s / n) AS DOUBLE) ORDER BY idx) AS cq
+      FROM (SELECT centroid_id, idx, SUM(q[idx]) AS s, COUNT(*) AS n
+            FROM gbest{r}, cdims GROUP BY centroid_id, idx)
+      GROUP BY centroid_id)"""
+    s += f""",
+    assign AS (
+      SELECT vec_id, q, centroid_id AS list_id, cq FROM (
+        SELECT v.vec_id, v.q, c.centroid_id, c.cq,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, g{rounds} c) WHERE rn = 1),
+    res AS (
+      SELECT vec_id, list_id,
+             list_transform(generate_series(1, {dim}),
+                            i -> q[i] - cq[i]) AS r
+      FROM assign)"""
+    for m in range(m_sub):
+        lo, hi = m * sub_len + 1, m * sub_len + sub_len
+        s += f""",
+    rm{m} AS (SELECT vec_id, list_slice(r, {lo}, {hi}) AS q FROM res),
+    pc{m}_0 AS (SELECT vec_id AS centroid_id, q AS cq
+                FROM rm{m} WHERE vec_id < {k_codes})"""
+        for r in range(rounds):
+            s += f""",
+    pb{m}_{r} AS (
+      SELECT vec_id, q, centroid_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM rm{m} v, pc{m}_{r} c) WHERE rn = 1),
+    pc{m}_{r + 1} AS (
+      SELECT centroid_id, list(CAST(floor(s / n) AS DOUBLE) ORDER BY idx) AS cq
+      FROM (SELECT centroid_id, idx, SUM(q[idx]) AS s, COUNT(*) AS n
+            FROM pb{m}_{r}, sdims GROUP BY centroid_id, idx)
+      GROUP BY centroid_id)"""
+        s += f""",
+    enc{m} AS (
+      SELECT vec_id, {m} AS m, centroid_id AS code FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM rm{m} v, pc{m}_{rounds} c) WHERE rn = 1)"""
+    enc_union = " UNION ALL ".join(f"SELECT * FROM enc{m}" for m in range(m_sub))
+    s += f""",
+    codes AS (
+      SELECT e.vec_id, a.list_id, e.m, e.code
+      FROM ({enc_union}) e JOIN assign a ON e.vec_id = a.vec_id),
+    probe AS (
+      SELECT q_id, q, list_id, cq FROM (
+        SELECT v.vec_id AS q_id, v.q, c.centroid_id AS list_id, c.cq,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, g{rounds} c WHERE v.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    qres AS (
+      SELECT q_id, list_id,
+             list_transform(generate_series(1, {dim}),
+                            i -> q[i] - cq[i]) AS r
+      FROM probe)"""
+    for m in range(m_sub):
+        lo, hi = m * sub_len + 1, m * sub_len + sub_len
+        s += f""",
+    lut{m} AS (
+      SELECT v.q_id, v.list_id, {m} AS m, c.centroid_id AS code, {dist} AS d
+      FROM (SELECT q_id, list_id, list_slice(r, {lo}, {hi}) AS q
+            FROM qres) v, pc{m}_{rounds} c)"""
+    lut_union = " UNION ALL ".join(f"SELECT * FROM lut{m}" for m in range(m_sub))
+    s += f""",
+    luts AS ({lut_union}),
+    adc AS (
+      SELECT l.q_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+      FROM codes e JOIN luts l
+        ON e.list_id = l.list_id AND e.m = l.m AND e.code = l.code
+      WHERE l.q_id <> e.vec_id GROUP BY l.q_id, e.vec_id),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY adc_dist ASC, vec_id ASC) AS srn
+        FROM adc) WHERE srn <= {shortlist}),
+    rer AS (
+      SELECT s.q_id, s.vec_id,
+             CAST(list_dot_product(qv.q, qv.q)
+                  - 2*list_dot_product(qv.q, cv.q)
+                  + list_dot_product(cv.q, cv.q) AS BIGINT) AS dist_q
+      FROM short s JOIN v cv ON s.vec_id = cv.vec_id
+                   JOIN v qv ON s.q_id = qv.vec_id)
+    SELECT q_id, vec_id, dist_q, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY dist_q ASC, vec_id ASC) AS rn
+      FROM rer) WHERE rn <= {k}
+    ORDER BY q_id, rn"""
+    return s
+
+
+@query(
+    "vec_ann_ivfpq_portable",
+    oracle=_ivfpq_portable_oracle_sql(
+        _IVFPQ_NL, _IVFPQ_NPROBE, _PQP_M, _PQP_KC, _PQP_SCALE,
+        _PQP_ROUNDS, _PQP_DIM, _PQP_NQ, _IVFPQ_SHORT, _PQP_K,
+    ),
+)
+def vec_ann_ivfpq_portable(spark, sf_dir):
+    """FAISS-style IVFADC (coarse inverted lists + RESIDUAL product
+    quantization + ADC shortlist + exact rerank) with a DRIVER-EXACT
+    oracle — the capstone of the portable ANN family and the twin of
+    the two remaining rows-only compositions (vec_ann_ivfpq :1576,
+    vec_ann_pq_rerank :1557) in one query: the shortlist comes from
+    the probed-list ADC scan, the final top-10 from an exact integer
+    rerank of those 50 ids. Residuals are integer subtractions, so
+    the entire train -> encode -> probe -> refine path stays on
+    integer-valued doubles (bounds in operators/knn.py). The float
+    forms remain production (engine-native FP codebooks, recall
+    gates); this proves the full billion-vector serving dataflow
+    bit-exactly."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    return knn.ann_topk_ivfpq_portable(
+        emb,
+        emb.where(F.col("vec_id") < _PQP_NQ),
+        k=_PQP_K,
+        shortlist=_IVFPQ_SHORT,
+        n_lists=_IVFPQ_NL,
+        nprobe=_IVFPQ_NPROBE,
+        m_sub=_PQP_M,
+        k_codes=_PQP_KC,
+        scale=_PQP_SCALE,
+        rounds=_PQP_ROUNDS,
+        dim=_PQP_DIM,
+    )

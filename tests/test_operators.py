@@ -2404,3 +2404,59 @@ class TestPageRankPortable:
         ]
         assert len(set(fi) & set(qi)) >= 8, (fi, qi)
         assert fi[:3] == qi[:3]
+
+
+class TestIvfPqPortable:
+    def test_full_probe_full_shortlist_equals_brute_force(self, spark, sf_dir):
+        # With nprobe = n_lists (every list probed) and an unbounded
+        # shortlist, the ADC stage only SELECTS candidates — the exact
+        # rerank then must return exactly the integer brute-force
+        # top-k. This pins the whole coarse/residual/ADC plumbing: any
+        # mis-assignment or LUT bug would leak a wrong id into (or
+        # drop a right id from) the shortlist.
+        from helium_etl_lite_spark.operators import knn
+        from helium_etl_lite_spark.tables import Tables
+
+        emb = Tables(spark, sf_dir).embeddings
+        n = emb.count()
+        q = emb.where(F.col("vec_id") < 3)
+        got = knn.ann_topk_ivfpq_portable(
+            emb, q, k=5, shortlist=n, n_lists=4, nprobe=4
+        ).collect()
+
+        # integer brute force twin
+        qv = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 10000.0, 0)
+            ).alias("q"),
+        )
+        import itertools
+
+        vecs = {r["vec_id"]: r["q"] for r in qv.collect()}
+        want = []
+        for qid in sorted(v for v in vecs if v < 3):
+            d = sorted(
+                (
+                    int(
+                        sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[v]))
+                    ),
+                    v,
+                )
+                for v in vecs
+                if v != qid
+            )[:5]
+            want.extend(
+                (qid, v, dist, rn + 1) for rn, (dist, v) in enumerate(d)
+            )
+        assert [tuple(r) for r in got] == want
+
+    def test_partitioning_invariant(self, spark, sf_dir):
+        from helium_etl_lite_spark.operators import knn
+        from helium_etl_lite_spark.tables import Tables
+
+        emb = Tables(spark, sf_dir).embeddings
+        q = emb.where(F.col("vec_id") < 2)
+        a = knn.ann_topk_ivfpq_portable(emb, q, k=5).collect()
+        b = knn.ann_topk_ivfpq_portable(emb.repartition(5), q, k=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -165,6 +165,7 @@ HEADLINE_NOTES = {
     "table_diff_audit": "one full-outer join on the key + row-local bucket CASE + hash agg — never two full-width exceptAll shuffles",
     "vec_ann_pq_portable": "4 subspace codebooks broadcast; codes = N*4 narrow rows; ADC = broadcast LUT join + partial-aggregable (q,vec) SUM — no cross join",
     "graph_pagerank_portable": "per round ONE src equi-join + ONE dst hash agg on BIGINT mass — the float twin's plan economics with zero FP anywhere",
+    "vec_ann_ivfpq_portable": "coarse+PQ codebooks broadcast; ADC candidates from the (list,m,code) equi-join (probed fraction only); rerank joins a 50-id bounded shortlist",
 }
 
 
