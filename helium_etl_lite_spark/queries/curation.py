@@ -910,9 +910,11 @@ def pipeline_pretraining_select_bpe(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "pipeline_incremental_curation",
-    oracle=f"""
+# Shared fixed-point oracle for BOTH incremental-curation forms (batch
+# loop below, streaming loop in streaming/curation_stream.py): gopher-
+# passing docs that are the first occurrence of their content hash in
+# processing order (batch asc = v1 before the v2 delta, doc_id asc).
+_INCR_CURATION_ORACLE = f"""
     WITH w AS (
       SELECT doc_id, lang, text, string_split(text, ' ') AS ws
       FROM documents),
@@ -934,8 +936,10 @@ def pipeline_pretraining_select_bpe(spark, sf_dir):
                ORDER BY batch, doc_id) AS rn
       FROM g)
     SELECT doc_id, lang FROM firsts WHERE rn = 1 ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("pipeline_incremental_curation", oracle=_INCR_CURATION_ORACLE)
 def pipeline_incremental_curation(spark, sf_dir):
     """The INCREMENTAL curation loop end to end, driver-verified — the
     composition the batch flagships (pipeline_corpus_curation,
@@ -999,3 +1003,56 @@ def pipeline_incremental_curation(spark, sf_dir):
     curate(feed.where(F.col("_change_type") == "insert"), first=False)
 
     return spark.read.parquet(curated).orderBy("doc_id")
+
+
+@query("stream_incremental_curation", oracle=_INCR_CURATION_ORACLE)
+def stream_incremental_curation(spark, sf_dir):
+    """The incremental curation loop in TRUE STREAMING form — the
+    twin of pipeline_incremental_curation above with the SAME
+    fixed-point oracle, but the cycles run through the real
+    Structured Streaming path: snapshot_changes source (offset =
+    snapshot version) -> foreachBatch ->
+    streaming/curation_stream.py's versioned curate-and-publish, with
+    TWO availableNow drains (bootstrap after commit 1, incremental
+    after commit 2) RESTARTING from the checkpoint in between — the
+    kill/catch-up cycle. Exactly-once: each published curated version
+    carries the data AND the dedup state (the hash column), so a
+    replayed batch_id skips wholesale — no split-store crash window
+    (curation_stream.py docstring). The identical oracle hash-match
+    across the batch and streaming forms proves both execution models
+    land exactly the from-scratch fixed point — the strongest
+    convergence statement in the registry, mirroring the
+    sink_snapshot_changes_apply / stream_cdc_mirror pairing."""
+    from ..etl.snapshot import commit_batch_atomic
+    from ..scratch import scratch_dir
+    from ..streaming.curation_stream import start_curation_stream
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "lang", "text", F.col("doc_id").cast("long").alias("block")
+    )
+    root = scratch_dir("stream_incr_curation_src")
+    curated = scratch_dir("stream_incr_curation_out")
+    ckpt = scratch_dir("stream_incr_curation_ckpt")
+    hi = int(docs.agg(F.max("block")).first()[0])
+
+    b1 = docs.where(F.col("doc_id") % 3 != 0)
+    commit_batch_atomic(
+        spark, root, {"docs": b1}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=b1.select("block"),
+    )
+    q1 = start_curation_stream(spark, root, "docs", curated, ckpt)
+    q1.awaitTermination(300)
+
+    commit_batch_atomic(
+        spark, root, {"docs": docs}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=docs.select("block"),
+    )
+    q2 = start_curation_stream(spark, root, "docs", curated, ckpt)
+    q2.awaitTermination(300)
+
+    from ..streaming.curation_stream import read_mirror
+
+    return read_mirror(spark, curated).select("doc_id", "lang").orderBy(
+        "doc_id"
+    )

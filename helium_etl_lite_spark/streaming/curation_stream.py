@@ -1,0 +1,127 @@
+"""Streaming incremental curation: the STREAMING twin of
+pipeline_incremental_curation (queries/curation.py) — subscribe to a
+snapshot table's change feed, curate each microbatch (gopher gate ->
+exact dedup against everything curated so far -> publish), survive
+kill/restart without double-landing or losing a batch.
+
+Exactly-once differs from the batch loop in one important way: the
+batch loop's dedup state and curated sink are two separate stores, so
+a crash between the two writes needs the state's set-semantics to
+swallow the replay. Here the curated store IS the state — each
+version v=<batch_id> carries (doc_id, lang, text_hash), so one atomic
+pointer flip publishes the data AND the dedup state together, and a
+replayed batch (stable batch_id, the standard foreachBatch recipe)
+skips wholesale. The pointer/versioning machinery is mirror.py's.
+
+Probe shape at scale: the curated store never shuffles — the batch's
+distinct hash fingerprints broadcast into a semi-join against the
+store (operators/dedup.py dedup_filter_new's two-step, restated over
+the store's hash column), then the bounded candidate set anti-joins
+the batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .mirror import _pointer_path, mirror_version, read_mirror
+
+CURATED_COLS = ["doc_id", "lang", "text_hash"]
+
+
+def curate_changes_batch(
+    batch_df: DataFrame, batch_id: int, curated_dir: str
+) -> bool:
+    """Idempotently curate one change-feed microbatch into the
+    versioned curated store. Returns False on replay (batch_id already
+    published) or an empty batch."""
+    done = mirror_version(curated_dir)
+    if done is not None and done >= batch_id:
+        return False
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    # lazy import: queries.* registers against the registry at import
+    # time; streaming modules must not force that at their own import.
+    from ..queries.curation import gopher_keep_condition
+
+    docs = batch_df.where(F.col("_change_type") == "insert").select(
+        "doc_id", "lang", "text"
+    )
+    gated = docs.where(gopher_keep_condition()).withColumn(
+        "text_hash", F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    )
+    # in-batch duplicates collapse to the min-id keeper (same contract
+    # as dedup_filter_new); window keys on the high-cardinality hash.
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    batch_first = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*CURATED_COLS)
+    )
+    prev = read_mirror(spark, curated_dir)
+    if prev is not None:
+        fps = batch_first.select(
+            F.xxhash64("text_hash").alias("__fp")
+        ).distinct()
+        cand = (
+            prev.join(
+                F.broadcast(fps),
+                F.xxhash64(prev["text_hash"]) == F.col("__fp"),
+            )
+            .select("text_hash")
+            .distinct()
+        )
+        fresh = batch_first.join(cand, "text_hash", "left_anti")
+    else:
+        fresh = batch_first
+    if fresh.isEmpty():
+        # content no-op (everything gated out or already curated):
+        # don't publish an identical version — a replay re-derives the
+        # same no-op, so skipping keeps the version history meaningful
+        # (mirror.py's empty-batch contract).
+        return False
+    new = (
+        prev.select(*CURATED_COLS).unionByName(fresh)
+        if prev is not None
+        else fresh
+    )
+    vdir = os.path.join(curated_dir, f"v={batch_id}")
+    new.write.mode("overwrite").parquet(vdir)
+    tmp = _pointer_path(curated_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, _pointer_path(curated_dir))
+    return True
+
+
+def start_curation_stream(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    curated_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Subscribe the curation loop to a snapshot table's change feed
+    (one microbatch per snapshot-version delta; availableNow drains
+    pending commits then stops — restartable from the checkpoint)."""
+    from ..sources.python_datasource import register_snapshot_changes
+
+    register_snapshot_changes(spark)
+    os.makedirs(curated_dir, exist_ok=True)
+    feed = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("table", table)
+        .load()
+    )
+    writer = feed.writeStream.foreachBatch(
+        lambda df, bid: curate_changes_batch(df, bid, curated_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -829,3 +829,62 @@ class TestSnapshotMirrorConsumer:
         assert self._rows(mirror.read_mirror(spark, mdir)) == [
             (1, 10.0), (2, 20.0)
         ]
+
+
+class TestStreamingCuration:
+    """streaming/curation_stream.py: the curated store carries data AND
+    dedup state in one atomic publish — replay and cross-batch dedup
+    semantics pinned here; the oracle sweep pins the full fixed point
+    (stream_incremental_curation hash-matches the batch loop's oracle)."""
+
+    def _batch(self, spark, rows):
+        # change-feed-shaped microbatch: (doc_id, lang, text, type).
+        # Texts must pass the gopher gate: >=30 words, >=2 stopwords.
+        return spark.createDataFrame(
+            [(d, lg, t, ct) for d, lg, t, ct in rows],
+            "doc_id long, lang string, text string, _change_type string",
+        )
+
+    def _passing_text(self, seed):
+        words = [f"word{seed}x{i}" for i in range(28)]
+        return "the and " + " ".join(words)
+
+    def test_replay_skips_and_dedup_carries_across_batches(
+        self, spark, tmp_path
+    ):
+        from helium_etl_lite_spark.streaming import curation_stream as cs
+
+        cdir = str(tmp_path / "curated")
+        t_a, t_b = self._passing_text("a"), self._passing_text("b")
+        b0 = self._batch(
+            spark,
+            [
+                (1, "en", t_a, "insert"),
+                (7, "en", t_a, "insert"),  # in-batch dup -> min-id keeps
+                (2, "en", t_b, "insert"),
+            ],
+        )
+        assert cs.curate_changes_batch(b0, 0, cdir) is True
+        got0 = sorted(
+            r["doc_id"] for r in cs.read_mirror(spark, cdir).collect()
+        )
+        assert got0 == [1, 2]
+        # replay of the same batch_id is a wholesale no-op
+        assert cs.curate_changes_batch(b0, 0, cdir) is False
+        # next batch: a cross-batch dup (t_a again) is dropped by the
+        # store's own hash column; a fresh doc lands.
+        b1 = self._batch(
+            spark,
+            [
+                (9, "en", t_a, "insert"),
+                (4, "en", self._passing_text("c"), "insert"),
+            ],
+        )
+        assert cs.curate_changes_batch(b1, 1, cdir) is True
+        got1 = sorted(
+            r["doc_id"] for r in cs.read_mirror(spark, cdir).collect()
+        )
+        assert got1 == [1, 2, 4]
+        # a gate-failing doc never lands
+        b2 = self._batch(spark, [(5, "en", "too short", "insert")])
+        assert cs.curate_changes_batch(b2, 2, cdir) is False

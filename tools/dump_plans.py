@@ -166,6 +166,7 @@ HEADLINE_NOTES = {
     "vec_ann_pq_portable": "4 subspace codebooks broadcast; codes = N*4 narrow rows; ADC = broadcast LUT join + partial-aggregable (q,vec) SUM — no cross join",
     "graph_pagerank_portable": "per round ONE src equi-join + ONE dst hash agg on BIGINT mass — the float twin's plan economics with zero FP anywhere",
     "vec_ann_ivfpq_portable": "coarse+PQ codebooks broadcast; ADC candidates from the (list,m,code) equi-join (probed fraction only); rerank joins a 50-id bounded shortlist",
+    "stream_incremental_curation": "foreachBatch over the snapshot_changes source; per batch: row-local gate + broadcast-fingerprint probe vs the store + ONE atomic version publish carrying data AND dedup state",
 }
 
 
