@@ -955,3 +955,65 @@ def agg_quantile_sketch_portable(spark, sf_dir):
     t = Tables(spark, sf_dir)
     t.register_views()
     return spark.sql(_QSKETCH_SQL)
+
+
+_QSG_BINS = 32
+_QSG_QS = (0.5, 0.95, 0.99)
+
+_QSG_SQL = f"""
+WITH bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY event_type),
+binned AS (
+  SELECT e.event_type,
+         LEAST({_QSG_BINS - 1},
+               CAST(FLOOR((e.value - b.lo)
+                          / ((b.hi - b.lo) / CAST({_QSG_BINS} AS DOUBLE)))
+                    AS BIGINT)) AS bin
+  FROM events e JOIN bounds b ON e.event_type = b.event_type),
+sketch AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY event_type, bin),
+cum AS (
+  SELECT event_type, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt
+              AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM sketch),
+qs AS (
+  SELECT CAST(q AS DOUBLE) AS q
+  FROM (VALUES {", ".join(f"({q})" for q in _QSG_QS)}) AS v(q)),
+hit AS (
+  SELECT c.event_type, qs.q, MIN(c.bin) AS qbin
+  FROM qs JOIN cum c ON c.cum >= qs.q * c.total
+  GROUP BY c.event_type, qs.q)
+SELECT h.event_type, h.q, h.qbin, c.cnt AS bin_count,
+       b.lo + ((b.hi - b.lo) / CAST({_QSG_BINS} AS DOUBLE))
+            * (c.bin + (h.q * c.total - c.cum_before) / c.cnt) AS est
+FROM hit h
+JOIN cum c ON h.event_type = c.event_type AND h.qbin = c.bin
+JOIN bounds b ON h.event_type = b.event_type
+ORDER BY h.event_type, h.q
+"""
+
+
+@query("agg_quantile_sketch_grouped", oracle=_QSG_SQL)
+def agg_quantile_sketch_grouped(spark, sf_dir):
+    """PER-GROUP mergeable histogram quantiles — the ops-dashboard
+    form of agg_quantile_sketch_portable (p50/p95/p99 of `value` per
+    event_type): per-group equi-width bins from per-group min/max, the
+    same single-IEEE-expression interpolation, hash-exact for the same
+    reasons. The stored artifact is (group, bin, count) — per-segment
+    partials still merge by summing counts per (group, bin), so a
+    100 TB deployment keeps 32 rows per group per day and answers any
+    per-group percentile later. Plan: one bounds hash agg + one
+    (group, bin) hash agg over the facts (both map-side combinable);
+    cumulative windows partition on (event_type) over the <=32-row
+    per-group bin tables — bounded control plane, not a
+    low-cardinality corpus window (the partition size is fixed by the
+    bin count regardless of data volume)."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(_QSG_SQL)
