@@ -73,22 +73,37 @@ def build_minmax_index(spark: SparkSession, path: str, col: str) -> DataFrame:
         if f.endswith(".parquet")
     )
     fdf = spark.createDataFrame([(f,) for f in files], "file string")
-    fdf = fdf.repartition(min(len(files), 32))
+    fdf = fdf.repartition(max(1, min(len(files), 32)))
     return fdf.mapInPandas(
         lambda it: _footer_stats(it, col), schema=_INDEX_SCHEMA
     )
 
 
-def prune_files(index: DataFrame, lo: str, hi: str) -> list[str]:
+def prune_files(
+    index: DataFrame, lo, hi, value_type: str = "string"
+) -> list[str]:
     """Files whose [min_val, max_val] range intersects [lo, hi] —
     stats-less files (NULL range) are conservatively kept.  Returns a
     driver-side path list: bounded by matching FILE count (the same
-    contract as Spark's own PartitioningAwareFileIndex listing)."""
+    contract as Spark's own PartitioningAwareFileIndex listing).
+
+    ``value_type`` is the Spark type the stringified stats are cast
+    back to before comparing (the index stores strings so one schema
+    serves every column type). It MUST be set for numeric cluster
+    columns: the default string compare is only correct for types
+    whose string form sorts like the value (ISO timestamps/dates,
+    plain strings) — lexicographically, '100' < '95', so a numeric
+    range pruned as strings silently drops matching files."""
     from pyspark.sql import functions as F
 
+    mn = F.col("min_val").cast(value_type)
+    mx = F.col("max_val").cast(value_type)
     kept = index.where(
         F.col("min_val").isNull()
-        | ((F.col("max_val") >= lo) & (F.col("min_val") <= hi))
+        | (
+            (mx >= F.lit(lo).cast(value_type))
+            & (mn <= F.lit(hi).cast(value_type))
+        )
     )
     return [r["file"] for r in kept.select("file").collect()]
 
@@ -158,7 +173,11 @@ def bloom_candidate_files(index, probe, key: str, m_bits: int):
     bits, so sparse blooms prune correctly."""
     from pyspark.sql import functions as F
 
-    probe_pos = probe.select(
+    # Distinct keys first: a key appearing twice in `probe` would
+    # explode to 2k rows and the nset == BLOOM_K equality below would
+    # never hold (nset = 2k) — every file pruned, silent false
+    # negatives on the lookup.
+    probe_pos = probe.select(key).distinct().select(
         key,
         F.explode(
             F.array(*[_bloom_pos(F.col(key), j, m_bits) for j in range(BLOOM_K)])

@@ -319,4 +319,11 @@ def pagerank_portable_quantized(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # Final eager checkpoint severs the plan from `ed`/`nodes` so the
+    # scratch caches can be dropped here instead of leaking into the
+    # session for its lifetime (kcore_peel below does the same).
+    if rounds % checkpoint_every != 0:
+        ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
     return ranks.select("node", F.col("r").alias("rank_q"))

@@ -1062,6 +1062,7 @@ def kmeans_portable_quantized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tasks: int = 32,
+    compute_stats: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means whose EVERY intermediate is an integer-valued
     double, so the whole iterative algorithm is bit-exact across
@@ -1092,7 +1093,17 @@ def kmeans_portable_quantized(
     `scale`).
 
     Returns (per_cluster_stats, final_centroids): stats has
-    centroid_id / n_members / inertia_q (BIGINT).
+    centroid_id / n_members / inertia_q (BIGINT); stats is None when
+    ``compute_stats=False`` (the ANN builders only need the codebook
+    and do their own assignment — skipping the final full-corpus
+    assign+agg pass halves the most expensive stage).
+
+    Seeding contract: initial centroids are the rows with
+    ``id_col < k`` — deterministic (so the generated oracle can state
+    the same seed) but it REQUIRES ids to be numeric and include
+    0..k-1 (dense 0-based, as the driver's embeddings table is).
+    Checked loudly below: a filtered corpus or string ids would
+    otherwise silently train fewer than k centroids.
     """
     q = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -1104,6 +1115,13 @@ def kmeans_portable_quantized(
     cents = q.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
     )
+    n_seed = cents.count()
+    if n_seed != k:
+        raise ValueError(
+            f"kmeans_portable_quantized seeds from rows with {id_col} < "
+            f"{k} and found {n_seed} — ids must be dense 0-based "
+            f"numerics covering 0..{k - 1}"
+        )
 
     def _assign(points: DataFrame, cs: DataFrame) -> DataFrame:
         d = (
@@ -1148,6 +1166,8 @@ def kmeans_portable_quantized(
             )
         ).localCheckpoint(eager=True)
 
+    if not compute_stats:
+        return None, cents
     final = _assign(q, cents)
     stats = (
         final.groupBy("centroid_id")
@@ -1187,9 +1207,10 @@ def ann_topk_ivf_portable(
     brute force); the EXACTNESS claim is about determinism, not
     recall. Ties: probe lists on centroid_id, neighbors on vec_id.
     """
-    stats_unused, cents = kmeans_portable_quantized(
+    _, cents = kmeans_portable_quantized(
         vectors, k=n_lists, scale=scale, rounds=rounds,
         id_col=id_col, vec_col=vec_col, n_tasks=n_tasks,
+        compute_stats=False,
     )
 
     qv = vectors.select(
@@ -1323,6 +1344,7 @@ def ann_topk_pq_portable(
         _, cents = kmeans_portable_quantized(
             sub, k=k_codes, scale=1, rounds=rounds,
             id_col="vec_id", vec_col="embedding", n_tasks=n_tasks,
+            compute_stats=False,
         )
         ew = Window.partitionBy("vec_id").orderBy(
             F.col("dist").asc(), F.col("centroid_id").asc()
@@ -1415,6 +1437,7 @@ def ann_topk_ivfpq_portable(
     _, cents = kmeans_portable_quantized(
         vectors, k=n_lists, scale=scale, rounds=rounds,
         id_col=id_col, vec_col=vec_col, n_tasks=n_tasks,
+        compute_stats=False,
     )
 
     def _quant(df, out_id):
@@ -1465,6 +1488,7 @@ def ann_topk_ivfpq_portable(
         _, cm = kmeans_portable_quantized(
             sub, k=k_codes, scale=1, rounds=rounds,
             id_col="vec_id", vec_col="embedding", n_tasks=n_tasks,
+            compute_stats=False,
         )
         pq_cents[m] = cm
         ew = Window.partitionBy("vec_id").orderBy(

@@ -897,10 +897,11 @@ WITH bounds AS (
   FROM lineitem),
 binned AS (
   SELECT l_returnflag AS grp,
-         LEAST({_QSKETCH_BINS - 1},
+         CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+              ELSE LEAST({_QSKETCH_BINS - 1},
                CAST(FLOOR((l_extendedprice - b.lo)
                           / ((b.hi - b.lo) / CAST({_QSKETCH_BINS} AS DOUBLE)))
-                    AS BIGINT)) AS bin
+                    AS BIGINT)) END AS bin
   FROM lineitem, bounds b),
 sketch AS (
   SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -966,10 +967,11 @@ WITH bounds AS (
   FROM events GROUP BY event_type),
 binned AS (
   SELECT e.event_type,
-         LEAST({_QSG_BINS - 1},
+         CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+              ELSE LEAST({_QSG_BINS - 1},
                CAST(FLOOR((e.value - b.lo)
                           / ((b.hi - b.lo) / CAST({_QSG_BINS} AS DOUBLE)))
-                    AS BIGINT)) AS bin
+                    AS BIGINT)) END AS bin
   FROM events e JOIN bounds b ON e.event_type = b.event_type),
 sketch AS (
   SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -982,11 +982,22 @@ def pipeline_incremental_curation(spark, sf_dir):
         gated = batch_df.select("doc_id", "lang", "text").where(
             gopher_keep_condition()
         )
-        fresh = dedup.dedup_filter_new(spark, gated, state)
-        dedup.dedup_state_add(spark, fresh, state)
-        fresh.select("doc_id", "lang").write.mode(
-            "overwrite" if first else "append"
-        ).parquet(curated)
+        # Cursor-after-data discipline (dedup_filter_new docstring):
+        # land the curated output FIRST, then fold the state. A crash
+        # in between replays to the same fresh set (state unchanged)
+        # and the append is absorbed by downstream idempotence; the
+        # inverted order would permanently drop the batch. persist()
+        # also pins `fresh` so the state fold-in can't trigger a
+        # re-evaluation that anti-joins the batch against its own
+        # just-appended hashes.
+        fresh = dedup.dedup_filter_new(spark, gated, state).persist()
+        try:
+            fresh.select("doc_id", "lang").write.mode(
+                "overwrite" if first else "append"
+            ).parquet(curated)
+            dedup.dedup_state_add(spark, fresh, state)
+        finally:
+            fresh.unpersist()
 
     b1 = docs.where(F.col("doc_id") % 3 != 0)
     commit_batch_atomic(

@@ -882,10 +882,22 @@ def table_diff_audit(spark, sf_dir):
         )
         .otherwise(F.lit("identical"))
     )
-    return (
+    counts = (
         j.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # The oracle's four UNION ALL'd COUNT(*) rows always materialize;
+    # groupBy omits empty buckets, so scaffold all four and zero-fill —
+    # otherwise a dataset with e.g. no 'changed' keys hash-mismatches
+    # on row count.
+    scaffold = spark.createDataFrame(
+        [("only_in_a",), ("only_in_b",), ("changed",), ("identical",)],
+        "bucket string",
+    )
+    return (
+        scaffold.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("bucket")
     )
 
