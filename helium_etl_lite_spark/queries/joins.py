@@ -695,3 +695,62 @@ def join_lateral_topk(spark, sf_dir):
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
         """
     )
+
+
+_SPATIAL_SCALE = 10000
+_SPATIAL_RADIUS_Q = 1000  # 0.1 in embedding units at scale 1e4
+
+_SPATIAL_GRID_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * {_SPATIAL_SCALE}.0)
+              AS BIGINT) AS x,
+         CAST(round(CAST(embedding[2] AS DOUBLE) * {_SPATIAL_SCALE}.0)
+              AS BIGINT) AS y
+  FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq_q
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_SPATIAL_RADIUS_Q * _SPATIAL_RADIUS_Q}
+ORDER BY a_id, b_id
+"""
+
+
+@query("join_spatial_grid", oracle=_SPATIAL_GRID_ORACLE)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial RADIUS self-join — all point pairs within distance r in
+    the 2-D plane spanned by the first two embedding dimensions — via
+    the uniform-grid equi-join (operators/spatial.py): points hash
+    into square cells of side r, the probe side explodes over its 3x3
+    cell neighborhood (pigeonhole guarantees any pair within r shares
+    a probed cell), and an exact integer residual filter removes
+    in-cell false candidates. The naive form of this predicate is a
+    theta join that Catalyst can only plan as BNLJ/Cartesian — O(N^2)
+    compare at any scale; the grid is the standard DBMS spatial-join
+    reshape (the 2-D sibling of join_interval_overlap's 1-D bins) and
+    keeps compute O(N + candidates). The ORACLE deliberately states
+    the brute-force SEMANTICS (pair filter over the cross join) —
+    fine for DuckDB at 500 points, and the hash-match proves the grid
+    plan loses no pair and invents none. Integer discipline: coords
+    quantize to round(x*1e4) BIGINTs, so cells, distances and the
+    radius test are bit-identical cross-engine. Output density is
+    quadratic in point density BY SEMANTICS (same caveat as the
+    interval join); the plan-shape test pins no-BNLJ/no-Cartesian."""
+    from ..operators.spatial import grid_radius_self_join
+
+    t = Tables(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            * F.lit(float(_SPATIAL_SCALE))
+        ).cast("long").alias("x"),
+        F.round(
+            F.element_at("embedding", 2).cast("double")
+            * F.lit(float(_SPATIAL_SCALE))
+        ).cast("long").alias("y"),
+    )
+    return grid_radius_self_join(
+        pts, _SPATIAL_RADIUS_Q, id_col="vec_id", x_col="x", y_col="y"
+    ).orderBy("a_id", "b_id")

@@ -99,6 +99,7 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_ann_ivfpq_portable",     # integer-exact IVFADC + exact rerank
     "stream_incremental_curation", # streaming CDC curation loop, exact
     "agg_quantile_sketch_grouped", # per-group mergeable quantiles, exact
+    "join_spatial_grid",          # grid-binned spatial radius join, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,8 +111,9 @@ FRONT_OF_WINDOW: list[str] = [
     "vec_cluster_assign",
     "text_lang_topk",
     "win_sliding_avg_range_frame",
-    "stream_stream_interval_join",
-    # (vec_ann_ivf + vec_kmeans + feature_user_activity +
+    # (stream_stream_interval_join displaced to r9 by the fifth-session
+    #  join_spatial_grid registration above;
+    #  vec_ann_ivf + vec_kmeans + feature_user_activity +
     #  multimodal_feature_extract +
     #  multimodal_frame_sample +
     #  multimodal_resize + sample_stratified

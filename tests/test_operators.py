@@ -2495,3 +2495,52 @@ def test_grouped_quantile_sketch_error_bound(spark, sf_dir):
         assert abs(r["est"] - true) <= width + 1e-9, (
             r["event_type"], r["q"], r["est"], true,
         )
+
+
+class TestGridRadiusSelfJoin:
+    def _run(self, spark, rows, r):
+        from helium_etl_lite_spark.operators.spatial import grid_radius_self_join
+
+        pts = spark.createDataFrame(rows, "vec_id long, x long, y long")
+        return {
+            (row["a_id"], row["b_id"]): row["dist_sq_q"]
+            for row in grid_radius_self_join(pts, r).collect()
+        }
+
+    def test_matches_brute_force_including_cross_cell_pairs(self, spark):
+        # Points straddling a cell boundary (r=10: x=9 and x=11 live in
+        # different cells) must still pair via the 3x3 neighborhood.
+        rows = [(1, 9, 0), (2, 11, 0), (3, 25, 0), (4, -9, -9), (5, 200, 200)]
+        got = self._run(spark, rows, 10)
+        brute = {}
+        for i, (ai, ax, ay) in enumerate(rows):
+            for bi, bx, by in rows[i + 1:]:
+                d = (ax - bx) ** 2 + (ay - by) ** 2
+                if d <= 100:
+                    brute[(ai, bi)] = d
+        assert got == brute
+        assert (1, 2) in got  # the cross-cell pair
+
+    def test_radius_boundary_is_inclusive_and_no_self_pairs(self, spark):
+        # dist == r exactly is IN; dist just beyond is OUT; a point
+        # never pairs with itself and each pair appears exactly once.
+        rows = [(1, 0, 0), (2, 5, 0), (3, 6, 0)]
+        got = self._run(spark, rows, 5)
+        assert got == {(1, 2): 25, (2, 3): 1}
+
+    def test_negative_coordinates_floor_correctly(self, spark):
+        # Spark `div` truncates toward zero on negatives; the offset
+        # shift makes cell assignment a true floor — a pair with both
+        # points negative and near a cell edge must not be lost.
+        rows = [(1, -101, -1), (2, -99, 1)]
+        got = self._run(spark, rows, 100)
+        assert (1, 2) in got
+
+    def test_rejects_nonpositive_radius(self, spark):
+        import pytest as _pytest
+
+        from helium_etl_lite_spark.operators.spatial import grid_radius_self_join
+
+        pts = spark.createDataFrame([(1, 0, 0)], "vec_id long, x long, y long")
+        with _pytest.raises(ValueError):
+            grid_radius_self_join(pts, 0)

@@ -1029,3 +1029,14 @@ def test_bloom_skipping_index_prunes_files(spark, sf_dir):
     # observed at this sf is 1 — assert the PRUNING claim (>=95% of
     # cells rejected), not impossibly zero FPs.
     assert cand_absent.count() <= 2
+
+
+def test_spatial_grid_join_is_equijoin_not_bnlj(spark, sf_dir):
+    # The radius predicate must ride the (cx, cy) cell equi-join; a
+    # BroadcastNestedLoopJoin/Cartesian means the grid reshape was lost
+    # and the plan is O(N^2) at scale.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_spatial_grid", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -168,6 +168,7 @@ HEADLINE_NOTES = {
     "vec_ann_ivfpq_portable": "coarse+PQ codebooks broadcast; ADC candidates from the (list,m,code) equi-join (probed fraction only); rerank joins a 50-id bounded shortlist",
     "stream_incremental_curation": "foreachBatch over the snapshot_changes source; per batch: row-local gate + broadcast-fingerprint probe vs the store + ONE atomic version publish carrying data AND dedup state",
     "agg_quantile_sketch_grouped": "two map-side-combinable hash aggs (per-group bounds, (group,bin) counts); windows partition per group over <=32-row bin tables — bounded control plane",
+    "join_spatial_grid": "radius predicate rides the (cx, cy) cell equi-join (probe side explodes 3x3 neighborhood, build side home-cell only — pairs meet exactly once, no distinct); integer residual filter; no BNLJ/Cartesian",
 }
 
 
