@@ -997,3 +997,54 @@ def graph_pagerank_portable(spark, sf_dir):
     return ranks.orderBy(F.col("rank_q").desc(), F.col("node").asc()).limit(
         _PRP_TOPK
     )
+
+
+_REACH_HOPS = 3
+_REACH_SEED = 0
+
+# ONE SQL string both engines execute verbatim (Spark 4 and DuckDB both
+# implement standard WITH RECURSIVE): the strongest convergence proof in
+# the oracle toolbox — there is no restatement to drift.
+_REACH_SQL = f"""
+WITH RECURSIVE reach(node, hops) AS (
+  SELECT CAST({_REACH_SEED} AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN (
+    SELECT cust AS src, supp + 1000000 AS dst FROM (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT supp + 1000000, cust FROM (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+  ) e ON e.src = r.node
+  WHERE r.hops < {_REACH_HOPS})
+SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_reachability_recursive", oracle=_REACH_SQL)
+def graph_reachability_recursive(spark, sf_dir):
+    """Bounded-depth REACHABILITY via ANSI recursive CTE — Spark 4's
+    WITH RECURSIVE surface driving the same BFS the iterative
+    operators (pagerank/kcore) hand-roll, declared instead of looped:
+    from a seed customer, every node of the bipartite trade graph
+    within 3 hops, with min-hop distance and path multiplicity. The
+    SAME SQL string runs on BOTH engines (no oracle restatement at
+    all) — the recursion is all integer joins/counts, so the result
+    hash-matches by construction.
+
+    Scale posture: each recursion level is one equi-join frontier
+    expansion + the engine's own fixpoint machinery — the identical
+    per-round economics to graph_pagerank_topk's explicit loop, but
+    Catalyst owns the iteration (and can stop early on an empty
+    frontier). The hop bound caps path multiplicity; unbounded
+    closure over a cyclic graph would need the min-label iteration
+    (dedup_cluster_components) instead — documented tradeoff, not a
+    blindspot."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(_REACH_SQL)

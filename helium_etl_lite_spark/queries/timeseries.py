@@ -556,3 +556,57 @@ def scd2_point_in_time(spark, sf_dir):
         (F.col("valid_from") <= probe)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
     ).select("user_id", "event_type", "valid_from", "valid_to")
+
+
+_EWMA_SQL_ORACLE = """
+SELECT user_id,
+       list_reduce(list(CAST(round(value * 100) AS BIGINT)
+                        ORDER BY ts, event_id),
+                   (acc, x) -> (x + 3 * acc) // 4) AS ewma_c,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("ts_ewma_portable", oracle=_EWMA_SQL_ORACLE)
+def ts_ewma_portable(spark, sf_dir):
+    """Per-user exponentially-weighted moving average, hash-exact
+    cross-engine — the RECURRENCE class of time-series smoothing
+    (r_t = alpha*x_t + (1-alpha)*r_{t-1}) that no window frame can
+    express (each output depends on the previous OUTPUT, not previous
+    inputs). Two ideas make it both portable and scale-safe:
+
+    (1) integer recurrence: alpha = 1/4 on cents gives
+        r' = (x + 3*r) div 4 — BIGINT ops both engines compute
+        identically (values are positive so trunc-div == floor-div),
+        vs the float recurrence whose rounding would drift.
+    (2) per-key sequential fold, not a driver loop: each user's series
+        collects into ONE array (bounded: max events/user is small —
+        the same per-entity-bounded contract as sessionize/funnel) and
+        folds left with Spark's `aggregate` higher-order function /
+        DuckDB's `list_reduce`, both left-to-right by definition. The
+        plan is one hash agg + a row-local fold — map-side combinable
+        collect, zero extra shuffles, no UDF.
+
+    At 100 TB: state-machine recurrences over unbounded streams ride
+    applyInPandasWithState instead (stream_stateful_running_count);
+    this form is the batch/backfill twin for bounded per-entity
+    series. Ordering ties break on (ts, event_id) — total order, so
+    the fold is deterministic."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT user_id,
+          aggregate(slice(xs, 2, size(xs) - 1), xs[0],
+                    (acc, x) -> (x + 3L * acc) div 4L) AS ewma_c,
+          CAST(size(xs) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id,
+                 transform(array_sort(collect_list(struct(ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS xc))),
+                           s -> s.xc) AS xs
+          FROM events GROUP BY user_id)
+        ORDER BY user_id
+        """
+    )

@@ -100,6 +100,8 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_incremental_curation", # streaming CDC curation loop, exact
     "agg_quantile_sketch_grouped", # per-group mergeable quantiles, exact
     "join_spatial_grid",          # grid-binned spatial radius join, exact
+    "ts_ewma_portable",           # integer EWMA recurrence fold, exact
+    "graph_reachability_recursive", # WITH RECURSIVE BFS, shared SQL oracle
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -109,10 +111,10 @@ FRONT_OF_WINDOW: list[str] = [
     # (d) r3 vintages (complete cohort):
     "math_funcs",
     "vec_cluster_assign",
-    "text_lang_topk",
-    "win_sliding_avg_range_frame",
-    # (stream_stream_interval_join displaced to r9 by the fifth-session
-    #  join_spatial_grid registration above;
+    # (text_lang_topk + win_sliding_avg_range_frame +
+    #  stream_stream_interval_join displaced to r9 by the fifth-session
+    #  join_spatial_grid / ts_ewma_portable /
+    #  graph_reachability_recursive registrations above;
     #  vec_ann_ivf + vec_kmeans + feature_user_activity +
     #  multimodal_feature_extract +
     #  multimodal_frame_sample +

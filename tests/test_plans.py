@@ -1040,3 +1040,27 @@ def test_spatial_grid_join_is_equijoin_not_bnlj(spark, sf_dir):
     plan = formatted_plan(q("join_spatial_grid", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_fold_is_jvm_side_single_agg(spark, sf_dir):
+    # The recurrence folds inside the collect_list agg + a row-local
+    # higher-order function: ObjectHashAggregate (partial-combinable
+    # collect) and NO Python evaluation node anywhere.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("ts_ewma_portable", spark, sf_dir))
+    assert "ObjectHashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_recursive_reachability_plans_as_union_loop(spark, sf_dir):
+    # WITH RECURSIVE must reach the engine's fixpoint operator
+    # (UnionLoop), not silently flatten; and each level is an
+    # equi-join — no BNLJ/Cartesian frontier expansion.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("graph_reachability_recursive", spark, sf_dir))
+    assert "UnionLoop" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -169,6 +169,8 @@ HEADLINE_NOTES = {
     "stream_incremental_curation": "foreachBatch over the snapshot_changes source; per batch: row-local gate + broadcast-fingerprint probe vs the store + ONE atomic version publish carrying data AND dedup state",
     "agg_quantile_sketch_grouped": "two map-side-combinable hash aggs (per-group bounds, (group,bin) counts); windows partition per group over <=32-row bin tables — bounded control plane",
     "join_spatial_grid": "radius predicate rides the (cx, cy) cell equi-join (probe side explodes 3x3 neighborhood, build side home-cell only — pairs meet exactly once, no distinct); integer residual filter; no BNLJ/Cartesian",
+    "ts_ewma_portable": "recurrence folds row-local inside aggregate() after ONE ObjectHashAggregate collect per user — no Python node, no extra shuffle; the window-inexpressible dependency class",
+    "graph_reachability_recursive": "WITH RECURSIVE lowers to UnionLoop — the engine's own fixpoint iteration; each level one equi-join frontier expansion, no BNLJ",
 }
 
 
