@@ -131,6 +131,16 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "view_incremental_join_refresh",
     "pipeline_incremental_curation",
     "table_diff_audit",
+    # r8 fifth session: the recurrence fold (linear: replicas shift
+    # user_id so users multiply, series length stays fixed) and the
+    # recursive BFS (frontier-bounded: the seed's component lives in
+    # one replica, so traversal work should NOT grow 10x — only the
+    # distinct-edge build scans more). join_spatial_grid stays out:
+    # replicas duplicate coordinates, so pair OUTPUT is quadratic by
+    # semantics (the interval-overlap caveat squared) — measured
+    # manually instead (README scale-lane notes).
+    "ts_ewma_portable",
+    "graph_reachability_recursive",
 ]
 
 

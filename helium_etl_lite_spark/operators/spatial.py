@@ -59,7 +59,6 @@ def grid_radius_self_join(
     """
     if radius_q <= 0:
         raise ValueError(f"radius_q must be positive, got {radius_q}")
-    cell = F.lit(int(radius_q))
     q = points.select(
         F.col(id_col).alias("pid"),
         F.col(x_col).cast("long").alias("px"),
@@ -94,4 +93,54 @@ def grid_radius_self_join(
             & (dist_sq <= F.lit(int(radius_q) * int(radius_q)))
         )
         .select("a_id", "b_id", dist_sq.cast("long").alias("dist_sq_q"))
+    )
+
+
+def grid_density(
+    points: DataFrame,
+    cell_q: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Rasterize points into `cell_q`-sided square cells: one row per
+    OCCUPIED cell with its point count. One hash agg, map-side
+    combinable; output bounded by occupied-cell count, not points."""
+    if cell_q <= 0:
+        raise ValueError(f"cell_q must be positive, got {cell_q}")
+    return (
+        points.select(
+            F.expr(f"({x_col} + {COORD_OFFSET}) div {int(cell_q)}").alias("cx"),
+            F.expr(f"({y_col} + {COORD_OFFSET}) div {int(cell_q)}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+    )
+
+
+def grid_neighborhood_sum(density: DataFrame) -> DataFrame:
+    """3x3 STENCIL over a sparse cell grid: for every occupied cell,
+    the point count summed over itself and its 8 neighbors — the
+    hotspot/heatmap smoothing kernel (the discrete core of Getis-Ord
+    style statistics), computed WITHOUT a self-join: each cell
+    SCATTERS its count to the 9 cells it contributes to (explode of a
+    constant 9-element offset array — row-local), then one hash agg
+    gathers per target cell; an inner join back to `density` keeps
+    only real cells. Scatter-gather beats the equivalent
+    band-condition self-join (|dx|<=1 AND |dy|<=1) because the agg is
+    map-side combinable and there is no join-explosion intermediate;
+    cost is 9 rows per OCCUPIED CELL (already aggregated), not per
+    point."""
+    scattered = density.select(
+        F.expr(
+            "explode(flatten(transform(sequence(-1, 1), dx ->"
+            " transform(sequence(-1, 1), dy ->"
+            " struct(cx + dx AS tx, cy + dy AS ty)))))"
+        ).alias("t"),
+        "n_pts",
+    ).select(F.col("t.tx").alias("cx"), F.col("t.ty").alias("cy"), "n_pts")
+    sums = scattered.groupBy("cx", "cy").agg(
+        F.sum("n_pts").cast("long").alias("nbr_sum")
+    )
+    return density.join(sums, ["cx", "cy"]).select(
+        "cx", "cy", "n_pts", "nbr_sum"
     )

@@ -754,3 +754,59 @@ def join_spatial_grid(spark, sf_dir):
     return grid_radius_self_join(
         pts, _SPATIAL_RADIUS_Q, id_col="vec_id", x_col="x", y_col="y"
     ).orderBy("a_id", "b_id")
+
+
+_HOTSPOT_CELL_Q = 500
+_HOTSPOT_OFFSET = 1 << 20
+
+_GRID_HOTSPOT_ORACLE = f"""
+WITH q AS (
+  SELECT (CAST(round(CAST(embedding[1] AS DOUBLE) * {_SPATIAL_SCALE}.0)
+               AS BIGINT) + {_HOTSPOT_OFFSET}) // {_HOTSPOT_CELL_Q} AS cx,
+         (CAST(round(CAST(embedding[2] AS DOUBLE) * {_SPATIAL_SCALE}.0)
+               AS BIGINT) + {_HOTSPOT_OFFSET}) // {_HOTSPOT_CELL_Q} AS cy
+  FROM embeddings),
+density AS (
+  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_pts FROM q GROUP BY cx, cy)
+SELECT d.cx, d.cy, d.n_pts, CAST(SUM(n.n_pts) AS BIGINT) AS nbr_sum
+FROM density d JOIN density n
+  ON n.cx BETWEEN d.cx - 1 AND d.cx + 1
+ AND n.cy BETWEEN d.cy - 1 AND d.cy + 1
+GROUP BY d.cx, d.cy, d.n_pts
+ORDER BY d.cx, d.cy
+"""
+
+
+@query("agg_grid_hotspot", oracle=_GRID_HOTSPOT_ORACLE)
+def agg_grid_hotspot(spark, sf_dir):
+    """Spatial DENSITY raster + 3x3 hotspot stencil — the heatmap /
+    Getis-Ord-shaped smoothing every geo dashboard computes: points
+    rasterize into cells (one map-side-combinable hash agg, output
+    bounded by occupied cells), then each cell's neighborhood mass is
+    gathered by SCATTER-GATHER (operators/spatial.py
+    grid_neighborhood_sum): every cell emits its count to its 9
+    neighbor targets (row-local constant explode) and one hash agg
+    sums per target — no self-join explosion, and the stencil cost is
+    9 rows per occupied CELL, not per point. The ORACLE deliberately
+    states the naive band-condition self-join over the density table
+    (BETWEEN +-1 both axes) — tiny in DuckDB — proving scatter-gather
+    computes the identical stencil. All-integer cells and counts make
+    it hash-exact. At 100 TB the raster IS the reduced dataset (cells,
+    not points), so downstream smoothing/thresholding is cheap no
+    matter the input size; the same scatter-gather generalizes to any
+    fixed convolution kernel over sparse grids."""
+    from ..operators.spatial import grid_density, grid_neighborhood_sum
+
+    t = Tables(spark, sf_dir)
+    pts = t.embeddings.select(
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            * F.lit(float(_SPATIAL_SCALE))
+        ).cast("long").alias("x"),
+        F.round(
+            F.element_at("embedding", 2).cast("double")
+            * F.lit(float(_SPATIAL_SCALE))
+        ).cast("long").alias("y"),
+    )
+    density = grid_density(pts, _HOTSPOT_CELL_Q)
+    return grid_neighborhood_sum(density).orderBy("cx", "cy")

@@ -102,6 +102,7 @@ FRONT_OF_WINDOW: list[str] = [
     "join_spatial_grid",          # grid-binned spatial radius join, exact
     "ts_ewma_portable",           # integer EWMA recurrence fold, exact
     "graph_reachability_recursive", # WITH RECURSIVE BFS, shared SQL oracle
+    "agg_grid_hotspot",           # raster + 3x3 stencil scatter-gather, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,11 +111,11 @@ FRONT_OF_WINDOW: list[str] = [
     "udtf_flatten",
     # (d) r3 vintages (complete cohort):
     "math_funcs",
-    "vec_cluster_assign",
-    # (text_lang_topk + win_sliding_avg_range_frame +
+    # (vec_cluster_assign + text_lang_topk + win_sliding_avg_range_frame +
     #  stream_stream_interval_join displaced to r9 by the fifth-session
     #  join_spatial_grid / ts_ewma_portable /
-    #  graph_reachability_recursive registrations above;
+    #  graph_reachability_recursive / agg_grid_hotspot registrations
+    #  above;
     #  vec_ann_ivf + vec_kmeans + feature_user_activity +
     #  multimodal_feature_extract +
     #  multimodal_frame_sample +

@@ -2544,3 +2544,37 @@ class TestGridRadiusSelfJoin:
         pts = spark.createDataFrame([(1, 0, 0)], "vec_id long, x long, y long")
         with _pytest.raises(ValueError):
             grid_radius_self_join(pts, 0)
+
+
+class TestGridDensityStencil:
+    def test_neighborhood_sum_matches_hand_computed(self, spark):
+        from helium_etl_lite_spark.operators.spatial import (
+            grid_density,
+            grid_neighborhood_sum,
+        )
+
+        # cell width 16 divides COORD_OFFSET (2^20) so cell ids are
+        # predictable: (0,0)x2, (1,0)x1, (3,3)x1 — the first two cells
+        # are neighbors; (3,3) is isolated.
+        pts = spark.createDataFrame(
+            [(1, 5), (2, 3), (17, 1), (50, 50)], "x long, y long"
+        )
+        d = grid_density(pts, 16)
+        out = {
+            (r["cx"], r["cy"]): (r["n_pts"], r["nbr_sum"])
+            for r in grid_neighborhood_sum(d).collect()
+        }
+        base = (1 << 20) // 16
+        assert out[(base, base)] == (2, 3)          # itself 2 + neighbor 1
+        assert out[(base + 1, base)] == (1, 3)      # itself 1 + neighbor 2
+        assert out[(base + 3, base + 3)] == (1, 1)  # isolated
+        assert len(out) == 3                        # only occupied cells
+
+    def test_rejects_nonpositive_cell(self, spark):
+        import pytest as _pytest
+
+        from helium_etl_lite_spark.operators.spatial import grid_density
+
+        pts = spark.createDataFrame([(1, 1)], "x long, y long")
+        with _pytest.raises(ValueError):
+            grid_density(pts, 0)

@@ -1064,3 +1064,14 @@ def test_recursive_reachability_plans_as_union_loop(spark, sf_dir):
     assert "UnionLoop" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grid_hotspot_is_scatter_gather_not_self_join_explosion(spark, sf_dir):
+    # The stencil must be the scatter-gather: two hash aggs (raster +
+    # gather) and an equi-join back to density — never a band-condition
+    # self-join (BNLJ) over cells.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("agg_grid_hotspot", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

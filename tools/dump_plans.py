@@ -171,6 +171,7 @@ HEADLINE_NOTES = {
     "join_spatial_grid": "radius predicate rides the (cx, cy) cell equi-join (probe side explodes 3x3 neighborhood, build side home-cell only — pairs meet exactly once, no distinct); integer residual filter; no BNLJ/Cartesian",
     "ts_ewma_portable": "recurrence folds row-local inside aggregate() after ONE ObjectHashAggregate collect per user — no Python node, no extra shuffle; the window-inexpressible dependency class",
     "graph_reachability_recursive": "WITH RECURSIVE lowers to UnionLoop — the engine's own fixpoint iteration; each level one equi-join frontier expansion, no BNLJ",
+    "agg_grid_hotspot": "raster hash agg (output = occupied cells) then 3x3 stencil by scatter-gather: row-local 9-way explode + ONE map-side-combinable gather agg + equi-join back — no band-condition self-join, no BNLJ",
 }
 
 
