@@ -103,6 +103,7 @@ FRONT_OF_WINDOW: list[str] = [
     "ts_ewma_portable",           # integer EWMA recurrence fold, exact
     "graph_reachability_recursive", # WITH RECURSIVE BFS, shared SQL oracle
     "agg_grid_hotspot",           # raster + 3x3 stencil scatter-gather, exact
+    "merge_upsert_scd2",          # close-and-open SCD2 merge, exact
     # (b) changed in r8 — re-verify:
     "dedup_containment_screened", # hot-bucket cap routing
     "graph_pagerank_topk",        # in-plan dangling-mass fold
@@ -110,12 +111,14 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_stateful_running_count",
     "udtf_flatten",
     # (d) r3 vintages (complete cohort):
-    "math_funcs",
-    # (vec_cluster_assign + text_lang_topk + win_sliding_avg_range_frame +
+    # (math_funcs + vec_cluster_assign + text_lang_topk +
+    #  win_sliding_avg_range_frame +
     #  stream_stream_interval_join displaced to r9 by the fifth-session
     #  join_spatial_grid / ts_ewma_portable /
-    #  graph_reachability_recursive / agg_grid_hotspot registrations
-    #  above;
+    #  graph_reachability_recursive / agg_grid_hotspot /
+    #  merge_upsert_scd2 registrations above — the fifth session filled
+    #  the whole r2/r3 re-confirm tail with first-time registrations,
+    #  which outrank re-confirms;
     #  vec_ann_ivf + vec_kmeans + feature_user_activity +
     #  multimodal_feature_extract +
     #  multimodal_frame_sample +

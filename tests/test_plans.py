@@ -1075,3 +1075,18 @@ def test_grid_hotspot_is_scatter_gather_not_self_join_explosion(spark, sf_dir):
     plan = formatted_plan(q("agg_grid_hotspot", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_merge_is_one_join_two_scans(spark, sf_dir):
+    # The four action arms (close/open/insert/keep) must ride ONE
+    # full-outer join + row-local explode — 2 scans of the dimension
+    # (join inputs), never the oracle's 4-scan union restatement.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("merge_upsert_scd2", spark, sf_dir))
+    assert plan.count("customer.parquet") == 2, plan.count("customer.parquet")
+    # exactly one join operator, full-outer (formatted output mentions
+    # the keyword once in the tree and once in the operator detail)
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") <= 2  # one node + its detail line
+    assert "Generate" in plan  # the explode arm emitter

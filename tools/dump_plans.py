@@ -172,6 +172,7 @@ HEADLINE_NOTES = {
     "ts_ewma_portable": "recurrence folds row-local inside aggregate() after ONE ObjectHashAggregate collect per user — no Python node, no extra shuffle; the window-inexpressible dependency class",
     "graph_reachability_recursive": "WITH RECURSIVE lowers to UnionLoop — the engine's own fixpoint iteration; each level one equi-join frontier expansion, no BNLJ",
     "agg_grid_hotspot": "raster hash agg (output = occupied cells) then 3x3 stencil by scatter-gather: row-local 9-way explode + ONE map-side-combinable gather agg + equi-join back — no band-condition self-join, no BNLJ",
+    "merge_upsert_scd2": "all four SCD2 action arms ride ONE full-outer join + row-local explode (2 dimension scans total) — never the 4-scan union the oracle states",
 }
 
 
