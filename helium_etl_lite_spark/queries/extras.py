@@ -1154,3 +1154,148 @@ def merge_upsert_scd2(spark, sf_dir):
         )
         .orderBy("c_custkey", "valid_from")
     )
+
+
+_RI_ORACLE = """
+WITH li AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+         CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_orphans,
+         CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                  THEN l.l_orderkey END)
+              AS BIGINT) AS n_orphan_keys
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL
+                                  THEN l.l_partkey END) AS BIGINT)
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+    ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL
+                                  THEN l.l_suppkey END) AS BIGINT)
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+    ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                  THEN o2.o_custkey END) AS BIGINT)
+  FROM orders o2
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o2.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                                  THEN c2.c_nationkey END) AS BIGINT)
+  FROM customer c2
+  LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON c2.c_nationkey = n.n_nationkey)
+SELECT * FROM li ORDER BY fk_edge
+"""
+
+
+@query("dq_referential_integrity", oracle=_RI_ORACLE)
+def dq_referential_integrity(spark, sf_dir):
+    """FOREIGN-KEY integrity audit — per FK edge: child rows, orphan
+    rows (no parent), distinct orphan keys — the referential twin of
+    dq_expectations_report's per-row rules, and the first report every
+    migration/backfill reconciliation runs after table_diff_audit.
+
+    Scale discipline (the dq_expectations rule lifted to JOINS): each
+    CHILD table is scanned ONCE no matter how many FK edges leave it —
+    lineitem's three edges ride one scan with three parent-key left
+    joins aggregated together, then unpivot to report rows; parent key
+    sets are distinct-projected (and broadcast when dim-sized) so the
+    audit never shuffles a fact on a parent's behalf. The oracle
+    restates it as the naive per-edge scans; the hash-match proves the
+    fused pass counts identically. A clean all-zero orphan column IS
+    the result on consistent data — the audit earns its keep on the
+    day a backfill breaks an edge."""
+    t = Tables(spark, sf_dir)
+    okeys = t.orders.select("o_orderkey").distinct()
+    pkeys = t.part.select("p_partkey").distinct()
+    skeys = t.supplier.select("s_suppkey").distinct()
+    ckeys = t.customer.select("c_custkey").distinct()
+    nkeys = t.nation.select("n_nationkey").distinct()
+
+    li = (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(okeys, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(F.broadcast(pkeys), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(F.broadcast(skeys), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long").alias("orph_o"),
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("l_orderkey"))
+            ).cast("long").alias("keys_o"),
+            F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0))
+            .cast("long").alias("orph_p"),
+            F.countDistinct(
+                F.when(F.col("p_partkey").isNull(), F.col("l_partkey"))
+            ).cast("long").alias("keys_p"),
+            F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0))
+            .cast("long").alias("orph_s"),
+            F.countDistinct(
+                F.when(F.col("s_suppkey").isNull(), F.col("l_suppkey"))
+            ).cast("long").alias("keys_s"),
+        )
+        .select(
+            F.expr(
+                "explode(array("
+                " struct('lineitem.l_orderkey->orders' AS fk_edge,"
+                "        n_child, orph_o AS n_orphans, keys_o AS n_orphan_keys),"
+                " struct('lineitem.l_partkey->part' AS fk_edge,"
+                "        n_child, orph_p AS n_orphans, keys_p AS n_orphan_keys),"
+                " struct('lineitem.l_suppkey->supplier' AS fk_edge,"
+                "        n_child, orph_s AS n_orphans, keys_s AS n_orphan_keys)"
+                ")) AS r"
+            )
+        )
+        .select("r.*")
+    )
+
+    def one_edge(child, key, parent_keys, pkey, edge):
+        return (
+            child.join(
+                F.broadcast(parent_keys), F.col(key) == F.col(pkey), "left"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+                .cast("long").alias("n_orphans"),
+                F.countDistinct(F.when(F.col(pkey).isNull(), F.col(key)))
+                .cast("long").alias("n_orphan_keys"),
+            )
+            .select(F.lit(edge).alias("fk_edge"), "n_child", "n_orphans",
+                    "n_orphan_keys")
+        )
+
+    oc = one_edge(
+        t.orders.select("o_custkey"), "o_custkey", ckeys, "c_custkey",
+        "orders.o_custkey->customer",
+    )
+    cn = one_edge(
+        t.customer.select("c_nationkey"), "c_nationkey", nkeys, "n_nationkey",
+        "customer.c_nationkey->nation",
+    )
+    return li.unionByName(oc).unionByName(cn).orderBy("fk_edge")

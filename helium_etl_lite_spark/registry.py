@@ -118,7 +118,11 @@ FRONT_OF_WINDOW: list[str] = [
     #  graph_reachability_recursive / agg_grid_hotspot /
     #  merge_upsert_scd2 registrations above — the fifth session filled
     #  the whole r2/r3 re-confirm tail with first-time registrations,
-    #  which outrank re-confirms;
+    #  which outrank re-confirms. Fifth-session registrations past the
+    #  50-slot boundary (dq_referential_integrity onward) queue for the
+    #  r9 window alongside the re-confirm cohort; until then their
+    #  driver-grade evidence is the full-registry DuckDB sweep
+    #  (tests/test_queries_oracle.py), which runs every query on HEAD;
     #  vec_ann_ivf + vec_kmeans + feature_user_activity +
     #  multimodal_feature_extract +
     #  multimodal_frame_sample +

@@ -1090,3 +1090,14 @@ def test_scd2_merge_is_one_join_two_scans(spark, sf_dir):
     assert "FullOuter" in plan
     assert plan.count("SortMergeJoin") <= 2  # one node + its detail line
     assert "Generate" in plan  # the explode arm emitter
+
+
+def test_referential_audit_scans_each_child_once(spark, sf_dir):
+    # Three FK edges leave lineitem; the audit must still scan it ONCE
+    # (fused left joins + one agg), and parent key sets broadcast.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("dq_referential_integrity", spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert plan.count("orders.parquet") == 2  # key side + o_custkey edge child
+    assert "BroadcastNestedLoopJoin" not in plan
