@@ -1019,3 +1019,50 @@ def agg_quantile_sketch_grouped(spark, sf_dir):
     t = Tables(spark, sf_dir)
     t.register_views()
     return spark.sql(_QSG_SQL)
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'early'
+              ELSE 'late' END AS period,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, period, obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_t,
+         CAST(SUM(obs) OVER (PARTITION BY period) AS BIGINT) AS col_t,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT event_type, period, obs,
+         round((obs - (CAST(row_t AS DOUBLE) * col_t) / n)
+               * (obs - (CAST(row_t AS DOUBLE) * col_t) / n)
+               / ((CAST(row_t AS DOUBLE) * col_t) / n) * 1000000.0)
+           AS term_q
+  FROM tot)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(term_q) AS BIGINT) AS chi2_q6
+FROM terms
+"""
+
+
+@query("agg_chi_square_independence", oracle=_CHI2_SQL)
+def agg_chi_square_independence(spark, sf_dir):
+    """CHI-SQUARE independence test statistic over a contingency table
+    (event_type x early/late period) — the statistical-testing class:
+    is event mix independent of time period? Every warehouse A/B
+    readout and drift monitor computes this shape.
+
+    Exactness: the classic sum((obs-exp)^2/exp) is a sum of DOUBLES —
+    order-dependent, so never hash-exact as-is. Each cell's term is a
+    fixed IEEE expression over integer counts (engine-identical), so
+    ROUNDING the term to 1e-6 pins it to an integer-valued double and
+    the SUM becomes order-free exact (the integer-cents discipline
+    applied to a test statistic; chi2_q6 = statistic * 1e6). Plan: one
+    hash agg on the (type, period) cells, then all margins/terms ride
+    windows over the #types*2-row control table — the fact stream is
+    touched exactly once."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(_CHI2_SQL)

@@ -610,3 +610,51 @@ def ts_ewma_portable(spark, sf_dir):
         ORDER BY user_id
         """
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS n_from_prev
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+"""
+
+
+@query("ts_event_transitions", oracle=_TRANSITIONS_ORACLE)
+def ts_event_transitions(spark, sf_dir):
+    """EVENT-TRANSITION (Markov) matrix — for every ordered pair of
+    event types, how often one follows the other within a user's
+    stream — the sequence-analysis primitive under next-event
+    prediction, anomaly detection on behavior drift, and CEP-style
+    adjacent-pattern counting (funnel_conversion counts stage
+    PROGRESS; this counts every adjacency). One lag window per user
+    (ties broken (ts, event_id) — total order), then a hash agg on the
+    (prev, next) pair plus a row-count window over the tiny result to
+    attach per-source totals (the denominator for transition
+    probabilities, kept as exact integers rather than a float ratio).
+    Plan: one user_id Exchange for the lag, one pair agg — both
+    map-side combinable; the totals window partitions a
+    #event_types^2-row control table, never the fact stream."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wt = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wt).cast("long").alias("n_from_prev"),
+    ).orderBy("prev_type", "next_type")

@@ -173,6 +173,8 @@ HEADLINE_NOTES = {
     "graph_reachability_recursive": "WITH RECURSIVE lowers to UnionLoop — the engine's own fixpoint iteration; each level one equi-join frontier expansion, no BNLJ",
     "agg_grid_hotspot": "raster hash agg (output = occupied cells) then 3x3 stencil by scatter-gather: row-local 9-way explode + ONE map-side-combinable gather agg + equi-join back — no band-condition self-join, no BNLJ",
     "merge_upsert_scd2": "all four SCD2 action arms ride ONE full-outer join + row-local explode (2 dimension scans total) — never the 4-scan union the oracle states",
+    "ts_event_transitions": "one user_id Exchange for the lag window, one map-side-combinable pair agg; the totals window partitions a #types^2-row control table, never the fact stream",
+    "agg_chi_square_independence": "ONE fact-stream hash agg to contingency cells; margins and chi terms all ride windows over the #types*2-row control table",
 }
 
 
