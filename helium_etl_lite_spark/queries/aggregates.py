@@ -1066,3 +1066,63 @@ def agg_chi_square_independence(spark, sf_dir):
     t = Tables(spark, sf_dir)
     t.register_views()
     return spark.sql(_CHI2_SQL)
+
+
+_KS_BINS = 64
+
+_KS_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+binned AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a'
+              ELSE 'b' END AS grp,
+         CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+              ELSE LEAST({_KS_BINS - 1},
+               CAST(FLOOR((e.value - b.lo)
+                          / ((b.hi - b.lo) / CAST({_KS_BINS} AS DOUBLE)))
+                    AS BIGINT)) END AS bin
+  FROM events e, bounds b),
+cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n_a) OVER (ORDER BY bin) AS BIGINT) AS cum_a,
+         CAST(SUM(n_b) OVER (ORDER BY bin) AS BIGINT) AS cum_b,
+         CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+         CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+  FROM cells)
+SELECT CAST(MAX(ABS(round((CAST(cum_a AS DOUBLE) / tot_a
+                           - CAST(cum_b AS DOUBLE) / tot_b)
+                          * 1000000000.0))) AS BIGINT) AS ks_d_q9,
+       CAST(MAX(tot_a) AS BIGINT) AS n_early,
+       CAST(MAX(tot_b) AS BIGINT) AS n_late
+FROM cum
+"""
+
+
+@query("agg_ks_drift_binned", oracle=_KS_SQL)
+def agg_ks_drift_binned(spark, sf_dir):
+    """Two-sample KOLMOGOROV-SMIRNOV drift statistic on BINNED CDFs —
+    did the value distribution shift between the early and late halves
+    of the stream? The distribution-drift monitor every feature/
+    embedding pipeline runs, next to agg_chi_square_independence's
+    categorical test.
+
+    Scale discipline: the textbook KS sorts the pooled sample — a
+    global ORDER BY window, i.e. a SinglePartition scale-killer. The
+    binned form IS the production statistic (fixed 64-bin grid from
+    the global bounds): ONE hash agg on the fact stream, then the
+    cumulative CDFs ride a window over the <=64-row bin table —
+    bounded control plane, identical economics to the quantile sketch.
+    Exactness: per-bin CDF ratios are single IEEE divisions
+    (engine-identical), their difference is exact, and rounding to
+    1e-9 before MAX pins the result to an integer — no double sums
+    anywhere (counts are BIGINT), no overflow at any corpus size
+    (unlike the integer cross-multiplication cum_a*tot_b, which
+    leaves int64 past ~1e9 rows per side)."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(_KS_SQL)

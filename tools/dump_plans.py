@@ -175,6 +175,7 @@ HEADLINE_NOTES = {
     "merge_upsert_scd2": "all four SCD2 action arms ride ONE full-outer join + row-local explode (2 dimension scans total) — never the 4-scan union the oracle states",
     "ts_event_transitions": "one user_id Exchange for the lag window, one map-side-combinable pair agg; the totals window partitions a #types^2-row control table, never the fact stream",
     "agg_chi_square_independence": "ONE fact-stream hash agg to contingency cells; margins and chi terms all ride windows over the #types*2-row control table",
+    "agg_ks_drift_binned": "ONE fact-stream hash agg to 64 bins; cumulative CDFs + max-diff ride windows over the <=64-row bin table — the binned KS that avoids the pooled-sort SinglePartition",
 }
 
 
