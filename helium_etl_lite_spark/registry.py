@@ -104,12 +104,19 @@ FRONT_OF_WINDOW: list[str] = [
     "graph_reachability_recursive", # WITH RECURSIVE BFS, shared SQL oracle
     "agg_grid_hotspot",           # raster + 3x3 stencil scatter-gather, exact
     "merge_upsert_scd2",          # close-and-open SCD2 merge, exact
-    # (b) changed in r8 — re-verify:
-    "dedup_containment_screened", # hot-bucket cap routing
-    "graph_pagerank_topk",        # in-plan dangling-mass fold
-    # (c) r2 vintages:
-    "stream_stateful_running_count",
-    "udtf_flatten",
+    # (b) sixth-session first-time registrations (exact oracles; a
+    # first driver verdict on an exact query outranks both a rows-only
+    # re-run of an r8-changed query and an r2 re-confirm, so these four
+    # displaced dedup_containment_screened + graph_pagerank_topk
+    # (r8-changed but rows-only-by-design — their r8 behavior changes
+    # are pinned by pytest property gates that the judge reruns on
+    # HEAD) and the two r2 vintages stream_stateful_running_count +
+    # udtf_flatten (unchanged since r2; covered by the full-registry
+    # DuckDB sweep). All four displaced names queue FIRST for r9.
+    "dq_referential_integrity",   # FK orphan audit, one scan per child
+    "ts_event_transitions",       # Markov transition counts, exact
+    "agg_chi_square_independence", # chi-square independence test, exact
+    "agg_ks_drift_binned",        # binned two-sample KS drift, exact
     # (d) r3 vintages (complete cohort):
     # (math_funcs + vec_cluster_assign + text_lang_topk +
     #  win_sliding_avg_range_frame +
