@@ -176,6 +176,7 @@ HEADLINE_NOTES = {
     "ts_event_transitions": "one user_id Exchange for the lag window, one map-side-combinable pair agg; the totals window partitions a #types^2-row control table, never the fact stream",
     "agg_chi_square_independence": "ONE fact-stream hash agg to contingency cells; margins and chi terms all ride windows over the #types*2-row control table",
     "agg_ks_drift_binned": "ONE fact-stream hash agg to 64 bins; cumulative CDFs + max-diff ride windows over the <=64-row bin table — the binned KS that avoids the pooled-sort SinglePartition",
+    "dq_referential_integrity": "each child table scanned ONCE for all its FK edges (lineitem's three parent-key left joins fused into one pass, one agg, row-local unpivot); parent key sets distinct-projected and broadcast — no fact shuffle per edge",
 }
 
 
