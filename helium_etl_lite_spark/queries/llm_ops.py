@@ -2882,3 +2882,270 @@ def vec_ann_ivfpq_portable(spark, sf_dir):
         rounds=_PQP_ROUNDS,
         dim=_PQP_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_ann_lsh_portable — random-hyperplane LSH with a DRIVER-EXACT oracle.
+
+_LSHP_NBITS = 16
+_LSHP_SCALE = 100
+_LSHP_NQ = 8
+_LSHP_TOPK = 5
+_LSHP_DIM = 64
+
+
+def _lshp_sign(b: int, i: int) -> int:
+    """Deterministic +-1 hyperplane coefficient for plane ``b``,
+    dimension ``i``: bit 13 of a Knuth multiplicative hash of the
+    flattened index. A module-level pure function of constants, so the
+    Spark expression and the generated DuckDB oracle inline IDENTICAL
+    sign matrices — the portable twin of the np.random hyperplanes in
+    operators/knn.py hyperplane_lsh_buckets."""
+    return 1 if (((b * _LSHP_DIM + i + 1) * 2654435761) >> 13) & 1 else -1
+
+
+def _lshp_sig_sql(dialect: str) -> str:
+    """16-bit random-hyperplane signature over the QUANTIZED vector
+    column ``q`` (integer-valued doubles): bit b = sign(dot(h_b, q))
+    with h_b a +-1 plane from _lshp_sign. The signed sum of 64
+    integers stays below 64*scale*|x|max ~ 3.4e3, so both engines
+    compute the identical integer and the >= 0 comparison — the only
+    'hash' step — can never diverge. Generated for both dialects from
+    the same constants (the generated-oracle pattern)."""
+    planes = []
+    for b in range(_LSHP_NBITS):
+        terms = []
+        for i in range(_LSHP_DIM):
+            e = f"element_at(q, {i + 1})" if dialect == "spark" else f"q[{i + 1}]"
+            terms.append(e if _lshp_sign(b, i) > 0 else f"-{e}")
+        dot_b = " + ".join(terms)
+        if dialect == "spark":
+            planes.append(f"shiftleft(CAST(({dot_b}) >= 0 AS BIGINT), {b})")
+        else:
+            planes.append(f"(CAST(({dot_b}) >= 0 AS BIGINT) << {b})")
+    return "(" + " + ".join(planes) + ")"
+
+
+_LSHP_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {_LSHP_SCALE}.0)) AS q
+      FROM embeddings),
+    sig AS (SELECT vec_id, {_lshp_sig_sql('duckdb')} AS sig FROM v),
+    bands AS (
+      SELECT vec_id, sig, CAST(k AS BIGINT) AS band_idx,
+             (sig >> CAST(4 * k AS INTEGER)) & 15 AS band_val
+      FROM sig, unnest(generate_series(0, 3)) AS t(k)),
+    cand AS (
+      SELECT DISTINCT b.vec_id AS q_id, c.vec_id AS c_id
+      FROM bands b JOIN bands c
+        ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+      WHERE b.vec_id < {_LSHP_NQ} AND b.vec_id <> c.vec_id),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             CAST(list_dot_product(a.q, a.q)
+                  - 2*list_dot_product(a.q, b.q)
+                  + list_dot_product(b.q, b.q) AS BIGINT) AS dist_q
+      FROM cand
+      JOIN v a ON a.vec_id = cand.q_id
+      JOIN v b ON b.vec_id = cand.c_id)
+    SELECT q_id, c_id AS neighbor_id, dist_q, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist_q ASC, c_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= {_LSHP_TOPK}
+    ORDER BY q_id, rn
+"""
+
+
+@query("vec_ann_lsh_portable", oracle=_LSHP_ORACLE)
+def vec_ann_lsh_portable(spark, sf_dir):
+    """Random-hyperplane (cosine) LSH ANN with a DRIVER-EXACT oracle —
+    closes the last rows-only ANN family: vec_ann_lsh stays rows-only
+    because its hyperplanes are np.random floats and its rerank sums
+    engine-ordered doubles; this twin swaps in (a) deterministic +-1
+    planes shared with the oracle via _lshp_sign and (b) the
+    integer-quantization rerank proven by vec_kmeans_portable.
+    Pipeline: quantize round(x*100) -> 16-bit sign signature (pure
+    integer sums + comparisons) -> 4x4-bit pigeonhole bands (any pair
+    at hamming <= 3 over the 16 bits shares a full band) -> band
+    equi-join candidates -> EXACT integer squared-L2 rerank -> top-5
+    per query. Plan: row-local signature, explode(4) band table,
+    equi-join on (band_idx, band_val), distinct on bounded id pairs,
+    broadcast of the NQ query vectors, one window — no cross join, no
+    FP after the quantize. Same table/probe dataflow as production
+    ann_topk_lsh (operators/knn.py:403); recall-vs-brute-force is
+    pinned there by pytest, DETERMINISM is pinned here by the hash
+    oracle."""
+    t = Tables(spark, sf_dir)
+    qdf = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(float(_LSHP_SCALE)), 0),
+        ).alias("q"),
+    )
+    sig = qdf.select("vec_id", F.expr(_lshp_sig_sql("spark")).alias("sig"))
+    bands = sig.select(
+        "vec_id",
+        "sig",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band_idx"),
+    ).withColumn("band_val", F.expr("shiftright(sig, CAST(4 * band_idx AS INT)) & 15"))
+    qside = bands.where(F.col("vec_id") < _LSHP_NQ).select(
+        F.col("vec_id").alias("q_id"), "band_idx", "band_val"
+    )
+    cand = (
+        qside.join(bands, ["band_idx", "band_val"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()
+    )
+    qv = qdf.where(F.col("vec_id") < _LSHP_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    cv = qdf.select(F.col("vec_id").alias("c_id"), F.col("q").alias("cq"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn(
+            "dist_q",
+            (
+                knn.dot(F.col("qq"), F.col("qq"))
+                - 2.0 * knn.dot(F.col("qq"), F.col("cq"))
+                + knn.dot(F.col("cq"), F.col("cq"))
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dist_q").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LSHP_TOPK)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "dist_q", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_dedup_semantic_portable — SemDeDup with a DRIVER-EXACT oracle.
+
+_SDP_K = 8
+_SDP_SCALE = 100
+_SDP_ROUNDS = 2
+_SDP_TAU_NUM = 2  # tau = 2/5 = 0.4 — binds on this diffuse synthetic corpus
+_SDP_TAU_DEN = 5
+
+
+def _sdp_oracle_sql() -> str:
+    """DuckDB twin of the portable SemDeDup: splices a final full
+    assignment plus the within-cluster pair screen onto the SHARED
+    portable-kmeans CTE prefix (the same prefix vec_kmeans_portable /
+    vec_ann_ivf_portable verify against, so codebook drift between the
+    three oracles is impossible). The cosine threshold is evaluated
+    WITHOUT any division or sqrt: cos(a,b) >= n/d  <=>  dot > 0 AND
+    d^2*dot^2 >= n^2*|a|^2*|b|^2 — all BIGINT products (dot <=
+    64*53^2 ~ 1.8e5 at scale=100, squared ~ 3.2e10, x25 well under
+    int64), so the accept/reject decision is integer-exact."""
+    dist = _KMP_DIST
+    n2 = _SDP_TAU_NUM * _SDP_TAU_NUM
+    d2 = _SDP_TAU_DEN * _SDP_TAU_DEN
+    s = _kmp_cte_prefix(_SDP_K, _SDP_SCALE, _SDP_ROUNDS, _KMP_DIM)
+    s += f""",
+    assign AS (
+      SELECT vec_id, q, centroid_id FROM (
+        SELECT v.vec_id, v.q, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.centroid_id ASC) AS rn
+        FROM v, c{_SDP_ROUNDS} c) WHERE rn = 1),
+    pairs AS (
+      SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dq,
+             CAST(list_dot_product(a.q, a.q) AS BIGINT) AS qa,
+             CAST(list_dot_product(b.q, b.q) AS BIGINT) AS qb
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+    dups AS (
+      SELECT centroid_id, id_a, id_b FROM pairs
+      WHERE dq > 0 AND {d2}*dq*dq >= {n2}*qa*qb)
+    SELECT centroid_id, id_b AS dropped_id, MIN(id_a) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_links
+    FROM dups GROUP BY centroid_id, id_b
+    ORDER BY centroid_id, dropped_id"""
+    return s
+
+
+@query("vec_dedup_semantic_portable", oracle=_sdp_oracle_sql())
+def vec_dedup_semantic_portable(spark, sf_dir):
+    """SemDeDup with a DRIVER-EXACT unrolled oracle — the portable
+    twin of vec_dedup_semantic (rows-only: float k-means codebook +
+    order-dependent cosine sums). Same dataflow as production SemDeDup
+    — cluster first, score pairs ONLY within a cluster — but every
+    decision is integer: the codebook is vec_kmeans_portable's
+    (operators/knn.py kmeans_portable_quantized at scale=100), and the
+    cosine-threshold accept is the cross-multiplied BIGINT form
+    d^2*dot^2 >= n^2*|a|^2*|b|^2 (no sqrt, no division — see the
+    oracle docstring for bounds). Dropped row = the higher vec_id of
+    any in-cluster pair at cos >= 0.4; keeper_id = its lowest
+    accepting partner. k is FIXED at 8 so the generated oracle can
+    unroll the training (production semantic_dedup_pairs sizes k ~
+    sqrt(N) and sub-blocks hot clusters — that scale form stays
+    rows-only by construction). Plan: K-row codebook broadcast for
+    assignment, within-cluster self-join (N^2/k pair work bounded by
+    cluster size), one hash agg."""
+    t = Tables(spark, sf_dir)
+    _, cents = knn.kmeans_portable_quantized(
+        t.embeddings, k=_SDP_K, scale=_SDP_SCALE, rounds=_SDP_ROUNDS,
+        compute_stats=False,
+    )
+    q = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(float(_SDP_SCALE)), 0),
+        ).alias("q"),
+    )
+    d = (
+        knn.dot(F.col("q"), F.col("q"))
+        - 2.0 * knn.dot(F.col("q"), F.col("cq"))
+        + knn.dot(F.col("cq"), F.col("cq"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    assign = (
+        q.join(F.broadcast(cents))
+        .withColumn("dist", d)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", "centroid_id")
+    )
+    a = assign.select(
+        "centroid_id", F.col("vec_id").alias("id_a"), F.col("q").alias("q_a")
+    )
+    b = assign.select(
+        "centroid_id", F.col("vec_id").alias("id_b"), F.col("q").alias("q_b")
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid_id",
+            "id_a",
+            "id_b",
+            knn.dot(F.col("q_a"), F.col("q_b")).cast("long").alias("dq"),
+            knn.dot(F.col("q_a"), F.col("q_a")).cast("long").alias("qa"),
+            knn.dot(F.col("q_b"), F.col("q_b")).cast("long").alias("qb"),
+        )
+    )
+    n2 = _SDP_TAU_NUM * _SDP_TAU_NUM
+    d2 = _SDP_TAU_DEN * _SDP_TAU_DEN
+    dups = pairs.where(
+        (F.col("dq") > 0)
+        & (F.lit(d2) * F.col("dq") * F.col("dq") >= F.lit(n2) * F.col("qa") * F.col("qb"))
+    )
+    return (
+        dups.groupBy("centroid_id", F.col("id_b").alias("dropped_id"))
+        .agg(
+            F.min("id_a").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_links"),
+        )
+        .orderBy("centroid_id", "dropped_id")
+    )
