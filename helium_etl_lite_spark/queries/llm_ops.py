@@ -3149,3 +3149,135 @@ def vec_dedup_semantic_portable(spark, sf_dir):
         )
         .orderBy("centroid_id", "dropped_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_pca_portable — dominant-component PCA with a DRIVER-EXACT oracle.
+
+_PCAP_SCALE = 100
+_PCAP_CSCALE = 1_000_000
+_PCAP_VSCALE = 10_000
+_PCAP_ROUNDS = 3
+_PCAP_DIM = 64
+
+
+def _pcap_oracle_sql() -> str:
+    """DuckDB twin of the portable power-iteration PCA, UNROLLED one
+    (matvec, renormalize) CTE pair per round — the generated-oracle
+    pattern (kmeans/ivf/pagerank) applied to an EIGENSOLVE. Exactness
+    chain: quantize round(x*100) -> integer mean floor(sum/n) ->
+    integer centered values |c| <~ 106 -> scatter entries
+    SUM(c_i*c_j) are exact integer sums (|term| <= 1.1e4, safe to
+    ~8e8 rows below 2^53) -> matrix renormalized to round(C/max*1e6)
+    integers -> each matvec sums 64 products <= 1e6*1e4 (6.4e11,
+    exact) -> vector renormalized to round(w/max*1e4) integers. Every
+    division is a single IEEE op on integer-valued doubles and every
+    round is half-away-from-zero in both engines, so the iterate —
+    and therefore the final projections — is bit-identical."""
+    s = f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {_PCAP_SCALE}.0)) AS q
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, CAST(t.idx AS BIGINT) AS idx, q[t.idx] AS val
+      FROM vq, unnest(generate_series(1, {_PCAP_DIM})) AS t(idx)),
+    m AS (SELECT idx, floor(SUM(val) / COUNT(*)) AS mv FROM e GROUP BY idx),
+    c AS (SELECT vec_id, e.idx, e.val - m.mv AS cv
+          FROM e JOIN m ON e.idx = m.idx),
+    cov AS (
+      SELECT a.idx AS i, b.idx AS j, SUM(a.cv * b.cv) AS cval
+      FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.idx, b.idx),
+    mx AS (SELECT MAX(ABS(cval)) AS mc FROM cov),
+    cn AS (SELECT i, j, round(cval / mc * {_PCAP_CSCALE}.0) AS nv
+           FROM cov, mx),
+    pv0 AS (SELECT CAST(idx AS BIGINT) AS idx, 1.0 AS vv
+            FROM unnest(generate_series(1, {_PCAP_DIM})) AS t(idx))"""
+    for r in range(1, _PCAP_ROUNDS + 1):
+        s += f""",
+    w{r} AS (SELECT cn.i AS idx, SUM(cn.nv * pv{r - 1}.vv) AS wv
+             FROM cn JOIN pv{r - 1} ON cn.j = pv{r - 1}.idx GROUP BY cn.i),
+    mw{r} AS (SELECT MAX(ABS(wv)) AS mw FROM w{r}),
+    pv{r} AS (SELECT idx, round(wv / mw * {_PCAP_VSCALE}.0) AS vv
+              FROM w{r}, mw{r})"""
+    s += f"""
+    SELECT c.vec_id, CAST(SUM(c.cv * pv.vv) AS BIGINT) AS proj_q
+    FROM c JOIN pv{_PCAP_ROUNDS} pv ON c.idx = pv.idx
+    GROUP BY c.vec_id ORDER BY c.vec_id"""
+    return s
+
+
+@query("vec_pca_portable", oracle=_pcap_oracle_sql())
+def vec_pca_portable(spark, sf_dir):
+    """Dominant principal component by power iteration with a
+    DRIVER-EXACT unrolled oracle — the portable twin of
+    vec_pca_project (rows-only: numpy eigh on float moments is
+    FP-environment-specific). Integerization per _pcap_oracle_sql:
+    quantized inputs, integer mean-centering, integer scatter matrix,
+    and a renormalize-to-integers step after every matvec so no
+    order-dependent float summation ever occurs. Output = each
+    vector's quantized projection on the dominant component (the
+    column a PCA whitener/dim-reducer actually materializes at 100 TB).
+    Plan: ONE N*d-row explode for centering, the Gram accumulation as
+    a co-partitioned self-join per vec_id + 4096-group hash agg (the
+    d^2-moments shape of operators/pca.py, kept in-plan instead of
+    driver-side so the oracle can see it), then 3 matvec rounds on
+    64-row frames (broadcast-trivial), and one final projection agg.
+    Scalars (max|C|, max|w|) ride 1-row broadcast joins, not
+    collects. Production keeps operators/pca.py (float eigh +
+    incremental moments); this proves the dataflow deterministic."""
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * F.lit(float(_PCAP_SCALE)), 0),
+            )
+        ).alias("pos", "val"),
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("idx"), "val")
+    m = q.groupBy("idx").agg(
+        F.floor(F.sum("val") / F.count(F.lit(1))).cast("double").alias("mv")
+    )
+    c = q.join(F.broadcast(m), "idx").select(
+        "vec_id", "idx", (F.col("val") - F.col("mv")).alias("cv")
+    )
+    a = c.select("vec_id", F.col("idx").alias("i"), F.col("cv").alias("ca"))
+    b = c.select("vec_id", F.col("idx").alias("j"), F.col("cv").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("cval"))
+    )
+    mx = cov.agg(F.max(F.abs(F.col("cval"))).alias("mc"))
+    cn = (
+        cov.crossJoin(F.broadcast(mx))
+        .select(
+            "i",
+            "j",
+            F.round(F.col("cval") / F.col("mc") * F.lit(float(_PCAP_CSCALE)), 0).alias("nv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pv = spark.range(1, _PCAP_DIM + 1).select(
+        F.col("id").alias("idx"), F.lit(1.0).alias("vv")
+    )
+    for _ in range(_PCAP_ROUNDS):
+        w = (
+            cn.join(F.broadcast(pv), cn.j == pv.idx)
+            .groupBy("i")
+            .agg(F.sum(F.col("nv") * F.col("vv")).alias("wv"))
+            .select(F.col("i").alias("idx"), "wv")
+        )
+        mw = w.agg(F.max(F.abs(F.col("wv"))).alias("mw"))
+        pv = w.crossJoin(F.broadcast(mw)).select(
+            "idx",
+            F.round(F.col("wv") / F.col("mw") * F.lit(float(_PCAP_VSCALE)), 0).alias("vv"),
+        ).localCheckpoint(eager=False)
+    return (
+        c.join(F.broadcast(pv), "idx")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("cv") * F.col("vv")).cast("long").alias("proj_q"))
+        .orderBy("vec_id")
+    )
