@@ -3281,3 +3281,149 @@ def vec_pca_portable(spark, sf_dir):
         .agg(F.sum(F.col("cv") * F.col("vv")).cast("long").alias("proj_q"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_portable — BPE merge learning with a DRIVER-EXACT oracle.
+
+_BPEP_ROUNDS = 6
+_BPEP_TOPW = 200
+
+
+def _bpep_apply_sql(seq: str, pair: str) -> str:
+    """Apply one BPE merge to a space-separated symbol sequence with
+    PURE string ops, identical in both engines: pad + double interior
+    spaces so literal leftmost-nonoverlapping replace() — the same
+    greedy scan real BPE uses — catches CONSECUTIVE occurrences
+    (' a  b  a  b ' matches twice; single-spaced ' a b a b ' would
+    consume the shared delimiter and miss the second), then collapse
+    the doubles and trim. No regex, no UDF."""
+    padded = f"' ' || replace({seq}, ' ', '  ') || ' '"
+    pat = f"' ' || split_part({pair}, ' ', 1) || '  ' || split_part({pair}, ' ', 2) || ' '"
+    rep = f"' ' || replace({pair}, ' ', '') || ' '"
+    return f"trim(replace(replace({padded}, {pat}, {rep}), '  ', ' '))"
+
+
+def _bpep_oracle_sql() -> str:
+    """DuckDB twin of the portable BPE trainer, UNROLLED one
+    (pair-count, argmax, merge-apply) CTE triple per round. BPE is the
+    one algorithm in the LLM stack the registry still carried as
+    rows-only-by-design (operators/bpe.py learns merges driver-side);
+    this proves the LEARNING LOOP itself engine-exact: pair counts are
+    integer sums, the argmax tie-breaks on (count DESC, pair ASC), and
+    the merge application is deterministic literal replace (see
+    _bpep_apply_sql). Vocabulary is the deterministic top-200 words by
+    (count DESC, word ASC) — an oracle-expressible cap."""
+    s = f"""
+    WITH wtok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wtok GROUP BY w),
+    words0 AS (
+      SELECT w, n, array_to_string(regexp_extract_all(w, '.'), ' ') || ' _' AS seq
+      FROM (SELECT w, n, row_number() OVER (ORDER BY n DESC, w ASC) AS rn
+            FROM wc)
+      WHERE rn <= {_BPEP_TOPW})"""
+    for r in range(1, _BPEP_ROUNDS + 1):
+        s += f""",
+    p{r} AS (
+      SELECT arr[i] || ' ' || arr[i + 1] AS pair, SUM(n) AS cnt
+      FROM (SELECT n, string_split(seq, ' ') AS arr FROM words{r - 1}),
+           unnest(generate_series(1, len(arr) - 1)) AS t(i)
+      GROUP BY 1),
+    top{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    words{r} AS (
+      SELECT w, n, {_bpep_apply_sql('seq', 'pair')} AS seq
+      FROM words{r - 1}, top{r}),
+    t{r} AS (SELECT CAST(SUM(n * len(string_split(seq, ' '))) AS BIGINT) AS tok
+             FROM words{r})"""
+    parts = [
+        f"""SELECT CAST({r} AS BIGINT) AS round, pair,
+               replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS pair_cnt,
+               (SELECT tok FROM t{r}) AS tokens_after
+        FROM top{r}"""
+        for r in range(1, _BPEP_ROUNDS + 1)
+    ]
+    s += "\n    " + "\n    UNION ALL\n    ".join(parts) + "\n    ORDER BY round"
+    return s
+
+
+@query("text_bpe_train_portable", oracle=_bpep_oracle_sql())
+def text_bpe_train_portable(spark, sf_dir):
+    """BPE tokenizer TRAINING with a DRIVER-EXACT unrolled oracle —
+    closes the last algorithm family the registry carried as
+    rows-only-by-design (sample_token_budget_bpe /
+    pipeline_pretraining_select_bpe lean on operators/bpe.py, whose
+    merge learning is driver-side). Classic word-level BPE: corpus ->
+    word counts -> top-200 word shortlist (deterministic cap) -> each
+    word a space-separated char sequence + '_' end marker -> 6 rounds
+    of (count adjacent symbol pairs weighted by word frequency, merge
+    the argmax pair corpus-wide). The merge APPLY is the subtle step:
+    literal replace on a padded, double-spaced form so consecutive
+    occurrences both merge exactly like the greedy left-to-right scan
+    of a real BPE trainer (_bpep_apply_sql). Returns one row per
+    round: the learned merge, its weighted count, and corpus tokens
+    after the merge — the loss curve a tokenizer-training job logs.
+    Plan: one tokenize+agg over the corpus, then all rounds run on the
+    200-row shortlist with 1-row broadcast argmax joins — at 100 TB
+    the corpus is touched ONCE; the loop cost is independent of N.
+    Production stays on operators/bpe.py (vocab-scale merges, Arrow
+    encode kernel); this pins its semantics cross-engine."""
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rnw = W.orderBy(F.col("n").desc(), F.col("w").asc())
+    words = (
+        wc.withColumn("rn", F.row_number().over(rnw))
+        .where(F.col("rn") <= _BPEP_TOPW)
+        .select(
+            "w",
+            "n",
+            F.concat(
+                F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "),
+                F.lit(" _"),
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out_rows = []
+    pair_expr = (
+        "CASE WHEN size(arr) >= 2 THEN "
+        "transform(sequence(1, size(arr) - 1), "
+        "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1))) "
+        "ELSE array() END"
+    )
+    for r in range(1, _BPEP_ROUNDS + 1):
+        pairs = (
+            words.select("n", F.split("seq", " ").alias("arr"))
+            .select("n", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select("w", "n", F.expr(_bpep_apply_sql("seq", "pair")).alias("seq"))
+            .localCheckpoint(eager=True)
+        )
+        tok = words.agg(
+            F.sum(F.col("n") * F.size(F.split("seq", " "))).cast("long").alias("tokens_after")
+        )
+        out_rows.append(
+            top.crossJoin(tok).select(
+                F.lit(r).cast("long").alias("round"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_cnt"),
+                "tokens_after",
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("round")
