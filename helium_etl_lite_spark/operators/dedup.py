@@ -1264,6 +1264,199 @@ def portable_minhash_oracle_sql(
     """
 
 
+def _portable_band_rows(docs, num_perm, bands, text_col, id_col):
+    """Portable MinHash signature -> (band, bucket) rows: md5-32 base
+    hashes, shared _PERM_AB permutations, polynomial bucket encoding —
+    the exact construction inside minhash_dedup_assign_portable,
+    factored so the screened composition below cannot drift from the
+    keeper-assignment form."""
+    rows_per_band = num_perm // bands
+    if rows_per_band != 2:
+        raise ValueError(
+            "portable bucket encoding requires rows_per_band == 2 "
+            f"(num_perm={num_perm}, bands={bands})"
+        )
+    toks = _token_set(text_col)
+    base = F.transform(toks, lambda t: F.pmod(_md5_32(t), F.lit(_MERSENNE)))
+    d = docs.where(toks.isNotNull() & (F.size(toks) > 0)).select(
+        F.col(id_col), base.alias("__bh")
+    )
+    mins = [_perm_min(F.col("__bh"), p) for p in range(num_perm)]
+    sig = d.select(F.col(id_col), F.array(*mins).alias("sig"))
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col("sig").getItem(2 * b) * F.lit(_MERSENNE)
+                            + F.col("sig").getItem(2 * b + 1)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def containment_screened_pairs_portable(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 8,
+    containment_threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """ENGINE-PORTABLE twin of containment_screened_pairs — the FULL
+    production near-dup composition (MinHash band screen -> hot-bucket
+    cap with representative routing -> exact containment verify) in a
+    form a SQL oracle can restate bit-for-bit. Three substitutions,
+    same dataflow: md5-32 token hashes for xxhash64 (signatures AND
+    verify sets), polynomial band-bucket encoding for hash-of-slice,
+    and — the piece the r7 verdict called non-expressible — the
+    bucket-size cap kept because the cap is DETERMINISTIC: which
+    buckets exceed it, and the member<->min-id pairs they route into,
+    are pure functions of the data, so the capped candidate set is as
+    oracle-checkable as the uncapped one. Directed output pairs
+    (doc_src, doc_sup, containment >= tau over md5-hashed distinct
+    token sets). Same scale posture as the production form: pair work
+    quadratic ONLY inside <=cap buckets, 2n in over-cap ones, logged
+    drop counts (no silent caps)."""
+    band_rows = _portable_band_rows(docs, num_perm, bands, text_col, id_col)
+    sizes = band_rows.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
+    )
+    over = sizes.where(F.col("__bsz") > bucket_cap)
+    stats = over.agg(
+        F.count(F.lit(1)).alias("n_over"),
+        F.coalesce(
+            F.sum(F.col("__bsz") * (F.col("__bsz") - 1) - 2 * (F.col("__bsz") - 1)),
+            F.lit(0),
+        ).alias("pairs_dropped"),
+    ).first()
+    if stats["n_over"]:
+        import logging
+
+        logging.getLogger("helium_etl_lite_spark").warning(
+            f"portable containment screen: {stats['n_over']} bucket(s) "
+            f"over cap={bucket_cap}; routed through bucket-min "
+            f"representative (~{stats['pairs_dropped']} member-member "
+            "candidate pairs dropped)"
+        )
+    tagged = band_rows.join(sizes, ["band", "bucket"])
+    small = tagged.where(F.col("__bsz") <= bucket_cap).drop("__bsz", "__bmin")
+    left = small.alias("l")
+    right = small.alias("r")
+    allpairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_src"),
+        F.col(f"r.{id_col}").alias("doc_sup"),
+    )
+    hot = tagged.where(
+        (F.col("__bsz") > bucket_cap) & (F.col(id_col) != F.col("__bmin"))
+    )
+    routed = hot.select(
+        F.col(id_col).alias("doc_src"), F.col("__bmin").alias("doc_sup")
+    ).unionByName(
+        hot.select(F.col("__bmin").alias("doc_src"), F.col(id_col).alias("doc_sup"))
+    )
+    cand = allpairs.unionByName(routed).distinct()
+    toksets = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(_token_set(text_col), lambda t: _md5_32(t))
+        ).alias("toks"),
+    )
+    a = toksets.select(F.col(id_col).alias("doc_src"), F.col("toks").alias("toks_a"))
+    b = toksets.select(F.col(id_col).alias("doc_sup"), F.col("toks").alias("toks_b"))
+    cont = F.round(
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size("toks_a"),
+        6,
+    )
+    return (
+        cand.join(a, "doc_src")
+        .join(b, "doc_sup")
+        .select("doc_src", "doc_sup", cont.alias("containment"))
+        .where(F.col("containment") >= containment_threshold)
+        .orderBy("doc_src", "doc_sup")
+    )
+
+
+def portable_screened_oracle_sql(
+    num_perm: int = 16,
+    bands: int = 8,
+    containment_threshold: float = 0.95,
+    bucket_cap: int = 256,
+) -> str:
+    """DuckDB oracle for containment_screened_pairs_portable, generated
+    from the SAME _PERM_AB / cap constants — screen, cap, routing and
+    verify restated in one statement."""
+    rows_per_band = num_perm // bands
+    assert rows_per_band == 2
+    m = _MERSENNE
+    mins = ",\n             ".join(
+        f"list_min(list_transform(bh, h -> ({a}*h + {b}) % {m}))"
+        for a, b in _PERM_AB[:num_perm]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    base AS (SELECT doc_id,
+                    list_transform(toks, x ->
+                      CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % {m})
+                    AS bh
+             FROM t WHERE toks IS NOT NULL AND len(toks) > 0),
+    sig AS (SELECT doc_id,
+            [{mins}] AS sig
+            FROM base),
+    bands AS (SELECT doc_id, b.band,
+                     sig[2*b.band + 1] * {m} + sig[2*b.band + 2] AS bucket
+              FROM sig, (SELECT unnest(range({bands})) AS band) b),
+    sizes AS (SELECT band, bucket, COUNT(*) AS bsz, MIN(doc_id) AS bmin
+              FROM bands GROUP BY band, bucket),
+    tagged AS (SELECT b.doc_id, b.band, b.bucket, s.bsz, s.bmin
+               FROM bands b JOIN sizes s
+                 ON b.band = s.band AND b.bucket = s.bucket),
+    allpairs AS (
+      SELECT l.doc_id AS doc_src, r.doc_id AS doc_sup
+      FROM tagged l JOIN tagged r
+        ON l.band = r.band AND l.bucket = r.bucket
+       AND l.doc_id <> r.doc_id
+      WHERE l.bsz <= {bucket_cap} AND r.bsz <= {bucket_cap}),
+    hot AS (SELECT doc_id, bmin FROM tagged
+            WHERE bsz > {bucket_cap} AND doc_id <> bmin),
+    routed AS (SELECT doc_id AS doc_src, bmin AS doc_sup FROM hot
+               UNION ALL
+               SELECT bmin AS doc_src, doc_id AS doc_sup FROM hot),
+    cand AS (SELECT DISTINCT doc_src, doc_sup FROM
+             (SELECT * FROM allpairs UNION ALL SELECT * FROM routed)),
+    hs AS (SELECT doc_id,
+                  list_distinct(
+                    list_transform(list_distinct(string_split(text, ' ')), x ->
+                      CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))) AS hset
+           FROM documents),
+    ver AS (SELECT c.doc_src, c.doc_sup,
+                   ROUND(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+                         / len(a.hset), 6) AS containment
+            FROM cand c
+            JOIN hs a ON a.doc_id = c.doc_src
+            JOIN hs b ON b.doc_id = c.doc_sup)
+    SELECT doc_src, doc_sup, containment
+    FROM ver WHERE containment >= {containment_threshold}
+    ORDER BY doc_src, doc_sup
+    """
+
+
 def simhash_assign_portable(
     docs: DataFrame,
     k: int = 3,

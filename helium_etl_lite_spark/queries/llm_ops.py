@@ -3427,3 +3427,33 @@ def text_bpe_train_portable(spark, sf_dir):
     for df in out_rows[1:]:
         out = out.unionAll(df)
     return out.orderBy("round")
+
+
+@query(
+    "dedup_containment_screened_portable",
+    oracle=dedup.portable_screened_oracle_sql(
+        num_perm=16, bands=8, containment_threshold=0.95, bucket_cap=256
+    ),
+)
+def dedup_containment_screened_portable(spark, sf_dir):
+    """The FULL production near-dup composition — MinHash band screen
+    -> deterministic hot-bucket cap with representative routing ->
+    exact containment verify — with a DRIVER-EXACT oracle.
+    dedup_containment_screened stays rows-only because its signatures
+    ride xxhash64; this twin swaps in the md5-32/polynomial-bucket
+    portable construction (shared with text_dedup_minhash_portable via
+    operators/dedup.py _portable_band_rows) and keeps EVERYTHING else,
+    including the bucket-size cap the r7 verdict asked for: the cap is
+    a deterministic function of the data, so the capped candidate set
+    is oracle-expressible after all. One driver-exact verdict now
+    covers screen geometry, cap/routing semantics, and the containment
+    arithmetic end to end (operators/dedup.py
+    containment_screened_pairs_portable)."""
+    t = Tables(spark, sf_dir)
+    return dedup.containment_screened_pairs_portable(
+        t.documents,
+        num_perm=16,
+        bands=8,
+        containment_threshold=0.95,
+        bucket_cap=256,
+    )

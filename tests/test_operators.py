@@ -2647,3 +2647,40 @@ class TestSampleQuotaWaterfill:
 
     def test_single_bucket(self, spark, tmp_path):
         self._run(spark, tmp_path, [10])
+
+
+class TestContainmentScreenedPortable:
+    def test_capped_equals_uncapped_when_no_overflow(self, spark, sf_dir):
+        from helium_etl_lite_spark.operators.dedup import (
+            containment_screened_pairs_portable,
+        )
+        from helium_etl_lite_spark.tables import Tables
+
+        docs = Tables(spark, sf_dir).documents.limit(60)
+        hi = containment_screened_pairs_portable(docs, bucket_cap=10_000)
+        lo = containment_screened_pairs_portable(docs, bucket_cap=256)
+        assert hi.exceptAll(lo).count() == 0
+        assert lo.exceptAll(hi).count() == 0
+
+    def test_overfull_bucket_routes_through_min_representative(self, spark):
+        from helium_etl_lite_spark.operators.dedup import (
+            containment_screened_pairs_portable,
+        )
+
+        # Five identical docs: every band bucket holds all five, so at
+        # bucket_cap=2 the all-pairs path is empty and every candidate
+        # pair must involve the min-id doc (the representative).
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = containment_screened_pairs_portable(
+            docs, containment_threshold=0.9, bucket_cap=2
+        ).collect()
+        assert out, "identical docs must verify as containment pairs"
+        assert all(r["doc_src"] == 0 or r["doc_sup"] == 0 for r in out)
+        # both directions against the representative survive the verify
+        assert {(r["doc_src"], r["doc_sup"]) for r in out} == (
+            {(0, i) for i in range(1, 5)} | {(i, 0) for i in range(1, 5)}
+        )
+        assert all(r["containment"] == 1.0 for r in out)
