@@ -3304,16 +3304,14 @@ def _bpep_apply_sql(seq: str, pair: str) -> str:
     return f"trim(replace(replace({padded}, {pat}, {rep}), '  ', ' '))"
 
 
-def _bpep_oracle_sql() -> str:
-    """DuckDB twin of the portable BPE trainer, UNROLLED one
-    (pair-count, argmax, merge-apply) CTE triple per round. BPE is the
-    one algorithm in the LLM stack the registry still carried as
-    rows-only-by-design (operators/bpe.py learns merges driver-side);
-    this proves the LEARNING LOOP itself engine-exact: pair counts are
-    integer sums, the argmax tie-breaks on (count DESC, pair ASC), and
-    the merge application is deterministic literal replace (see
-    _bpep_apply_sql). Vocabulary is the deterministic top-200 words by
-    (count DESC, word ASC) — an oracle-expressible cap."""
+def _bpep_train_cte_prefix() -> str:
+    """Shared generated-CTE prefix for the portable-BPE family: word
+    counts, the top-200 shortlist as char sequences, then one
+    (pair-count, argmax, merge-apply) CTE triple per round ending in
+    words{R} and top1..top{R}. Both text_bpe_train_portable and
+    sample_token_budget_bpe_portable splice their tails onto this, so
+    the trainer the budget query encodes with can never drift from the
+    trainer the merge-curve query verifies."""
     s = f"""
     WITH wtok AS (
       SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
@@ -3334,7 +3332,23 @@ def _bpep_oracle_sql() -> str:
     top{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
     words{r} AS (
       SELECT w, n, {_bpep_apply_sql('seq', 'pair')} AS seq
-      FROM words{r - 1}, top{r}),
+      FROM words{r - 1}, top{r})"""
+    return s
+
+
+def _bpep_oracle_sql() -> str:
+    """DuckDB twin of the portable BPE trainer, UNROLLED one
+    (pair-count, argmax, merge-apply) CTE triple per round. BPE is the
+    one algorithm in the LLM stack the registry still carried as
+    rows-only-by-design (operators/bpe.py learns merges driver-side);
+    this proves the LEARNING LOOP itself engine-exact: pair counts are
+    integer sums, the argmax tie-breaks on (count DESC, pair ASC), and
+    the merge application is deterministic literal replace (see
+    _bpep_apply_sql). Vocabulary is the deterministic top-200 words by
+    (count DESC, word ASC) — an oracle-expressible cap."""
+    s = _bpep_train_cte_prefix()
+    for r in range(1, _BPEP_ROUNDS + 1):
+        s += f""",
     t{r} AS (SELECT CAST(SUM(n * len(string_split(seq, ' '))) AS BIGINT) AS tok
              FROM words{r})"""
     parts = [
@@ -3346,6 +3360,60 @@ def _bpep_oracle_sql() -> str:
     ]
     s += "\n    " + "\n    UNION ALL\n    ".join(parts) + "\n    ORDER BY round"
     return s
+
+
+_BPEP_PAIR_EXPR = (
+    "CASE WHEN size(arr) >= 2 THEN "
+    "transform(sequence(1, size(arr) - 1), "
+    "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1))) "
+    "ELSE array() END"
+)
+
+
+def _bpep_spark_train(documents):
+    """Spark half of the shared portable-BPE trainer (the DataFrame
+    mirror of _bpep_train_cte_prefix): returns (tops, words_rounds)
+    where tops[r-1] is the 1-row (pair, cnt) argmax of round r and
+    words_rounds[r] the 200-word shortlist after r merges. All loop
+    state is <=200 rows; the corpus is scanned once for word counts."""
+    wc = (
+        documents.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rnw = W.orderBy(F.col("n").desc(), F.col("w").asc())
+    words = (
+        wc.withColumn("rn", F.row_number().over(rnw))
+        .where(F.col("rn") <= _BPEP_TOPW)
+        .select(
+            "w",
+            "n",
+            F.concat(
+                F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "),
+                F.lit(" _"),
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tops, words_rounds = [], [words]
+    for _ in range(_BPEP_ROUNDS):
+        pairs = (
+            words.select("n", F.split("seq", " ").alias("arr"))
+            .select("n", F.explode(F.expr(_BPEP_PAIR_EXPR)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select("w", "n", F.expr(_bpep_apply_sql("seq", "pair")).alias("seq"))
+            .localCheckpoint(eager=True)
+        )
+        tops.append(top)
+        words_rounds.append(words)
+    return tops, words_rounds
 
 
 @query("text_bpe_train_portable", oracle=_bpep_oracle_sql())
@@ -3370,52 +3438,14 @@ def text_bpe_train_portable(spark, sf_dir):
     Production stays on operators/bpe.py (vocab-scale merges, Arrow
     encode kernel); this pins its semantics cross-engine."""
     t = Tables(spark, sf_dir)
-    wc = (
-        t.documents.select(
-            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
-        )
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    rnw = W.orderBy(F.col("n").desc(), F.col("w").asc())
-    words = (
-        wc.withColumn("rn", F.row_number().over(rnw))
-        .where(F.col("rn") <= _BPEP_TOPW)
-        .select(
-            "w",
-            "n",
-            F.concat(
-                F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "),
-                F.lit(" _"),
-            ).alias("seq"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    tops, words_rounds = _bpep_spark_train(t.documents)
     out_rows = []
-    pair_expr = (
-        "CASE WHEN size(arr) >= 2 THEN "
-        "transform(sequence(1, size(arr) - 1), "
-        "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1))) "
-        "ELSE array() END"
-    )
     for r in range(1, _BPEP_ROUNDS + 1):
-        pairs = (
-            words.select("n", F.split("seq", " ").alias("arr"))
-            .select("n", F.explode(F.expr(pair_expr)).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("n").alias("cnt"))
-        )
-        top = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
-        words = (
-            words.crossJoin(F.broadcast(top))
-            .select("w", "n", F.expr(_bpep_apply_sql("seq", "pair")).alias("seq"))
-            .localCheckpoint(eager=True)
-        )
-        tok = words.agg(
+        tok = words_rounds[r].agg(
             F.sum(F.col("n") * F.size(F.split("seq", " "))).cast("long").alias("tokens_after")
         )
         out_rows.append(
-            top.crossJoin(tok).select(
+            tops[r - 1].crossJoin(tok).select(
                 F.lit(r).cast("long").alias("round"),
                 "pair",
                 F.expr("replace(pair, ' ', '')").alias("merged"),
@@ -3456,4 +3486,109 @@ def dedup_containment_screened_portable(spark, sf_dir):
         bands=8,
         containment_threshold=0.95,
         bucket_cap=256,
+    )
+
+
+_BPEP_BUDGET = 60_000
+
+
+def _bpep_budget_oracle_sql() -> str:
+    """DuckDB twin of sample_token_budget_bpe_portable: the shared
+    trainer prefix, then ENCODE the full vocabulary (not just the
+    top-200 shortlist) by applying the learned merges in order, join
+    per-(doc, word) counts to per-word token counts, and run the
+    greedy budget selection in (n_chars DESC, doc_id) order. Exact
+    because token counts are integers and the merge apply is the same
+    deterministic literal replace the trainer used."""
+    s = _bpep_train_cte_prefix()
+    s += """,
+    vocab0 AS (
+      SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') || ' _' AS seq
+      FROM (SELECT DISTINCT w FROM wtok))"""
+    for r in range(1, _BPEP_ROUNDS + 1):
+        s += f""",
+    vocab{r} AS (SELECT w, {_bpep_apply_sql('seq', 'pair')} AS seq
+                 FROM vocab{r - 1}, top{r})"""
+    s += f""",
+    wtokn AS (SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS ntok
+              FROM vocab{_BPEP_ROUNDS}),
+    dwc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    dtok AS (SELECT doc_id, SUM(c * ntok) AS bpe_tokens
+             FROM dwc JOIN wtokn USING (w) GROUP BY doc_id),
+    d AS (SELECT doc.doc_id, doc.n_chars,
+                 CAST(COALESCE(t.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+          FROM documents doc LEFT JOIN dtok t ON doc.doc_id = t.doc_id),
+    c AS (SELECT doc_id, n_chars, bpe_tokens,
+                 CAST(SUM(bpe_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens
+          FROM d)
+    SELECT doc_id, n_chars, bpe_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_BPEP_BUDGET}
+    """
+    return s
+
+
+@query("sample_token_budget_bpe_portable", oracle=_bpep_budget_oracle_sql())
+def sample_token_budget_bpe_portable(spark, sf_dir):
+    """Token-budget data selection priced in REAL learned-tokenizer
+    units, with a DRIVER-EXACT oracle — the exact twin of
+    sample_token_budget_bpe (rows-only: operators/bpe.py merges are
+    driver-learned and its Arrow encoder is Python-side). The merges
+    come from the shared portable trainer (_bpep_spark_train /
+    _bpep_train_cte_prefix — one spec, two dialects), are applied to
+    the FULL corpus vocabulary by the same deterministic literal
+    replace, and each document's token count is the integer sum of its
+    words' encoded lengths. Selection is then the standard greedy
+    budget walk in (n_chars DESC, doc_id) quality order via the
+    two-level control plane (operators/scale.py select_token_budget —
+    no single-task global window). Plan: corpus scanned twice (word
+    counts; per-doc word counts), vocabulary encoded once (distinct
+    words, not occurrences), budget walk on bounded control rows —
+    the 100 TB tokenize-and-select shape."""
+    t = Tables(spark, sf_dir)
+    from ..operators.scale import select_token_budget
+
+    tops, _ = _bpep_spark_train(t.documents)
+    vocab = t.documents.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
+    ).distinct().select(
+        "w",
+        F.concat(
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "), F.lit(" _")
+        ).alias("seq"),
+    )
+    for top in tops:
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            "w", F.expr(_bpep_apply_sql("seq", "pair")).alias("seq")
+        )
+    wtokn = vocab.select(
+        "w", F.size(F.split("seq", " ")).cast("long").alias("ntok")
+    )
+    dwc = (
+        t.documents.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dtok = (
+        dwc.join(wtokn, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("ntok")).alias("bpe_tokens"))
+    )
+    d = t.documents.select("doc_id", "n_chars").join(dtok, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens"),
+    )
+    return select_token_budget(
+        d, "n_chars", "doc_id", "bpe_tokens", budget=_BPEP_BUDGET,
+        out_col="cum_tokens",
     )
