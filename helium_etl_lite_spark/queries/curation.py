@@ -1156,7 +1156,15 @@ def sample_quota_waterfill(spark, sf_dir):
     docs = t.documents.withColumn(
         "bucket", F.concat_ws("/", F.col("lang"), F.col("source"))
     )
-    g = docs.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Materialize the #buckets-row counts table ONCE: every scalar in
+    # the level algebra below re-references it, and without the
+    # checkpoint each 1-row crossJoin re-derives it from the corpus —
+    # a plan-test-caught 37x documents scan.
+    g = (
+        docs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     b = g.agg(
         ((F.sum("n") * _WF_BUDGET_NUM) / _WF_BUDGET_DEN).cast("long").alias("budget_hi"),
         F.sum("n").cast("long").alias("tot"),

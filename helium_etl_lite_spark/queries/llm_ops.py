@@ -3110,12 +3110,16 @@ def vec_dedup_semantic_portable(spark, sf_dir):
         + knn.dot(F.col("cq"), F.col("cq"))
     )
     w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    # Materialize the assignment ONCE: both pair sides reference it,
+    # and without the checkpoint the K-row broadcast-assign subtree is
+    # duplicated into each side of the self-join (plan-test-caught).
     assign = (
         q.join(F.broadcast(cents))
         .withColumn("dist", d)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "q", "centroid_id")
+        .localCheckpoint(eager=True)
     )
     a = assign.select(
         "centroid_id", F.col("vec_id").alias("id_a"), F.col("q").alias("q_a")
@@ -3383,10 +3387,12 @@ def _bpep_spark_train(documents):
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    rnw = W.orderBy(F.col("n").desc(), F.col("w").asc())
+    # top-K shortlist via TakeOrderedAndProject (distributed partial
+    # top-K per task), NOT a partition-less row_number window that
+    # would funnel the whole vocabulary through one task
     words = (
-        wc.withColumn("rn", F.row_number().over(rnw))
-        .where(F.col("rn") <= _BPEP_TOPW)
+        wc.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(_BPEP_TOPW)
         .select(
             "w",
             "n",

@@ -1101,3 +1101,69 @@ def test_referential_audit_scans_each_child_once(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert plan.count("orders.parquet") == 2  # key side + o_custkey edge child
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_portable_band_join_no_cartesian(spark, sf_dir):
+    # Candidates must come from the (band_idx, band_val) equi-join;
+    # the integer rerank joins a broadcast NQ-row query side.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("vec_ann_lsh_portable", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_portable_pairs_only_within_cluster(spark, sf_dir):
+    # Pair generation must be the centroid_id equi-join (cluster-
+    # bounded), never an unkeyed product of the corpus with itself.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("vec_dedup_semantic_portable", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the ONE allowed nested-loop is the K-row codebook broadcast for
+    # assignment (kmeans_portable's designed shape); pairs themselves
+    # must ride the centroid_id equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_pca_portable_no_single_partition_on_data(spark, sf_dir):
+    # Scalars (max|C|, max|w|) ride 1-row broadcast crossJoins; the
+    # only SinglePartition exchanges allowed are those 1-row aggs.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("vec_pca_portable", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Gram agg must carry map-side partials
+    assert "partial" in plan.lower()
+
+
+def test_bpe_train_scans_corpus_once(spark, sf_dir):
+    # The trainer touches documents ONCE (word counts); all six rounds
+    # run on the checkpointed 200-row shortlist.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("text_bpe_train_portable", spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
+
+
+def test_screened_portable_same_shape_as_production(spark, sf_dir):
+    # Screen pairs come from band equi-joins; no nested-loop anywhere.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("dedup_containment_screened_portable", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waterfill_control_plane_is_broadcast(spark, sf_dir):
+    # All level math rides #buckets-row frames; the fact stream sees
+    # only the two scans (counts + ranking window).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("sample_quota_waterfill", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the bucket-counts table is checkpointed, so the corpus appears
+    # exactly once (the ranking-window scan) in the final plan
+    assert plan.count("documents.parquet") == 1, plan.count("documents.parquet")

@@ -177,6 +177,14 @@ HEADLINE_NOTES = {
     "agg_chi_square_independence": "ONE fact-stream hash agg to contingency cells; margins and chi terms all ride windows over the #types*2-row control table",
     "agg_ks_drift_binned": "ONE fact-stream hash agg to 64 bins; cumulative CDFs + max-diff ride windows over the <=64-row bin table — the binned KS that avoids the pooled-sort SinglePartition",
     "dq_referential_integrity": "each child table scanned ONCE for all its FK edges (lineitem's three parent-key left joins fused into one pass, one agg, row-local unpivot); parent key sets distinct-projected and broadcast — no fact shuffle per edge",
+    # r8 seventh session
+    "vec_ann_lsh_portable": "row-local 16-bit sign signature (one codegen span, no FP), explode(4) band rows, band equi-join + distinct on bounded id pairs, NQ-row query broadcast for the integer rerank, one per-query window — no BNLJ",
+    "vec_dedup_semantic_portable": "K-row codebook broadcast for assignment; pair work ONLY inside a centroid_id equi-join (cluster-bounded quadratic); BIGINT cross-multiplied cosine filter (no sqrt/div); one hash agg",
+    "vec_pca_portable": "N*d explode + 4096-group Gram hash agg (map-side partials); 64-row matvec frames broadcast per round; scalars via 1-row broadcast crossJoins — zero collects, no SinglePartition on data",
+    "text_bpe_train_portable": "corpus scanned ONCE for word counts; every training round runs on the 200-row shortlist with 1-row broadcast argmax joins — loop cost independent of N",
+    "sample_token_budget_bpe_portable": "trainer rounds on the 200-row shortlist; vocabulary (distinct words) encoded once via 6 broadcast merge applications; budget walk = select_token_budget control plane, no global window",
+    "dedup_containment_screened_portable": "band screen equi-join quadratic only inside <=cap buckets; over-cap buckets route 2n member<->min pairs; verify joins ride the candidate pair ids — same plan shape as the production screened form",
+    "sample_quota_waterfill": "two corpus scans (bucket counts; per-bucket ranking window on natural keys); all waterfill algebra on #buckets-row frames with 1-row broadcast scalars",
 }
 
 
