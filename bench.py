@@ -141,6 +141,21 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     # manually instead (README scale-lane notes).
     "ts_ewma_portable",
     "graph_reachability_recursive",
+    # r8 seventh session: the BPE-priced budget walk (corpus scans
+    # linear; the trainer loop is N-independent by construction — a
+    # flat trainer share at 10x IS the claim), waterfill quotas
+    # (grouped-control-plane rank fill), portable LSH ANN (queries
+    # fixed at 8 ids in replica 0; candidate lists grow linearly),
+    # and power-iteration PCA (N*d Gram agg linear; matvec rounds
+    # N-independent). vec_dedup_semantic_portable and
+    # dedup_containment_screened_portable stay OUT: verbatim-text
+    # replicas grow their within-cluster/within-bucket pair terms
+    # quadratically BY SEMANTICS (the join_spatial_grid caveat) — the
+    # production twins already in this lane carry the shape evidence.
+    "sample_token_budget_bpe_portable",
+    "sample_quota_waterfill",
+    "vec_ann_lsh_portable",
+    "vec_pca_portable",
 ]
 
 

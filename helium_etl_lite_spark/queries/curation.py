@@ -1223,9 +1223,18 @@ def sample_quota_waterfill(spark, sf_dir):
             ).cast("long").alias("quota"),
         )
     )
-    rw = W.partitionBy("bucket").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    ranked = docs.select(
-        "bucket", "doc_id", "n_chars", F.row_number().over(rw).alias("rn")
+    # Quota fill rides the grouped control plane, not a bare window on
+    # the ~#langs*#sources bucket key (the r6 low-cardinality-window
+    # class): length-bin bucketing spreads each bucket's rank over
+    # many tasks while preserving exact (n_chars DESC, doc_id) order.
+    from ..operators.scale import grouped_row_number
+
+    ranked = grouped_row_number(
+        docs.select("bucket", "doc_id", "n_chars"),
+        ["bucket"],
+        F.expr("-(n_chars div 64)"),
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        out_col="rn",
     )
     sel = ranked.join(F.broadcast(quota), "bucket").where(F.col("rn") <= F.col("quota"))
     agg_sel = sel.groupBy("bucket").agg(
