@@ -1254,3 +1254,84 @@ def sample_quota_waterfill(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# pack_concat_chunk — concat-and-chunk training-example packing.
+
+_PCC_WIDTH = 256
+
+_PCC_ORACLE = f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    s AS (SELECT doc_id, n_tok, cum - n_tok AS start, cum FROM c),
+    spans AS (SELECT doc_id, start, cum, CAST(t.ch AS BIGINT) AS chunk_id
+              FROM s, unnest(generate_series(
+                       CAST(start // {_PCC_WIDTH} AS BIGINT),
+                       CAST((cum - 1) // {_PCC_WIDTH} AS BIGINT))) AS t(ch))
+    SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           CAST(SUM(LEAST(cum, (chunk_id + 1) * {_PCC_WIDTH})
+                    - GREATEST(start, chunk_id * {_PCC_WIDTH})) AS BIGINT)
+             AS tokens_in_chunk
+    FROM spans GROUP BY chunk_id ORDER BY chunk_id
+"""
+
+
+@query("pack_concat_chunk", oracle=_PCC_ORACLE)
+def pack_concat_chunk(spark, sf_dir):
+    """Concat-and-chunk packing — the op that actually MAKES training
+    examples: documents are concatenated in stream order and the token
+    stream is cut into fixed-width windows, so every chunk is
+    trainer-dense and a document crossing a boundary is split, not
+    padded (the complement of pack_sequence_bins, which keeps docs
+    whole and bins them). Output is the chunk manifest: how many docs
+    each window straddles, its first/last source doc (the spans a
+    provenance lookup needs), and its fill (== width everywhere except
+    the final chunk — a pytest invariant). Plan: per-doc token counts
+    are row-local; the global running offset rides the TWO-LEVEL
+    prefix-sum control plane (operators/scale.py prefix_sum — no
+    single-task global window, driver holds superbucket rows only);
+    each doc explodes to the <= n_tok/width + 1 chunks it overlaps;
+    ONE map-side-combinable hash agg per chunk. The oracle states the
+    same arithmetic with a plain window — the control plane is
+    pinned equal to it by the hash match."""
+    from ..operators.scale import prefix_sum
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    c = prefix_sum(d, "doc_id", "n_tok", out_col="cum").withColumn(
+        "start", F.col("cum") - F.col("n_tok")
+    )
+    spans = c.select(
+        "doc_id",
+        "start",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {_PCC_WIDTH}"),
+                F.expr(f"(cum - 1) div {_PCC_WIDTH}"),
+            )
+        ).alias("chunk_id"),
+    )
+    w = _PCC_WIDTH
+    return (
+        spans.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum(
+                F.least(F.col("cum"), (F.col("chunk_id") + 1) * w)
+                - F.greatest(F.col("start"), F.col("chunk_id") * w)
+            ).cast("long").alias("tokens_in_chunk"),
+        )
+        .orderBy("chunk_id")
+    )

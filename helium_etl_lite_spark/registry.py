@@ -76,7 +76,9 @@ FRONT_OF_WINDOW: list[str] = [
     # new information. Displaced to r9 FIRST: agg_bitmap_setops,
     # text_dedup_winnow, vec_ann_ivfpq_portable,
     # stream_incremental_curation, sink_bloom_skipping_index,
-    # merge_upsert_scd2, ts_ewma_portable.
+    # merge_upsert_scd2, ts_ewma_portable; table_analyze_stats (plain
+    # aggregate machinery, covered by the sweep) displaced for
+    # pack_concat_chunk.
     "dedup_containment_screened_portable",  # screen+cap+verify, exact
     "vec_ann_lsh_portable",       # hyperplane LSH + integer rerank, exact
     "vec_dedup_semantic_portable", # SemDeDup on integer codebook, exact
@@ -84,6 +86,7 @@ FRONT_OF_WINDOW: list[str] = [
     "text_bpe_train_portable",    # BPE merge learning, exact unrolled
     "sample_token_budget_bpe_portable", # BPE-priced budget select, exact
     "sample_quota_waterfill",     # closed-form waterfill quotas, exact
+    "pack_concat_chunk",          # concat-and-chunk example packing, exact
     "report_forecast_revenue",    # TPC-H Q6
     "report_min_cost_supplier",   # TPC-H Q2
     "report_important_stock",     # TPC-H Q11
@@ -115,7 +118,6 @@ FRONT_OF_WINDOW: list[str] = [
     "pipeline_incremental_curation", # CDC-fed incremental curation loop, exact
     "text_dedup_source_priority", # keep-best-source exact dedup, exact
     "vec_knn_classify",           # kNN majority-vote labeling eval, exact
-    "table_analyze_stats",        # one-pass ANALYZE column stats, exact
     "table_diff_audit",           # keyed data-diff reconciliation, exact
     "vec_ann_pq_portable",        # integer-exact PQ train+encode+ADC, exact
     "graph_pagerank_portable",    # integer-mass PageRank, unrolled oracle

@@ -2684,3 +2684,30 @@ class TestContainmentScreenedPortable:
             {(0, i) for i in range(1, 5)} | {(i, 0) for i in range(1, 5)}
         )
         assert all(r["containment"] == 1.0 for r in out)
+
+
+class TestPackConcatChunk:
+    def test_every_chunk_full_except_last(self, spark, sf_dir):
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["pack_concat_chunk"](spark, sf_dir).collect()
+        assert rows, "corpus must produce at least one chunk"
+        *full, last = rows
+        assert all(r["tokens_in_chunk"] == 256 for r in full)
+        assert 0 < last["tokens_in_chunk"] <= 256
+        # chunk ids are the dense range 0..n-1 and spans are ordered
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert all(r["first_doc"] <= r["last_doc"] for r in rows)
+        # total fill equals the corpus token mass
+        total = sum(r["tokens_in_chunk"] for r in rows)
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.tables import Tables
+
+        mass = (
+            Tables(spark, sf_dir)
+            .documents.select(F.sum(F.size(F.split("text", " "))).alias("m"))
+            .first()["m"]
+        )
+        assert total == mass
