@@ -3598,3 +3598,58 @@ def sample_token_budget_bpe_portable(spark, sf_dir):
         d, "n_chars", "doc_id", "bpe_tokens", budget=_BPEP_BUDGET,
         out_col="cum_tokens",
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    stats AS (SELECT token,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                     CAST(COUNT(*) AS BIGINT) AS tf_total
+              FROM tok GROUP BY token),
+    keep AS (SELECT token, df, tf_total FROM stats
+             WHERE df BETWEEN 3 AND 100),
+    post AS (SELECT k.token,
+                    array_to_string(list(DISTINCT t.doc_id
+                                         ORDER BY t.doc_id), ',') AS postings
+             FROM keep k JOIN tok t ON t.token = k.token
+             GROUP BY k.token)
+    SELECT k.token, k.df, k.tf_total, p.postings
+    FROM keep k JOIN post p ON k.token = p.token
+    ORDER BY k.token
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index BUILD — the serving-side structure behind
+    text_bm25_topk's ad-hoc scan: per-token document frequency, total
+    term frequency, and the sorted postings list, gated to the useful
+    band (3 <= df <= 100 — hapaxes index nothing, stopword-scale
+    tokens belong in a stop list; both caps deterministic, so the
+    build is exact-oracle-checkable, postings arrays included).
+    Plan: ONE tokenize pass feeds two map-side-combinable hash aggs
+    (stats, then postings for surviving tokens via a semi-join-shaped
+    inner join on the bounded keep set); postings collect_set is
+    bounded by the df cap — no unbounded array aggregation. At 100 TB
+    this is the index-shard job: partition output by token range and
+    each shard serves point lookups without touching the corpus."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf_total"),
+    )
+    keep = stats.where((F.col("df") >= 3) & (F.col("df") <= 100))
+    post = (
+        tok.join(keep.select("token"), "token")
+        .groupBy("token")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias("postings")
+        )
+    )
+    return keep.join(post, "token").select(
+        "token", "df", "tf_total", "postings"
+    ).orderBy("token")

@@ -78,7 +78,9 @@ FRONT_OF_WINDOW: list[str] = [
     # stream_incremental_curation, sink_bloom_skipping_index,
     # merge_upsert_scd2, ts_ewma_portable; table_analyze_stats (plain
     # aggregate machinery, covered by the sweep) displaced for
-    # pack_concat_chunk.
+    # pack_concat_chunk; vec_knn_classify (kNN machinery driver-
+    # verified via vec_knn_cosine r4) displaced for
+    # text_inverted_index.
     "dedup_containment_screened_portable",  # screen+cap+verify, exact
     "vec_ann_lsh_portable",       # hyperplane LSH + integer rerank, exact
     "vec_dedup_semantic_portable", # SemDeDup on integer codebook, exact
@@ -87,6 +89,7 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_token_budget_bpe_portable", # BPE-priced budget select, exact
     "sample_quota_waterfill",     # closed-form waterfill quotas, exact
     "pack_concat_chunk",          # concat-and-chunk example packing, exact
+    "text_inverted_index",        # postings-list index build, exact
     "report_forecast_revenue",    # TPC-H Q6
     "report_min_cost_supplier",   # TPC-H Q2
     "report_important_stock",     # TPC-H Q11
@@ -117,7 +120,6 @@ FRONT_OF_WINDOW: list[str] = [
     "view_incremental_join_refresh", # delta-rule join-view IVM, exact
     "pipeline_incremental_curation", # CDC-fed incremental curation loop, exact
     "text_dedup_source_priority", # keep-best-source exact dedup, exact
-    "vec_knn_classify",           # kNN majority-vote labeling eval, exact
     "table_diff_audit",           # keyed data-diff reconciliation, exact
     "vec_ann_pq_portable",        # integer-exact PQ train+encode+ADC, exact
     "graph_pagerank_portable",    # integer-mass PageRank, unrolled oracle

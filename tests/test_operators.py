@@ -2711,3 +2711,28 @@ class TestPackConcatChunk:
             .first()["m"]
         )
         assert total == mass
+
+
+class TestLshPortable:
+    def test_planted_near_duplicate_is_rank_one(self, spark, tmp_path):
+        import numpy as np
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 64)).astype("float32") * 0.2
+        # vec 25 = vec 3 (a query: id < 8 forms the query set) with a
+        # sub-quantization-step perturbation: identical after
+        # round(x*100) -> identical signature AND distance 0.
+        base[25] = base[3] + 1e-5
+        rows = [(i, [float(x) for x in base[i]], 0) for i in range(40)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+        out = registry.QUERIES["vec_ann_lsh_portable"](
+            spark, str(tmp_path)
+        ).collect()
+        top = {r["q_id"]: r for r in out if r["rn"] == 1}
+        assert top[3]["neighbor_id"] == 25
+        assert top[3]["dist_q"] == 0
