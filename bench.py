@@ -156,6 +156,12 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "sample_quota_waterfill",
     "vec_ann_lsh_portable",
     "vec_pca_portable",
+    # concat-chunk packing (prefix-sum control plane, linear) and
+    # the postings build (tokenize + two aggs, linear; replica-
+    # shifted doc_ids multiply df, the 3..100 band keeps output
+    # bounded).
+    "pack_concat_chunk",
+    "text_inverted_index",
 ]
 
 

@@ -185,6 +185,8 @@ HEADLINE_NOTES = {
     "sample_token_budget_bpe_portable": "trainer rounds on the 200-row shortlist; vocabulary (distinct words) encoded once via 6 broadcast merge applications; budget walk = select_token_budget control plane, no global window",
     "dedup_containment_screened_portable": "band screen equi-join quadratic only inside <=cap buckets; over-cap buckets route 2n member<->min pairs; verify joins ride the candidate pair ids — same plan shape as the production screened form",
     "sample_quota_waterfill": "two corpus scans (bucket counts; per-bucket ranking window on natural keys); all waterfill algebra on #buckets-row frames with 1-row broadcast scalars",
+    "pack_concat_chunk": "row-local token counts -> two-level prefix-sum control plane (no partition-less window) -> sequence-explode to overlapped chunks -> ONE map-side-combinable hash agg",
+    "text_inverted_index": "one tokenize pass, two-phase stats agg, postings agg gated by the bounded keep set join; collect_set bounded by the df cap",
 }
 
 
