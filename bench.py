@@ -132,15 +132,18 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "pipeline_incremental_curation",
     "table_diff_audit",
     # r8 fifth session: the recurrence fold (linear: replicas shift
-    # user_id so users multiply, series length stays fixed) and the
-    # recursive BFS (frontier-bounded: the seed's component lives in
-    # one replica, so traversal work should NOT grow 10x — only the
-    # distinct-edge build scans more). join_spatial_grid stays out:
-    # replicas duplicate coordinates, so pair OUTPUT is quadratic by
-    # semantics (the interval-overlap caveat squared) — measured
-    # manually instead (README scale-lane notes).
+    # user_id so users multiply, series length stays fixed).
+    # join_spatial_grid stays out: replicas duplicate coordinates, so
+    # pair OUTPUT is quadratic by semantics (the interval-overlap
+    # caveat squared) — measured manually instead (README scale-lane
+    # notes). graph_reachability_recursive is OUT as of the seventh
+    # session: its original UNION ALL form CRASHED this lane at base
+    # sf0.1 (path rows are exponential in hops; Spark's 1e6-row
+    # recursion guard fired) — the fix is per-level SELECT DISTINCT
+    # (true BFS), which passes at sf0.1 in ~21 s base, still too heavy
+    # for the automated lane (the graph_triangle_count rule); its 10x
+    # ratio is measured manually (README).
     "ts_ewma_portable",
-    "graph_reachability_recursive",
     # r8 seventh session: the BPE-priced budget walk (corpus scans
     # linear; the trainer loop is N-independent by construction — a
     # flat trainer share at 10x IS the claim), waterfill quotas

@@ -1009,7 +1009,7 @@ _REACH_SQL = f"""
 WITH RECURSIVE reach(node, hops) AS (
   SELECT CAST({_REACH_SEED} AS BIGINT) AS node, 0 AS hops
   UNION ALL
-  SELECT e.dst, r.hops + 1
+  SELECT DISTINCT e.dst, r.hops + 1
   FROM reach r JOIN (
     SELECT cust AS src, supp + 1000000 AS dst FROM (
       SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
@@ -1021,7 +1021,7 @@ WITH RECURSIVE reach(node, hops) AS (
   ) e ON e.src = r.node
   WHERE r.hops < {_REACH_HOPS})
 SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
-       CAST(COUNT(*) AS BIGINT) AS n_paths
+       CAST(COUNT(*) AS BIGINT) AS n_levels
 FROM reach GROUP BY node ORDER BY node
 """
 
@@ -1041,10 +1041,16 @@ def graph_reachability_recursive(spark, sf_dir):
     expansion + the engine's own fixpoint machinery — the identical
     per-round economics to graph_pagerank_topk's explicit loop, but
     Catalyst owns the iteration (and can stop early on an empty
-    frontier). The hop bound caps path multiplicity; unbounded
-    closure over a cyclic graph would need the min-label iteration
-    (dedup_cluster_components) instead — documented tradeoff, not a
-    blindspot."""
+    frontier). The recursive term is SELECT DISTINCT — true BFS: each
+    level's working set is bounded by frontier NODES. The seventh r8
+    session learned this the hard way: the original UNION ALL form
+    accumulated PATH rows, which are exponential in hops on a dense
+    bipartite graph, and blew Spark's 1e6-row recursion guard at
+    sf0.1 in the bench lane (driver-scale sf0.01 passed — exactly the
+    failure class the 10x lane exists to catch). n_levels counts the
+    distinct hop depths at which a node appears (<= hops/2 + 1 by
+    bipartite parity); unbounded closure over a cyclic graph would
+    use the min-label iteration (dedup_cluster_components) instead."""
     t = Tables(spark, sf_dir)
     t.register_views()
     return spark.sql(_REACH_SQL)
