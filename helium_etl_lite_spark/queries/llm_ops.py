@@ -3653,3 +3653,72 @@ def text_inverted_index(spark, sf_dir):
     return keep.join(post, "token").select(
         "token", "df", "tf_total", "postings"
     ).orderBy("token")
+
+
+_INVIDX_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    stats AS (SELECT token,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                     CAST(COUNT(*) AS BIGINT) AS tf_total
+              FROM tok GROUP BY token),
+    keep AS (SELECT token, df, tf_total FROM stats
+             WHERE df BETWEEN 3 AND 100),
+    post AS (SELECT k.token,
+                    array_to_string(list(DISTINCT t.doc_id
+                                         ORDER BY t.doc_id), ',') AS postings
+             FROM keep k JOIN tok t ON t.token = k.token
+             GROUP BY k.token)
+    SELECT k.token, k.df, k.tf_total, p.postings
+    FROM keep k JOIN post p ON k.token = p.token
+    ORDER BY k.token
+"""
+
+
+@query("text_inverted_index_incremental", oracle=_INVIDX_ORACLE)
+def text_inverted_index_incremental(spark, sf_dir):
+    """Incremental postings maintenance proven EQUAL to a full rebuild
+    — the oracle is text_inverted_index's full-build SQL VERBATIM (the
+    one-oracle-two-queries convergence pattern of
+    pipeline_/stream_incremental_curation): the corpus splits into a
+    base segment and an ingest batch (doc_id % 10), each builds its
+    UNBANDED partial index independently, and the merge is pure
+    segment algebra — df and tf ADD (doc sets are disjoint), postings
+    CONCATENATE then sort. The df band (3..100) is applied only to the
+    merged result: banding is NOT mergeable (a token at df=2 in each
+    half is df=4 overall), which is exactly why the partials stay
+    unbanded — the mistake this query exists to pin against. Plan: two
+    disjoint scans (or one scan + partition pruning on a real ingest
+    layout), per-segment hash aggs, ONE merge agg on token — new-batch
+    cost is O(batch + touched tokens), never a corpus rescan."""
+    t = Tables(spark, sf_dir)
+
+    def _partial(docs):
+        tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        return tok.groupBy("token").agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("tf_total"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+
+    base = _partial(t.documents.where(F.col("doc_id") % 10 != 0))
+    incr = _partial(t.documents.where(F.col("doc_id") % 10 == 0))
+    merged = (
+        base.unionByName(incr)
+        .groupBy("token")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("tf_total").alias("tf_total"),
+            F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+        )
+    )
+    return (
+        merged.where((F.col("df") >= 3) & (F.col("df") <= 100))
+        .select(
+            "token",
+            "df",
+            "tf_total",
+            F.concat_ws(",", "postings").alias("postings"),
+        )
+        .orderBy("token")
+    )

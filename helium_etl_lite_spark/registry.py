@@ -80,7 +80,10 @@ FRONT_OF_WINDOW: list[str] = [
     # aggregate machinery, covered by the sweep) displaced for
     # pack_concat_chunk; vec_knn_classify (kNN machinery driver-
     # verified via vec_knn_cosine r4) displaced for
-    # text_inverted_index.
+    # text_inverted_index; join_asof_nearest (third member of the
+    # as-of family, driver-verified twice already via event_order
+    # r5 + tolerance r6) displaced for
+    # text_inverted_index_incremental.
     "dedup_containment_screened_portable",  # screen+cap+verify, exact
     "vec_ann_lsh_portable",       # hyperplane LSH + integer rerank, exact
     "vec_dedup_semantic_portable", # SemDeDup on integer codebook, exact
@@ -90,6 +93,7 @@ FRONT_OF_WINDOW: list[str] = [
     "sample_quota_waterfill",     # closed-form waterfill quotas, exact
     "pack_concat_chunk",          # concat-and-chunk example packing, exact
     "text_inverted_index",        # postings-list index build, exact
+    "text_inverted_index_incremental", # segment-merge == full rebuild
     "report_forecast_revenue",    # TPC-H Q6
     "report_min_cost_supplier",   # TPC-H Q2
     "report_important_stock",     # TPC-H Q11
@@ -102,7 +106,6 @@ FRONT_OF_WINDOW: list[str] = [
     "text_dedup_minhash_portable", # full LSH pipeline, exact oracle
     "agg_hll_sketch_portable",    # register-exact HLL + merge proof
     "text_dedup_simhash_portable", # full SimHash pipeline, exact oracle
-    "join_asof_nearest",          # nearest-direction as-of, exact oracle
     "graph_triangle_count",       # compact-forward triangles, exact oracle
     "join_bloom_pruned",          # runtime-bloom-filter join, exact oracle
     "sink_zorder_cluster",        # Morton-clustered write, exact oracle

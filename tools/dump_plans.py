@@ -187,6 +187,7 @@ HEADLINE_NOTES = {
     "sample_quota_waterfill": "two corpus scans (bucket counts; per-bucket ranking window on natural keys); all waterfill algebra on #buckets-row frames with 1-row broadcast scalars",
     "pack_concat_chunk": "row-local token counts -> two-level prefix-sum control plane (no partition-less window) -> sequence-explode to overlapped chunks -> ONE map-side-combinable hash agg",
     "text_inverted_index": "one tokenize pass, two-phase stats agg, postings agg gated by the bounded keep set join; collect_set bounded by the df cap",
+    "text_inverted_index_incremental": "two disjoint segment scans -> per-segment hash aggs -> ONE token-keyed merge agg; df band post-merge only",
 }
 
 
