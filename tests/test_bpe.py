@@ -199,3 +199,70 @@ class TestPretrainingBpeVariant:
         for r in sel:
             acc += r["n_tokens"]
             assert r["cum_tokens_bpe"] == acc
+
+
+class TestBpePortableVsReference:
+    """The distributed portable trainer vs a from-scratch classic BPE
+    implemented independently here (Sennrich-style greedy merges on
+    word frequency) — catches replace-semantics divergence that the
+    cross-engine oracle, which shares the replace trick, cannot."""
+
+    @staticmethod
+    def _reference_bpe(word_counts, rounds):
+        import collections
+
+        seqs = {w: tuple(list(w) + ["_"]) for w in word_counts}
+        merges = []
+        for _ in range(rounds):
+            pairs = collections.Counter()
+            for w, n in word_counts.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += n
+            if not pairs:
+                break
+            # argmax with (count DESC, pair ASC) tie-break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((best[0] + " " + best[1], pairs[best]))
+            out = {}
+            for w, s in seqs.items():
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        r.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                out[w] = tuple(r)
+            seqs = out
+        return merges
+
+    def test_merge_sequence_matches_reference(self, spark, tmp_path):
+        import re as _re
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        texts = [
+            "the cat sat on the mat",
+            "the cats sat",
+            "a hat a mat a cat",
+            "aaa aa aaa aa aaa",  # overlapping same-symbol merges
+            "x",                  # single-char word collapses to 1 token
+        ]
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = registry.QUERIES["text_bpe_train_portable"](
+            spark, str(tmp_path)
+        ).collect()
+
+        import collections
+
+        wc = collections.Counter(
+            w for t in texts for w in _re.findall(r"[a-z]+", t.lower())
+        )
+        want = self._reference_bpe(dict(wc), rounds=len(got))
+        assert [(r["pair"], r["pair_cnt"]) for r in got] == want
