@@ -1140,36 +1140,7 @@ def minhash_dedup_assign_portable(
     production form's pytest-only gates — and it doubles as the
     cross-engine spec of the algorithm.
     """
-    rows_per_band = num_perm // bands
-    if rows_per_band != 2:
-        raise ValueError(
-            "portable bucket encoding requires rows_per_band == 2 "
-            f"(num_perm={num_perm}, bands={bands})"
-        )
-    toks = _token_set(text_col)
-    base = F.transform(toks, lambda t: F.pmod(_md5_32(t), F.lit(_MERSENNE)))
-    d = docs.where(toks.isNotNull() & (F.size(toks) > 0)).select(
-        F.col(id_col), base.alias("__bh")
-    )
-    mins = [_perm_min(F.col("__bh"), p) for p in range(num_perm)]
-    sig = d.select(F.col(id_col), F.array(*mins).alias("sig"))
-    band_rows = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.col("sig").getItem(2 * b) * F.lit(_MERSENNE)
-                            + F.col("sig").getItem(2 * b + 1)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    band_rows = _portable_band_rows(docs, num_perm, bands, text_col, id_col)
     wb = Window.partitionBy("band", "bucket")
     candidate_keeper = (
         band_rows.withColumn("bucket_min", F.min(id_col).over(wb))

@@ -1153,8 +1153,10 @@ def sample_quota_waterfill(spark, sf_dir):
     gate (pytest adds a synthetic-skew fixture for the empty-remainder
     and budget-exceeds-corpus edges)."""
     t = Tables(spark, sf_dir)
+    # F.concat matches the oracle's || (NULL if any side is NULL);
+    # concat_ws would silently SKIP a NULL lang/source and diverge.
     docs = t.documents.withColumn(
-        "bucket", F.concat_ws("/", F.col("lang"), F.col("source"))
+        "bucket", F.concat(F.col("lang"), F.lit("/"), F.col("source"))
     )
     # Materialize the #buckets-row counts table ONCE: every scalar in
     # the level algebra below re-references it, and without the
@@ -1166,7 +1168,6 @@ def sample_quota_waterfill(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     b = g.agg(
-        ((F.sum("n") * _WF_BUDGET_NUM) / _WF_BUDGET_DEN).cast("long").alias("budget_hi"),
         F.sum("n").cast("long").alias("tot"),
         F.count(F.lit(1)).cast("long").alias("ng"),
     ).select(

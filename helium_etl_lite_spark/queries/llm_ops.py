@@ -3561,9 +3561,19 @@ def sample_token_budget_bpe_portable(spark, sf_dir):
     from ..operators.scale import select_token_budget
 
     tops, _ = _bpep_spark_train(t.documents)
-    vocab = t.documents.select(
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w")
-    ).distinct().select(
+    dwc = (
+        t.documents.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # vocabulary = the distinct words dwc ALREADY holds — deriving it
+    # here (not from a third corpus tokenize) keeps the plan at two
+    # document scans: trainer word counts + dwc (review finding).
+    vocab = dwc.select("w").distinct().select(
         "w",
         F.concat(
             F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "), F.lit(" _")
@@ -3575,14 +3585,6 @@ def sample_token_budget_bpe_portable(spark, sf_dir):
         )
     wtokn = vocab.select(
         "w", F.size(F.split("seq", " ")).cast("long").alias("ntok")
-    )
-    dwc = (
-        t.documents.select(
-            "doc_id",
-            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("w"),
-        )
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     dtok = (
         dwc.join(wtokn, "w")
@@ -3600,64 +3602,35 @@ def sample_token_budget_bpe_portable(spark, sf_dir):
     )
 
 
-@query(
-    "text_inverted_index",
-    oracle="""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                 FROM documents),
-    stats AS (SELECT token,
-                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-                     CAST(COUNT(*) AS BIGINT) AS tf_total
-              FROM tok GROUP BY token),
-    keep AS (SELECT token, df, tf_total FROM stats
-             WHERE df BETWEEN 3 AND 100),
-    post AS (SELECT k.token,
-                    array_to_string(list(DISTINCT t.doc_id
-                                         ORDER BY t.doc_id), ',') AS postings
-             FROM keep k JOIN tok t ON t.token = k.token
-             GROUP BY k.token)
-    SELECT k.token, k.df, k.tf_total, p.postings
-    FROM keep k JOIN post p ON k.token = p.token
-    ORDER BY k.token
-    """,
-)
-def text_inverted_index(spark, sf_dir):
-    """Inverted-index BUILD — the serving-side structure behind
-    text_bm25_topk's ad-hoc scan: per-token document frequency, total
-    term frequency, and the sorted postings list, gated to the useful
-    band (3 <= df <= 100 — hapaxes index nothing, stopword-scale
-    tokens belong in a stop list; both caps deterministic, so the
-    build is exact-oracle-checkable, postings arrays included).
-    Plan: ONE tokenize pass feeds two map-side-combinable hash aggs
-    (stats, then postings for surviving tokens via a semi-join-shaped
-    inner join on the bounded keep set); postings collect_set is
-    bounded by the df cap — no unbounded array aggregation. At 100 TB
-    this is the index-shard job: partition output by token range and
-    each shard serves point lookups without touching the corpus."""
-    t = Tables(spark, sf_dir)
-    tok = t.documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+# ONE oracle string for BOTH inverted-index queries: the incremental
+# form's entire claim is "segment merge == full rebuild", so the two
+# decorators reference the SAME constant — there is no second copy to
+# drift (review finding; the pipeline_/stream_incremental_curation
+# pattern).
+def _invidx_terms(docs):
+    """Index terms = word BIGRAMS: this corpus's unigram vocabulary is
+    ~31 tokens (all outside any useful df band — a 1-row index), while
+    bigrams give ~900 in-band terms at every SF; bigram postings are
+    also the phrase-query building block a real serving index carries.
+    Same transform-built adjacent pairs as text_ngram_topk."""
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("a")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1),"
+                " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("token"),
     )
-    stats = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("tf_total"),
-    )
-    keep = stats.where((F.col("df") >= 3) & (F.col("df") <= 100))
-    post = (
-        tok.join(keep.select("token"), "token")
-        .groupBy("token")
-        .agg(
-            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias("postings")
-        )
-    )
-    return keep.join(post, "token").select(
-        "token", "df", "tf_total", "postings"
-    ).orderBy("token")
 
 
 _INVIDX_ORACLE = """
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                 FROM documents),
+    WITH ta AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    tok AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS token
+            FROM ta, unnest(generate_series(1, len(a) - 1)) AS g(i)),
     stats AS (SELECT token,
                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
                      CAST(COUNT(*) AS BIGINT) AS tf_total
@@ -3673,6 +3646,39 @@ _INVIDX_ORACLE = """
     FROM keep k JOIN post p ON k.token = p.token
     ORDER BY k.token
 """
+
+
+@query("text_inverted_index", oracle=_INVIDX_ORACLE)
+def text_inverted_index(spark, sf_dir):
+    """Inverted-index BUILD — the serving-side structure behind
+    text_bm25_topk's ad-hoc scan: per-term (word-bigram) document frequency,
+    total term frequency, and the sorted postings list, gated to the useful
+    band (3 <= df <= 100 — hapaxes index nothing, stopword-scale
+    tokens belong in a stop list; both caps deterministic, so the
+    build is exact-oracle-checkable, postings arrays included).
+    Plan: ONE tokenize pass feeds two map-side-combinable hash aggs
+    (stats, then postings for surviving tokens via a semi-join-shaped
+    inner join on the bounded keep set); postings collect_set is
+    bounded by the df cap — no unbounded array aggregation. At 100 TB
+    this is the index-shard job: partition output by token range and
+    each shard serves point lookups without touching the corpus."""
+    t = Tables(spark, sf_dir)
+    tok = _invidx_terms(t.documents)
+    stats = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf_total"),
+    )
+    keep = stats.where((F.col("df") >= 3) & (F.col("df") <= 100))
+    post = (
+        tok.join(keep.select("token"), "token")
+        .groupBy("token")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias("postings")
+        )
+    )
+    return keep.join(post, "token").select(
+        "token", "df", "tf_total", "postings"
+    ).orderBy("token")
 
 
 @query("text_inverted_index_incremental", oracle=_INVIDX_ORACLE)
@@ -3694,7 +3700,7 @@ def text_inverted_index_incremental(spark, sf_dir):
     t = Tables(spark, sf_dir)
 
     def _partial(docs):
-        tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        tok = _invidx_terms(docs)
         return tok.groupBy("token").agg(
             F.countDistinct("doc_id").cast("long").alias("df"),
             F.count(F.lit(1)).cast("long").alias("tf_total"),

@@ -2656,7 +2656,7 @@ class TestContainmentScreenedPortable:
         )
         from helium_etl_lite_spark.tables import Tables
 
-        docs = Tables(spark, sf_dir).documents.limit(60)
+        docs = Tables(spark, sf_dir).documents.orderBy("doc_id").limit(60)
         hi = containment_screened_pairs_portable(docs, bucket_cap=10_000)
         lo = containment_screened_pairs_portable(docs, bucket_cap=256)
         assert hi.exceptAll(lo).count() == 0
