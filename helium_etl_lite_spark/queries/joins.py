@@ -810,3 +810,104 @@ def agg_grid_hotspot(spark, sf_dir):
     )
     density = grid_density(pts, _HOTSPOT_CELL_Q)
     return grid_neighborhood_sum(density).orderBy("cx", "cy")
+
+
+_SKNN_RADIUS_Q = 1200  # 0.12 in embedding units at scale 1e4
+_SKNN_K = 5
+_SKNN_NQ = 8
+
+_SKNN_ORACLE = f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * {_SPATIAL_SCALE}.0)
+                  AS BIGINT) AS x,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * {_SPATIAL_SCALE}.0)
+                  AS BIGINT) AS y
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, x AS qx, y AS qy FROM p
+          WHERE vec_id < {_SKNN_NQ}),
+    cand AS (
+      SELECT q.q_id, p.vec_id AS neighbor_id,
+             (p.x - q.qx) * (p.x - q.qx)
+             + (p.y - q.qy) * (p.y - q.qy) AS dist_q
+      FROM q JOIN p ON p.vec_id <> q.q_id
+      WHERE (p.x - q.qx) * (p.x - q.qx)
+            + (p.y - q.qy) * (p.y - q.qy)
+            <= {_SKNN_RADIUS_Q * _SKNN_RADIUS_Q})
+    SELECT q_id, neighbor_id, dist_q, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist_q ASC, neighbor_id ASC) AS rn
+      FROM cand)
+    WHERE rn <= {_SKNN_K}
+    ORDER BY q_id, rn
+"""
+
+
+@query("join_spatial_knn_grid", oracle=_SKNN_ORACLE)
+def join_spatial_knn_grid(spark, sf_dir):
+    """Fixed-radius spatial kNN on the uniform grid — for each query
+    point, the k=5 nearest points among those within Euclidean
+    distance R, found WITHOUT a cross join: points hash into cells of
+    side R, only the query side explodes over its 3x3 cell
+    neighborhood (pigeonhole: any point within R of q shares one of
+    those 9 cells), candidates filter on the exact integer squared
+    distance, one bounded per-query window ranks them. The oracle
+    states the brute-force semantics over the same quantized coords —
+    the hash match proves the grid candidate set loses no neighbor.
+    Honest contract: this is FIXED-RADIUS kNN (the spatial-index
+    answer when a distance bound exists, e.g. geo joins); a query in
+    an empty region returns fewer than k rows, and unbounded kNN
+    needs iterative ring expansion — the documented tradeoff, same
+    family as join_spatial_grid's radius join. Plan: cells are integer
+    div (codegen), the only join is the 9-cell equi-join, no
+    BNLJ/Cartesian (plan-tested)."""
+    t = Tables(spark, sf_dir)
+    r = _SKNN_RADIUS_Q
+    pts = t.embeddings.select(
+        "vec_id",
+        F.round(
+            F.element_at("embedding", 1).cast("double") * F.lit(float(_SPATIAL_SCALE))
+        ).cast("long").alias("x"),
+        F.round(
+            F.element_at("embedding", 2).cast("double") * F.lit(float(_SPATIAL_SCALE))
+        ).cast("long").alias("y"),
+    )
+    cells = pts.select(
+        "vec_id", "x", "y",
+        F.expr(f"x div {r}").alias("cx"),
+        F.expr(f"y div {r}").alias("cy"),
+    )
+    q = (
+        cells.where(F.col("vec_id") < _SKNN_NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 8),"
+                    " i -> struct(cx + i div 3 - 1 AS cx, cy + i % 3 - 1 AS cy))"
+                )
+            ).alias("nb"),
+        )
+        .select("q_id", "qx", "qy", "nb.cx", "nb.cy")
+    )
+    dist = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    cand = (
+        q.join(cells, ["cx", "cy"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.cast("long").alias("dist_q"),
+        )
+        .where(F.col("dist_q") <= r * r)
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dist_q").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SKNN_K)
+        .orderBy("q_id", "rn")
+    )

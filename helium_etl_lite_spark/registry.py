@@ -83,7 +83,11 @@ FRONT_OF_WINDOW: list[str] = [
     # text_inverted_index; join_asof_nearest (third member of the
     # as-of family, driver-verified twice already via event_order
     # r5 + tolerance r6) displaced for
-    # text_inverted_index_incremental.
+    # text_inverted_index_incremental. join_spatial_knn_grid (the
+    # last seventh-session registration) queues for r9 instead of
+    # displacing an in-window first-timer: its evidence until then
+    # is the full-registry sweep + individual sf0.001/sf0.01 exact
+    # passes + the no-BNLJ plan test.
     "dedup_containment_screened_portable",  # screen+cap+verify, exact
     "vec_ann_lsh_portable",       # hyperplane LSH + integer rerank, exact
     "vec_dedup_semantic_portable", # SemDeDup on integer codebook, exact

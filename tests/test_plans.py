@@ -1167,3 +1167,13 @@ def test_waterfill_control_plane_is_broadcast(spark, sf_dir):
     # the bucket-counts table is checkpointed, so the corpus appears
     # exactly once (the ranking-window scan) in the final plan
     assert plan.count("documents.parquet") == 1, plan.count("documents.parquet")
+
+
+def test_spatial_knn_grid_is_equijoin_not_bnlj(spark, sf_dir):
+    # Candidates must come from the 9-cell equi-join; no BNLJ even
+    # though the underlying predicate is a distance theta.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("join_spatial_knn_grid", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -188,6 +188,7 @@ HEADLINE_NOTES = {
     "pack_concat_chunk": "row-local token counts -> two-level prefix-sum control plane (no partition-less window) -> sequence-explode to overlapped chunks -> ONE map-side-combinable hash agg",
     "text_inverted_index": "one tokenize pass, two-phase stats agg, postings agg gated by the bounded keep set join; collect_set bounded by the df cap",
     "text_inverted_index_incremental": "two disjoint segment scans -> per-segment hash aggs -> ONE token-keyed merge agg; df band post-merge only",
+    "join_spatial_knn_grid": "9-cell neighborhood explode on the bounded query side only -> cell equi-join -> integer distance filter -> per-query top-k window; no BNLJ/Cartesian",
 }
 
 
