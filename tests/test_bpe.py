@@ -266,3 +266,48 @@ class TestBpePortableVsReference:
         )
         want = self._reference_bpe(dict(wc), rounds=len(got))
         assert [(r["pair"], r["pair_cnt"]) for r in got] == want
+
+
+class TestBpeApplyTrickFuzz:
+    """The padded double-space literal-replace merge (llm_ops.py
+    _bpep_apply_sql) vs an independent greedy left-to-right scan —
+    pure-Python property test (str.replace is leftmost-nonoverlapping,
+    the same contract as Spark/DuckDB replace), so hypothesis can fuzz
+    thousands of sequences without an engine."""
+
+    @staticmethod
+    def _trick(seq, a, b):
+        padded = " " + seq.replace(" ", "  ") + " "
+        out = padded.replace(f" {a}  {b} ", f" {a}{b} ")
+        return out.replace("  ", " ").strip()
+
+    @staticmethod
+    def _greedy(seq, a, b):
+        s = seq.split(" ")
+        r, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                r.append(a + b)
+                i += 2
+            else:
+                r.append(s[i])
+                i += 1
+        return " ".join(r)
+
+    def test_fuzz_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        symbol = st.text(alphabet="ab_", min_size=1, max_size=3)
+
+        @settings(max_examples=2000, deadline=None)
+        @given(
+            st.lists(symbol, min_size=1, max_size=12),
+            symbol,
+            symbol,
+        )
+        def check(symbols, a, b):
+            seq = " ".join(symbols)
+            assert self._trick(seq, a, b) == self._greedy(seq, a, b)
+
+        check()
