@@ -872,10 +872,17 @@ def join_spatial_knn_grid(spark, sf_dir):
             F.element_at("embedding", 2).cast("double") * F.lit(float(_SPATIAL_SCALE))
         ).cast("long").alias("y"),
     )
+    # Shift non-negative before `div` (operators/spatial.py COORD_OFFSET
+    # invariant): Spark div truncates toward zero, so bare `x div r` on
+    # signed coords makes a double-width origin cell — still covered by
+    # the 3x3 probe, but non-uniform and a trap if the pattern is
+    # copied anywhere cell ids cross engines (DuckDB // floors).
+    from ..operators.spatial import COORD_OFFSET
+
     cells = pts.select(
         "vec_id", "x", "y",
-        F.expr(f"x div {r}").alias("cx"),
-        F.expr(f"y div {r}").alias("cy"),
+        F.expr(f"(x + {COORD_OFFSET}) div {r}").alias("cx"),
+        F.expr(f"(y + {COORD_OFFSET}) div {r}").alias("cy"),
     )
     q = (
         cells.where(F.col("vec_id") < _SKNN_NQ)
