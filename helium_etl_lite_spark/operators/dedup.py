@@ -239,15 +239,22 @@ def containment_screened_pairs(
     clustered fixture and pins screened ⊆ exact.
     """
     sig = minhash_signatures(docs, num_perm, text_col, id_col)
-    band_rows = _band_rows(sig, num_perm, bands, id_col)
+    # Persisted because the stats action below executes this pipeline
+    # eagerly and the returned plan reads it twice more (tagged +
+    # sizes) — without the cache the corpus-wide signature build ran
+    # 3x per call (r8 ADVICE). band_rows is ~`bands` 24-byte rows per
+    # doc, MEMORY_AND_DISK, evicted LRU once the caller's job ends.
+    band_rows = _band_rows(sig, num_perm, bands, id_col).persist()
     sizes = band_rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
     )
     over = sizes.where(F.col("__bsz") > bucket_cap)
     # Control-plane: ONE bounded 1-row aggregate over the bucket-size
     # table (|buckets| rows, never data rows) to honor the no-silent-
-    # caps contract. Skipped entirely only if the caller disables
-    # logging by raising the cap beyond the corpus size.
+    # caps contract — it also materializes the band_rows cache, so the
+    # returned plan never recomputes the signatures. Skipped entirely
+    # only if the caller disables logging by raising the cap beyond
+    # the corpus size.
     stats = over.agg(
         F.count(F.lit(1)).alias("n_over"),
         F.coalesce(
@@ -1297,7 +1304,10 @@ def containment_screened_pairs_portable(
     token sets). Same scale posture as the production form: pair work
     quadratic ONLY inside <=cap buckets, 2n in over-cap ones, logged
     drop counts (no silent caps)."""
-    band_rows = _portable_band_rows(docs, num_perm, bands, text_col, id_col)
+    # persisted for the same reason as the production twin: the stats
+    # action below would otherwise recompute the corpus-wide signature
+    # build that the returned plan reads twice more (r8 ADVICE)
+    band_rows = _portable_band_rows(docs, num_perm, bands, text_col, id_col).persist()
     sizes = band_rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
     )
@@ -1562,3 +1572,124 @@ def simhash_portable_oracle_sql(k: int = 3) -> str:
                      THEN ham ELSE 0 END AS BIGINT) AS hamming
     FROM ver
     """
+
+
+def substring_anchor_dedup(
+    docs: DataFrame,
+    span_len: int = 50,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Suffix-array-GRADE exact-substring dedup (Lee 2022's "remove
+    every substring of length >= L duplicated anywhere in the corpus")
+    as a distributed anchor + span composition with a PROVABLE,
+    alignment-FREE guarantee — the upgrade the stride-grid span dedup
+    (span_dedup_overlap) cannot give:
+
+      A stride-s grid only matches two copies of a passage when their
+      start offsets agree mod s; copies at mismatched residues are
+      INVISIBLE at any length (tests pin a 60-token passage at
+      offsets 0 vs 3 that stride-10 provably misses). Anchors chosen
+      by CONTENT (winnowing window minima, Schleimer 2003) land at the
+      same token of both copies regardless of offset, because the
+      selection of each anchor depends only on the k+w-1 tokens around
+      it: identical text => identical anchors.
+
+    Pipeline: winnow anchors (k-gram md5 hashes, w-window min,
+    leftmost tie-break) -> at every anchor position p with
+    p + span_len <= n, hash the span of span_len tokens starting at p
+    -> corpus-wide first occurrence of each span content (ordered by
+    (doc_id, p)) survives; every token covered by a later occurrence
+    is dropped (same token-interval rule as span_dedup_overlap, so
+    overlapping duplicate spans remove each region once).
+
+    GUARANTEE: any substring of length >= span_len + w - 1 tokens
+    duplicated at ANY pair of offsets loses >= span_len tokens from
+    every copy after the first. Proof: the first w-gram window fully
+    inside the duplicated region selects an anchor at some region
+    gram-offset a <= w-1; the selection compares keys
+    hash*2^20 + abs_pos whose ordering is content-determined (hash
+    dominates; equal hashes pick the leftmost gram, the same RELATIVE
+    gram in both copies), so BOTH copies anchor at the same content
+    position; the span of span_len tokens from that anchor lies inside
+    the region in both copies (region length >= a + span_len), so the
+    two span hashes collide and the later copy's interval is dropped.
+    Approximation vs a true suffix array: removal granularity is the
+    anchored spans (density 2/(w+1) per token), not the maximal
+    duplicated extent — tails shorter than span_len past the last
+    in-region anchor survive; detection is exact above the length
+    bound, never below span_len.
+
+    Scale shape: anchors are built with ONE exchange on doc_id
+    (winnow_gram_table's ordered window) + one hash agg; anchor
+    positions fold to an array per doc so the join back to the text
+    carries ONE row per doc (no text replication per anchor); span
+    hashing is row-local (slice + md5 inside a transform); one window
+    exchange on the span hash; the final token filter is row-local.
+    No token explode ever carries text; payload on the span exchange
+    is ~anchors_per_doc 8-byte keys.
+    """
+    from .text import winnow_fingerprints
+
+    anchors = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(id_col, "pos")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__anchors"))
+    )
+    j = docs.select(id_col, text_col).join(anchors, id_col, "inner")
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    valid = F.filter(F.col("__anchors"), lambda p: p + span_len <= n.cast("long"))
+    span_at = lambda p: F.array_join(  # noqa: E731
+        F.slice(ws, p.cast("int") + 1, span_len), " "
+    )
+    spans = F.transform(
+        valid,
+        lambda p: F.struct(
+            p.alias("p"),
+            F.conv(F.substring(F.md5(span_at(p)), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    ex = (
+        j.withColumn("__spans", spans)
+        .select(id_col, F.explode("__spans").alias("s"))
+        .select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    )
+    w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
+    dups = (
+        ex.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("p").alias("__dup_starts"))
+    )
+    joined = docs.select(id_col, text_col).join(dups, id_col, "left").withColumn(
+        "__dup_starts",
+        F.coalesce(F.col("__dup_starts"), F.array().cast("array<long>")),
+    )
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.transform(
+        toks, lambda tk, i: F.struct(i.cast("long").alias("q"), tk.alias("tk"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__dup_starts"),
+            lambda p: (p <= s["q"]) & (s["q"] < p + F.lit(span_len)),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            F.array_join(F.transform(kept, lambda s: s["tk"]), " ").alias(
+                "text_dedup"
+            ),
+        )
+        .where(F.col("n_tokens_kept") > 0)
+    )

@@ -225,6 +225,11 @@ def kcore_peel(
     the PageRank iteration cost without the FP. Lineage is truncated
     every few rounds (localCheckpoint) so the plan stays bounded.
     """
+    if rounds < 1:
+        # rounds=0 would return no degree table at all (deg stays
+        # unset) — and core_degree is only meaningful once the peel
+        # reaches its fixed point, which needs at least one round.
+        raise ValueError(f"kcore_peel needs rounds >= 1, got {rounds}")
     und = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),

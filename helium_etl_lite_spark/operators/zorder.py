@@ -53,9 +53,15 @@ def minmax_scale_sql(dialect: str, col: str, minv: str, maxv: str,
     the curve degenerates into a single-key sort — measured on this
     very testdata before the fix. Scaling gives both dimensions equal
     weight at every bit level. Integer division differs by dialect
-    (Spark `DIV`, DuckDB `//`); everything else is shared."""
+    (Spark `DIV`, DuckDB `//`); everything else is shared.
+
+    The (col - minv) difference is cast to BIGINT BEFORE the * {top}
+    blow-up: in the column's native type a 32-bit INT key with range
+    over ~2^31/top would overflow — silently wrapping in Spark
+    (non-ANSI) while DuckDB errors, i.e. divergent Morton values
+    exactly when the engines disagree."""
     top = (1 << bits) - 1
     rng = f"GREATEST({maxv} - {minv}, 1)"
     if dialect == "spark":
-        return f"CAST((({col} - {minv}) * {top}) DIV {rng} AS BIGINT)"
-    return f"CAST((({col} - {minv}) * {top}) // {rng} AS BIGINT)"
+        return f"CAST((CAST(({col} - {minv}) AS BIGINT) * {top}) DIV {rng} AS BIGINT)"
+    return f"CAST((CAST(({col} - {minv}) AS BIGINT) * {top}) // {rng} AS BIGINT)"

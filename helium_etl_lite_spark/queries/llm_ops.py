@@ -3855,3 +3855,194 @@ def vec_ann_lsh_multiprobe_portable(spark, sf_dir):
         .select("q_id", F.col("c_id").alias("neighbor_id"), "dist_q", "rn")
         .orderBy("q_id", "rn")
     )
+
+
+@query(
+    "text_dedup_substring_anchor",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(ws[i+1 : i+4], ' ') AS gram
+          FROM st, unnest(generate_series(0, GREATEST(n-4, 0))) AS t(i)),
+    h AS (SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
+                 + i AS key
+          FROM g),
+    r AS (SELECT doc_id, i, key,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 4 PRECEDING
+                                         AND CURRENT ROW) AS wmin
+          FROM h),
+    counts AS (SELECT doc_id, COUNT(*) AS ng, MIN(key) AS min_key
+               FROM r GROUP BY doc_id),
+    fp AS (SELECT DISTINCT r.doc_id, r.wmin AS fp_key
+           FROM r JOIN counts USING (doc_id)
+           WHERE counts.ng >= 5 AND r.i >= 4
+           UNION ALL
+           SELECT doc_id, min_key AS fp_key FROM counts WHERE ng < 5),
+    anch AS (SELECT DISTINCT doc_id,
+                    CAST(fp_key % 1048576 AS BIGINT) AS p
+             FROM fp),
+    sp AS (SELECT a.doc_id, a.p,
+                  CAST(('0x' || substr(md5(
+                      array_to_string(st.ws[a.p+1 : a.p+50], ' ')
+                  ), 1, 8)) AS BIGINT) AS sh
+           FROM anch a JOIN st USING (doc_id)
+           WHERE a.p + 50 <= st.n),
+    rr AS (SELECT doc_id, p,
+                  row_number() OVER (PARTITION BY sh
+                                     ORDER BY doc_id, p) AS rn
+           FROM sp),
+    d AS (SELECT doc_id, p FROM rr WHERE rn > 1),
+    tok AS (SELECT doc_id, CAST(q - 1 AS BIGINT) AS q, ws[q] AS tk
+            FROM st, unnest(generate_series(1, n)) AS gq(q)),
+    kept AS (SELECT t.doc_id, t.q, t.tk FROM tok t
+             WHERE NOT EXISTS (SELECT 1 FROM d
+                               WHERE d.doc_id = t.doc_id
+                                 AND d.p <= t.q AND t.q < d.p + 50))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+           string_agg(tk, ' ' ORDER BY q) AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_dedup_substring_anchor(spark, sf_dir):
+    # Suffix-array-GRADE exact-substring dedup (Lee 2022 "Deduplicating
+    # Training Data Makes Language Models Better": drop every substring
+    # of length >= L duplicated anywhere in the corpus), distributed as
+    # winnow-anchored span removal with a PROVABLE alignment-free
+    # guarantee: any passage of >= span_len + w - 1 = 54 tokens
+    # duplicated at ANY offset pair loses >= 50 tokens from every copy
+    # after the first (proof in operators/dedup.py
+    # substring_anchor_dedup). This is the form the stride-grid span
+    # dedup (text_span_dedup_overlap) cannot reach — a mismatched
+    # offset residue mod stride hides a duplicate of ANY length from
+    # the grid, while content-defined winnow anchors land at the same
+    # token of both copies (fixture pinned in tests). Exact oracle end
+    # to end: md5-prefix gram + span hashes, integer keys, leftmost
+    # tie-break — the oracle restates winnow selection + anchored span
+    # ranking + token-interval filter verbatim.
+    t = Tables(spark, sf_dir)
+    return dedup.substring_anchor_dedup(t.documents, span_len=50, k=4, w=5)
+
+
+_RRF_K = 60
+_RRF_TERMS = ("scan", "merge", "window")
+
+
+@query(
+    "retrieval_rrf_hybrid",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST((SELECT COUNT(*) FROM tok) AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl,
+                     (SELECT COUNT(*) FROM documents) AS n_docs),
+    tfq AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN ('scan', 'merge', 'window')
+            GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok WHERE token IN ('scan', 'merge', 'window')
+            GROUP BY token),
+    contrib AS (
+      SELECT t.doc_id, t.token,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+      FROM tfq t
+      JOIN dfq d ON d.token = t.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    pivoted AS (
+      SELECT doc_id,
+             SUM(CASE WHEN token = 'scan' THEN c END) AS c_scan,
+             SUM(CASE WHEN token = 'merge' THEN c END) AS c_merge,
+             SUM(CASE WHEN token = 'window' THEN c END) AS c_window
+      FROM contrib GROUP BY doc_id),
+    bm AS (SELECT doc_id,
+                  round(COALESCE(c_scan, 0.0) + COALESCE(c_merge, 0.0)
+                        + COALESCE(c_window, 0.0), 6) AS bm25
+           FROM pivoted
+           ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    bmr AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                        AS BIGINT) AS rank_bm25
+            FROM bm),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    scored AS (SELECT vec_id,
+                      round(list_dot_product(qe, e)
+                            / (sqrt(list_dot_product(qe, qe))
+                               * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+               FROM v, q WHERE vec_id <> 0),
+    vr AS (SELECT vec_id AS doc_id, rnk AS rank_vec FROM (
+             SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+                         AS BIGINT) AS rnk
+             FROM scored)
+           WHERE rnk <= 20),
+    fused AS (SELECT COALESCE(b.doc_id, vr.doc_id) AS doc_id,
+                     COALESCE(b.rank_bm25, 0) AS rank_bm25,
+                     COALESCE(vr.rank_vec, 0) AS rank_vec,
+                     round(COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank_bm25), 0.0)
+                           + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rank_vec), 0.0),
+                           6) AS rrf_score
+              FROM bmr b FULL OUTER JOIN vr ON b.doc_id = vr.doc_id)
+    SELECT doc_id, rank_bm25, rank_vec, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def retrieval_rrf_hybrid(spark, sf_dir):
+    # Hybrid retrieval fusion — the standard RAG shape: a lexical arm
+    # (BM25, the text_bm25_topk machinery verbatim: terms
+    # scan/merge/window, k1=1.2 b=0.75, Lucene idf) and a dense arm
+    # (exact cosine kNN of query vector vec_id=0 via knn.cosine_topk,
+    # query broadcast, corpus never shuffled) merged by RECIPROCAL
+    # RANK FUSION (Cormack 2009): score = sum over arms of
+    # 1/(60 + rank). Fully rank-based, so exact-oracle-able: each
+    # 1/(60+r) is a single IEEE division of integers and the fusion
+    # sum is ONE fixed-order addition — no multi-row float SUM
+    # anywhere. rank = 0 encodes "outside this arm's top-20" (the
+    # COALESCE is on the reciprocal, not the rank, so 0 never scores).
+    #
+    # Plan shape (pinned by test_plans): both arms end in a bounded
+    # top-k — BM25 via orderBy+limit(20) = TakeOrderedAndProject, the
+    # dense arm via cosine_topk's per-q_id window — and the fusion
+    # join runs on two <= 20-row sides (broadcast/AQE territory); the
+    # rank windows partition 20-row inputs, so the unpartitioned
+    # window is bounded BY CONSTRUCTION, never corpus-wide. No cross
+    # join anywhere (the 1-row stats crossJoin is a broadcast scalar).
+    t = Tables(spark, sf_dir)
+    bm = text_bm25_topk(spark, sf_dir)  # doc_id, bm25 — top-20 ranked arm
+    wb = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bmr = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rank_bm25")
+    )
+    vr = (
+        knn.cosine_topk(
+            t.embeddings, t.embeddings.where(F.col("vec_id") == 0), k=20
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("rn").cast("long").alias("rank_vec"),
+        )
+    )
+    fused = (
+        bmr.join(vr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rank_bm25"), F.lit(0)).cast("long").alias("rank_bm25"),
+            F.coalesce(F.col("rank_vec"), F.lit(0)).cast("long").alias("rank_vec"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_vec")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)

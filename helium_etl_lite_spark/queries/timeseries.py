@@ -578,8 +578,12 @@ def ts_ewma_portable(spark, sf_dir):
 
     (1) integer recurrence: alpha = 1/4 on cents gives
         r' = (x + 3*r) div 4 — BIGINT ops both engines compute
-        identically (values are positive so trunc-div == floor-div),
-        vs the float recurrence whose rounding would drift.
+        identically for ANY sign: Spark `div` and DuckDB `//` BOTH
+        truncate toward zero (-7 div 2 == -7 // 2 == -3, measured;
+        r8 ADVICE suspected DuckDB floor-divides — it does not), and
+        `%` is sign-of-dividend in both. Negative cents (refunds)
+        therefore fold identically; tests/test_properties.py pins the
+        cross-engine fold on a negative-valued fixture.
     (2) per-key sequential fold, not a driver loop: each user's series
         collects into ONE array (bounded: max events/user is small —
         the same per-entity-bounded contract as sessionize/funnel) and

@@ -94,6 +94,13 @@ def curate_changes_batch(
     tmp = _pointer_path(curated_dir) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))
+        # fsync before the rename (mirror.apply_changes_batch's
+        # discipline): the stream checkpoint advances after this batch
+        # commits, so a pointer lost to a crash would never be
+        # re-derived — earlier batch_ids don't replay — and every
+        # curated version since would be permanently invisible.
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _pointer_path(curated_dir))
     return True
 

@@ -2792,3 +2792,98 @@ class TestLshMultiprobe:
                         for k in range(4)
                     )
                     assert shares, (qi, cid, ham)
+
+
+class TestSubstringAnchorDedup:
+    """Lee-2022-grade exact-substring dedup via winnow anchors: the
+    alignment-FREE guarantee (any duplicated passage of >= span_len+w-1
+    tokens loses >= span_len tokens from every later copy) plus the
+    fixture the stride grid provably cannot catch."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stride10_provably_misses_offset3_copy(self, spark):
+        # A 60-token passage copied at offset 3 (residue 3 mod 10):
+        # every stride-10 span of B maps to an A-start = 7 (mod 10),
+        # never on A's grid — the grid is blind at ANY passage length.
+        # Content-defined anchors land at the same token of both
+        # copies, so the anchored form removes >= 50 tokens of B.
+        from helium_etl_lite_spark.operators.dedup import (
+            span_dedup_overlap,
+            substring_anchor_dedup,
+        )
+
+        a_text = " ".join(f"a{i}" for i in range(100))
+        b_text = " ".join(
+            [f"b{i}" for i in range(3)]
+            + [f"a{i}" for i in range(60)]
+            + [f"c{i}" for i in range(17)]
+        )
+        docs = self._mk(spark, [(1, a_text), (2, b_text)])
+
+        grid = {r["doc_id"]: r for r in
+                span_dedup_overlap(docs, span_len=20, stride=10).collect()}
+        assert grid[2]["text_dedup"] == b_text  # grid: blind
+        assert grid[1]["text_dedup"] == a_text
+
+        anch = {r["doc_id"]: r for r in
+                substring_anchor_dedup(docs, span_len=50).collect()}
+        assert anch[1]["text_dedup"] == a_text  # first occurrence intact
+        assert anch[1]["n_tokens_kept"] == 100
+        assert anch[2]["n_tokens_kept"] <= 80 - 50  # >= 50 tokens removed
+        # fresh head always survives (no anchor span can cover it)
+        assert anch[2]["text_dedup"].startswith("b0 b1 b2")
+
+    def test_guarantee_holds_at_every_alignment(self, spark):
+        # The documented bound: region length 54 = span_len + w - 1.
+        # Plant the same 54-token passage at offsets 0..9 — every
+        # residue class mod the old stride — and check >= 50 tokens
+        # drop from the later copy each time.
+        from helium_etl_lite_spark.operators.dedup import substring_anchor_dedup
+
+        passage = [f"p{i}" for i in range(54)]
+        a_text = " ".join(f"a{i}" for i in range(20)) + " " + " ".join(passage)
+        rows = [(1, a_text)]
+        for off in range(10):
+            b = [f"x{off}_{j}" for j in range(off)] + passage + [
+                f"y{off}_{j}" for j in range(12)
+            ]
+            rows.append((10 + off, " ".join(b)))
+        docs = self._mk(spark, rows)
+        out = {r["doc_id"]: r for r in
+               substring_anchor_dedup(docs, span_len=50).collect()}
+        assert out[1]["n_tokens_kept"] == 74  # first occurrence intact
+        for off in range(10):
+            doc_len = off + 54 + 12
+            kept = out.get(10 + off)
+            n_kept = kept["n_tokens_kept"] if kept is not None else 0
+            assert n_kept <= doc_len - 50, (
+                f"offset {off}: only {doc_len - n_kept} tokens removed"
+            )
+
+    def test_short_duplicates_below_span_len_survive(self, spark):
+        # Contract floor: nothing below span_len is ever removed — a
+        # 30-token copy in fresh context produces no 50-token span
+        # match. (Detection is exact ABOVE the bound, never below the
+        # span length.)
+        from helium_etl_lite_spark.operators.dedup import substring_anchor_dedup
+
+        shared = [f"s{i}" for i in range(30)]
+        a = " ".join([f"a{i}" for i in range(40)] + shared)
+        b = " ".join(shared + [f"b{i}" for i in range(40)])
+        docs = self._mk(spark, [(1, a), (2, b)])
+        out = {r["doc_id"]: r for r in
+               substring_anchor_dedup(docs, span_len=50).collect()}
+        assert out[1]["n_tokens_kept"] == 70
+        assert out[2]["n_tokens_kept"] == 70
+
+
+def test_kcore_rejects_zero_rounds(spark):
+    from helium_etl_lite_spark.operators.graph import kcore_peel
+
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with _pytest.raises(ValueError, match="rounds >= 1"):
+        kcore_peel(edges, k=2, rounds=0)

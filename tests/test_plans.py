@@ -1177,3 +1177,36 @@ def test_spatial_knn_grid_is_equijoin_not_bnlj(spark, sf_dir):
     plan = formatted_plan(q("join_spatial_knn_grid", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_hybrid_arms_are_bounded_topk(spark, sf_dir):
+    # both fusion arms must end in a bounded top-k: BM25 via
+    # orderBy+limit (TakeOrderedAndProject), the dense arm via the
+    # per-q_id ranked window. The only BNLJs allowed are the two
+    # declared bounded-build shapes: the 1-row stats broadcast-cross
+    # (same allowance as text_bm25_topk) and cosine_topk's scoring
+    # join whose build side is the broadcast 1-query vector — never a
+    # corpus x corpus nested loop (which would be CartesianProduct:
+    # both corpus sides are too big to broadcast).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("retrieval_rrf_hybrid", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # tree lines carry the join type + build side; detail lines repeat
+    # the bare node name and are skipped
+    for line in plan.splitlines():
+        if "- BroadcastNestedLoopJoin" in line:
+            assert "Cross BuildRight" in line or "Inner BuildRight" in line
+
+
+def test_substring_anchor_dedup_no_pair_blowup(spark, sf_dir):
+    # anchored span dedup: every join is an equi-join (doc_id or span
+    # hash) — no nested-loop pair materialization anywhere; the span
+    # build must not re-explode text (grams/spans are built row-locally
+    # inside transforms).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("text_dedup_substring_anchor", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

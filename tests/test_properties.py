@@ -609,3 +609,34 @@ class TestCountMinGuarantee:
             model = min(cells[(r, hashes[(k, r)])] for r in range(depth))
             assert got[k] == model, k
             assert got[k] >= n, k
+
+
+def test_integer_div_trunc_semantics_agree_cross_engine(spark):
+    """r8 ADVICE suspected ts_ewma_portable/pagerank_portable diverge
+    on negative operands because DuckDB // would floor-divide. It does
+    not: BOTH engines truncate toward zero and keep % sign-of-dividend,
+    so integer recurrences fold identically for ANY sign. Pin the EWMA
+    fold itself on a negative-cents (refund) fixture."""
+    import duckdb
+
+    vals = [-701, 353, -9, 0, 48, -1250, 7]  # cents, mixed sign
+    # direct operator-semantics pin
+    s = spark.sql(
+        "SELECT -7 div 2 AS d, -7 % 2 AS m, 7 div -2 AS d2"
+    ).first()
+    dk = duckdb.sql("SELECT -7 // 2 AS d, -7 % 2 AS m, 7 // -2 AS d2").fetchone()
+    assert (s["d"], s["m"], s["d2"]) == dk == (-3, -1, -3)
+
+    # the registered query's exact fold, both engines, negative input
+    arr = ", ".join(str(v) for v in vals)
+    got_spark = spark.sql(
+        f"SELECT aggregate(slice(array({arr}L), 2, {len(vals) - 1}), "
+        f"array({arr}L)[0], (acc, x) -> (x + 3L * acc) div 4L) AS e"
+    ).first()["e"]
+    got_duck = duckdb.sql(
+        f"SELECT list_reduce([{arr}], (acc, x) -> (x + 3 * acc) // 4) AS e"
+    ).fetchone()[0]
+    ref = vals[0]
+    for x in vals[1:]:
+        ref = int((x + 3 * ref) / 4) if (x + 3 * ref) >= 0 else -((-(x + 3 * ref)) // 4)
+    assert got_spark == got_duck == ref
