@@ -1050,10 +1050,51 @@ def graph_reachability_recursive(spark, sf_dir):
     failure class the 10x lane exists to catch). n_levels counts the
     distinct hop depths at which a node appears (<= hops/2 + 1 by
     bipartite parity); unbounded closure over a cyclic graph would
-    use the min-label iteration (dedup_cluster_components) instead."""
+    use the min-label iteration (dedup_cluster_components) instead.
+
+    r9 perf (verdict directive 5): the recursive term's edge subquery
+    was re-derived at EVERY recursion level — Spark inlines CTE
+    subqueries into the recursion, so each of the 3 hops re-ran the
+    lineitem⋈orders DISTINCT build (the query's dominant cost).  The
+    Spark side now materializes the edge list ONCE (localCheckpoint —
+    an O(edges) node-id table) behind a temp view and recurses over
+    that; measured 1.7x warm / 1.4x cold at sf0.1, identical rows.
+    The RECURSION core stays textually identical to the oracle
+    (_REACH_SQL) — only the FROM source is hoisted; DuckDB keeps the
+    inline form because its oracle run is one-shot and it
+    materializes CTEs anyway."""
     t = Tables(spark, sf_dir)
-    t.register_views()
-    return spark.sql(_REACH_SQL)
+    trade = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("__reach_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST({_REACH_SEED} AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT DISTINCT e.dst, r.hops + 1
+          FROM reach r JOIN __reach_edges e ON e.src = r.node
+          WHERE r.hops < {_REACH_HOPS})
+        SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
+               CAST(COUNT(*) AS BIGINT) AS n_levels
+        FROM reach GROUP BY node ORDER BY node
+        """
+    )
 
 
 _SCD2_T0 = 100

@@ -106,9 +106,13 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_rollup",                     # r4
     "agg_cube",                       # r4
     "agg_having",                     # r4
-    "agg_collect_list_set",           # r4
-    "agg_percentile",                 # r4
-    # (remaining r4 vintages queue for the r10 window: agg_partial_final,
+    # (3b) r9 implementation changes (a changed query needs a fresh
+    #      verdict more than an r4 re-confirm — these displace
+    #      agg_collect_list_set + agg_percentile to r10):
+    "graph_kcore_peel",               # r9 delta-peel rewrite, 2.5x
+    "graph_reachability_recursive",   # r9 hoisted-edge recursion, 1.7x
+    # (remaining r4 vintages queue for the r10 window:
+    #  agg_collect_list_set, agg_percentile, agg_partial_final,
     #  join_multiway_star, vec_knn_cosine, agg_argminmax, agg_corr_covar,
     #  agg_mode_deterministic, agg_percentile_approx, agg_pivot,
     #  agg_string_listagg, anomaly_zscore, dedup_cluster_components,
