@@ -165,6 +165,17 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     # bounded).
     "pack_concat_chunk",
     "text_inverted_index",
+    # r9 (verdict item 7): the window newcomers cheap enough for the
+    # automated lane. er_sorted_neighborhood output is linear (next-3
+    # window); text_dedup_winnow WALL is ~2x at 10x but its pair
+    # OUTPUT is replica-quadratic BY SEMANTICS (verbatim-text replicas
+    # are genuine mutual near-dups: 236 -> 240k pairs, dominated by
+    # each doc x its 9 replica twins) — the join_spatial_grid caveat,
+    # time stays healthy because the stop-gram cap bounds fp fan-out;
+    # retrieval_rrf_hybrid is bounded top-k on both arms.
+    "text_dedup_winnow",
+    "er_sorted_neighborhood",
+    "retrieval_rrf_hybrid",
 ]
 
 

@@ -146,7 +146,7 @@ HEADLINE_NOTES = {
     "sink_zorder_cluster": "min-max-scaled Morton interleave → repartitionByRange + sortWithinPartitions: every file a bounded box on BOTH keys (footer-stats skipping on either predicate)",
     "er_sorted_neighborhood": "candidates from lead(k) windows after ONE sort — zero Join nodes; never the quadratic block self-join",
     "vec_ann_bitsample_portable": "row-local comparison signature → explode(4) band equi-join → hamming window; all-integer, no FP after the scan",
-    "graph_kcore_peel": "six peel rounds, each ONE alive-set equi-join + hash agg on node ids (the PageRank iteration without the FP); checkpointed lineage, no BNLJ",
+    "graph_kcore_peel": "DELTA peel (r9): full degrees once, then per round ONE equi-join of sym against only the newly-dead ids + a frontier-sized hash agg — each edge touched at most twice across ALL rounds; node-sized degree table checkpointed every round (collapses the dead/survivor branch duplication); no BNLJ",
     "text_bm25_topk": "one explode, three hash aggs, token vocab join, 1-row stats broadcast-cross, TakeOrderedAndProject top-k — no global sort",
     "multimodal_wav_decode": "two narrow Arrow mapInPandas kernels (RIFF encode, RIFF parse) over the documents scan — zero Exchange",
     "join_lateral_topk": "LATERAL ORDER BY+LIMIT decorrelated to hash join + Window with map-side WindowGroupLimit pruning — never a per-row subquery re-scan",
@@ -170,7 +170,7 @@ HEADLINE_NOTES = {
     "agg_quantile_sketch_grouped": "two map-side-combinable hash aggs (per-group bounds, (group,bin) counts); windows partition per group over <=32-row bin tables — bounded control plane",
     "join_spatial_grid": "radius predicate rides the (cx, cy) cell equi-join (probe side explodes 3x3 neighborhood, build side home-cell only — pairs meet exactly once, no distinct); integer residual filter; no BNLJ/Cartesian",
     "ts_ewma_portable": "recurrence folds row-local inside aggregate() after ONE ObjectHashAggregate collect per user — no Python node, no extra shuffle; the window-inexpressible dependency class",
-    "graph_reachability_recursive": "WITH RECURSIVE lowers to UnionLoop — the engine's own fixpoint iteration; each level one equi-join frontier expansion, no BNLJ",
+    "graph_reachability_recursive": "WITH RECURSIVE lowers to UnionLoop — the engine's own fixpoint iteration; each level one equi-join frontier expansion against the ONCE-materialized (checkpointed) edge view (r9: the inline edge subquery was re-derived per level), no BNLJ",
     "agg_grid_hotspot": "raster hash agg (output = occupied cells) then 3x3 stencil by scatter-gather: row-local 9-way explode + ONE map-side-combinable gather agg + equi-join back — no band-condition self-join, no BNLJ",
     "merge_upsert_scd2": "all four SCD2 action arms ride ONE full-outer join + row-local explode (2 dimension scans total) — never the 4-scan union the oracle states",
     "ts_event_transitions": "one user_id Exchange for the lag window, one map-side-combinable pair agg; the totals window partitions a #types^2-row control table, never the fact stream",
@@ -190,6 +190,9 @@ HEADLINE_NOTES = {
     "text_inverted_index_incremental": "two disjoint segment scans -> per-segment hash aggs -> ONE token-keyed merge agg; df band post-merge only",
     "join_spatial_knn_grid": "9-cell neighborhood explode on the bounded query side only -> cell equi-join -> integer distance filter -> per-query top-k window; no BNLJ/Cartesian",
     "vec_ann_lsh_multiprobe_portable": "query side explodes 20 probe rows (5 per band), corpus band table unchanged; same equi-join + distinct + bounded rerank as the exact-band form",
+    # r9
+    "text_dedup_substring_anchor": "winnow gram keys row-local (ONE doc_id exchange for the rolling-min window); anchor positions fold to one array row per doc before the text join (no text replication per anchor); span hashes row-local slice+md5; one window exchange on the span hash; token filter row-local — no BNLJ, no token explode carrying text",
+    "retrieval_rrf_hybrid": "BM25 arm ends in TakeOrderedAndProject(20); dense arm = 1-row query broadcast + per-q_id window; fusion full-outer join on two <=20-row sides; rank windows partition 20-row inputs — bounded by construction",
 }
 
 
