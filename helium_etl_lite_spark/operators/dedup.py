@@ -1574,6 +1574,54 @@ def simhash_portable_oracle_sql(k: int = 3) -> str:
     """
 
 
+def anchored_span_table(
+    docs: DataFrame,
+    span_len: int = 50,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc_id, p, h) table of winnow-anchored span hashes shared
+    by substring_anchor_dedup (intra-corpus removal) and the
+    train-vs-benchmark contamination screen: anchors = winnowing
+    window minima (content-defined, so alignment-free — Schleimer
+    2003), h = md5-prefix hash of the span_len tokens from each anchor
+    with the span fully inside the doc. Anchor positions fold to ONE
+    array row per doc before the text join (no text replication per
+    anchor); span hashing is row-local slice + md5 inside a transform."""
+    from .text import winnow_fingerprints
+
+    anchors = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(id_col, "pos")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__anchors"))
+    )
+    j = docs.select(id_col, text_col).join(anchors, id_col, "inner")
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    valid = F.filter(F.col("__anchors"), lambda p: p + span_len <= n.cast("long"))
+    span_at = lambda p: F.array_join(  # noqa: E731
+        F.slice(ws, p.cast("int") + 1, span_len), " "
+    )
+    spans = F.transform(
+        valid,
+        lambda p: F.struct(
+            p.alias("p"),
+            F.conv(F.substring(F.md5(span_at(p)), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    return (
+        j.withColumn("__spans", spans)
+        .select(id_col, F.explode("__spans").alias("s"))
+        .select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    )
+
+
 def substring_anchor_dedup(
     docs: DataFrame,
     span_len: int = 50,
@@ -1631,35 +1679,8 @@ def substring_anchor_dedup(
     No token explode ever carries text; payload on the span exchange
     is ~anchors_per_doc 8-byte keys.
     """
-    from .text import winnow_fingerprints
-
-    anchors = (
-        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
-        .select(id_col, "pos")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("__anchors"))
-    )
-    j = docs.select(id_col, text_col).join(anchors, id_col, "inner")
-    ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
-    valid = F.filter(F.col("__anchors"), lambda p: p + span_len <= n.cast("long"))
-    span_at = lambda p: F.array_join(  # noqa: E731
-        F.slice(ws, p.cast("int") + 1, span_len), " "
-    )
-    spans = F.transform(
-        valid,
-        lambda p: F.struct(
-            p.alias("p"),
-            F.conv(F.substring(F.md5(span_at(p)), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h"),
-        ),
-    )
-    ex = (
-        j.withColumn("__spans", spans)
-        .select(id_col, F.explode("__spans").alias("s"))
-        .select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    ex = anchored_span_table(
+        docs, span_len=span_len, k=k, w=w, text_col=text_col, id_col=id_col
     )
     w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
     dups = (

@@ -1336,3 +1336,86 @@ def pack_concat_chunk(spark, sf_dir):
         )
         .orderBy("chunk_id")
     )
+
+
+@query(
+    "text_contamination_substring",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(ws[i+1 : i+4], ' ') AS gram
+          FROM st, unnest(generate_series(0, GREATEST(n-4, 0))) AS t(i)),
+    h AS (SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
+                 + i AS key
+          FROM g),
+    r AS (SELECT doc_id, i, key,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 4 PRECEDING
+                                         AND CURRENT ROW) AS wmin
+          FROM h),
+    counts AS (SELECT doc_id, COUNT(*) AS ng, MIN(key) AS min_key
+               FROM r GROUP BY doc_id),
+    fp AS (SELECT DISTINCT r.doc_id, r.wmin AS fp_key
+           FROM r JOIN counts USING (doc_id)
+           WHERE counts.ng >= 5 AND r.i >= 4
+           UNION ALL
+           SELECT doc_id, min_key AS fp_key FROM counts WHERE ng < 5),
+    anch AS (SELECT DISTINCT doc_id,
+                    CAST(fp_key % 1048576 AS BIGINT) AS p
+             FROM fp),
+    sp AS (SELECT a.doc_id, a.p,
+                  CAST(('0x' || substr(md5(
+                      array_to_string(st.ws[a.p+1 : a.p+50], ' ')
+                  ), 1, 8)) AS BIGINT) AS sh
+           FROM anch a JOIN st USING (doc_id)
+           WHERE a.p + 50 <= st.n),
+    bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 10 = 0),
+    corp AS (SELECT * FROM sp WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_spans,
+           MIN(c.p) AS first_hit_pos
+    FROM corp c
+    WHERE c.sh IN (SELECT sh FROM bench)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def text_contamination_substring(spark, sf_dir):
+    # SUBSTRING-grade benchmark decontamination — the long-span
+    # upgrade of text_contamination_ngram's 8-gram collision check and
+    # the published practice for removing eval leakage from
+    # pretraining corpora (GPT-3 appendix C's n-gram form; Lee 2022's
+    # substring form): flag every candidate training doc that shares a
+    # >= 54-token passage AT ANY ALIGNMENT with the held-out split
+    # (doc_id % 10 == 0, a standard 10% eval holdout). Reuses the
+    # winnow-anchored span table (operators/dedup.py
+    # anchored_span_table) of text_dedup_substring_anchor, so the same
+    # alignment-free guarantee carries over: a >= span_len + w - 1
+    # token overlap anchors at the same content position on both sides
+    # and MUST collide. Exact oracle: md5 anchors + span hashes,
+    # integer positions, COUNT/MIN fold.
+    #
+    # Scale shape: the span table is built once for both splits (one
+    # doc_id exchange + one row-local span pass); the contamination
+    # probe is a semi-join of corpus span hashes against the DISTINCT
+    # benchmark span-hash set — eval sets are tiny next to a 100 TB
+    # corpus, so AQE broadcast-plans the bench side from its runtime
+    # stats and the corpus side never shuffles for the probe.
+    from ..operators import dedup
+
+    t = Tables(spark, sf_dir)
+    sp = dedup.anchored_span_table(t.documents, span_len=50, k=4, w=5)
+    bench = (
+        sp.where(F.col("doc_id") % 10 == 0).select("h").distinct()
+    )
+    corp = sp.where(F.col("doc_id") % 10 != 0)
+    return (
+        corp.join(bench, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contaminated_spans"),
+            F.min("p").alias("first_hit_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2887,3 +2887,34 @@ def test_kcore_rejects_zero_rounds(spark):
     edges = spark.createDataFrame([(1, 2)], "a long, b long")
     with _pytest.raises(ValueError, match="rounds >= 1"):
         kcore_peel(edges, k=2, rounds=0)
+
+
+def test_contamination_substring_flags_planted_leak(spark, tmp_path):
+    # plant an eval doc (doc_id % 10 == 0) whose 60-token passage
+    # reappears inside a training doc at offset 3 (alignment the old
+    # n-gram grid would need luck for; the anchored form guarantees
+    # detection at >= 54 tokens) — the training doc must be flagged,
+    # the clean doc must not.
+    import os
+    from helium_etl_lite_spark.registry import QUERIES, load_all
+
+    load_all()
+    passage = [f"p{i}" for i in range(60)]
+    bench = " ".join(passage + [f"e{i}" for i in range(20)])
+    leaked = " ".join(
+        [f"t{i}" for i in range(3)] + passage + [f"u{i}" for i in range(10)]
+    )
+    clean = " ".join(f"c{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(10, bench, "en", "s", 1), (11, leaked, "en", "s", 1),
+         (12, clean, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           QUERIES["text_contamination_substring"](spark, d).collect()}
+    assert 11 in out and out[11]["n_contaminated_spans"] >= 1
+    assert 12 not in out
+    assert 10 not in out  # the eval split itself is never flagged

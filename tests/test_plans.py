@@ -1210,3 +1210,14 @@ def test_substring_anchor_dedup_no_pair_blowup(spark, sf_dir):
     plan = formatted_plan(q("text_dedup_substring_anchor", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_substring_semi_join_probe(spark, sf_dir):
+    # the probe must be a semi-join on the span hash — never a pair
+    # materialization or nested loop; the span build shares one plan.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("text_contamination_substring", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
