@@ -237,14 +237,29 @@ def containment_screened_pairs(
     containment-faithful screen is size-partitioned banding, LSH
     Ensemble, Zhu 2016). The pytest gate measures recall on the
     clustered fixture and pins screened ⊆ exact.
+
+    Why LSH Ensemble is NOT registered here (r9 measurement): the
+    Ensemble's regime is high containment at 10-1000x SET-SIZE skew.
+    On this corpus distinct-token-set sizes span only 15..29 (p10/p90
+    at sf0.01), so the worst containment-0.95 pair still has Jaccard
+    >= ~0.46 and the r=2 screen already reaches it at P(cand) ~ 0.85;
+    meanwhile the sensitive r=1 stratum banding the Ensemble would
+    use degenerates on the shared tiny vocabulary (a single shared
+    min-token collides ~all of a stratum: measured 265k candidate
+    rows over 195 large docs = near-all-pairs). Size-stratified
+    banding earns its complexity only when the size histogram is
+    long-tailed; register it with a corpus that has one.
     """
     sig = minhash_signatures(docs, num_perm, text_col, id_col)
-    # Persisted because the stats action below executes this pipeline
-    # eagerly and the returned plan reads it twice more (tagged +
-    # sizes) — without the cache the corpus-wide signature build ran
-    # 3x per call (r8 ADVICE). band_rows is ~`bands` 24-byte rows per
-    # doc, MEMORY_AND_DISK, evicted LRU once the caller's job ends.
-    band_rows = _band_rows(sig, num_perm, bands, id_col).persist()
+    # Materialized ONCE (eager localCheckpoint) because the stats
+    # action below executes this pipeline and the returned plan reads
+    # it twice more (tagged + sizes) — without it the corpus-wide
+    # signature build ran 3x per call (r8 ADVICE). Checkpoint, not
+    # persist(): a persist here is never unpersisted (the returned
+    # plan is lazy) and would leak one cache per call for the session
+    # lifetime; checkpointed blocks free with the DataFrame reference.
+    # band_rows is ~`bands` 24-byte rows per doc.
+    band_rows = _band_rows(sig, num_perm, bands, id_col).localCheckpoint(eager=True)
     sizes = band_rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
     )
@@ -1304,10 +1319,13 @@ def containment_screened_pairs_portable(
     token sets). Same scale posture as the production form: pair work
     quadratic ONLY inside <=cap buckets, 2n in over-cap ones, logged
     drop counts (no silent caps)."""
-    # persisted for the same reason as the production twin: the stats
-    # action below would otherwise recompute the corpus-wide signature
-    # build that the returned plan reads twice more (r8 ADVICE)
-    band_rows = _portable_band_rows(docs, num_perm, bands, text_col, id_col).persist()
+    # materialized once for the same reason as the production twin:
+    # the stats action below would otherwise recompute the corpus-wide
+    # signature build that the returned plan reads twice more (r8
+    # ADVICE); localCheckpoint, not persist — see the production twin
+    band_rows = _portable_band_rows(
+        docs, num_perm, bands, text_col, id_col
+    ).localCheckpoint(eager=True)
     sizes = band_rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
     )
@@ -1572,6 +1590,47 @@ def simhash_portable_oracle_sql(k: int = 3) -> str:
                      THEN ham ELSE 0 END AS BIGINT) AS hamming
     FROM ver
     """
+
+
+def anchored_span_oracle_cte(span_len: int = 50, k: int = 4, w: int = 5) -> str:
+    """The DuckDB CTE chain restating anchored_span_table — winnow
+    gram keys, rolling-min selection (full-window rule + short-doc
+    fallback), anchor position decode, anchored span hash — generated
+    from the SAME (span_len, k, w) constants the Spark operator takes,
+    and SHARED by every oracle over this machinery
+    (text_dedup_substring_anchor, text_contamination_substring) so the
+    restatement has one source of truth. Yields CTEs: st(doc_id, ws,
+    n) and sp(doc_id, p, sh); embed as  f"WITH {cte}, ..." ."""
+    return f"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 array_to_string(ws[i+1 : i+{k}], ' ') AS gram
+          FROM st, unnest(generate_series(0, GREATEST(n-{k}, 0))) AS t(i)),
+    h AS (SELECT doc_id, i,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
+                 + i AS key
+          FROM g),
+    r AS (SELECT doc_id, i, key,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN {w - 1} PRECEDING
+                                         AND CURRENT ROW) AS wmin
+          FROM h),
+    counts AS (SELECT doc_id, COUNT(*) AS ng, MIN(key) AS min_key
+               FROM r GROUP BY doc_id),
+    fp AS (SELECT DISTINCT r.doc_id, r.wmin AS fp_key
+           FROM r JOIN counts USING (doc_id)
+           WHERE counts.ng >= {w} AND r.i >= {w - 1}
+           UNION ALL
+           SELECT doc_id, min_key AS fp_key FROM counts WHERE ng < {w}),
+    anch AS (SELECT DISTINCT doc_id,
+                    CAST(fp_key % 1048576 AS BIGINT) AS p
+             FROM fp),
+    sp AS (SELECT a.doc_id, a.p,
+                  CAST(('0x' || substr(md5(
+                      array_to_string(st.ws[a.p+1 : a.p+{span_len}], ' ')
+                  ), 1, 8)) AS BIGINT) AS sh
+           FROM anch a JOIN st USING (doc_id)
+           WHERE a.p + {span_len} <= st.n)"""
 
 
 def anchored_span_table(

@@ -55,13 +55,14 @@ def minmax_scale_sql(dialect: str, col: str, minv: str, maxv: str,
     weight at every bit level. Integer division differs by dialect
     (Spark `DIV`, DuckDB `//`); everything else is shared.
 
-    The (col - minv) difference is cast to BIGINT BEFORE the * {top}
-    blow-up: in the column's native type a 32-bit INT key with range
-    over ~2^31/top would overflow — silently wrapping in Spark
-    (non-ANSI) while DuckDB errors, i.e. divergent Morton values
+    The OPERANDS are cast to BIGINT before any subtraction or the
+    * {top} blow-up: for a 32-bit INT key even `col - minv` itself
+    (full-range keys) — not just the multiply — would wrap silently in
+    Spark (non-ANSI) while DuckDB errors, i.e. divergent Morton values
     exactly when the engines disagree."""
     top = (1 << bits) - 1
-    rng = f"GREATEST({maxv} - {minv}, 1)"
+    diff = f"(CAST({col} AS BIGINT) - CAST({minv} AS BIGINT))"
+    rng = f"GREATEST(CAST({maxv} AS BIGINT) - CAST({minv} AS BIGINT), 1)"
     if dialect == "spark":
-        return f"CAST((CAST(({col} - {minv}) AS BIGINT) * {top}) DIV {rng} AS BIGINT)"
-    return f"CAST((CAST(({col} - {minv}) AS BIGINT) * {top}) // {rng} AS BIGINT)"
+        return f"CAST(({diff} * {top}) DIV {rng} AS BIGINT)"
+    return f"CAST(({diff} * {top}) // {rng} AS BIGINT)"

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import dedup as _dedup_ops
 from ..operators.scale import prefix_sum
 from ..registry import query
 from ..tables import Tables
@@ -1340,37 +1341,8 @@ def pack_concat_chunk(spark, sf_dir):
 
 @query(
     "text_contamination_substring",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
-    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
-                 array_to_string(ws[i+1 : i+4], ' ') AS gram
-          FROM st, unnest(generate_series(0, GREATEST(n-4, 0))) AS t(i)),
-    h AS (SELECT doc_id, i,
-                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
-                 + i AS key
-          FROM g),
-    r AS (SELECT doc_id, i, key,
-                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
-                                ROWS BETWEEN 4 PRECEDING
-                                         AND CURRENT ROW) AS wmin
-          FROM h),
-    counts AS (SELECT doc_id, COUNT(*) AS ng, MIN(key) AS min_key
-               FROM r GROUP BY doc_id),
-    fp AS (SELECT DISTINCT r.doc_id, r.wmin AS fp_key
-           FROM r JOIN counts USING (doc_id)
-           WHERE counts.ng >= 5 AND r.i >= 4
-           UNION ALL
-           SELECT doc_id, min_key AS fp_key FROM counts WHERE ng < 5),
-    anch AS (SELECT DISTINCT doc_id,
-                    CAST(fp_key % 1048576 AS BIGINT) AS p
-             FROM fp),
-    sp AS (SELECT a.doc_id, a.p,
-                  CAST(('0x' || substr(md5(
-                      array_to_string(st.ws[a.p+1 : a.p+50], ' ')
-                  ), 1, 8)) AS BIGINT) AS sh
-           FROM anch a JOIN st USING (doc_id)
-           WHERE a.p + 50 <= st.n),
+    oracle=f"""
+    WITH {_dedup_ops.anchored_span_oracle_cte(span_len=50, k=4, w=5)},
     bench AS (SELECT DISTINCT sh FROM sp WHERE doc_id % 10 = 0),
     corp AS (SELECT * FROM sp WHERE doc_id % 10 <> 0)
     SELECT c.doc_id,
@@ -1402,10 +1374,8 @@ def text_contamination_substring(spark, sf_dir):
     # benchmark span-hash set — eval sets are tiny next to a 100 TB
     # corpus, so AQE broadcast-plans the bench side from its runtime
     # stats and the corpus side never shuffles for the probe.
-    from ..operators import dedup
-
     t = Tables(spark, sf_dir)
-    sp = dedup.anchored_span_table(t.documents, span_len=50, k=4, w=5)
+    sp = _dedup_ops.anchored_span_table(t.documents, span_len=50, k=4, w=5)
     bench = (
         sp.where(F.col("doc_id") % 10 == 0).select("h").distinct()
     )

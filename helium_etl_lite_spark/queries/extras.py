@@ -1081,14 +1081,21 @@ def graph_reachability_recursive(spark, sf_dir):
     ).unionByName(
         trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
-    edges.localCheckpoint(eager=True).createOrReplaceTempView("__reach_edges")
+    # per-call unique view name: a fixed name is session-global mutable
+    # state — two interleaved calls (parallel tests, two sf_dirs) would
+    # race createOrReplaceTempView vs spark.sql and silently recurse
+    # over the other call's graph
+    import uuid
+
+    view = f"__reach_edges_{uuid.uuid4().hex[:12]}"
+    edges.localCheckpoint(eager=True).createOrReplaceTempView(view)
     return spark.sql(
         f"""
         WITH RECURSIVE reach(node, hops) AS (
           SELECT CAST({_REACH_SEED} AS BIGINT) AS node, 0 AS hops
           UNION ALL
           SELECT DISTINCT e.dst, r.hops + 1
-          FROM reach r JOIN __reach_edges e ON e.src = r.node
+          FROM reach r JOIN {view} e ON e.src = r.node
           WHERE r.hops < {_REACH_HOPS})
         SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
                CAST(COUNT(*) AS BIGINT) AS n_levels

@@ -3859,37 +3859,8 @@ def vec_ann_lsh_multiprobe_portable(spark, sf_dir):
 
 @query(
     "text_dedup_substring_anchor",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    st AS (SELECT doc_id, ws, len(ws) AS n FROM w),
-    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
-                 array_to_string(ws[i+1 : i+4], ' ') AS gram
-          FROM st, unnest(generate_series(0, GREATEST(n-4, 0))) AS t(i)),
-    h AS (SELECT doc_id, i,
-                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
-                 + i AS key
-          FROM g),
-    r AS (SELECT doc_id, i, key,
-                 MIN(key) OVER (PARTITION BY doc_id ORDER BY i
-                                ROWS BETWEEN 4 PRECEDING
-                                         AND CURRENT ROW) AS wmin
-          FROM h),
-    counts AS (SELECT doc_id, COUNT(*) AS ng, MIN(key) AS min_key
-               FROM r GROUP BY doc_id),
-    fp AS (SELECT DISTINCT r.doc_id, r.wmin AS fp_key
-           FROM r JOIN counts USING (doc_id)
-           WHERE counts.ng >= 5 AND r.i >= 4
-           UNION ALL
-           SELECT doc_id, min_key AS fp_key FROM counts WHERE ng < 5),
-    anch AS (SELECT DISTINCT doc_id,
-                    CAST(fp_key % 1048576 AS BIGINT) AS p
-             FROM fp),
-    sp AS (SELECT a.doc_id, a.p,
-                  CAST(('0x' || substr(md5(
-                      array_to_string(st.ws[a.p+1 : a.p+50], ' ')
-                  ), 1, 8)) AS BIGINT) AS sh
-           FROM anch a JOIN st USING (doc_id)
-           WHERE a.p + 50 <= st.n),
+    oracle=f"""
+    WITH {dedup.anchored_span_oracle_cte(span_len=50, k=4, w=5)},
     rr AS (SELECT doc_id, p,
                   row_number() OVER (PARTITION BY sh
                                      ORDER BY doc_id, p) AS rn
@@ -3926,8 +3897,7 @@ def text_dedup_substring_anchor(spark, sf_dir):
     return dedup.substring_anchor_dedup(t.documents, span_len=50, k=4, w=5)
 
 
-_RRF_K = 60
-_RRF_TERMS = ("scan", "merge", "window")
+_RRF_K = 60  # the lexical arm's terms live in text_bm25_topk (+ oracle)
 
 
 @query(

@@ -27,7 +27,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .mirror import _pointer_path, mirror_version, read_mirror
+from .mirror import (
+    _pointer_path,
+    mirror_version,
+    read_mirror,
+    write_pointer_atomic,
+)
 
 CURATED_COLS = ["doc_id", "lang", "text_hash"]
 
@@ -91,17 +96,7 @@ def curate_changes_batch(
     )
     vdir = os.path.join(curated_dir, f"v={batch_id}")
     new.write.mode("overwrite").parquet(vdir)
-    tmp = _pointer_path(curated_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-        # fsync before the rename (mirror.apply_changes_batch's
-        # discipline): the stream checkpoint advances after this batch
-        # commits, so a pointer lost to a crash would never be
-        # re-derived — earlier batch_ids don't replay — and every
-        # curated version since would be permanently invisible.
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(curated_dir))
+    write_pointer_atomic(curated_dir, batch_id)
     return True
 
 

@@ -35,6 +35,20 @@ def _pointer_path(mirror_dir: str) -> str:
     return os.path.join(mirror_dir, "CURRENT")
 
 
+def write_pointer_atomic(store_dir: str, batch_id: int) -> None:
+    """Crash-safe CURRENT pointer commit shared by every versioned
+    store (mirror, streaming curation): write tmp, flush + fsync (the
+    rename must not promote an unflushed file — a crash would leave
+    CURRENT empty while the stream checkpoint has advanced, and earlier
+    batch_ids never replay), then atomic os.replace."""
+    tmp = _pointer_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _pointer_path(store_dir))
+
+
 def mirror_version(mirror_dir: str) -> int | None:
     """The last applied batch_id, or None before the first apply."""
     try:
@@ -75,12 +89,7 @@ def apply_changes_batch(batch_df: DataFrame, batch_id: int, mirror_dir: str) -> 
     ).unionByName(inserts)
     vdir = os.path.join(mirror_dir, f"v={batch_id}")
     new.write.mode("overwrite").parquet(vdir)
-    tmp = _pointer_path(mirror_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer_path(mirror_dir))
+    write_pointer_atomic(mirror_dir, batch_id)
     return True
 
 
