@@ -1742,11 +1742,25 @@ def substring_anchor_dedup(
         docs, span_len=span_len, k=k, w=w, text_col=text_col, id_col=id_col
     )
     w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
-    dups = (
-        ex.withColumn("rn", F.row_number().over(w_first))
-        .where(F.col("rn") > 1)
-        .groupBy(id_col)
-        .agg(F.collect_list("p").alias("__dup_starts"))
+    dup_starts = ex.withColumn("rn", F.row_number().over(w_first)).where(
+        F.col("rn") > 1
+    )
+    return _drop_covered_tokens(docs, dup_starts, span_len, text_col, id_col)
+
+
+def _drop_covered_tokens(
+    docs: DataFrame,
+    dup_starts: DataFrame,
+    span_len: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared tail of the anchored-span dedup family: given the
+    (id, p) table of duplicate span starts, drop every token of `docs`
+    covered by any [p, p+span_len) interval — row-local after one
+    per-doc fold of the start list to an array."""
+    dups = dup_starts.groupBy(id_col).agg(
+        F.collect_list("p").alias("__dup_starts")
     )
     joined = docs.select(id_col, text_col).join(dups, id_col, "left").withColumn(
         "__dup_starts",
@@ -1773,3 +1787,95 @@ def substring_anchor_dedup(
         )
         .where(F.col("n_tokens_kept") > 0)
     )
+
+
+def span_state_add(
+    spark,
+    docs: DataFrame,
+    state_path: str,
+    span_len: int = 50,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> None:
+    """Incremental substring dedup, write side: fold a LANDED batch's
+    anchored span hashes into the persisted span-hash state — the
+    substring-grade sibling of dedup_state_add. Same state discipline:
+    parquet sharded by pmod(h), O(batch) appended bytes per fold-in,
+    read everywhere as a SET (semi-join membership) so crash-replay
+    duplicate appends change no probe result. Spans are hashed from
+    the ORIGINAL text (before any token dropping), so the state
+    describes what the corpus contained — the same convention as
+    hashing original content in the exact-dedup state."""
+    spans = (
+        anchored_span_table(docs, span_len, k, w, text_col, id_col)
+        .select("h")
+        .distinct()
+    )
+    shard = F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+    (
+        spans.withColumn("shard", shard)
+        .repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(state_path)
+    )
+
+
+def substring_anchor_dedup_incremental(
+    spark,
+    batch: DataFrame,
+    state_path: str,
+    span_len: int = 50,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """Incremental substring dedup, read side: drop every batch token
+    covered by a span whose content already exists in the landed
+    corpus (persisted span state) OR earlier in the batch itself
+    (first (doc_id, p) occurrence wins — the batch-form rule).
+
+    Probe shape (the dedup_filter_new discipline): the state must
+    never shuffle. The batch's distinct span hashes are broadcast and
+    the state is SEMI-JOINED against them — one streaming scan of the
+    state, no exchange on it, output only the hashes the batch
+    actually probes; the (small) hit set then broadcast-joins back to
+    the batch spans. O(batch) shuffled/broadcast bytes regardless of
+    corpus size. Batches above `max_broadcast_rows` distinct spans
+    fall back to the shuffled semi-join (the right plan when the
+    batch is itself corpus-sized). Missing state = first ingest: only
+    within-batch dedup applies.
+    """
+    ex = anchored_span_table(
+        batch, span_len=span_len, k=k, w=w, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)  # probed twice (state hits + window)
+    w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
+    batch_dups = (
+        ex.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") > 1)
+        .select(id_col, "p")
+    )
+    try:
+        state = spark.read.parquet(state_path).select("h")
+    except AnalysisException as exc:
+        if not _path_missing(exc):
+            raise
+        state = None
+    if state is None:
+        dup_starts = batch_dups
+    else:
+        probe = ex.select("h").distinct()
+        if probe.count() <= max_broadcast_rows:
+            hits = state.join(F.broadcast(probe), "h", "left_semi").distinct()
+            state_dups = ex.join(F.broadcast(hits), "h", "left_semi").select(
+                id_col, "p"
+            )
+        else:
+            state_dups = ex.join(state, "h", "left_semi").select(id_col, "p")
+        dup_starts = batch_dups.unionByName(state_dups).distinct()
+    return _drop_covered_tokens(batch, dup_starts, span_len, text_col, id_col)

@@ -4016,3 +4016,49 @@ def retrieval_rrf_hybrid(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+@query(
+    "text_dedup_substring_anchor_incremental",
+    oracle=f"""
+    WITH {dedup.anchored_span_oracle_cte(span_len=50, k=4, w=5)},
+    odd AS (SELECT doc_id, p, sh,
+                   row_number() OVER (PARTITION BY sh
+                                      ORDER BY doc_id, p) AS rn
+            FROM sp WHERE doc_id % 2 = 1),
+    d AS (SELECT doc_id, p FROM odd
+          WHERE rn > 1
+             OR sh IN (SELECT sh FROM sp WHERE doc_id % 2 = 0)),
+    tok AS (SELECT doc_id, CAST(q - 1 AS BIGINT) AS q, ws[q] AS tk
+            FROM st, unnest(generate_series(1, n)) AS gq(q)
+            WHERE doc_id % 2 = 1),
+    kept AS (SELECT t.doc_id, t.q, t.tk FROM tok t
+             WHERE NOT EXISTS (SELECT 1 FROM d
+                               WHERE d.doc_id = t.doc_id
+                                 AND d.p <= t.q AND t.q < d.p + 50))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+           string_agg(tk, ' ' ORDER BY q) AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_dedup_substring_anchor_incremental(spark, sf_dir):
+    # The substring-dedup INGEST LOOP driver-verified end to end — the
+    # anchored-span sibling of text_dedup_exact_incremental: batch 1
+    # (even doc_ids) lands and folds its anchored span hashes into the
+    # persisted sharded span state (operators/dedup.py span_state_add,
+    # O(batch) appended bytes); batch 2 (odd) probes it via the
+    # broadcast-fingerprint semi-join — ONE streaming scan of the
+    # state, which never shuffles — and every batch-2 token covered by
+    # a span already in the landed corpus, or seen earlier within the
+    # batch, is dropped. The oracle restates the same rule over the
+    # full corpus (state hit = span hash present on the even side;
+    # within-batch rank over the odd side only), so the hash match
+    # proves the incremental loop == the batch semantics on the union.
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    state = scratch_dir("substr_incremental") + "/state"
+    b1 = t.documents.where(F.col("doc_id") % 2 == 0)
+    b2 = t.documents.where(F.col("doc_id") % 2 == 1)
+    dedup.span_state_add(spark, b1, state)
+    return dedup.substring_anchor_dedup_incremental(spark, b2, state)

@@ -2918,3 +2918,74 @@ def test_contamination_substring_flags_planted_leak(spark, tmp_path):
     assert 11 in out and out[11]["n_contaminated_spans"] >= 1
     assert 12 not in out
     assert 10 not in out  # the eval split itself is never flagged
+
+
+class TestSubstringAnchorIncremental:
+    def test_state_hit_drops_and_fresh_survives(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators.dedup import (
+            span_state_add,
+            substring_anchor_dedup_incremental,
+        )
+
+        passage = [f"p{i}" for i in range(60)]
+        landed = spark.createDataFrame(
+            [(1, " ".join(passage + [f"a{i}" for i in range(20)]))],
+            "doc_id long, text string",
+        )
+        state = str(tmp_path / "state")
+        span_state_add(spark, landed, state)
+        # batch: one doc re-quoting the landed passage at offset 4, one
+        # fresh doc
+        batch = spark.createDataFrame(
+            [
+                (2, " ".join([f"x{i}" for i in range(4)] + passage
+                             + [f"y{i}" for i in range(12)])),
+                (3, " ".join(f"f{i}" for i in range(76))),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               substring_anchor_dedup_incremental(spark, batch, state).collect()}
+        assert out[2]["n_tokens_kept"] <= 76 - 50  # the quoted copy drops
+        assert out[3]["n_tokens_kept"] == 76       # fresh doc untouched
+
+    def test_replayed_fold_in_changes_nothing(self, spark, tmp_path):
+        # crash-replay idempotence: appending the same batch's span
+        # hashes twice is a set-union no-op for every probe
+        from helium_etl_lite_spark.operators.dedup import (
+            span_state_add,
+            substring_anchor_dedup_incremental,
+        )
+
+        landed = spark.createDataFrame(
+            [(1, " ".join(f"p{i}" for i in range(70)))],
+            "doc_id long, text string",
+        )
+        state = str(tmp_path / "state")
+        span_state_add(spark, landed, state)
+        batch = spark.createDataFrame(
+            [(2, " ".join(f"p{i}" for i in range(70)))],
+            "doc_id long, text string",
+        )
+        once = sorted(
+            substring_anchor_dedup_incremental(spark, batch, state).collect()
+        )
+        span_state_add(spark, landed, state)  # replayed fold-in
+        twice = sorted(
+            substring_anchor_dedup_incremental(spark, batch, state).collect()
+        )
+        assert once == twice
+
+    def test_missing_state_is_first_ingest(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators.dedup import (
+            substring_anchor_dedup_incremental,
+        )
+
+        dup = " ".join(f"d{i}" for i in range(60))
+        batch = spark.createDataFrame(
+            [(5, dup), (6, dup)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in substring_anchor_dedup_incremental(
+            spark, batch, str(tmp_path / "nostate")).collect()}
+        assert out[5]["n_tokens_kept"] == 60  # first occurrence intact
+        assert 6 not in out or out[6]["n_tokens_kept"] <= 10
