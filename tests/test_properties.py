@@ -640,3 +640,37 @@ def test_integer_div_trunc_semantics_agree_cross_engine(spark):
     for x in vals[1:]:
         ref = int((x + 3 * ref) / 4) if (x + 3 * ref) >= 0 else -((-(x + 3 * ref)) // 4)
     assert got_spark == got_duck == ref
+
+
+class TestSubstringAnchorGuarantee:
+    """The documented bound of substring_anchor_dedup: ANY duplicated
+    passage of >= span_len + w - 1 tokens, at ANY offset pair, loses
+    >= span_len tokens from the later copy — property-tested across
+    random lengths/offsets (the 10-residue fixture in test_operators
+    pins the grid-blindspot case deterministically)."""
+
+    @SETTINGS
+    @given(
+        plen=st.integers(min_value=54, max_value=75),
+        off_a=st.integers(min_value=0, max_value=25),
+        off_b=st.integers(min_value=0, max_value=25),
+        tail_b=st.integers(min_value=0, max_value=15),
+    )
+    def test_any_alignment_pair_detected(self, spark, plen, off_a, off_b, tail_b):
+        from helium_etl_lite_spark.operators.dedup import substring_anchor_dedup
+
+        passage = [f"p{i}" for i in range(plen)]
+        a = [f"a{i}" for i in range(off_a)] + passage + ["a_end"]
+        b = [f"b{i}" for i in range(off_b)] + passage + [
+            f"z{i}" for i in range(tail_b)
+        ]
+        docs = spark.createDataFrame(
+            [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in
+               substring_anchor_dedup(docs, span_len=50).collect()}
+        # first occurrence fully intact (all its spans are rank 1)
+        assert out[1]["n_tokens_kept"] == len(a)
+        kept_b = out.get(2)
+        n_kept = kept_b["n_tokens_kept"] if kept_b is not None else 0
+        assert len(b) - n_kept >= 50, (plen, off_a, off_b, tail_b, n_kept)
