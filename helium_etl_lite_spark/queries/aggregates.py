@@ -1126,3 +1126,184 @@ def agg_ks_drift_binned(spark, sf_dir):
     t = Tables(spark, sf_dir)
     t.register_views()
     return spark.sql(_KS_SQL)
+
+
+_KMV_K = 64
+_KMV_EST_NUM = (_KMV_K - 1) * (1 << 32)  # (k-1) * H, H = md5-32 range
+
+
+@query(
+    "agg_kmv_theta_sketch_portable",
+    oracle=f"""
+    WITH s AS (
+      SELECT 'a' AS sid, l_partkey AS key FROM lineitem WHERE l_quantity <= 5
+      UNION ALL
+      SELECT 'b' AS sid, l_partkey AS key FROM lineitem WHERE l_quantity >= 45),
+    h AS (SELECT DISTINCT sid,
+                 CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h
+          FROM s),
+    r AS (SELECT sid, h,
+                 row_number() OVER (PARTITION BY sid ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT sid, list_sort(list(h)) AS ks,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM r WHERE rn <= {_KMV_K} GROUP BY sid),
+    one AS (SELECT
+      (SELECT ks FROM sk WHERE sid = 'a') AS ka,
+      (SELECT n  FROM sk WHERE sid = 'a') AS n_a,
+      (SELECT ks FROM sk WHERE sid = 'b') AS kb,
+      (SELECT n  FROM sk WHERE sid = 'b') AS n_b,
+      (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+       WHERE l_quantity <= 5) AS exact_a,
+      (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+       WHERE l_quantity >= 45) AS exact_b,
+      (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+       WHERE l_quantity <= 5 OR l_quantity >= 45) AS exact_union),
+    u AS (SELECT *,
+                 list_sort(list_distinct(ka || kb))[1 : {_KMV_K}] AS ku,
+                 CAST(len(list_distinct(ka || kb)) AS BIGINT) AS n_pool
+          FROM one),
+    alg AS (SELECT *,
+                   ka[n_a] AS kth_a, kb[n_b] AS kth_b,
+                   ku[len(ku)] AS kth_u,
+                   CAST(len(list_filter(ku, x ->
+                        list_contains(ka, x) AND list_contains(kb, x)))
+                        AS BIGINT) AS c_both
+            FROM u)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_a, n_b, kth_a, kth_b, kth_u,
+           CASE WHEN n_a < {_KMV_K} THEN CAST(n_a AS DOUBLE)
+                ELSE round({_KMV_EST_NUM} / kth_a, 6) END AS est_a,
+           CASE WHEN n_b < {_KMV_K} THEN CAST(n_b AS DOUBLE)
+                ELSE round({_KMV_EST_NUM} / kth_b, 6) END AS est_b,
+           CASE WHEN n_pool < {_KMV_K} THEN CAST(n_pool AS DOUBLE)
+                ELSE round({_KMV_EST_NUM} / kth_u, 6) END AS est_union,
+           CASE WHEN n_pool < {_KMV_K} THEN CAST(c_both AS DOUBLE)
+                ELSE round((CAST(c_both AS DOUBLE)
+                            * ({_KMV_EST_NUM} / kth_u)) / {_KMV_K}, 6)
+           END AS est_intersect,
+           exact_a, exact_b, exact_union
+    FROM alg
+    """,
+)
+def agg_kmv_theta_sketch_portable(spark, sf_dir):
+    """KMV / theta sketch (Bar-Yossef 2002; the Apache DataSketches
+    theta family) with SET-OPERATION estimates — the sketch class that
+    completes the re-aggregatable family (CMS = frequency, Bloom =
+    membership, HLL = distinct, quantile hist = order stats, bitmap =
+    exact sets): k MINIMUM hash VALUES per set. What KMV adds over
+    HLL: sketch INTERSECTION estimates — union of sketches is the
+    sketch of the union (the k smallest of A∪B all live in the two
+    k-smallest lists, so the merge is a row-local array merge on two
+    64-element lists — the 1000-executor re-aggregation argument),
+    and intersection rides inclusion-fraction on the union sketch:
+    est∩ = (|Ku ∩ Ka ∩ Kb| / k) · est(A∪B). Two part-key sets (light
+    vs heavy order lines) with measured partial overlap exercise the
+    full algebra; exact distinct counts ride alongside as reference
+    columns, so the driver verdict pins estimator AND ground truth.
+
+    PORTABLE-EXACT: md5-32 hashes, integer k-smallest selection with
+    deterministic ordering, single-row IEEE estimate arithmetic in a
+    pinned parenthesization, round-6 on both engines.
+
+    Scale shape: one scan feeding both filters, one DISTINCT on
+    (sid, hash), per-set k-smallest via a ranked window that prunes
+    MAP-SIDE (WindowGroupLimit: each task forwards at most k rows per
+    set — the top-k discipline of join_lateral_topk applied to sketch
+    building); everything after is algebra on two 64-element arrays
+    in a single 1-row frame (broadcast-scalar territory)."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    k = _KMV_K
+    li = t.lineitem
+    s = (
+        li.where(F.col("l_quantity") <= 5)
+        .select(F.lit("a").alias("sid"), F.col("l_partkey").alias("key"))
+        .unionByName(
+            li.where(F.col("l_quantity") >= 45).select(
+                F.lit("b").alias("sid"), F.col("l_partkey").alias("key")
+            )
+        )
+    )
+    h = s.select(
+        "sid",
+        F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = W.partitionBy("sid").orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    sk = topk.groupBy("sid").agg(
+        F.sort_array(F.collect_list("h")).alias("ks"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    one = sk.groupBy().agg(
+        F.max(F.when(F.col("sid") == "a", F.col("ks"))).alias("ka"),
+        F.max(F.when(F.col("sid") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("sid") == "b", F.col("ks"))).alias("kb"),
+        F.max(F.when(F.col("sid") == "b", F.col("n"))).alias("n_b"),
+    )
+    exact_a = (
+        li.where(F.col("l_quantity") <= 5)
+        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_a"))
+    )
+    exact_b = (
+        li.where(F.col("l_quantity") >= 45)
+        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_b"))
+    )
+    exact_u = (
+        li.where((F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45))
+        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_union"))
+    )
+    pool = F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb"))))
+    u = (
+        one.crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_u))
+        .withColumn("ku", F.slice(pool, 1, k))
+        .withColumn("n_pool", F.size(pool).cast("long"))
+    )
+    alg = u.withColumn(
+        "kth_a", F.element_at("ka", F.col("n_a").cast("int"))
+    ).withColumn(
+        "kth_b", F.element_at("kb", F.col("n_b").cast("int"))
+    ).withColumn(
+        "kth_u", F.element_at("ku", F.size("ku"))
+    ).withColumn(
+        "c_both",
+        F.size(
+            F.filter(
+                F.col("ku"),
+                lambda x: F.array_contains(F.col("ka"), x)
+                & F.array_contains(F.col("kb"), x),
+            )
+        ).cast("long"),
+    )
+    num = F.lit(_KMV_EST_NUM)
+    est = lambda n, kth: F.when(  # noqa: E731
+        n < k, n.cast("double")
+    ).otherwise(F.round(num / kth, 6))
+    return alg.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_a",
+        "n_b",
+        "kth_a",
+        "kth_b",
+        "kth_u",
+        est(F.col("n_a"), F.col("kth_a")).alias("est_a"),
+        est(F.col("n_b"), F.col("kth_b")).alias("est_b"),
+        F.when(F.col("n_pool") < k, F.col("n_pool").cast("double"))
+        .otherwise(F.round(num / F.col("kth_u"), 6))
+        .alias("est_union"),
+        F.when(F.col("n_pool") < k, F.col("c_both").cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("c_both").cast("double") * (num / F.col("kth_u"))) / k, 6
+            )
+        )
+        .alias("est_intersect"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+    )

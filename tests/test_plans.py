@@ -1221,3 +1221,15 @@ def test_contamination_substring_semi_join_probe(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_builds_with_map_side_topk(spark, sf_dir):
+    # the per-set k-smallest selection must prune map-side
+    # (WindowGroupLimit) — each task forwards at most k rows per set,
+    # never the full distinct-hash stream; the algebra after is 1-row
+    # broadcast-scalar territory (no fact-side cartesian).
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("agg_kmv_theta_sketch_portable", spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -195,6 +195,7 @@ HEADLINE_NOTES = {
     "retrieval_rrf_hybrid": "BM25 arm ends in TakeOrderedAndProject(20); dense arm = 1-row query broadcast + per-q_id window; fusion full-outer join on two <=20-row sides; rank windows partition 20-row inputs — bounded by construction",
     "text_contamination_substring": "one shared anchored-span build (one doc_id exchange + row-local spans) split into bench/corpus arms; probe = LEFT SEMI on the span hash against the DISTINCT bench set (AQE broadcasts the small eval side) + one hash agg — no BNLJ",
     "text_dedup_substring_anchor_incremental": "batch span table checkpointed once; state scan semi-joined against the BROADCAST batch-hash probe (state never shuffles); within-batch window on the span hash; token filter row-local",
+    "agg_kmv_theta_sketch_portable": "one scan feeding both set filters, one (sid, hash) distinct, per-set k-smallest via ranked window with MAP-SIDE WindowGroupLimit pruning; union/intersection algebra on two 64-element arrays in a 1-row broadcast-scalar frame",
 }
 
 
