@@ -674,3 +674,29 @@ class TestSubstringAnchorGuarantee:
         kept_b = out.get(2)
         n_kept = kept_b["n_tokens_kept"] if kept_b is not None else 0
         assert len(b) - n_kept >= 50, (plen, off_a, off_b, tail_b, n_kept)
+
+
+class TestKMVMergeability:
+    """The theta-sketch claim the registered query rides: the k
+    smallest hashes of A ∪ B are computable from the two k-smallest
+    lists alone (union of sketches == sketch of the union) — checked
+    against brute force over random sets, pure Python (the same md5-32
+    hash the query uses)."""
+
+    @SETTINGS
+    @given(
+        a=st.sets(st.integers(min_value=0, max_value=5000), min_size=1,
+                  max_size=300),
+        b=st.sets(st.integers(min_value=0, max_value=5000), min_size=1,
+                  max_size=300),
+        k=st.sampled_from([4, 16, 64]),
+    )
+    def test_union_of_sketches_is_sketch_of_union(self, a, b, k):
+        import hashlib
+
+        h = lambda x: int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+        ka = sorted({h(x) for x in a})[:k]
+        kb = sorted({h(x) for x in b})[:k]
+        merged = sorted(set(ka) | set(kb))[:k]
+        direct = sorted({h(x) for x in a | b})[:k]
+        assert merged == direct
