@@ -1389,3 +1389,65 @@ def text_contamination_substring(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967296.0 AS u
+      FROM documents WHERE n_chars >= 1),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(round(ln(u) / n_chars * 1000000000.0) AS BIGINT) AS sel_key
+      FROM base),
+    ranked AS (
+      SELECT doc_id, n_chars, sel_key,
+             CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id ASC)
+                  AS BIGINT) AS rn
+      FROM keyed)
+    SELECT doc_id, n_chars, sel_key, rn FROM ranked
+    WHERE rn <= 50 ORDER BY rn
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-Res scheme): each item draws u ~ U(0,1] and
+    the k items with the largest u^(1/w) — equivalently ln(u)/w — form
+    an exact weight-proportional sample. THE standard way to take
+    'k docs proportional to quality weight' from a corpus in one pass,
+    and it distributes as a plain top-k: no sequential reservoir, no
+    state — TakeOrderedAndProject does the whole selection.
+
+    Determinism/exactness: u = (md5-32(doc_id)+1)/2^32 (the
+    deterministic-random discipline every sampler here uses), the
+    selection key is ln(u)/w scaled to an INTEGER at 1e-9 resolution
+    (ln is IEEE-identical cross-engine on row-level input — the bm25 /
+    perplexity precedent), ties broken by doc_id. Weight = n_chars
+    (longer docs proportionally likelier — the token-budget-aware
+    sampling shape).
+
+    Scale: one scan, row-local key, top-k via TakeOrderedAndProject
+    (never a global sort); the rank window runs on the bounded 50-row
+    result."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = (
+        t.documents.where(F.col("n_chars") >= 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars") * 1e9).cast("long").alias("sel_key"),
+        )
+    )
+    top = keyed.orderBy(F.col("sel_key").desc(), F.col("doc_id").asc()).limit(50)
+    wr = W.orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rn", F.row_number().over(wr).cast("long")).orderBy("rn")

@@ -47,6 +47,16 @@ def write_pointer_atomic(store_dir: str, batch_id: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _pointer_path(store_dir))
+    # fsync the DIRECTORY too: os.replace is atomic but the rename
+    # entry itself is not durable until the parent dir flushes — a
+    # power-cut after replace could resurrect the OLD pointer while
+    # the checkpoint has advanced (the same lost-batch class the file
+    # fsync closes).
+    dfd = os.open(store_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def mirror_version(mirror_dir: str) -> int | None:

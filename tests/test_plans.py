@@ -1233,3 +1233,14 @@ def test_kmv_sketch_builds_with_map_side_topk(spark, sf_dir):
     plan = formatted_plan(q("agg_kmv_theta_sketch_portable", spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    # E-S weighted sampling distributes as a plain top-k: the selection
+    # must be TakeOrderedAndProject, never a global Sort; the rank
+    # window runs on the bounded 50-row result.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    plan = formatted_plan(q("sample_weighted_reservoir", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

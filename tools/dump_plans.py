@@ -196,6 +196,7 @@ HEADLINE_NOTES = {
     "text_contamination_substring": "one shared anchored-span build (one doc_id exchange + row-local spans) split into bench/corpus arms; probe = LEFT SEMI on the span hash against the DISTINCT bench set (AQE broadcasts the small eval side) + one hash agg — no BNLJ",
     "text_dedup_substring_anchor_incremental": "batch span table checkpointed once; state scan semi-joined against the BROADCAST batch-hash probe (state never shuffles); within-batch window on the span hash; token filter row-local",
     "agg_kmv_theta_sketch_portable": "one scan feeding both set filters, one (sid, hash) distinct, per-set k-smallest via ranked window with MAP-SIDE WindowGroupLimit pruning; union/intersection algebra on two 64-element arrays in a 1-row broadcast-scalar frame",
+    "sample_weighted_reservoir": "one scan, row-local E-S key, TakeOrderedAndProject top-50 (never a global sort); rank window on the bounded result",
 }
 
 
