@@ -1648,7 +1648,18 @@ def anchored_span_table(
     2003), h = md5-prefix hash of the span_len tokens from each anchor
     with the span fully inside the doc. Anchor positions fold to ONE
     array row per doc before the text join (no text replication per
-    anchor); span hashing is row-local slice + md5 inside a transform."""
+    anchor); span hashing is row-local slice + md5 inside a transform.
+
+    NEGATIVE A/B (r9): a fully ROW-LOCAL winnow (rolling w-min over
+    the gram-key array inside nested array transforms, removing the
+    one per-doc window exchange) was measured MUCH slower, not faster:
+    Catalyst performs no common-subexpression elimination across
+    lambda boundaries, and staging the key array in its own projection
+    does not survive CollapseProject — the O(n_grams) key transform
+    re-evaluates per outer window position, turning the build
+    O(n_grams²) in md5 calls. The exploded gram table + per-doc window
+    (winnow_fingerprints) keeps each key computed once; its single
+    doc_id exchange is the cheaper trade. Reverted."""
     from .text import winnow_fingerprints
 
     anchors = (
