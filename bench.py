@@ -176,6 +176,11 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "text_dedup_winnow",
     "er_sorted_neighborhood",
     "retrieval_rrf_hybrid",
+    # second r9 batch (measured 0.8x / 1.9x at 10x before adding):
+    # the top-k sampler is scan-bounded; the KMV build is one distinct
+    # + map-side-pruned window, algebra on 64-element arrays.
+    "sample_weighted_reservoir",
+    "agg_kmv_theta_sketch_portable",
 ]
 
 
