@@ -1293,9 +1293,7 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
         "kth_u",
         est(F.col("n_a"), F.col("kth_a")).alias("est_a"),
         est(F.col("n_b"), F.col("kth_b")).alias("est_b"),
-        F.when(F.col("n_pool") < k, F.col("n_pool").cast("double"))
-        .otherwise(F.round(num / F.col("kth_u"), 6))
-        .alias("est_union"),
+        est(F.col("n_pool"), F.col("kth_u")).alias("est_union"),
         F.when(F.col("n_pool") < k, F.col("c_both").cast("double"))
         .otherwise(
             F.round(

@@ -1089,7 +1089,7 @@ def graph_reachability_recursive(spark, sf_dir):
 
     view = f"__reach_edges_{uuid.uuid4().hex[:12]}"
     edges.localCheckpoint(eager=True).createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         f"""
         WITH RECURSIVE reach(node, hops) AS (
           SELECT CAST({_REACH_SEED} AS BIGINT) AS node, 0 AS hops
@@ -1102,6 +1102,12 @@ def graph_reachability_recursive(spark, sf_dir):
         FROM reach GROUP BY node ORDER BY node
         """
     )
+    # the analyzed plan is already bound to the checkpointed relation;
+    # dropping the catalog entry immediately keeps per-call uuid views
+    # (and their pinned edge blocks) from accumulating for the session
+    # lifetime — the blocks now free with the returned DataFrame
+    spark.catalog.dropTempView(view)
+    return out
 
 
 _SCD2_T0 = 100

@@ -27,12 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .mirror import (
-    _pointer_path,
-    mirror_version,
-    read_mirror,
-    write_pointer_atomic,
-)
+from .mirror import mirror_version, read_mirror, write_pointer_atomic
 
 CURATED_COLS = ["doc_id", "lang", "text_hash"]
 
@@ -96,7 +91,7 @@ def curate_changes_batch(
     )
     vdir = os.path.join(curated_dir, f"v={batch_id}")
     new.write.mode("overwrite").parquet(vdir)
-    write_pointer_atomic(curated_dir, batch_id)
+    write_pointer_atomic(curated_dir, batch_id, data_dir=vdir)
     return True
 
 

@@ -35,12 +35,37 @@ def _pointer_path(mirror_dir: str) -> str:
     return os.path.join(mirror_dir, "CURRENT")
 
 
-def write_pointer_atomic(store_dir: str, batch_id: int) -> None:
+def _fsync_tree(path: str) -> None:
+    """fsync every file under `path` plus the directories themselves —
+    the data half of a durable pointer commit: a pointer made durable
+    before its parquet pages flush would name a missing/truncated
+    version after a power cut (batch never replays; the store is
+    permanently broken). Bounded by the batch's own output size."""
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            fd = os.open(os.path.join(root, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def write_pointer_atomic(
+    store_dir: str, batch_id: int, data_dir: str | None = None
+) -> None:
     """Crash-safe CURRENT pointer commit shared by every versioned
-    store (mirror, streaming curation): write tmp, flush + fsync (the
+    store (mirror, streaming curation): fsync the version's data tree
+    first (pass ``data_dir``), then write tmp, flush + fsync (the
     rename must not promote an unflushed file — a crash would leave
     CURRENT empty while the stream checkpoint has advanced, and earlier
     batch_ids never replay), then atomic os.replace."""
+    if data_dir is not None:
+        _fsync_tree(data_dir)
     tmp = _pointer_path(store_dir) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(batch_id))
@@ -99,7 +124,7 @@ def apply_changes_batch(batch_df: DataFrame, batch_id: int, mirror_dir: str) -> 
     ).unionByName(inserts)
     vdir = os.path.join(mirror_dir, f"v={batch_id}")
     new.write.mode("overwrite").parquet(vdir)
-    write_pointer_atomic(mirror_dir, batch_id)
+    write_pointer_atomic(mirror_dir, batch_id, data_dir=vdir)
     return True
 
 
