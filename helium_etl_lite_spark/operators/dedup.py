@@ -1862,6 +1862,39 @@ def substring_anchor_dedup_incremental(
     batch is itself corpus-sized). Missing state = first ingest: only
     within-batch dedup applies.
     """
+    try:
+        state = spark.read.parquet(state_path).select("h")
+    except AnalysisException as exc:
+        if not _path_missing(exc):
+            raise
+        state = None
+    return substring_anchor_dedup_incremental_df(
+        batch,
+        state,
+        span_len=span_len,
+        k=k,
+        w=w,
+        text_col=text_col,
+        id_col=id_col,
+        max_broadcast_rows=max_broadcast_rows,
+    )
+
+
+def substring_anchor_dedup_incremental_df(
+    batch: DataFrame,
+    state,
+    span_len: int = 50,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """DataFrame-state twin of substring_anchor_dedup_incremental for
+    callers that carry the span set inside a versioned store (the
+    streaming loop publishes data AND cumulative spans in one atomic
+    version, so there is no split-store crash window). ``state`` is a
+    DataFrame with column ``h`` or None (first ingest)."""
     ex = anchored_span_table(
         batch, span_len=span_len, k=k, w=w, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)  # probed twice (state hits + window)
@@ -1871,15 +1904,10 @@ def substring_anchor_dedup_incremental(
         .where(F.col("rn") > 1)
         .select(id_col, "p")
     )
-    try:
-        state = spark.read.parquet(state_path).select("h")
-    except AnalysisException as exc:
-        if not _path_missing(exc):
-            raise
-        state = None
     if state is None:
         dup_starts = batch_dups
     else:
+        state = state.select("h")
         probe = ex.select("h").distinct()
         if probe.count() <= max_broadcast_rows:
             hits = state.join(F.broadcast(probe), "h", "left_semi").distinct()

@@ -4062,3 +4062,84 @@ def text_dedup_substring_anchor_incremental(spark, sf_dir):
     b2 = t.documents.where(F.col("doc_id") % 2 == 1)
     dedup.span_state_add(spark, b1, state)
     return dedup.substring_anchor_dedup_incremental(spark, b2, state)
+
+
+@query(
+    "stream_substring_dedup",
+    oracle=f"""
+    WITH {dedup.anchored_span_oracle_cte(span_len=50, k=4, w=5)},
+    ev AS (SELECT doc_id, p, sh,
+                  row_number() OVER (PARTITION BY sh
+                                     ORDER BY doc_id, p) AS rn
+           FROM sp WHERE doc_id % 2 = 0),
+    odd AS (SELECT doc_id, p, sh,
+                   row_number() OVER (PARTITION BY sh
+                                      ORDER BY doc_id, p) AS rn
+            FROM sp WHERE doc_id % 2 = 1),
+    d AS (SELECT doc_id, p FROM ev WHERE rn > 1
+          UNION ALL
+          SELECT doc_id, p FROM odd
+          WHERE rn > 1
+             OR sh IN (SELECT sh FROM sp WHERE doc_id % 2 = 0)),
+    tok AS (SELECT doc_id, CAST(q - 1 AS BIGINT) AS q, ws[q] AS tk
+            FROM st, unnest(generate_series(1, n)) AS gq(q)),
+    kept AS (SELECT t.doc_id, t.q, t.tk FROM tok t
+             WHERE NOT EXISTS (SELECT 1 FROM d
+                               WHERE d.doc_id = t.doc_id
+                                 AND d.p <= t.q AND t.q < d.p + 50))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+           string_agg(tk, ' ' ORDER BY q) AS text_dedup
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def stream_substring_dedup(spark, sf_dir):
+    # The substring-dedup ingest loop in TRUE STREAMING form — the
+    # triplet-closing twin of text_dedup_substring_anchor_incremental
+    # (batch state loop) and text_dedup_substring_anchor (one-shot):
+    # batch 1 (even doc_ids) commits to a snapshot table and the
+    # change-feed consumer (streaming/curation_stream.py
+    # start_substring_dedup_stream) folds it; batch 2 (odds) commits
+    # and a SECOND stream RESTARTED from the checkpoint drains the
+    # delta — the kill/catch-up cycle. Each published version carries
+    # the cumulative deduped data AND the cumulative span-hash set in
+    # ONE atomically-pointered directory (no split-store crash
+    # window). The oracle states the two-phase rule over the union
+    # (evens dedup among themselves in (doc_id, p) order; odds drop
+    # against even spans or earlier odds), so the hash match proves
+    # the streaming execution lands exactly the two-batch semantics.
+    from ..etl.snapshot import commit_batch_atomic
+    from ..scratch import scratch_dir
+    from ..streaming.curation_stream import (
+        _substring_version_part,
+        start_substring_dedup_stream,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "text", F.col("doc_id").cast("long").alias("block")
+    )
+    root = scratch_dir("stream_substr_src")
+    out = scratch_dir("stream_substr_out")
+    ckpt = scratch_dir("stream_substr_ckpt")
+    hi = int(docs.agg(F.max("block")).first()[0])
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    commit_batch_atomic(
+        spark, root, {"docs": b1}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=b1.select("block"),
+    )
+    q1 = start_substring_dedup_stream(spark, root, "docs", out, ckpt)
+    q1.awaitTermination(300)
+
+    commit_batch_atomic(
+        spark, root, {"docs": docs}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=docs.select("block"),
+    )
+    q2 = start_substring_dedup_stream(spark, root, "docs", out, ckpt)
+    q2.awaitTermination(300)
+
+    return (
+        _substring_version_part(spark, out, "data")
+        .select("doc_id", "n_tokens_kept", "text_dedup")
+        .orderBy("doc_id")
+    )

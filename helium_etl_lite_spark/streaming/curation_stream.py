@@ -122,3 +122,94 @@ def start_curation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming substring dedup — the anchored-span ingest loop as a TRUE
+# Structured Streaming consumer of the snapshot change feed.
+
+
+def _substring_version_part(spark: SparkSession, out_dir: str, part: str):
+    """Read one part (data | spans) of the current published version,
+    or None before the first publish."""
+    done = mirror_version(out_dir)
+    if done is None:
+        return None
+    return spark.read.parquet(os.path.join(out_dir, f"v={done}", part))
+
+
+def substring_changes_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str
+) -> bool:
+    """Idempotently fold one change-feed microbatch through the
+    substring-dedup ingest loop into a versioned store. Each published
+    version carries the cumulative deduped DATA **and** the cumulative
+    span-hash SET in one atomically-pointered directory — the same
+    no-split-store discipline as the curation loop: a replayed
+    batch_id skips wholesale (pointer check), and a crash between the
+    data write and the pointer leaves the previous version fully
+    intact, spans included, so the replay re-derives the identical
+    result."""
+    done = mirror_version(out_dir)
+    if done is not None and done >= batch_id:
+        return False
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    from ..operators.dedup import (
+        anchored_span_table,
+        substring_anchor_dedup_incremental_df,
+    )
+
+    docs = batch_df.where(F.col("_change_type") == "insert").select(
+        "doc_id", "text"
+    )
+    if docs.isEmpty():
+        return False
+    prev_data = _substring_version_part(spark, out_dir, "data")
+    prev_spans = _substring_version_part(spark, out_dir, "spans")
+    deduped = substring_anchor_dedup_incremental_df(docs, prev_spans)
+    batch_spans = anchored_span_table(docs).select("h").distinct()
+    new_spans = (
+        prev_spans.select("h").unionByName(batch_spans).distinct()
+        if prev_spans is not None
+        else batch_spans
+    )
+    new_data = (
+        prev_data.unionByName(deduped) if prev_data is not None else deduped
+    )
+    vdir = os.path.join(out_dir, f"v={batch_id}")
+    new_data.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+    new_spans.write.mode("overwrite").parquet(os.path.join(vdir, "spans"))
+    write_pointer_atomic(out_dir, batch_id, data_dir=vdir)
+    return True
+
+
+def start_substring_dedup_stream(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Subscribe the substring-dedup ingest loop to a snapshot table's
+    change feed (one microbatch per snapshot-version delta;
+    availableNow drains pending commits then stops — restartable from
+    the checkpoint)."""
+    from ..sources.python_datasource import register_snapshot_changes
+
+    register_snapshot_changes(spark)
+    os.makedirs(out_dir, exist_ok=True)
+    feed = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("table", table)
+        .load()
+    )
+    writer = feed.writeStream.foreachBatch(
+        lambda df, bid: substring_changes_batch(df, bid, out_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -888,3 +888,62 @@ class TestStreamingCuration:
         # a gate-failing doc never lands
         b2 = self._batch(spark, [(5, "en", "too short", "insert")])
         assert cs.curate_changes_batch(b2, 2, cdir) is False
+
+
+def test_substring_stream_replay_is_noop_and_restart_resumes(spark, tmp_path):
+    # kill/restart exactly-once for the streaming span-state loop:
+    # (1) bootstrap drain from commit 1, (2) a RESTARTED stream drains
+    # the commit-2 delta from the checkpoint, (3) a third drain with no
+    # new commit publishes nothing (replay no-op), and the final data
+    # matches the batch-incremental semantics (state hit drops the
+    # re-quoted passage).
+    from pyspark.sql import functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import commit_batch_atomic
+    from helium_etl_lite_spark.streaming.curation_stream import (
+        _substring_version_part,
+        mirror_version,
+        start_substring_dedup_stream,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(60))
+    docs1 = spark.createDataFrame(
+        [(0, passage + " " + " ".join(f"a{i}" for i in range(15)), 0)],
+        "doc_id long, text string, block long",
+    )
+    quoted = " ".join(
+        [f"x{i}" for i in range(3)] + passage.split() + ["tail0", "tail1"]
+    )
+    docs2 = docs1.unionByName(
+        spark.createDataFrame(
+            [(1, quoted, 1)], "doc_id long, text string, block long"
+        )
+    )
+    root, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    commit_batch_atomic(
+        spark, root, {"docs": docs1}, lo=0, hi=1, height=1,
+        first_block=0, heights=docs1.select("block"),
+    )
+    start_substring_dedup_stream(spark, root, "docs", out, ckpt).awaitTermination(300)
+    v1 = mirror_version(out)
+    assert v1 is not None
+
+    commit_batch_atomic(
+        spark, root, {"docs": docs2}, lo=0, hi=1, height=1,
+        first_block=0, heights=docs2.select("block"),
+    )
+    start_substring_dedup_stream(spark, root, "docs", out, ckpt).awaitTermination(300)
+    v2 = mirror_version(out)
+    assert v2 > v1
+
+    # no new commit: a third drain must publish nothing
+    start_substring_dedup_stream(spark, root, "docs", out, ckpt).awaitTermination(300)
+    assert mirror_version(out) == v2
+
+    rows = {
+        r["doc_id"]: r
+        for r in _substring_version_part(spark, out, "data").collect()
+    }
+    assert rows[0]["n_tokens_kept"] == 75  # first copy intact
+    assert rows[1]["n_tokens_kept"] <= 65 - 50  # quoted passage dropped

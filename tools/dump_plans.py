@@ -197,6 +197,7 @@ HEADLINE_NOTES = {
     "text_dedup_substring_anchor_incremental": "batch span table checkpointed once; state scan semi-joined against the BROADCAST batch-hash probe (state never shuffles); within-batch window on the span hash; token filter row-local",
     "agg_kmv_theta_sketch_portable": "one scan feeding both set filters, one (sid, hash) distinct, per-set k-smallest via ranked window with MAP-SIDE WindowGroupLimit pruning; union/intersection algebra on two 64-element arrays in a 1-row broadcast-scalar frame",
     "sample_weighted_reservoir": "one scan, row-local E-S key, TakeOrderedAndProject top-50 (never a global sort); rank window on the bounded result",
+    "stream_substring_dedup": "foreachBatch over the snapshot_changes source; per batch: span-table build + broadcast probe vs the published span set + ONE atomic version publish carrying data AND spans",
 }
 
 
