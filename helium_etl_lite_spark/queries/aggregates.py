@@ -1305,3 +1305,128 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
         "exact_b",
         "exact_union",
     )
+
+
+@query(
+    "agg_kmv_theta_anotb_portable",
+    oracle=f"""
+    WITH s AS (
+      SELECT 'a' AS sid, l_partkey AS key FROM lineitem WHERE l_quantity <= 5
+      UNION ALL
+      SELECT 'b' AS sid, l_partkey AS key FROM lineitem WHERE l_quantity >= 45),
+    h AS (SELECT DISTINCT sid,
+                 CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h
+          FROM s),
+    r AS (SELECT sid, h,
+                 row_number() OVER (PARTITION BY sid ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT sid, list_sort(list(h)) AS ks,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM r WHERE rn <= {_KMV_K} GROUP BY sid),
+    one AS (SELECT
+      (SELECT ks FROM sk WHERE sid = 'a') AS ka,
+      (SELECT n  FROM sk WHERE sid = 'a') AS n_a,
+      (SELECT ks FROM sk WHERE sid = 'b') AS kb,
+      (SELECT CAST(COUNT(DISTINCT a.l_partkey) AS BIGINT)
+       FROM lineitem a WHERE a.l_quantity <= 5
+         AND a.l_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                 WHERE l_quantity >= 45)) AS exact_anotb),
+    alg AS (SELECT *,
+                   ka[n_a] AS theta_a,
+                   list_filter(ka, x -> NOT list_contains(kb, x)) AS kd
+            FROM one)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_a, theta_a,
+           CAST(len(kd) AS BIGINT) AS n_retained,
+           CASE WHEN n_a < {_KMV_K}
+                THEN CAST(len(kd) AS DOUBLE)
+                ELSE round((CAST(len(kd) AS DOUBLE)
+                            * ({_KMV_EST_NUM} / theta_a)) / {_KMV_K}, 6)
+           END AS est_anotb,
+           exact_anotb
+    FROM alg
+    """,
+)
+def agg_kmv_theta_anotb_portable(spark, sf_dir):
+    """KMV / theta A-NOT-B (the DataSketches AnotB operation) —
+    completes the sketch set algebra started by
+    agg_kmv_theta_sketch_portable (union, intersection): the
+    difference estimate rides the SAME inclusion-fraction identity on
+    A's own sketch. Ka is a uniform k-sample of A below theta_a, so
+    the fraction of Ka entries NOT found in B's sketch estimates
+    |A \\ B| / |A|:  est = (|Ka \\ Kb| / k) · est(A).  One row-local
+    list_filter over two 64-element arrays — the sketch never rescans
+    either fact set, the re-aggregation property that makes theta
+    sketches the warehouse-standard distinct-set algebra. Exact
+    ground truth (NOT IN over the base table) rides alongside.
+
+    Approximation caveat documented as part of the contract: Kb only
+    covers B below theta_b, so a Ka entry in B but above theta_b is
+    miscounted as 'not in B' — the standard KMV AnotB bias, bounded
+    because theta_a <= theta_b whenever |A| >= |B| at equal k. Same
+    portable-exact discipline as the sketch query: md5-32 hashes,
+    integer selection, pinned parenthesization, round-6."""
+    from pyspark.sql import Window as W
+
+    k = _KMV_K
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    s = (
+        li.where(F.col("l_quantity") <= 5)
+        .select(F.lit("a").alias("sid"), F.col("l_partkey").alias("key"))
+        .unionByName(
+            li.where(F.col("l_quantity") >= 45).select(
+                F.lit("b").alias("sid"), F.col("l_partkey").alias("key")
+            )
+        )
+    )
+    h = s.select(
+        "sid",
+        F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = W.partitionBy("sid").orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    sk = topk.groupBy("sid").agg(
+        F.sort_array(F.collect_list("h")).alias("ks"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    one = sk.groupBy().agg(
+        F.max(F.when(F.col("sid") == "a", F.col("ks"))).alias("ka"),
+        F.max(F.when(F.col("sid") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("sid") == "b", F.col("ks"))).alias("kb"),
+    )
+    b_keys = li.where(F.col("l_quantity") >= 45).select("l_partkey").distinct()
+    exact = (
+        li.where(F.col("l_quantity") <= 5)
+        .select("l_partkey")
+        .distinct()
+        .join(b_keys, "l_partkey", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_anotb"))
+    )
+    alg = (
+        one.crossJoin(F.broadcast(exact))
+        .withColumn("theta_a", F.element_at("ka", F.col("n_a").cast("int")))
+        .withColumn(
+            "kd",
+            F.filter(
+                F.col("ka"), lambda x: ~F.array_contains(F.col("kb"), x)
+            ),
+        )
+    )
+    num = F.lit(_KMV_EST_NUM)
+    return alg.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_a",
+        "theta_a",
+        F.size("kd").cast("long").alias("n_retained"),
+        F.when(F.col("n_a") < k, F.size("kd").cast("double"))
+        .otherwise(
+            F.round(
+                (F.size("kd").cast("double") * (num / F.col("theta_a"))) / k, 6
+            )
+        )
+        .alias("est_anotb"),
+        "exact_anotb",
+    )

@@ -97,6 +97,7 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_kmv_theta_sketch_portable",  # KMV/theta sketch set-op estimates
     "sample_weighted_reservoir",      # Efraimidis-Spirakis A-Res top-k
     "stream_substring_dedup",         # streaming span-state ingest loop
+    "agg_kmv_theta_anotb_portable",   # theta-sketch difference estimate
     # (4) oldest r4 re-confirms fill the remaining slots (the rest of
     #     the r4 cohort rolls to r10):
     "project_rename_cast",            # r4
@@ -105,13 +106,13 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_global",                     # r4
     "agg_groupby_hash",               # r4
     "agg_count_distinct",             # r4
-    "agg_approx_count_distinct",      # r4
     # (3b) r9 implementation changes (a changed query needs a fresh
     #      verdict more than an r4 re-confirm — these displace
     #      agg_collect_list_set + agg_percentile to r10):
     "graph_kcore_peel",               # r9 delta-peel rewrite, 2.5x
     "graph_reachability_recursive",   # r9 hoisted-edge recursion, 1.7x
-    # (remaining r4 vintages queue for the r10 window: agg_avg_stddev_var,
+    # (remaining r4 vintages queue for the r10 window:
+    #  agg_approx_count_distinct, agg_avg_stddev_var,
     #  agg_grouping_sets,
     #  agg_rollup, agg_cube,
     #  agg_having, agg_collect_list_set, agg_percentile, agg_partial_final,

@@ -198,6 +198,7 @@ HEADLINE_NOTES = {
     "agg_kmv_theta_sketch_portable": "one scan feeding both set filters, one (sid, hash) distinct, per-set k-smallest via ranked window with MAP-SIDE WindowGroupLimit pruning; union/intersection algebra on two 64-element arrays in a 1-row broadcast-scalar frame",
     "sample_weighted_reservoir": "one scan, row-local E-S key, TakeOrderedAndProject top-50 (never a global sort); rank window on the bounded result",
     "stream_substring_dedup": "foreachBatch over the snapshot_changes source; per batch: span-table build + broadcast probe vs the published span set + ONE atomic version publish carrying data AND spans",
+    "agg_kmv_theta_anotb_portable": "same sketch build as the union/intersection query (map-side-pruned per-set k-smallest); difference algebra = one list_filter over two 64-element arrays in a 1-row frame",
 }
 
 
