@@ -39,9 +39,15 @@ exact all-pairs BY CONTRACT (quadratic, 100x expected); its
 production-path twin `vec_dedup_semantic` is measured instead.
 Disable with SPARK_GRAFT_BENCH_SCALE=0.
 
-Note r5's summary JSON line was tail-truncated in BENCH_r05.json; the
-per-run series now stay on stderr (one comment line per query) and the
-JSON line keeps only min/spread per query so it stays short.
+Stdout contract (r9 verdict item 1): the driver captures only a ~2 KB
+stdout tail, and BENCH_r05..r09 were head-truncated past recovery once
+the scale lane grew to 38 queries. The FINAL stdout line is now a
+compact summary guaranteed <= 1.5 KB: metric, value, the 12 headline
+timings, extended/scale totals, and the worst-3 scale ratios. The full
+detail document (every timing, spread, per-query scale ratio) goes to
+stderr as a single `# DETAIL <json>` line, and per-run series stay on
+stderr as before. A hard assert keeps the stdout line under budget so
+a future lane addition can't silently break the driver parse again.
 """
 
 from __future__ import annotations
@@ -271,7 +277,9 @@ def main():
             }
 
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        out = {
+        # Full-detail document -> stderr (the driver only keeps a short
+        # stdout tail; humans and tools read BENCH detail from here).
+        detail = {
             "metric": "headline_queries_total",
             "value": round(sum(timings[q] for q in HEADLINE), 3),
             "unit": "sec",
@@ -287,8 +295,36 @@ def main():
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         }
         if scale_block is not None:
-            out["scale"] = scale_block
-        print(json.dumps(out))
+            detail["scale"] = scale_block
+        print("# DETAIL " + json.dumps(detail), file=sys.stderr)
+
+        # Compact summary -> the FINAL stdout line (<= 1.5 KB, asserted).
+        out = {
+            "metric": "headline_queries_total",
+            "value": detail["value"],
+            "unit": "sec",
+            "sf": detail["sf"],
+            "queries": {q: timings[q] for q in HEADLINE},
+            "n_runs": N_RUNS,
+            "extended_total": detail["extended_total"],
+            "loadavg_start": detail["loadavg_start"],
+        }
+        if scale_block is not None:
+            ratios = scale_block["ratio_vs_base"]
+            worst3 = dict(
+                sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
+            )
+            out["scale_total"] = scale_block["total"]
+            out["scale_replicas"] = scale_block["replicas"]
+            out["scale_n_queries"] = len(scale_block["queries"])
+            out["scale_worst3_ratio"] = worst3
+            out["scale_max_ratio"] = max(ratios.values()) if ratios else None
+        line = json.dumps(out)
+        assert len(line) <= 1500, (
+            f"stdout summary line grew to {len(line)} bytes; trim it — "
+            "the driver tail-captures ~2 KB (r9 verdict item 1)"
+        )
+        print(line)
     finally:
         spark.stop()
 

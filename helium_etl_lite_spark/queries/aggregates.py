@@ -1307,6 +1307,9 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
     )
 
 
+_KMV_H = 1 << 32  # md5-32 hash range (theta scale)
+
+
 @query(
     "agg_kmv_theta_anotb_portable",
     oracle=f"""
@@ -1328,21 +1331,26 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
       (SELECT ks FROM sk WHERE sid = 'a') AS ka,
       (SELECT n  FROM sk WHERE sid = 'a') AS n_a,
       (SELECT ks FROM sk WHERE sid = 'b') AS kb,
+      (SELECT n  FROM sk WHERE sid = 'b') AS n_b,
       (SELECT CAST(COUNT(DISTINCT a.l_partkey) AS BIGINT)
        FROM lineitem a WHERE a.l_quantity <= 5
          AND a.l_partkey NOT IN (SELECT l_partkey FROM lineitem
                                  WHERE l_quantity >= 45)) AS exact_anotb),
+    th AS (SELECT *,
+                  CASE WHEN n_a < {_KMV_K} THEN {_KMV_H}
+                       ELSE ka[n_a] END AS theta_a,
+                  CASE WHEN n_b < {_KMV_K} THEN {_KMV_H}
+                       ELSE kb[n_b] END AS theta_b
+           FROM one),
     alg AS (SELECT *,
-                   ka[n_a] AS theta_a,
-                   list_filter(ka, x -> NOT list_contains(kb, x)) AS kd
-            FROM one)
-    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_a, theta_a,
+                   least(theta_a, theta_b) AS theta,
+                   list_filter(ka, x -> x < least(theta_a, theta_b)
+                                    AND NOT list_contains(kb, x)) AS kd
+            FROM th)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_a, n_b, theta,
            CAST(len(kd) AS BIGINT) AS n_retained,
-           CASE WHEN n_a < {_KMV_K}
-                THEN CAST(len(kd) AS DOUBLE)
-                ELSE round((CAST(len(kd) AS DOUBLE)
-                            * ({_KMV_EST_NUM} / theta_a)) / {_KMV_K}, 6)
-           END AS est_anotb,
+           round(CAST(len(kd) AS DOUBLE)
+                 * (CAST({_KMV_H} AS DOUBLE) / theta), 6) AS est_anotb,
            exact_anotb
     FROM alg
     """,
@@ -1350,22 +1358,24 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
 def agg_kmv_theta_anotb_portable(spark, sf_dir):
     """KMV / theta A-NOT-B (the DataSketches AnotB operation) —
     completes the sketch set algebra started by
-    agg_kmv_theta_sketch_portable (union, intersection): the
-    difference estimate rides the SAME inclusion-fraction identity on
-    A's own sketch. Ka is a uniform k-sample of A below theta_a, so
-    the fraction of Ka entries NOT found in B's sketch estimates
-    |A \\ B| / |A|:  est = (|Ka \\ Kb| / k) · est(A).  One row-local
-    list_filter over two 64-element arrays — the sketch never rescans
-    either fact set, the re-aggregation property that makes theta
-    sketches the warehouse-standard distinct-set algebra. Exact
-    ground truth (NOT IN over the base table) rides alongside.
-
-    Approximation caveat documented as part of the contract: Kb only
-    covers B below theta_b, so a Ka entry in B but above theta_b is
-    miscounted as 'not in B' — the standard KMV AnotB bias, bounded
-    because theta_a <= theta_b whenever |A| >= |B| at equal k. Same
-    portable-exact discipline as the sketch query: md5-32 hashes,
-    integer selection, pinned parenthesization, round-6."""
+    agg_kmv_theta_sketch_portable (union, intersection), via the
+    STANDARD theta-sketch difference: derive theta =
+    min(theta_a, theta_b) (a sketch holding fewer than k keys is
+    exhaustive, so its theta is the full hash range H), keep the Ka
+    entries below theta that are absent from Kb, and estimate
+    |A \\ B| = |retained| · (H / theta).  Below min-theta BOTH
+    sketches are complete samples of their sets, so membership tests
+    against Kb are never wrong there — this removes the one-sided
+    bias a theta_a-scaled filter carries when theta_b < theta_a
+    (r9 ADVICE item 3).  When both sides are exhaustive theta = H and
+    the estimate degenerates to the exact retained count.  One
+    row-local list_filter over two 64-element arrays — the sketch
+    never rescans either fact set, the re-aggregation property that
+    makes theta sketches the warehouse-standard distinct-set algebra.
+    Exact ground truth (anti-join over the base table) rides
+    alongside.  Same portable-exact discipline as the sketch query:
+    md5-32 hashes, integer theta comparisons, IEEE-pinned
+    parenthesization, round-6."""
     from pyspark.sql import Window as W
 
     k = _KMV_K
@@ -1396,6 +1406,7 @@ def agg_kmv_theta_anotb_portable(spark, sf_dir):
         F.max(F.when(F.col("sid") == "a", F.col("ks"))).alias("ka"),
         F.max(F.when(F.col("sid") == "a", F.col("n"))).alias("n_a"),
         F.max(F.when(F.col("sid") == "b", F.col("ks"))).alias("kb"),
+        F.max(F.when(F.col("sid") == "b", F.col("n"))).alias("n_b"),
     )
     b_keys = li.where(F.col("l_quantity") >= 45).select("l_partkey").distinct()
     exact = (
@@ -1405,28 +1416,41 @@ def agg_kmv_theta_anotb_portable(spark, sf_dir):
         .join(b_keys, "l_partkey", "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_anotb"))
     )
+    big = F.lit(_KMV_H).cast("long")
     alg = (
         one.crossJoin(F.broadcast(exact))
-        .withColumn("theta_a", F.element_at("ka", F.col("n_a").cast("int")))
+        .withColumn(
+            "theta_a",
+            F.when(F.col("n_a") < k, big).otherwise(
+                F.element_at("ka", F.col("n_a").cast("int"))
+            ),
+        )
+        .withColumn(
+            "theta_b",
+            F.when(F.col("n_b") < k, big).otherwise(
+                F.element_at("kb", F.col("n_b").cast("int"))
+            ),
+        )
+        .withColumn("theta", F.least("theta_a", "theta_b"))
         .withColumn(
             "kd",
             F.filter(
-                F.col("ka"), lambda x: ~F.array_contains(F.col("kb"), x)
+                F.col("ka"),
+                lambda x: (x < F.col("theta"))
+                & ~F.array_contains(F.col("kb"), x),
             ),
         )
     )
-    num = F.lit(_KMV_EST_NUM)
     return alg.select(
         F.lit(k).cast("long").alias("k"),
         "n_a",
-        "theta_a",
+        "n_b",
+        "theta",
         F.size("kd").cast("long").alias("n_retained"),
-        F.when(F.col("n_a") < k, F.size("kd").cast("double"))
-        .otherwise(
-            F.round(
-                (F.size("kd").cast("double") * (num / F.col("theta_a"))) / k, 6
-            )
-        )
-        .alias("est_anotb"),
+        F.round(
+            F.size("kd").cast("double")
+            * (F.lit(float(_KMV_H)) / F.col("theta")),
+            6,
+        ).alias("est_anotb"),
         "exact_anotb",
     )

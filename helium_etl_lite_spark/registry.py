@@ -49,83 +49,82 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # r9 rotation (r8 verdict directives 1+2).
-    # (1) ALL 12 never-driver-checked registrations drain FIRST — this
-    #     converts their pytest-only evidence into hard driver signal:
-    "agg_bitmap_setops",          # bitmap AND/OR/XOR algebra, exact
-    "join_asof_nearest",          # nearest-neighbor as-of join, exact
-    "join_spatial_knn_grid",      # 9-cell grid kNN, exact, no-BNLJ pinned
-    "merge_upsert_scd2",          # SCD2 close-and-open merge, exact
-    "sink_bloom_skipping_index",  # bloom data-skipping sidecar, exact
-    "stream_incremental_curation", # TRUE streaming curation twin, exact
-    "table_analyze_stats",        # ANALYZE-style column stats, exact
-    "text_dedup_winnow",          # winnowing-screened near-dup, exact
-    "ts_ewma_portable",           # integer-exact EWMA recurrence, exact
-    "vec_ann_ivfpq_portable",     # IVFADC residual-PQ + rerank, exact
-    "vec_ann_lsh_multiprobe_portable", # hamming-7 multiprobe LSH, exact
-    "vec_knn_classify",           # kNN majority-vote classify, exact
-    # (2) retire the FULL r2/r3 verdict cohort (oldest first) — after
-    #     this round no verdict on record is older than r4:
-    "stream_stateful_running_count",  # r2
-    "udtf_flatten",                   # r2
-    "feature_user_activity",          # r3
-    "math_funcs",                     # r3
-    "multimodal_feature_extract",     # r3
-    "multimodal_frame_sample",        # r3
-    "multimodal_resize",              # r3
-    "sample_stratified",              # r3
-    "source_csv_roundtrip",           # r3
-    "stream_stream_interval_join",    # r3
-    "text_clean_normalize",           # r3
-    "text_dedup_keep_longest",        # r3
-    "text_lang_topk",                 # r3
-    "text_ngram_topk",                # r3
-    "text_pii_scrub",                 # r3
-    "text_repetition_stats",          # r3
-    "text_vocab_prune",               # r3
-    "vec_ann_ivf",                    # r3 (rows-only by design; re-run)
-    "vec_cluster_assign",             # r3
-    "vec_kmeans",                     # r3 (rows-only by design; re-run)
-    "vec_quantize_int8",              # r3
-    "win_sliding_avg_range_frame",    # r3
-    # (3) NEW r9 registrations (first driver contact — a first verdict
-    #     on an exact query outranks an r4 re-confirm):
-    "text_dedup_substring_anchor",    # suffix-anchor exact-substring dedup
-    "retrieval_rrf_hybrid",           # BM25 + ANN reciprocal-rank fusion
-    "text_contamination_substring",   # substring-grade decontamination
-    "text_dedup_substring_anchor_incremental",  # span-state ingest loop
-    "agg_kmv_theta_sketch_portable",  # KMV/theta sketch set-op estimates
-    "sample_weighted_reservoir",      # Efraimidis-Spirakis A-Res top-k
-    "stream_substring_dedup",         # streaming span-state ingest loop
-    "agg_kmv_theta_anotb_portable",   # theta-sketch difference estimate
-    # (4) oldest r4 re-confirms fill the remaining slots (the rest of
-    #     the r4 cohort rolls to r10):
-    "project_rename_cast",            # r4
-    "filter_equality",                # r4
-    "filter_range_and_or_not",        # r4
-    "agg_global",                     # r4
-    "agg_groupby_hash",               # r4
-    "agg_count_distinct",             # r4
-    # (3b) r9 implementation changes (a changed query needs a fresh
-    #      verdict more than an r4 re-confirm — these displace
-    #      agg_collect_list_set + agg_percentile to r10):
-    "graph_kcore_peel",               # r9 delta-peel rewrite, 2.5x
-    "graph_reachability_recursive",   # r9 hoisted-edge recursion, 1.7x
-    # (remaining r4 vintages queue for the r10 window:
-    #  agg_approx_count_distinct, agg_avg_stddev_var,
-    #  agg_grouping_sets,
-    #  agg_rollup, agg_cube,
-    #  agg_having, agg_collect_list_set, agg_percentile, agg_partial_final,
-    #  join_multiway_star, vec_knn_cosine, agg_argminmax, agg_corr_covar,
-    #  agg_mode_deterministic, agg_percentile_approx, agg_pivot,
-    #  agg_string_listagg, anomaly_zscore, dedup_cluster_components,
-    #  dedup_ngram_jaccard, exists_in_block_range, json_variant_extract,
-    #  rollup_time_hypertable, scd2_intervals, sessionize_gap30,
-    #  sink_partitioned_prune, source_orc_roundtrip, subquery_in_exists,
-    #  subquery_scalar, text_contamination_ngram, unpivot_melt,
-    #  win_cume_dist_nth, pipeline_corpus_curation, vec_dedup_cosine —
-    #  until then their evidence is the full-registry DuckDB sweep,
-    #  tests/test_queries_oracle.py, run on HEAD each round)
+    # r10 rotation (r9 verdict directive 2): the ENTIRE 34-query
+    # r4-vintage cohort enters the window — after this round no driver
+    # verdict on record is older than r5.  New r10 registrations are
+    # capped (<=12) and take the remaining slots ahead of the oldest
+    # r5 re-confirms.
+    # (1) all 34 r4-vintage re-confirms:
+    "agg_approx_count_distinct",      # r4 (rows-only by design; re-run)
+    "agg_argminmax",                  # r4
+    "agg_avg_stddev_var",             # r4
+    "agg_collect_list_set",           # r4
+    "agg_corr_covar",                 # r4
+    "agg_cube",                       # r4
+    "agg_grouping_sets",              # r4
+    "agg_having",                     # r4
+    "agg_mode_deterministic",         # r4
+    "agg_partial_final",              # r4
+    "agg_percentile",                 # r4
+    "agg_percentile_approx",          # r4
+    "agg_pivot",                      # r4
+    "agg_rollup",                     # r4
+    "agg_string_listagg",             # r4
+    "anomaly_zscore",                 # r4
+    "dedup_cluster_components",       # r4
+    "dedup_ngram_jaccard",            # r4
+    "exists_in_block_range",          # r4
+    "join_multiway_star",             # r4 (the flagship)
+    "json_variant_extract",           # r4
+    "pipeline_corpus_curation",       # r4
+    "rollup_time_hypertable",         # r4
+    "scd2_intervals",                 # r4
+    "sessionize_gap30",               # r4
+    "sink_partitioned_prune",         # r4
+    "source_orc_roundtrip",           # r4
+    "subquery_in_exists",             # r4
+    "subquery_scalar",                # r4
+    "text_contamination_ngram",       # r4
+    "unpivot_melt",                   # r4
+    "vec_dedup_cosine",               # r4 (exact all-pairs by contract)
+    "vec_knn_cosine",                 # r4
+    "win_cume_dist_nth",              # r4
+    # (2) NEW r10 registrations (first driver contact; each slot here
+    #     displaces an r5 re-confirm to r11):
+    # "text_quality_classifier_train",  # hashed logistic-regression trainer
+    # "text_tokenize_unigram_lm",       # Kudo-2018 unigram-LM tokenizer
+    # "sink_snapshot_changes_updates",  # CDC update_pre/postimage pairing
+    # "dedup_cluster_components_star",  # Kiveris-2014 large/small-star CC
+    # "multimodal_audio_spectrogram",   # integer-DFT band energies (WAV)
+    # "sample_token_budget_unigram",    # unigram-LM-priced token budget
+    # (2b) r10 implementation change — the standard min-theta AnotB
+    #      rewrite (r9 ADVICE item 3) needs a fresh verdict:
+    "agg_kmv_theta_anotb_portable",   # theta=min(a,b) difference est.
+    # (3) oldest r5 re-confirms fill the remaining slots (rest of the
+    #     r5 cohort — the scalar-funcs/windows tail — queues for r11):
+    "filter_in_set",                  # r5
+    "filter_null_semantics",          # r5
+    "filter_like_regex",              # r5
+    "case_when_dispatch",             # r5
+    "join_inner_equi",                # r5
+    "join_broadcast_dim",             # r5
+    "join_sortmerge_large",           # r5
+    "join_asof_event_order",          # r5
+    "win_row_number_topk_per_group",  # r5
+    # (r5 vintages still queued for the r11 window: array_funcs,
+    #  case_when/cast_try_cast, date_funcs, filter_*, funnel_conversion,
+    #  hash_funcs, hash_funcs_xxhash64, join_left_*, join_range_binned,
+    #  join_skew_salted, json_funcs, map_funcs, multimodal_decode_stub,
+    #  pack_sequence_bins, retention_cohort, sample_balance_buckets,
+    #  sample_token_budget, str_funcs, text_dedup_exact,
+    #  text_fingerprint_rolling,
+    #  text_lang_id_ngram, text_perplexity_unigram, text_quality_score,
+    #  text_token_count_regex, text_tokenize_stats, ts_gapfill_locf,
+    #  ts_interpolate_linear, ts_resample_ohlc, vec_ann_lsh,
+    #  win_first_last_value, win_lag_lead, win_rank_dense_rank,
+    #  win_running_sum_frame — until then their evidence is the
+    #  full-registry DuckDB sweep, tests/test_queries_oracle.py,
+    #  run on HEAD each round)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

@@ -27,7 +27,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .mirror import mirror_version, read_mirror, write_pointer_atomic
+from .mirror import (
+    mirror_version,
+    prune_versions,
+    read_mirror,
+    write_pointer_atomic,
+)
 
 CURATED_COLS = ["doc_id", "lang", "text_hash"]
 
@@ -92,6 +97,7 @@ def curate_changes_batch(
     vdir = os.path.join(curated_dir, f"v={batch_id}")
     new.write.mode("overwrite").parquet(vdir)
     write_pointer_atomic(curated_dir, batch_id, data_dir=vdir)
+    prune_versions(curated_dir)
     return True
 
 
@@ -149,7 +155,15 @@ def substring_changes_batch(
     batch_id skips wholesale (pointer check), and a crash between the
     data write and the pointer leaves the previous version fully
     intact, spans included, so the replay re-derives the identical
-    result."""
+    result.
+
+    Cost model (documented, r9 ADVICE item 2): each version is the
+    CUMULATIVE corpus + span set, so a commit writes and fsyncs
+    O(store), not O(batch) — the price of flipping data and dedup
+    state behind one pointer. prune_versions caps the disk growth to
+    two retained versions; a production variant needing O(batch)
+    commits would split spans into the append-only sharded
+    span_state_add layout and accept the two-store crash window."""
     done = mirror_version(out_dir)
     if done is not None and done >= batch_id:
         return False
@@ -182,6 +196,7 @@ def substring_changes_batch(
     new_data.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
     new_spans.write.mode("overwrite").parquet(os.path.join(vdir, "spans"))
     write_pointer_atomic(out_dir, batch_id, data_dir=vdir)
+    prune_versions(out_dir)
     return True
 
 

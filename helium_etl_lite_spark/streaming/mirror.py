@@ -40,7 +40,14 @@ def _fsync_tree(path: str) -> None:
     the data half of a durable pointer commit: a pointer made durable
     before its parquet pages flush would name a missing/truncated
     version after a power cut (batch never replays; the store is
-    permanently broken). Bounded by the batch's own output size."""
+    permanently broken). Cost is the size of the tree PASSED, and the
+    cumulative stores (mirror, curation, substring spans) pass the full
+    v=<batch_id> directory — O(store), not O(batch), per commit. That
+    is the deliberate trade for the single-pointer exactly-once recipe
+    (data + state flip together); a production store that needs
+    O(batch) commit latency would move to an append-only delta layout
+    (the sharded span_state_add path) where each version directory
+    holds only the batch's own files."""
     for root, _dirs, files in os.walk(path):
         for name in files:
             fd = os.open(os.path.join(root, name), os.O_RDONLY)
@@ -84,6 +91,34 @@ def write_pointer_atomic(
         os.close(dfd)
 
 
+def prune_versions(store_dir: str, keep: int = 2) -> list[int]:
+    """Retention for the versioned stores (r9 ADVICE item 2): each
+    commit writes a fresh cumulative v=<batch_id> directory, so without
+    pruning, disk grows O(versions x store). Keep the `keep` newest
+    version directories at or below the published pointer (the current
+    version plus one predecessor for post-mortem diffing) and delete
+    the rest. Never touches directories NEWER than the pointer (an
+    in-flight writer's tree) and is a no-op before the first publish.
+    Returns the pruned version numbers."""
+    import shutil
+
+    done = mirror_version(store_dir)
+    if done is None:
+        return []
+    versions = []
+    for name in os.listdir(store_dir):
+        if name.startswith("v="):
+            try:
+                versions.append(int(name[2:]))
+            except ValueError:
+                continue
+    committed = sorted(v for v in versions if v <= done)
+    pruned = committed[:-keep] if keep > 0 else committed
+    for v in pruned:
+        shutil.rmtree(os.path.join(store_dir, f"v={v}"), ignore_errors=True)
+    return pruned
+
+
 def mirror_version(mirror_dir: str) -> int | None:
     """The last applied batch_id, or None before the first apply."""
     try:
@@ -125,6 +160,7 @@ def apply_changes_batch(batch_df: DataFrame, batch_id: int, mirror_dir: str) -> 
     vdir = os.path.join(mirror_dir, f"v={batch_id}")
     new.write.mode("overwrite").parquet(vdir)
     write_pointer_atomic(mirror_dir, batch_id, data_dir=vdir)
+    prune_versions(mirror_dir)
     return True
 
 
