@@ -1686,3 +1686,35 @@ def train_hashed_classifier(docs):
         F.coalesce(F.col("z"), F.lit(0).cast("long")).alias("score_int"),
         (F.coalesce(F.col("z"), F.lit(0).cast("long")) > 0).alias("pred"),
     )
+
+
+@query("sample_token_budget_unigram")
+def sample_token_budget_unigram(spark, sf_dir):
+    """Token-budget selection priced in UNIGRAM-LM tokens — the
+    companion of sample_token_budget_bpe with the other tokenizer
+    family (Kudo 2018, operators/unigram.py): a corpus budgeted to
+    N BPE tokens is NOT N unigram tokens (r9 verdict item 4), so a
+    budget pipeline must re-account when the trainer's tokenizer
+    changes. Same deterministic selection (quality proxy n_chars DESC,
+    doc_id tie-break) and the same two-level control-plane running
+    total as every budget sampler here — no global sort, no
+    SinglePartition. rows-only BY DESIGN (lattice DP is not
+    SQL-expressible); determinism + conservation gates live in
+    tests/test_unigram.py."""
+    from ..operators import unigram
+    from ..operators.scale import select_token_budget
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", "text", "n_chars")
+    logp = unigram.train_unigram(
+        d, vocab_target=400, seed_size=2000, rounds=3
+    )
+    counted = unigram.unigram_token_counts(d, logp).drop("text")
+    return select_token_budget(
+        counted,
+        "n_chars",
+        "doc_id",
+        "n_tokens_unigram",
+        budget=20000,
+        out_col="cum_tokens_unigram",
+    ).orderBy("doc_id")
