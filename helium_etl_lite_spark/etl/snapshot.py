@@ -281,6 +281,7 @@ def read_changes(
     table: str,
     v_from: int,
     v_to: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame | None:
     """Version-diff (CDC) read: the rows that changed between snapshot
     `v_from` and `v_to` (CURRENT when None), tagged with a
@@ -290,6 +291,17 @@ def read_changes(
     re-scanning the whole committed view (r6 verdict "what's missing"
     item 1). An updated row appears as a delete of the old image plus
     an insert of the new one.
+
+    KEYED feeds (r9 verdict item 5, the Delta CDF update contract):
+    pass `key_cols` for a sink whose rows are uniquely keyed and the
+    raw delete+insert pair of an updated key is re-tagged as
+    'update_preimage' (old image) / 'update_postimage' (new image) —
+    what an SCD/merge consumer needs to distinguish a changed row from
+    an unrelated delete+insert. Pairing is one semi/anti-join set on
+    the (already O(churn)-bounded) diff keyed by `key_cols`; rows whose
+    key appears on only one side keep their plain insert/delete tags.
+    Default (None) is byte-identical to the historical feed, so the
+    mirror/curation consumers are untouched.
 
     Metadata-first: the two manifests' partition->owner maps identify
     exactly which block_ranges changed (owner version differs, or the
@@ -362,9 +374,39 @@ def read_changes(
         )
     side_from = side_from.select(sorted(side_from.columns))
     side_to = side_to.select(sorted(side_to.columns))
-    inserts = side_to.exceptAll(side_from).withColumn("_change_type", F.lit("insert"))
-    deletes = side_from.exceptAll(side_to).withColumn("_change_type", F.lit("delete"))
-    return inserts.unionByName(deletes)
+    inserts = side_to.exceptAll(side_from)
+    deletes = side_from.exceptAll(side_to)
+    if key_cols is None:
+        return inserts.withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
+    missing_keys = [k for k in key_cols if k not in side_to.columns]
+    if missing_keys:
+        raise ValueError(
+            f"read_changes: key_cols {missing_keys} not in table columns "
+            f"{sorted(side_to.columns)}"
+        )
+    # a key present on BOTH sides of the diff changed in place: tag the
+    # old image preimage, the new one postimage. The key sets are the
+    # O(churn) diff's keys — bounded, so the semi/anti joins ride the
+    # same small exchange.
+    upd_keys = (
+        inserts.select(*key_cols)
+        .intersect(deletes.select(*key_cols))
+    )
+    pre = deletes.join(upd_keys, key_cols, "left_semi").withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = inserts.join(upd_keys, key_cols, "left_semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    pure_ins = inserts.join(upd_keys, key_cols, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    pure_del = deletes.join(upd_keys, key_cols, "left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return pure_ins.unionByName(pure_del).unionByName(pre).unionByName(post)
 
 
 def commit_batch_atomic(

@@ -526,3 +526,87 @@ def test_compaction_produces_empty_change_feed(spark, tmp_path):
     assert v2 == v1 + 1  # compaction published a new version
     feed = read_changes(spark, root, "rewards", v1, v2)
     assert feed.count() == 0
+
+
+def test_keyed_feed_pairs_updates_and_apply_reproduces_v2(spark, tmp_path):
+    # r9 verdict item 5: with key_cols, an in-place change emits
+    # update_preimage/update_postimage; pure inserts/deletes keep their
+    # tags; and applying the keyed feed to v1 with UPDATE semantics
+    # (remove deleted + updated keys, add inserts + postimages)
+    # reproduces v2 exactly through an update-heavy batch.
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        commit_batch_atomic,
+        read_changes,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.range(0, 100).select(
+        F.col("id").alias("block"), (F.col("id") * 1.0).alias("v")
+    )
+    commit_batch_atomic(
+        spark, root, {"t": b1}, 0, 99, 99, 0, heights=b1.select("block")
+    )
+    # update-heavy batch: claim 0..59 — re-emit 0..39 changed (update),
+    # 40..59 dropped (delete) — plus NEW keys 100..109 (insert).
+    b2 = (
+        spark.range(0, 40)
+        .select(
+            F.col("id").alias("block"), (F.col("id") * -2.0 - 1.0).alias("v")
+        )
+        .unionByName(
+            spark.range(100, 110).select(
+                F.col("id").alias("block"), F.lit(7.0).alias("v")
+            )
+        )
+    )
+    claimed = spark.range(0, 60).select(F.col("id").alias("block")).unionByName(
+        spark.range(100, 110).select(F.col("id").alias("block"))
+    )
+    commit_batch_atomic(
+        spark, root, {"t": b2}, 0, 109, 109, 0, heights=claimed
+    )
+    feed = read_changes(spark, root, "t", 1, 2, key_cols=["block"])
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "update_preimage": 40,
+        "update_postimage": 40,
+        "delete": 20,
+        "insert": 10,
+    }, by_type
+    # postimages carry the NEW value (all negative), preimages the OLD
+    post = feed.where(F.col("_change_type") == "update_postimage")
+    assert post.where(F.col("v") >= 0).count() == 0
+    pre = feed.where(F.col("_change_type") == "update_preimage")
+    assert pre.where(F.col("v") < 0).count() == 0
+    # apply with update semantics: v1 minus (deleted + updated keys),
+    # plus inserts + postimages == v2
+    v1 = read_snapshot(spark, root, "t", version=1).select("block", "v")
+    v2 = read_snapshot(spark, root, "t", version=2).select("block", "v")
+    gone = feed.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("block")
+    add = feed.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("block", "v")
+    applied = v1.join(gone, "block", "left_anti").unionByName(add)
+    assert applied.exceptAll(v2).count() == 0
+    assert v2.exceptAll(applied).count() == 0
+    # default feed (key_cols=None) is unchanged: updates stay
+    # delete+insert pairs
+    plain = read_changes(spark, root, "t", 1, 2)
+    plain_types = {
+        r["_change_type"]: r["n"]
+        for r in plain.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert plain_types == {"insert": 50, "delete": 60}
+    # bad key column fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_cols"):
+        read_changes(spark, root, "t", 1, 2, key_cols=["nope"])
