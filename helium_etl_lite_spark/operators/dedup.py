@@ -685,6 +685,99 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", the two-phase algorithm) — the
+    scale-hardened twin of `connected_components` (r9 verdict item 6):
+    min-label propagation needs rounds proportional to the component
+    DIAMETER (a 10M-node path graph = 10M rounds), while star
+    contraction halves path lengths every phase and converges in
+    O(log n) rounds on ANY topology. Returns (id, component) with the
+    same contract (component = min reachable id; ids absent from any
+    edge are absent from the result).
+
+    Phases, each two hash shuffles (a groupBy-min and a join back):
+
+    - large-star: every node connects its strictly-LARGER neighbors to
+      the minimum of its neighborhood (incl. itself) — long chains
+      collapse toward local minima without ever fanning into a hub.
+    - small-star: every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum — stars re-root at the true local
+      min.
+
+    Kiveris Theorem 1: alternating the two preserves connectivity and
+    converges to rooted stars whose centers are the component minima.
+    Convergence = the canonical edge SET stops changing (two exceptAll
+    counts on the current frontier — bounded control actions).
+    Lineage truncates per phase with eager localCheckpoint (the
+    iterative-operator discipline; at 100 TB swap for durable
+    checkpoints)."""
+    e0 = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("a").alias("id"))
+        .unionByName(e0.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nb = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = nb.groupBy("a").agg(F.min("b").alias("mb")).select(
+            "a", F.least("mb", "a").alias("m")
+        )
+        return (
+            nb.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge big->small: (u, v) with v < u
+        d = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = d.groupBy("a").agg(F.min("b").alias("mb")).select(
+            "a", F.least("mb", "a").alias("m")
+        )
+        joined = d.join(mins, "a")
+        out = joined.select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        ).unionByName(joined.select("a", F.col("m").alias("b")))
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    e = e0
+    for _ in range(max_iter):
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        changed = (
+            new_e.exceptAll(e).count() + e.exceptAll(new_e).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # converged: e is a set of (child, root) star edges; roots and
+    # isolated-after-contraction nodes label themselves.
+    child = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = nodes.join(
+        child.select("id"), "id", "left_anti"
+    ).withColumn("component", F.col("id"))
+    return child.unionByName(roots)
+
+
 def dedup_filter_new(
     spark,
     batch: DataFrame,

@@ -3040,3 +3040,62 @@ class TestQualityClassifierTrainer:
         # score > chance on an imbalanced split)
         preds = {r.pred for r in rows}
         assert preds == {True, False}
+
+
+class TestStarConnectedComponents:
+    """Kiveris-2014 large-star/small-star CC (operators/dedup.py
+    connected_components_star) — equal-closure property vs the
+    min-label loop, plus the worst-case topology the star algorithm
+    exists for."""
+
+    def _assert_equal_closure(self, spark, edge_rows):
+        from helium_etl_lite_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges = spark.createDataFrame(edge_rows, "src long, dst long")
+        ref = {
+            (r.id, r.component)
+            for r in connected_components(edges).collect()
+        }
+        star = {
+            (r.id, r.component)
+            for r in connected_components_star(edges).collect()
+        }
+        assert star == ref
+
+    def test_random_graphs_equal_closure(self, spark):
+        import random
+
+        rng = random.Random(910)
+        for trial in range(3):
+            n = 60
+            m = rng.randint(20, 80)
+            rows = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            rows = [(a, b) for a, b in rows if a != b] or [(0, 1)]
+            self._assert_equal_closure(spark, rows)
+
+    def test_long_path_collapses_in_log_rounds(self, spark):
+        # A 200-node path: min-label needs ~200 rounds (the
+        # connected_components max_iter=25 default would NOT converge);
+        # star contraction must finish well inside 50 phases and still
+        # label every node with the path minimum.
+        from helium_etl_lite_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        rows = [(i, i + 1) for i in range(199)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        got = {
+            (r.id, r.component)
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == {(i, 0) for i in range(200)}
+
+    def test_self_loops_and_duplicate_edges_ignored(self, spark):
+        self._assert_equal_closure(
+            spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)]
+        )
