@@ -884,3 +884,90 @@ def decode_wav_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "n_samples long, sum_sq long, peak long"
         ),
     )
+
+
+# --- audio features: fixed-point DFT band energies (r9 verdict item 7)
+#
+# The analysis half of the WAV leg, the way PNG/JPEG got real decoders:
+# a windowed spectrogram whose band energies are EXACT cross-engine.
+# Transcendental trig would leak FP environment into the result, so the
+# DFT coefficients are FIXED-POINT integers, generated ONCE here and
+# embedded verbatim in both the numpy kernel and the DuckDB oracle (the
+# generated-oracle discipline): every window's re/im parts are integer
+# dot products, energies are integer squares, and the per-band totals
+# are integer sums — hash-exact by construction. Integer Goertzel would
+# compute the same bins in O(N) per bin; the direct form keeps the
+# oracle a plain SUM(c * table[p]) restatement.
+
+SPEC_WINDOW = 16  # samples per analysis window (non-overlapping)
+SPEC_BANDS = (1, 2, 3, 4)  # DFT bins analyzed (of 0..8 for N=16 real input)
+SPEC_SCALE = 1000  # fixed-point coefficient scale
+SPEC_ENERGY_SHIFT = 1024  # energies are divided (floor) by this pre-sum
+
+import math as _math  # noqa: E402
+
+SPEC_COS = {
+    k: [
+        int(round(_math.cos(2.0 * _math.pi * k * p / SPEC_WINDOW) * SPEC_SCALE))
+        for p in range(SPEC_WINDOW)
+    ]
+    for k in SPEC_BANDS
+}
+SPEC_SIN = {
+    k: [
+        int(round(_math.sin(2.0 * _math.pi * k * p / SPEC_WINDOW) * SPEC_SCALE))
+        for p in range(SPEC_WINDOW)
+    ]
+    for k in SPEC_BANDS
+}
+# overflow audit (all int64-safe): |re| <= 16 * 32767 * 1000 ~= 5.2e8;
+# re^2 + im^2 <= 5.5e17; windows per doc <= ~1k chars/32 -> after the
+# /1024 floor the per-band total stays < 2^62 for any corpus document.
+
+
+def spectrogram_band_energies(samples, bands=SPEC_BANDS) -> dict:
+    """Fixed-point DFT band energies of one int16 sample stream:
+    windows of SPEC_WINDOW (last window may be partial), per window
+    e_k = (re_k^2 + im_k^2) // SPEC_ENERGY_SHIFT with integer
+    re/im = dot(window, table), summed per band. Pure int64."""
+    s = np.asarray(samples, dtype=np.int64)
+    n_windows = max(1, (len(s) + SPEC_WINDOW - 1) // SPEC_WINDOW)
+    totals = {k: 0 for k in bands}
+    for w in range(n_windows):
+        win = s[w * SPEC_WINDOW : (w + 1) * SPEC_WINDOW]
+        m = len(win)
+        if m == 0:
+            continue
+        for k in bands:
+            cos_t = np.asarray(SPEC_COS[k][:m], dtype=np.int64)
+            sin_t = np.asarray(SPEC_SIN[k][:m], dtype=np.int64)
+            re = int((win * cos_t).sum())
+            im = int((win * sin_t).sum())
+            totals[k] += (re * re + im * im) // SPEC_ENERGY_SHIFT
+    return {"n_windows": n_windows, "energies": totals}
+
+
+def audio_spectrogram_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode WAV payloads through the REAL RIFF parser, then extract
+    fixed-point spectrogram band energies — one narrow Arrow kernel
+    (binary in, 6 integer columns out, no shuffle)."""
+    band_cols = [f"band{k}_energy" for k in SPEC_BANDS]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                sp = spectrogram_band_energies(d["samples"])
+                rows.append(
+                    (did, sp["n_windows"])
+                    + tuple(sp["energies"][k] for k in SPEC_BANDS)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows"] + band_cols
+            )
+
+    schema = "doc_id long, n_windows long, " + ", ".join(
+        f"{c} long" for c in band_cols
+    )
+    return assets.select(id_col, "payload").mapInPandas(kernel, schema=schema)

@@ -2308,6 +2308,88 @@ def multimodal_wav_decode(spark, sf_dir):
     return multimodal.decode_wav_assets(assets)
 
 
+def _spectrogram_oracle_sql() -> str:
+    """Generated oracle for multimodal_audio_spectrogram: the SAME
+    fixed-point DFT tables the numpy kernel uses (operators/multimodal
+    SPEC_COS/SPEC_SIN) render as SQL list literals, so kernel and
+    oracle cannot drift (the generated-oracle discipline)."""
+    from ..operators.multimodal import (
+        SPEC_BANDS,
+        SPEC_COS,
+        SPEC_ENERGY_SHIFT,
+        SPEC_SIN,
+        SPEC_WINDOW,
+    )
+
+    def lst(t):
+        return "[" + ", ".join(str(x) for x in t) + "]"
+
+    re_im = ",\n             ".join(
+        f"SUM(v * ({lst(SPEC_COS[k])})[p + 1]) AS re{k},\n             "
+        f"SUM(v * ({lst(SPEC_SIN[k])})[p + 1]) AS im{k}"
+        for k in SPEC_BANDS
+    )
+    energies = ",\n             ".join(
+        f"CAST((re{k}*re{k} + im{k}*im{k}) // {SPEC_ENERGY_SHIFT} AS BIGINT)"
+        f" AS e{k}"
+        for k in SPEC_BANDS
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(e{k}) AS BIGINT) AS band{k}_energy" for k in SPEC_BANDS
+    )
+    finals = ",\n           ".join(
+        f"COALESCE(a.band{k}_energy, 0) AS band{k}_energy"
+        for k in SPEC_BANDS
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(i // {SPEC_WINDOW} AS BIGINT) AS w,
+                 CAST(i % {SPEC_WINDOW} AS INT) AS p,
+                 CAST(ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+                      + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1))
+                      AS BIGINT) AS v
+          FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+          WHERE n > 0),
+    f AS (SELECT doc_id, w,
+             {re_im}
+          FROM s GROUP BY doc_id, w),
+    e AS (SELECT doc_id,
+             {energies}
+          FROM f),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               {sums}
+            FROM e GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(a.n_windows, 1) AS n_windows,
+           {finals}
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """
+
+
+@query("multimodal_audio_spectrogram", oracle=_spectrogram_oracle_sql())
+def multimodal_audio_spectrogram(spark, sf_dir):
+    """Windowed spectrogram band energies over the WAV leg (r9 verdict
+    item 7) — the analysis step the PNG/JPEG legs got with real
+    decoders: encode deterministic PCM16 from document bytes, decode
+    through the REAL RIFF parser, then a 16-sample windowed DFT on
+    bins 1-4 with FIXED-POINT integer coefficients
+    (operators/multimodal.py spectrogram_band_energies). Trig rendered
+    once to integer tables makes every re/im an integer dot product
+    and every band energy an integer — hash-exact against the oracle,
+    which restates the same tables over the source text (lossless
+    transport, the multimodal_wav_decode trick). A Parseval-style pin
+    (full-bin energy vs N * sum of squares, tests/test_operators.py)
+    bounds the fixed-point error of the tables themselves.
+
+    Plan: two narrow Arrow kernels (encode, decode+DFT), zero
+    shuffles; per-doc cost is samples x bands with constant tables —
+    embarrassingly parallel at any corpus size."""
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_wav(t.documents, sample_rate=8000)
+    return multimodal.audio_spectrogram_assets(assets)
+
+
 _KMP_K = 8
 _KMP_SCALE = 10000
 _KMP_ROUNDS = 2

@@ -95,7 +95,7 @@ FRONT_OF_WINDOW: list[str] = [
     "text_tokenize_unigram_lm",       # Kudo-2018 unigram-LM tokenizer
     "sink_snapshot_changes_updates",  # CDC update_pre/postimage pairing
     "dedup_cluster_components_star",  # Kiveris-2014 large/small-star CC
-    # "multimodal_audio_spectrogram",   # integer-DFT band energies (WAV)
+    "multimodal_audio_spectrogram",   # integer-DFT band energies (WAV)
     "sample_token_budget_unigram",    # unigram-LM-priced token budget
     # (2b) r10 implementation change — the standard min-theta AnotB
     #      rewrite (r9 ADVICE item 3) needs a fresh verdict:

@@ -3099,3 +3099,82 @@ class TestStarConnectedComponents:
         self._assert_equal_closure(
             spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)]
         )
+
+
+class TestAudioSpectrogram:
+    """Fixed-point DFT band energies (operators/multimodal.py,
+    r9 verdict item 7): Parseval pin on the integer tables, exactness
+    of the kernel-vs-restatement contract, window accounting."""
+
+    def test_parseval_bounds_fixed_point_error(self):
+        # For one FULL window, exact-DFT Parseval says
+        #   sum_k |X_k|^2 = N * sum_n x_n^2   (k = 0..N-1).
+        # With S-scaled integer tables the left side is
+        #   sum_k (re_k^2 + im_k^2) / S^2  — pin its relative error.
+        import math
+
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(910)
+        N, S = M.SPEC_WINDOW, M.SPEC_SCALE
+        for _ in range(5):
+            x = rng.integers(-32768, 32768, size=N, dtype=np.int64)
+            total = 0
+            for k in range(N):
+                cos_t = np.asarray(
+                    [
+                        int(round(math.cos(2 * math.pi * k * p / N) * S))
+                        for p in range(N)
+                    ],
+                    dtype=np.int64,
+                )
+                sin_t = np.asarray(
+                    [
+                        int(round(math.sin(2 * math.pi * k * p / N) * S))
+                        for p in range(N)
+                    ],
+                    dtype=np.int64,
+                )
+                re = int((x * cos_t).sum())
+                im = int((x * sin_t).sum())
+                total += re * re + im * im
+            lhs = total / (S * S)
+            rhs = N * int((x * x).sum())
+            assert abs(lhs - rhs) / rhs < 2e-3, (lhs, rhs)
+
+    def test_band_energies_match_numpy_fft(self):
+        # The analyzed bins (1..4) must agree with numpy's FFT within
+        # the fixed-point tolerance — the tables actually measure the
+        # frequencies they claim to.
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as M
+
+        N = M.SPEC_WINDOW
+        t = np.arange(N)
+        # a pure bin-2 tone must light band 2 and leave bands 1/3/4 ~0
+        x = np.round(10000 * np.cos(2 * np.pi * 2 * t / N)).astype(np.int64)
+        sp = M.spectrogram_band_energies(x)
+        e = sp["energies"]
+        assert sp["n_windows"] == 1
+        assert e[2] > 100 * max(e[1], e[3], e[4])
+        fft = np.abs(np.fft.fft(x.astype(float))) ** 2
+        approx2 = e[2] * M.SPEC_ENERGY_SHIFT / (M.SPEC_SCALE**2)
+        assert abs(approx2 - fft[2]) / fft[2] < 5e-3
+
+    def test_partial_window_and_empty_stream(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as M
+
+        sp = M.spectrogram_band_energies(np.asarray([5, -5, 7], dtype=np.int64))
+        assert sp["n_windows"] == 1  # 3 samples -> one partial window
+        sp0 = M.spectrogram_band_energies(np.zeros(1, dtype=np.int64))
+        assert sp0["n_windows"] == 1
+        assert all(v == 0 for v in sp0["energies"].values())
+        sp33 = M.spectrogram_band_energies(
+            np.ones(33, dtype=np.int64)
+        )
+        assert sp33["n_windows"] == 3  # 16 + 16 + 1
