@@ -1260,3 +1260,26 @@ def test_classifier_trainer_broadcasts_weights_no_driver_matrix(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert_broadcast_join(df)
     assert "SinglePartition" not in plan
+
+
+def test_audio_spectrogram_is_narrow(spark, sf_dir):
+    # encode + decode+DFT are two chained Arrow kernels — no exchange.
+    df = q("multimodal_audio_spectrogram", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_unigram_tokenize_final_plan_is_narrow(spark, sf_dir):
+    # training happens at plan-construction (bounded control plane);
+    # the RETURNED plan is docs -> two narrow mapInPandas encoders ->
+    # row-local projection. Zero exchanges.
+    df = q("text_tokenize_unigram_lm", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_keyed_cdc_feed_no_cartesian(spark, sf_dir):
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("sink_snapshot_changes_updates", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -199,6 +199,13 @@ HEADLINE_NOTES = {
     "sample_weighted_reservoir": "one scan, row-local E-S key, TakeOrderedAndProject top-50 (never a global sort); rank window on the bounded result",
     "stream_substring_dedup": "foreachBatch over the snapshot_changes source; per batch: span-table build + broadcast probe vs the published span set + ONE atomic version publish carrying data AND spans",
     "agg_kmv_theta_anotb_portable": "same sketch build as the union/intersection query (map-side-pruned per-set k-smallest); difference algebra = one list_filter over two 64-element arrays in a 1-row frame",
+    # r10 additions
+    "text_quality_classifier_train": "six gradient epochs: per-doc logit agg + per-bucket gradient agg per epoch, weight table BROADCAST both directions; feature table checkpointed once (cached design matrix) — no SinglePartition, no driver-side matrix",
+    "text_tokenize_unigram_lm": "two train passes (explode+hash agg+top-V each); unigram E-step = narrow mapInPandas over the bounded word table; both encoders narrow mapInPandas; final projection shuffle-free",
+    "sample_token_budget_unigram": "unigram encode = narrow mapInPandas; selection reuses the two-level control-plane running total — no global sort",
+    "sink_snapshot_changes_updates": "manifest-pruned O(churn) diff; update pairing = one intersect + four semi/anti joins on the bounded diff keys",
+    "dedup_cluster_components_star": "per phase: groupBy-min + join-back (large-star), reorient + groupBy-min + join-back (small-star); lineage truncated per phase; NO broadcast in the loop (the min-label twin's 10x OOM)",
+    "multimodal_audio_spectrogram": "two narrow Arrow kernels (encode WAV, decode+integer DFT), zero shuffles; fixed-point trig tables in the closure",
 }
 
 
