@@ -320,10 +320,11 @@ def main():
             out["scale_worst3_ratio"] = worst3
             out["scale_max_ratio"] = max(ratios.values()) if ratios else None
         line = json.dumps(out)
-        assert len(line) <= 1500, (
-            f"stdout summary line grew to {len(line)} bytes; trim it — "
-            "the driver tail-captures ~2 KB (r9 verdict item 1)"
-        )
+        if len(line) > 1500:  # explicit raise: survives python -O
+            raise RuntimeError(
+                f"stdout summary line grew to {len(line)} bytes; trim it "
+                "— the driver tail-captures ~2 KB (r9 verdict item 1)"
+            )
         print(line)
     finally:
         spark.stop()

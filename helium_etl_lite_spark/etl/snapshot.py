@@ -389,23 +389,34 @@ def read_changes(
     # a key present on BOTH sides of the diff changed in place: tag the
     # old image preimage, the new one postimage. The key sets are the
     # O(churn) diff's keys — bounded, so the semi/anti joins ride the
-    # same small exchange.
+    # same small exchange. Joins are NULL-SAFE (eqNullSafe) to match
+    # intersect's null semantics — a NULL-keyed in-place change must
+    # pair like any other key, not fall through as insert+delete
+    # (review find).
+    # the renamed key projection also breaks the attribute-id tie with
+    # `inserts` (intersect reuses the left child's ids): joining uk
+    # un-renamed back against inserts resolves both sides of the
+    # condition to the SAME attribute — a trivially-true predicate that
+    # would tag every insert a postimage (review find).
     upd_keys = (
         inserts.select(*key_cols)
         .intersect(deletes.select(*key_cols))
+        .select([F.col(k).alias(f"__uk_{k}") for k in key_cols])
     )
-    pre = deletes.join(upd_keys, key_cols, "left_semi").withColumn(
-        "_change_type", F.lit("update_preimage")
-    )
-    post = inserts.join(upd_keys, key_cols, "left_semi").withColumn(
-        "_change_type", F.lit("update_postimage")
-    )
-    pure_ins = inserts.join(upd_keys, key_cols, "left_anti").withColumn(
-        "_change_type", F.lit("insert")
-    )
-    pure_del = deletes.join(upd_keys, key_cols, "left_anti").withColumn(
-        "_change_type", F.lit("delete")
-    )
+
+    def _keyed(side: DataFrame, how: str, tag: str) -> DataFrame:
+        cond = None
+        for k in key_cols:
+            c = side[k].eqNullSafe(F.col(f"__uk_{k}"))
+            cond = c if cond is None else (cond & c)
+        return side.join(upd_keys, cond, how).withColumn(
+            "_change_type", F.lit(tag)
+        )
+
+    pre = _keyed(deletes, "left_semi", "update_preimage")
+    post = _keyed(inserts, "left_semi", "update_postimage")
+    pure_ins = _keyed(inserts, "left_anti", "insert")
+    pure_del = _keyed(deletes, "left_anti", "delete")
     return pure_ins.unionByName(pure_del).unionByName(pre).unionByName(post)
 
 

@@ -718,15 +718,19 @@ def connected_components_star(
     Lineage truncates per phase with eager localCheckpoint (the
     iterative-operator discipline; at 100 TB swap for durable
     checkpoints)."""
-    e0 = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .where(F.col("a") != F.col("b"))
+    raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # nodes derive from the RAW edge list (before self-loop removal) so
+    # an id appearing only in a self-loop still labels itself — the
+    # min-label twin's behavior (review find: filtering first silently
+    # dropped such ids).
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e0.select(F.col("a").alias("id"))
-        .unionByName(e0.select(F.col("b").alias("id")))
+    e0 = (
+        raw.where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )

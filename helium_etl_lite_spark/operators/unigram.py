@@ -17,9 +17,14 @@ that survives 100 TB):
 - **The E-step is distributed**: per-word lattice Viterbi runs as a
   narrow mapInPandas over the word table with the (constant-sized)
   piece log-prob table in the closure, emitting (piece, count) rows;
-  one hash agg folds them. At the test corpus the word table is tiny,
-  but the plan is the one a billion-distinct-word corpus needs — the
-  driver never sees a word list, only the piece table.
+  one hash agg folds them. Honest scope: the word table itself IS
+  driver-materialized today — word_frequencies collects the top-V
+  (vocab_limit) rows for seeding, exactly like the BPE trainer — so
+  the corpus-independence claim rests on the top-V TRUNCATION, not on
+  never collecting. The E-step's distributed shape is what matters
+  beyond V: at an untruncated billion-distinct-word scale the seeding
+  would move to a distributed substring count and the E-step would
+  consume the word DataFrame directly, unchanged.
 - **The M-step is control-plane**: the aggregated counts (bounded by
   the seed vocabulary, <= a few thousand rows) collect to the driver
   for re-normalization and pruning — O(vocab), corpus-independent.

@@ -483,17 +483,45 @@ def _hexv(h, i):
     return F.when(a >= 97, a - 87).otherwise(a - 48)
 
 
-def hashed_token_weight(tok):
-    """The shared hashing-trick weight: 4-hex-digit md5 bucket (65536)
-    through a Knuth multiplicative mix, INTEGER until any final
-    division. Single definition serving text_quality_classifier_hashed
-    AND the flagship pipeline's stage 4 — their oracles state the same
-    formula, so a tweak here must land in both SQL strings too."""
+def hashed_token_bucket(tok):
+    """The 16-bit hashing-trick feature id shared by every hashed
+    classifier here and their oracles: first 4 hex digits of md5
+    (bit-identical across engines, unlike xxhash64). SINGLE definition
+    — the scoring classifier, the trainer and the flagship pipeline
+    all build on this, and their SQL restatements all render through
+    _bucket4_sql, so the bucket space cannot desynchronize."""
     h = F.md5(tok)
-    bucket = (
+    return (
         _hexv(h, 1) * 4096 + _hexv(h, 2) * 256 + _hexv(h, 3) * 16 + _hexv(h, 4)
     ).cast("long")
+
+
+def _bucket4_sql(t: str) -> str:
+    """DuckDB restatement of hashed_token_bucket over expression `t`."""
+    digit = (
+        "(CASE WHEN ascii(substr(md5({t}),{i},1)) >= 97 "
+        "THEN ascii(substr(md5({t}),{i},1)) - 87 "
+        "ELSE ascii(substr(md5({t}),{i},1)) - 48 END)"
+    )
+    return (
+        f"({digit.format(t=t, i=1)} * 4096 + {digit.format(t=t, i=2)} * 256"
+        f" + {digit.format(t=t, i=3)} * 16 + {digit.format(t=t, i=4)})"
+    )
+
+
+def hashed_token_weight(tok):
+    """The shared hashing-trick weight: hashed_token_bucket through a
+    Knuth multiplicative mix, INTEGER until any final division. Single
+    definition serving text_quality_classifier_hashed AND the flagship
+    pipeline's stage 4; their oracles render the same formula via
+    _weight4_sql."""
+    bucket = hashed_token_bucket(tok)
     return (bucket * F.lit(2654435761).cast("long")) % 1048576 - 524288
+
+
+def _weight4_sql(t: str) -> str:
+    """DuckDB restatement of hashed_token_weight over expression `t`."""
+    return f"(({_bucket4_sql(t)} * 2654435761) % 1048576 - 524288)"
 
 
 def gopher_keep_condition():
@@ -643,26 +671,13 @@ def text_chunk_split(spark, sf_dir):
 
 @query(
     "text_quality_classifier_hashed",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT doc_id,
              len(string_split(lower(trim(text)), ' ')) AS n_toks,
              CAST(list_aggregate(list_transform(
                string_split(lower(trim(text)), ' '),
-               t -> ((
-                 (CASE WHEN ascii(substr(md5(t),1,1)) >= 97
-                       THEN ascii(substr(md5(t),1,1)) - 87
-                       ELSE ascii(substr(md5(t),1,1)) - 48 END) * 4096
-               + (CASE WHEN ascii(substr(md5(t),2,1)) >= 97
-                       THEN ascii(substr(md5(t),2,1)) - 87
-                       ELSE ascii(substr(md5(t),2,1)) - 48 END) * 256
-               + (CASE WHEN ascii(substr(md5(t),3,1)) >= 97
-                       THEN ascii(substr(md5(t),3,1)) - 87
-                       ELSE ascii(substr(md5(t),3,1)) - 48 END) * 16
-               + (CASE WHEN ascii(substr(md5(t),4,1)) >= 97
-                       THEN ascii(substr(md5(t),4,1)) - 87
-                       ELSE ascii(substr(md5(t),4,1)) - 48 END)
-               ) * 2654435761) % 1048576 - 524288), 'sum') AS BIGINT) AS raw
+               t -> {_weight4_sql('t')}), 'sum') AS BIGINT) AS raw
       FROM documents)
     SELECT doc_id,
            CAST(n_toks AS BIGINT) AS n_toks,
@@ -751,20 +766,7 @@ def text_quality_classifier_hashed(spark, sf_dir):
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              CAST(list_aggregate(list_transform(
                string_split(lower(trim(text)), ' '),
-               t -> ((
-                 (CASE WHEN ascii(substr(md5(t),1,1)) >= 97
-                       THEN ascii(substr(md5(t),1,1)) - 87
-                       ELSE ascii(substr(md5(t),1,1)) - 48 END) * 4096
-               + (CASE WHEN ascii(substr(md5(t),2,1)) >= 97
-                       THEN ascii(substr(md5(t),2,1)) - 87
-                       ELSE ascii(substr(md5(t),2,1)) - 48 END) * 256
-               + (CASE WHEN ascii(substr(md5(t),3,1)) >= 97
-                       THEN ascii(substr(md5(t),3,1)) - 87
-                       ELSE ascii(substr(md5(t),3,1)) - 48 END) * 16
-               + (CASE WHEN ascii(substr(md5(t),4,1)) >= 97
-                       THEN ascii(substr(md5(t),4,1)) - 87
-                       ELSE ascii(substr(md5(t),4,1)) - 48 END)
-               ) * 2654435761) % 1048576 - 524288), 'sum') AS BIGINT)
+               t -> {_weight4_sql('t')}), 'sum') AS BIGINT)
                AS score_raw
       FROM clean),
     sel AS (
@@ -1463,30 +1465,6 @@ def sample_weighted_reservoir(spark, sf_dir):
 
 _QCT_EPOCH_DENS = [4, 4, 8, 8, 16, 16]  # per-epoch 1/lr (halving schedule)
 _QCT_P9 = 1_000_000_000  # probability scale (1e9 = p of exactly 1)
-
-
-def hashed_token_bucket(tok):
-    """The 16-bit hashing-trick feature id shared by the trained
-    classifier and its oracle: first 4 hex digits of md5 (bit-identical
-    across engines, unlike xxhash64). Same bucket space as
-    hashed_token_weight minus the Knuth weight mix."""
-    h = F.md5(tok)
-    return (
-        _hexv(h, 1) * 4096 + _hexv(h, 2) * 256 + _hexv(h, 3) * 16 + _hexv(h, 4)
-    ).cast("long")
-
-
-def _bucket4_sql(t: str) -> str:
-    """DuckDB restatement of hashed_token_bucket over expression `t`."""
-    digit = (
-        "(CASE WHEN ascii(substr(md5({t}),{i},1)) >= 97 "
-        "THEN ascii(substr(md5({t}),{i},1)) - 87 "
-        "ELSE ascii(substr(md5({t}),{i},1)) - 48 END)"
-    )
-    return (
-        f"({digit.format(t=t, i=1)} * 4096 + {digit.format(t=t, i=2)} * 256"
-        f" + {digit.format(t=t, i=3)} * 16 + {digit.format(t=t, i=4)})"
-    )
 
 
 def _qct_oracle_sql() -> str:

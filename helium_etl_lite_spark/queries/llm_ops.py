@@ -4286,9 +4286,16 @@ def text_tokenize_unigram_lm(spark, sf_dir):
     counted = unigram.unigram_token_counts(
         bpe.bpe_token_counts(d, merges), logp
     )
+    # n_tokens_ws counts NON-EMPTY whitespace tokens — exactly Python
+    # str.split()'s semantics, which both encoders use — so the
+    # ws <= bpe/unigram invariant holds even for padded/empty text
+    # (review find: a bare F.split counts boundary empties).
+    ws_tokens = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != ""
+    )
     return counted.select(
         "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens_ws"),
+        F.size(ws_tokens).cast("long").alias("n_tokens_ws"),
         F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
         F.col("n_tokens_unigram").cast("long").alias("n_tokens_unigram"),
     )

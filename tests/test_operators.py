@@ -3100,6 +3100,11 @@ class TestStarConnectedComponents:
             spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)]
         )
 
+    def test_self_loop_only_node_keeps_its_own_label(self, spark):
+        # review find: a node appearing ONLY in a self-loop must still
+        # label itself (the min-label twin keeps it; star must too).
+        self._assert_equal_closure(spark, [(1, 2), (7, 7)])
+
 
 class TestAudioSpectrogram:
     """Fixed-point DFT band energies (operators/multimodal.py,

@@ -610,3 +610,40 @@ def test_keyed_feed_pairs_updates_and_apply_reproduces_v2(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="key_cols"):
         read_changes(spark, root, "t", 1, 2, key_cols=["nope"])
+
+
+def test_keyed_feed_pairs_null_keys(spark, tmp_path):
+    # review find: a NULL-keyed in-place change must pair as an update
+    # (null-safe joins), not fall through as insert+delete.
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.etl.snapshot import (
+        commit_batch_atomic,
+        read_changes,
+    )
+
+    root = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", 3.0)],
+        "block long, k string, v double",
+    )
+    commit_batch_atomic(
+        spark, root, {"t": b1}, 0, 3, 3, 0, heights=b1.select("block")
+    )
+    # claim all three; re-emit the NULL-keyed row changed, drop block 3,
+    # keep block 1 identical (re-emitted, so not in the diff at all)
+    b2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, -2.0)], "block long, k string, v double"
+    )
+    commit_batch_atomic(
+        spark, root, {"t": b2}, 0, 3, 3, 0, heights=b1.select("block")
+    )
+    feed = read_changes(spark, root, "t", 1, 2, key_cols=["k"])
+    got = {
+        (r["k"], r["v"], r["_change_type"]) for r in feed.collect()
+    }
+    assert got == {
+        (None, 2.0, "update_preimage"),
+        (None, -2.0, "update_postimage"),
+        ("c", 3.0, "delete"),
+    }, got
