@@ -626,6 +626,61 @@ def stream_cdc_mirror(spark, sf_dir):
     return mirror.read_mirror(spark, mdir).select("block", "value")
 
 
+@query(
+    "stream_cdc_mirror_keyed",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS block, value
+    FROM events WHERE event_id % 5 <> 0
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS block, value + 1.0 AS value
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def stream_cdc_mirror_keyed(spark, sf_dir):
+    """The KEYED (upsert-by-key) streaming CDC consumer — third
+    consumer proving the same v2 fixed point as stream_cdc_mirror and
+    sink_snapshot_changes_apply, through a genuinely different apply:
+    every key the feed touches is replaced wholesale (null-safe
+    anti-join on the feed's key set) instead of multiset exceptAll on
+    row images. Same two-commit fixture, two availableNow drains with a
+    checkpoint restart between (the kill/catch-up cycle), same
+    independent oracle. Why it earns a row: keyed apply reconverges to
+    the source even when the mirror's row images drifted (multiset
+    apply would strand the stale image AND duplicate the key —
+    tests/test_sources_streaming.py pins exactly that divergence)."""
+    from ..etl.snapshot import commit_batch_atomic
+    from ..streaming import mirror
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("block"), F.col("value")
+    )
+    root = scratch_dir("stream_cdc_keyed_src")
+    mdir = scratch_dir("stream_cdc_keyed_dst")
+    ckpt = scratch_dir("stream_cdc_keyed_ckpt")
+    hi = ev.agg(F.max("block")).first()[0]
+    commit_batch_atomic(
+        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
+        first_block=0, heights=ev.select("block"),
+    )
+    q1 = mirror.start_keyed_mirror_stream(
+        spark, root, "rewards", mdir, ckpt, key_cols=["block"]
+    )
+    q1.awaitTermination(300)
+    claimed = ev.where(F.col("block") % 5 == 0).select("block")
+    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    commit_batch_atomic(
+        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
+        height=int(hi), first_block=0, heights=claimed,
+    )
+    q2 = mirror.start_keyed_mirror_stream(
+        spark, root, "rewards", mdir, ckpt, key_cols=["block"]
+    )
+    q2.awaitTermination(300)
+    return mirror.read_mirror(spark, mdir).select("block", "value")
+
+
 from ..operators.zorder import (  # noqa: E402
     minmax_scale_sql,
     z_interleave_duckdb_sql,

@@ -100,6 +100,7 @@ FRONT_OF_WINDOW: list[str] = [
     # (2b) r10 implementation change — the standard min-theta AnotB
     #      rewrite (r9 ADVICE item 3) needs a fresh verdict:
     "agg_kmv_theta_anotb_portable",   # theta=min(a,b) difference est.
+    "stream_cdc_mirror_keyed",        # upsert-by-key CDC consumer
     # (3) oldest r5 re-confirms fill the remaining slots (rest of the
     #     r5 cohort — the scalar-funcs/windows tail — queues for r11):
     "filter_in_set",                  # r5
@@ -110,7 +111,6 @@ FRONT_OF_WINDOW: list[str] = [
     "join_broadcast_dim",             # r5
     "join_sortmerge_large",           # r5
     "join_asof_event_order",          # r5
-    "win_row_number_topk_per_group",  # r5
     # (r5 vintages still queued for the r11 window: array_funcs,
     #  case_when/cast_try_cast, date_funcs, filter_*, funnel_conversion,
     #  hash_funcs, hash_funcs_xxhash64, join_left_*, join_range_binned,
@@ -122,7 +122,7 @@ FRONT_OF_WINDOW: list[str] = [
     #  text_token_count_regex, text_tokenize_stats, ts_gapfill_locf,
     #  ts_interpolate_linear, ts_resample_ohlc, vec_ann_lsh,
     #  win_first_last_value, win_lag_lead, win_rank_dense_rank,
-    #  win_running_sum_frame — until then their evidence is the
+    #  win_row_number_topk_per_group, win_running_sum_frame — until then their evidence is the
     #  full-registry DuckDB sweep, tests/test_queries_oracle.py,
     #  run on HEAD each round)
 ]

@@ -164,6 +164,55 @@ def apply_changes_batch(batch_df: DataFrame, batch_id: int, mirror_dir: str) -> 
     return True
 
 
+def apply_changes_batch_keyed(
+    batch_df: DataFrame,
+    batch_id: int,
+    mirror_dir: str,
+    key_cols: list[str],
+) -> bool:
+    """KEYED idempotent apply — the upsert consumer for tables whose
+    rows are uniquely keyed (r10, the read_changes(key_cols=)
+    counterpart): every key the feed touches is REPLACED wholesale
+    (prev anti-join on the feed's key set, null-safe), then the feed's
+    inserts land. Same pointer/replay/retention discipline as the
+    multiset apply.
+
+    Why a second consumer exists: the multiset apply (exceptAll)
+    removes a delete only if its row image byte-matches the mirror —
+    correct under the feed's own contract, but brittle when the mirror
+    drifted (a hand-patched row, a lossy column rewrite): the stale row
+    survives AND its replacement lands, duplicating the key. The keyed
+    apply removes BY KEY, so it reconverges to the source regardless of
+    image drift — the reason production CDC mirrors key their applies
+    (pytest pins exactly this divergence)."""
+    done = mirror_version(mirror_dir)
+    if done is not None and done >= batch_id:
+        return False
+    if batch_df.isEmpty():
+        return False
+    spark = batch_df.sparkSession
+    cols = [c for c in batch_df.columns if c != "_change_type"]
+    inserts = batch_df.where(F.col("_change_type") == "insert").select(*cols)
+    touched = batch_df.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols]
+    ).distinct()
+    prev = read_mirror(spark, mirror_dir)
+    if prev is not None:
+        cond = None
+        for k in key_cols:
+            c = prev[k].eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else (cond & c)
+        survivors = prev.join(touched, cond, "left_anti")
+        new = survivors.select(*cols).unionByName(inserts)
+    else:
+        new = inserts
+    vdir = os.path.join(mirror_dir, f"v={batch_id}")
+    new.write.mode("overwrite").parquet(vdir)
+    write_pointer_atomic(mirror_dir, batch_id, data_dir=vdir)
+    prune_versions(mirror_dir)
+    return True
+
+
 def start_mirror_stream(
     spark: SparkSession,
     root: str,
@@ -191,6 +240,36 @@ def start_mirror_stream(
     )
     writer = feed.writeStream.foreachBatch(
         lambda df, bid: apply_changes_batch(df, bid, mirror_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_keyed_mirror_stream(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    mirror_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    available_now: bool = True,
+):
+    """The keyed (upsert-by-key) twin of start_mirror_stream — same
+    source, same checkpoint/restart discipline, apply routed through
+    apply_changes_batch_keyed."""
+    from ..sources.python_datasource import register_snapshot_changes
+
+    register_snapshot_changes(spark)
+    os.makedirs(mirror_dir, exist_ok=True)
+    feed = (
+        spark.readStream.format("snapshot_changes")
+        .option("root", root)
+        .option("table", table)
+        .load()
+    )
+    writer = feed.writeStream.foreachBatch(
+        lambda df, bid: apply_changes_batch_keyed(df, bid, mirror_dir, key_cols)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

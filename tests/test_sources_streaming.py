@@ -947,3 +947,50 @@ def test_substring_stream_replay_is_noop_and_restart_resumes(spark, tmp_path):
     }
     assert rows[0]["n_tokens_kept"] == 75  # first copy intact
     assert rows[1]["n_tokens_kept"] <= 65 - 50  # quoted passage dropped
+
+
+def test_keyed_apply_reconverges_after_image_drift(spark, tmp_path):
+    # The keyed apply's reason to exist: the mirror's row image drifted
+    # (hand-patch, lossy rewrite); the multiset apply strands the stale
+    # image AND lands the replacement (key duplicated), the keyed apply
+    # replaces BY KEY and reconverges.
+    import os
+
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    def seed(mdir, rows):
+        df = spark.createDataFrame(rows, "block long, v double")
+        vdir = os.path.join(mdir, "v=0")
+        df.write.mode("overwrite").parquet(vdir)
+        mirror.write_pointer_atomic(mdir, 0, data_dir=vdir)
+
+    feed = spark.createDataFrame(
+        [(10, 999.0, "delete"), (10, 2.0, "insert")],
+        "block long, v double, _change_type string",
+    )  # delete image 999.0 does NOT match the drifted mirror's 1.0
+
+    m1 = str(tmp_path / "multiset")
+    os.makedirs(m1)
+    seed(m1, [(10, 1.0), (11, 5.0)])
+    assert mirror.apply_changes_batch(feed, 1, m1)
+    multiset = {
+        (r["block"], r["v"]) for r in mirror.read_mirror(spark, m1).collect()
+    }
+    assert multiset == {(10, 1.0), (10, 2.0), (11, 5.0)}  # key 10 duplicated
+
+    m2 = str(tmp_path / "keyed")
+    os.makedirs(m2)
+    seed(m2, [(10, 1.0), (11, 5.0)])
+    assert mirror.apply_changes_batch_keyed(feed, 1, m2, key_cols=["block"])
+    keyed = {
+        (r["block"], r["v"]) for r in mirror.read_mirror(spark, m2).collect()
+    }
+    assert keyed == {(10, 2.0), (11, 5.0)}  # reconverged
+
+    # replay no-op + untouched-key survival
+    assert not mirror.apply_changes_batch_keyed(feed, 1, m2, key_cols=["block"])
+    assert {
+        (r["block"], r["v"]) for r in mirror.read_mirror(spark, m2).collect()
+    } == keyed

@@ -206,6 +206,7 @@ HEADLINE_NOTES = {
     "sink_snapshot_changes_updates": "manifest-pruned O(churn) diff; update pairing = one intersect + four semi/anti joins on the bounded diff keys",
     "dedup_cluster_components_star": "per phase: groupBy-min + join-back (large-star), reorient + groupBy-min + join-back (small-star); lineage truncated per phase; NO broadcast in the loop (the min-label twin's 10x OOM)",
     "multimodal_audio_spectrogram": "two narrow Arrow kernels (encode WAV, decode+integer DFT), zero shuffles; fixed-point trig tables in the closure",
+    "stream_cdc_mirror_keyed": "foreachBatch keyed apply: null-safe anti-join on the feed's key set + union of inserts; one atomic pointer flip per batch",
 }
 
 
