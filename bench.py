@@ -187,6 +187,18 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     # + map-side-pruned window, algebra on 64-element arrays.
     "sample_weighted_reservoir",
     "agg_kmv_theta_sketch_portable",
+    # r10 batch (measured idle-host best-of-2 before adding:
+    # 1.3x / 7.9x / 2.4x / 3.2x at 10x): unigram-budget train is
+    # N-independent after the word-count pass; the spectrogram is a
+    # pure narrow kernel (linear); the keyed CDC diff is O(churn); the
+    # classifier trainer is 2 hash-aggs x 6 epochs + broadcast weights.
+    # dedup_cluster_components_star stays OUT on the >10s cost rule
+    # (16.1s base) — its 10x ratio (4.6x, and the min-label twin's 10x
+    # OOM) is measured manually (README scale table).
+    "sample_token_budget_unigram",
+    "multimodal_audio_spectrogram",
+    "sink_snapshot_changes_updates",
+    "text_quality_classifier_train",
 ]
 
 
