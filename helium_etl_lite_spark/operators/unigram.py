@@ -255,3 +255,99 @@ def unigram_token_counts(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------- portable-exact twin
+#
+# The driver-exact variant of the unigram family (the r8/r9 portable
+# discipline: every rows-only algorithm family carries an exact twin).
+# EM-trained float log-probs are not oracle-statable, so the twin runs
+# the SAME algorithm — lattice Viterbi segmentation under a piece
+# table — with a FIXED, module-constant INTEGER cost table (the move
+# vec_ann_*_portable make with quantized codebooks): minimize
+# (total cost, then token count), encoded as one integer
+# v = 1024*cost + 1 per piece so the DP is a plain integer MIN that an
+# unrolled-CTE oracle restates bit-for-bit.
+
+UNIGRAM_PORTABLE_MAX_PIECE = 4
+# the synthetic corpus vocabulary (TESTDATA.md documents table) — a
+# fixture constant like GOPHER_STOPWORDS/MIXTURE_SPEC; pieces are its
+# 2..4-char substrings plus every single letter.
+UNIGRAM_SEED_WORDS = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def _portable_cost_table() -> dict:
+    """piece -> integer cost: longer pieces cheaper (so the DP prefers
+    real merges), deterministic per-piece jitter so distinct pieces of
+    equal length rarely tie on cost — all plain arithmetic both the
+    kernel and the generated oracle share."""
+    costs: dict = {}
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        costs[ch] = 900_000
+    for w in UNIGRAM_SEED_WORDS:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 2, min(i + UNIGRAM_PORTABLE_MAX_PIECE, n) + 1):
+                p = w[i:j]
+                c = 1_000_000 - 190_000 * len(p) + 977 * (sum(map(ord, p)) % 7)
+                prev = costs.get(p)
+                if prev is None or c < prev:
+                    costs[p] = c
+    return costs
+
+
+UNIGRAM_PORTABLE_COSTS = _portable_cost_table()
+
+
+def viterbi_cost_segment(word: str, costs: dict, max_piece_len: int) -> tuple:
+    """Integer-cost Viterbi: minimize v = sum(1024*cost(piece) + 1).
+    Returns (n_tokens, total_cost) decoded from the single combined
+    integer (v % 1024 = token count since every word here is < 1024
+    tokens; v // 1024 = cost). Words containing a character absent
+    from the table are the caller's problem — the portable contract
+    covers the seeded alphabet."""
+    n = len(word)
+    INF = 1 << 62
+    dp = [INF] * (n + 1)
+    dp[0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j] >= INF:
+                continue
+            c = costs.get(word[j:i])
+            if c is None:
+                continue
+            v = dp[j] + 1024 * c + 1
+            if v < dp[i]:
+                dp[i] = v
+    v = dp[n]
+    return (v % 1024, v // 1024)
+
+
+def unigram_portable_word_table(words_df: DataFrame) -> DataFrame:
+    """(word) -> (word, n_tokens, cost) through the fixed-table integer
+    Viterbi — a narrow mapInPandas over the distinct-word table."""
+    costs = UNIGRAM_PORTABLE_COSTS
+    mpl = UNIGRAM_PORTABLE_MAX_PIECE
+    out_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("cost", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for w in pdf["word"]:
+                nt, c = viterbi_cost_segment(str(w), costs, mpl)
+                rows.append((w, nt, c))
+            yield pd.DataFrame(rows, columns=["word", "n_tokens", "cost"])
+
+    return words_df.mapInPandas(run, schema=out_schema)

@@ -2308,6 +2308,116 @@ def multimodal_wav_decode(spark, sf_dir):
     return multimodal.decode_wav_assets(assets)
 
 
+_UNIP_MAXW = 12  # portable contract: words longer than this are excluded
+
+
+def _unigram_portable_oracle_sql() -> str:
+    """Generated oracle for text_tokenize_unigram_portable: the fixed
+    integer cost table (operators/unigram.py UNIGRAM_PORTABLE_COSTS)
+    renders as a VALUES list and the lattice Viterbi unrolls into one
+    MIN-aggregation CTE per word position — the kernel and the oracle
+    share every constant, so they cannot drift."""
+    from ..operators.unigram import (
+        UNIGRAM_PORTABLE_COSTS,
+        UNIGRAM_PORTABLE_MAX_PIECE,
+    )
+
+    mpl = UNIGRAM_PORTABLE_MAX_PIECE
+    values = ", ".join(
+        f"('{p}', {c})" for p, c in sorted(UNIGRAM_PORTABLE_COSTS.items())
+    )
+    ctes = [
+        "d0 AS (SELECT word, CAST(0 AS BIGINT) AS v FROM words)"
+    ]
+    for k in range(1, _UNIP_MAXW + 1):
+        branches = []
+        for j in range(max(0, k - mpl), k):
+            branches.append(
+                f"""SELECT d{j}.word, d{j}.v + 1024 * p.cost + 1 AS v
+            FROM d{j} JOIN pieces p
+              ON substr(d{j}.word, {j + 1}, {k - j}) = p.piece
+            WHERE len(d{j}.word) >= {k}"""
+            )
+        body = "\n            UNION ALL\n            ".join(branches)
+        ctes.append(
+            f"""d{k} AS (
+      SELECT word, MIN(v) AS v FROM (
+            {body}
+      ) GROUP BY word)"""
+        )
+    best_union = "\n      UNION ALL\n      ".join(
+        f"SELECT word, v FROM d{k} WHERE len(word) = {k}"
+        for k in range(1, _UNIP_MAXW + 1)
+    )
+    return f"""
+    WITH pieces AS (SELECT * FROM (VALUES {values}) AS p(piece, cost)),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    tok_ok AS (
+      SELECT doc_id, word FROM tok
+      WHERE word <> '' AND len(word) <= {_UNIP_MAXW}
+        AND regexp_matches(word, '^[a-z]+$')),
+    words AS (SELECT DISTINCT word FROM tok_ok),
+    {", ".join(ctes)},
+    best AS (
+      {best_union}),
+    seg AS (
+      SELECT word, CAST(v % 1024 AS BIGINT) AS n_tokens,
+             CAST(v // 1024 AS BIGINT) AS cost
+      FROM best)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens_unigram,
+           CAST(SUM(s.cost) AS BIGINT) AS total_cost
+    FROM tok_ok t JOIN seg s ON t.word = s.word
+    GROUP BY t.doc_id
+    """
+
+
+@query("text_tokenize_unigram_portable", oracle=_unigram_portable_oracle_sql())
+def text_tokenize_unigram_portable(spark, sf_dir):
+    """The DRIVER-EXACT portable twin of the unigram-LM family (the
+    r8/r9 discipline: every rows-only algorithm family carries an exact
+    twin). Same algorithm as text_tokenize_unigram_lm's encoder —
+    lattice Viterbi segmentation under a piece table — with a FIXED
+    module-constant INTEGER cost table instead of EM-trained float
+    log-probs (the quantized-codebook move of vec_ann_*_portable):
+    minimize (total cost, then token count) as ONE combined integer
+    v = sum(1024*cost + 1), so the DP is a pure integer MIN the
+    unrolled-CTE oracle restates bit-for-bit. Output is per-document
+    word/token/cost totals — integer sums, order-free, hash-exact.
+
+    Contract bounds stated in both restatements: lowercase a-z words
+    up to {maxw} chars (the synthetic corpus vocabulary tops out at 8);
+    anything else is filtered identically on both sides.
+
+    Scale: one explode + distinct (bounded word table), narrow
+    mapInPandas Viterbi over it, hash join back, one agg — the
+    production twin's exact plan economics."""
+    from ..operators import unigram as U
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(
+        (F.col("word") != "")
+        & (F.length("word") <= _UNIP_MAXW)
+        & F.col("word").rlike("^[a-z]+$")
+    )
+    words = tok.select("word").distinct()
+    seg = U.unigram_portable_word_table(words)
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_unigram"),
+            F.sum("cost").cast("long").alias("total_cost"),
+        )
+    )
+
+
 def _spectrogram_oracle_sql() -> str:
     """Generated oracle for multimodal_audio_spectrogram: the SAME
     fixed-point DFT tables the numpy kernel uses (operators/multimodal

@@ -109,3 +109,71 @@ class TestUnigramTrainer:
         ).collect()
         assert len(rows) > 0
         assert max(r.cum_tokens_unigram for r in rows) <= 20000
+
+
+class TestUnigramPortable:
+    """Integer-cost Viterbi twin (operators/unigram.py
+    viterbi_cost_segment): DP optimality vs brute-force enumeration,
+    combined-integer decode, corpus coverage."""
+
+    def test_dp_matches_bruteforce_on_random_words(self):
+        import itertools
+        import random
+
+        from helium_etl_lite_spark.operators.unigram import (
+            UNIGRAM_PORTABLE_COSTS,
+            UNIGRAM_PORTABLE_MAX_PIECE,
+            viterbi_cost_segment,
+        )
+
+        def brute(word):
+            n = len(word)
+            best = None
+            # enumerate all compositions of n into parts <= max piece
+            for cuts in itertools.product(
+                [0, 1], repeat=max(0, n - 1)
+            ):
+                bounds = (
+                    [0]
+                    + [i + 1 for i, c in enumerate(cuts) if c]
+                    + [n]
+                )
+                pieces = [
+                    word[a:b] for a, b in zip(bounds, bounds[1:])
+                ]
+                if any(
+                    len(p) > UNIGRAM_PORTABLE_MAX_PIECE
+                    or p not in UNIGRAM_PORTABLE_COSTS
+                    for p in pieces
+                ):
+                    continue
+                v = sum(
+                    1024 * UNIGRAM_PORTABLE_COSTS[p] + 1 for p in pieces
+                )
+                if best is None or v < best:
+                    best = v
+            return (best % 1024, best // 1024)
+
+        rng = random.Random(910)
+        words = ["customer", "window", "the", "a", "spark"]
+        for _ in range(30):
+            n = rng.randint(1, 8)
+            words.append(
+                "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+            )
+        for w in words:
+            assert viterbi_cost_segment(
+                w, UNIGRAM_PORTABLE_COSTS, UNIGRAM_PORTABLE_MAX_PIECE
+            ) == brute(w), w
+
+    def test_portable_query_runs_exact_shape(self, spark, sf_dir):
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["text_tokenize_unigram_portable"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.n_tokens_unigram >= r.n_words  # >=1 token per word
+            assert r.total_cost > 0

@@ -207,6 +207,7 @@ HEADLINE_NOTES = {
     "dedup_cluster_components_star": "per phase: groupBy-min + join-back (large-star), reorient + groupBy-min + join-back (small-star); lineage truncated per phase; NO broadcast in the loop (the min-label twin's 10x OOM)",
     "multimodal_audio_spectrogram": "two narrow Arrow kernels (encode WAV, decode+integer DFT), zero shuffles; fixed-point trig tables in the closure",
     "stream_cdc_mirror_keyed": "foreachBatch keyed apply: null-safe anti-join on the feed's key set + union of inserts; one atomic pointer flip per batch",
+    "text_tokenize_unigram_portable": "explode + distinct to the bounded word table, narrow mapInPandas integer Viterbi, broadcast join back, one hash agg",
 }
 
 
