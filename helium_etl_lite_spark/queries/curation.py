@@ -1467,11 +1467,15 @@ _QCT_EPOCH_DENS = [4, 4, 8, 8, 16, 16]  # per-epoch 1/lr (halving schedule)
 _QCT_P9 = 1_000_000_000  # probability scale (1e9 = p of exactly 1)
 
 
-def _qct_oracle_sql() -> str:
-    """Generated oracle for text_quality_classifier_train: the epoch
+def _qct_oracle_sql(train_where: str = "TRUE", tail: str = "per_doc") -> str:
+    """Generated oracle for the classifier trainer family: the epoch
     loop unrolls into CTE pairs from the SAME schedule constants the
     Spark form trains with (the r8 generated-oracle discipline), so the
-    two restatements cannot drift."""
+    two restatements cannot drift. ``train_where`` restricts which
+    documents the gradients see (held-out evaluation trains on a
+    split); scoring always covers every document. ``tail`` selects the
+    output: 'per_doc' scores, or 'eval' confusion totals over the
+    complement of the training split."""
     half = _QCT_P9 // 2
     head = f"""
     WITH ws AS (
@@ -1490,16 +1494,18 @@ def _qct_oracle_sql() -> str:
              CAST(COUNT(*) AS BIGINT) AS c, m.n, m.y
       FROM tokens tk JOIN meta m ON tk.doc_id = m.doc_id
       GROUP BY tk.doc_id, tk.t, m.n, m.y),
-    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM meta),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd
+           FROM meta WHERE {train_where}),
     w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM tok)"""
     # NOTE the GROUP BY above keys on the raw token (injective into the
     # bucket via md5 is NOT guaranteed — two tokens may share a bucket),
     # so collapse token->bucket counts in a second pass:
-    head += """,
+    head += f""",
     feat AS (
       SELECT doc_id, bucket, CAST(SUM(c) AS BIGINT) AS c,
              MIN(n) AS n, MIN(y) AS y
-      FROM tok GROUP BY doc_id, bucket)"""
+      FROM tok GROUP BY doc_id, bucket),
+    feat_train AS (SELECT * FROM feat WHERE {train_where})"""
     body = []
     prev_w = "w0"
     for i, den in enumerate(_QCT_EPOCH_DENS, start=1):
@@ -1507,7 +1513,7 @@ def _qct_oracle_sql() -> str:
             f"""
     z{i} AS (
       SELECT f.doc_id, CAST(SUM(w.w * f.c) AS BIGINT) AS z
-      FROM feat f JOIN {prev_w} w ON f.bucket = w.bucket
+      FROM feat_train f JOIN {prev_w} w ON f.bucket = w.bucket
       GROUP BY f.doc_id),
     q{i} AS (
       SELECT m.doc_id,
@@ -1518,7 +1524,7 @@ def _qct_oracle_sql() -> str:
       FROM meta m JOIN z{i} z ON m.doc_id = z.doc_id),
     g{i} AS (
       SELECT f.bucket, CAST(SUM((q.q * f.c) // f.n) AS BIGINT) AS g
-      FROM feat f JOIN q{i} q ON f.doc_id = q.doc_id
+      FROM feat_train f JOIN q{i} q ON f.doc_id = q.doc_id
       GROUP BY f.bucket),
     w{i} AS (
       SELECT w.bucket,
@@ -1526,18 +1532,34 @@ def _qct_oracle_sql() -> str:
       FROM {prev_w} w LEFT JOIN g{i} g ON w.bucket = g.bucket)"""
         )
         prev_w = f"w{i}"
-    n_ep = len(_QCT_EPOCH_DENS)
-    tail = f"""
+    zf = f"""
     , zf AS (
       SELECT f.doc_id, CAST(SUM(w.w * f.c) AS BIGINT) AS z
       FROM feat f JOIN {prev_w} w ON f.bucket = w.bucket
-      GROUP BY f.doc_id)
+      GROUP BY f.doc_id)"""
+    if tail == "per_doc":
+        tail_sql = zf + """
     SELECT m.doc_id, m.y AS label,
            COALESCE(z.z, 0) AS score_int,
            COALESCE(z.z, 0) > 0 AS pred
     FROM meta m LEFT JOIN zf z ON m.doc_id = z.doc_id
     """
-    return head + "," + ",".join(body) + tail
+    else:  # eval: confusion totals over the held-out complement
+        tail_sql = zf + f"""
+    , scored AS (
+      SELECT m.y, COALESCE(z.z, 0) > 0 AS pred
+      FROM meta m LEFT JOIN zf z ON m.doc_id = z.doc_id
+      WHERE NOT ({train_where.replace('doc_id', 'm.doc_id')}))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           ROUND(CAST(SUM(CASE WHEN pred = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM scored
+    """
+    return head + "," + ",".join(body) + tail_sql
 
 
 @query("text_quality_classifier_train", oracle=_qct_oracle_sql())
@@ -1577,10 +1599,14 @@ def text_quality_classifier_train(spark, sf_dir):
     return train_hashed_classifier(t.documents.select("doc_id", "text"))
 
 
-def train_hashed_classifier(docs):
+def train_hashed_classifier(docs, train_cond=None):
     """The trainer core over any (doc_id, text) DataFrame — split out
     so the planted-fixture accuracy gate can feed a synthetic,
-    perfectly-separable corpus (tests/test_operators.py)."""
+    perfectly-separable corpus (tests/test_operators.py).
+    ``train_cond`` (a Column over doc_id) restricts which documents
+    the gradient epochs see; SCORING always covers every document —
+    the held-out evaluation shape. None = train on everything
+    (behavior identical to before the parameter existed)."""
     ws = F.split(F.lower(F.trim(F.col("text"))), " ")
     base = docs.select("doc_id", ws.alias("ws"))
     meta = base.select(
@@ -1604,7 +1630,10 @@ def train_hashed_classifier(docs):
         .join(meta, "doc_id")
         .localCheckpoint()
     )
-    ndocs = meta.count()  # bounded control-plane scalar (one long)
+    feat_train = feat.where(train_cond) if train_cond is not None else feat
+    ndocs = (
+        meta.where(train_cond) if train_cond is not None else meta
+    ).count()  # bounded control-plane scalar (one long)
     w = (
         feat.select("bucket")
         .distinct()
@@ -1614,7 +1643,7 @@ def train_hashed_classifier(docs):
     half = _QCT_P9 // 2
     for den in _QCT_EPOCH_DENS:
         z = (
-            feat.join(F.broadcast(w), "bucket")
+            feat_train.join(F.broadcast(w), "bucket")
             .groupBy("doc_id")
             .agg(F.sum(F.col("w") * F.col("c")).cast("long").alias("z"))
         )
@@ -1632,7 +1661,7 @@ def train_hashed_classifier(docs):
             ).alias("q"),
         )
         g = (
-            feat.join(q, "doc_id")
+            feat_train.join(q, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.expr("(q * c) div n")).cast("long").alias("g"))
         )
@@ -1663,6 +1692,56 @@ def train_hashed_classifier(docs):
         F.col("y").alias("label"),
         F.coalesce(F.col("z"), F.lit(0).cast("long")).alias("score_int"),
         (F.coalesce(F.col("z"), F.lit(0).cast("long")) > 0).alias("pred"),
+    )
+
+
+_QCT_SPLIT_TRAIN = "doc_id % 10 < 8"  # 80/20 deterministic split
+
+
+@query(
+    "text_quality_classifier_eval",
+    oracle=_qct_oracle_sql(train_where=_QCT_SPLIT_TRAIN, tail="eval"),
+)
+def text_quality_classifier_eval(spark, sf_dir):
+    """HELD-OUT evaluation of the classifier trainer — the step the
+    CCNet recipe runs after training (fit on the seeded split, report
+    quality on documents the gradients never saw): train on the
+    deterministic 80% (doc_id % 10 < 8), score the 20% complement,
+    output the confusion totals (tp/fp/tn/fn) and accuracy. Same
+    integer-exact machinery as text_quality_classifier_train — the
+    generated oracle restates the unrolled epochs with the training
+    filter applied to the gradient CTEs only, so the hash match proves
+    BOTH that the split discipline held (test docs influenced no
+    gradient) and that the confusion algebra agrees. Accuracy is one
+    IEEE division, round-6.
+
+    Scale: identical plan economics to the trainer; the split adds one
+    pushed filter on the gradient branches."""
+    t = Tables(spark, sf_dir)
+    scored = train_hashed_classifier(
+        t.documents.select("doc_id", "text"),
+        train_cond=F.col("doc_id") % 10 < 8,
+    )
+    test = scored.where(~(F.col("doc_id") % 10 < 8))
+    correct = F.col("pred") == (F.col("label") == 1)
+    return test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum((F.col("pred") & (F.col("label") == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum((F.col("pred") & (F.col("label") == 0)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum((~F.col("pred") & (F.col("label") == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+        F.sum((~F.col("pred") & (F.col("label") == 1)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.round(
+            F.sum(correct.cast("long")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
     )
 
 

@@ -102,6 +102,7 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_kmv_theta_anotb_portable",   # theta=min(a,b) difference est.
     "stream_cdc_mirror_keyed",        # upsert-by-key CDC consumer
     "text_tokenize_unigram_portable", # integer-cost Viterbi exact twin
+    "text_quality_classifier_eval",   # held-out confusion/accuracy
     # (3) oldest r5 re-confirms fill the remaining slots (rest of the
     #     r5 cohort — the scalar-funcs/windows tail — queues for r11):
     "filter_in_set",                  # r5
@@ -109,11 +110,11 @@ FRONT_OF_WINDOW: list[str] = [
     "filter_like_regex",              # r5
     "case_when_dispatch",             # r5
     "join_inner_equi",                # r5
-    "join_broadcast_dim",             # r5
     "join_sortmerge_large",           # r5
     # (r5 vintages still queued for the r11 window: array_funcs,
     #  case_when/cast_try_cast, date_funcs, filter_*, funnel_conversion,
-    #  hash_funcs, hash_funcs_xxhash64, join_left_*, join_range_binned,
+    #  hash_funcs, hash_funcs_xxhash64, join_broadcast_dim, join_left_*,
+    #  join_range_binned,
     #  join_asof_event_order, join_skew_salted, json_funcs, map_funcs,
     #  multimodal_decode_stub,
     #  pack_sequence_bins, retention_cohort, sample_balance_buckets,

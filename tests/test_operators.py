@@ -3041,6 +3041,20 @@ class TestQualityClassifierTrainer:
         preds = {r.pred for r in rows}
         assert preds == {True, False}
 
+    def test_held_out_eval_generalizes(self, spark, sf_dir):
+        # the eval query trains on 80% and scores the unseen 20%:
+        # measured 0.85 at sf0.01 — gate at 0.7 (must beat chance by a
+        # wide margin on data the gradients never saw), and the
+        # confusion totals must reconcile.
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        row = registry.QUERIES["text_quality_classifier_eval"](
+            spark, sf_dir
+        ).collect()[0]
+        assert row.tp + row.fp + row.tn + row.fn == row.n_test
+        assert row.accuracy >= 0.7, row
+
 
 class TestStarConnectedComponents:
     """Kiveris-2014 large-star/small-star CC (operators/dedup.py

@@ -208,6 +208,7 @@ HEADLINE_NOTES = {
     "multimodal_audio_spectrogram": "two narrow Arrow kernels (encode WAV, decode+integer DFT), zero shuffles; fixed-point trig tables in the closure",
     "stream_cdc_mirror_keyed": "foreachBatch keyed apply: null-safe anti-join on the feed's key set + union of inserts; one atomic pointer flip per batch",
     "text_tokenize_unigram_portable": "explode + distinct to the bounded word table, narrow mapInPandas integer Viterbi, broadcast join back, one hash agg",
+    "text_quality_classifier_eval": "trainer plan + one pushed doc_id%10 filter on the gradient branches; held-out confusion = single agg over the scored complement",
 }
 
 
