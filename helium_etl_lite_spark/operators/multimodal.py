@@ -971,3 +971,112 @@ def audio_spectrogram_assets(assets: DataFrame, id_col: str = "doc_id") -> DataF
         f"{c} long" for c in band_cols
     )
     return assets.select(id_col, "payload").mapInPandas(kernel, schema=schema)
+
+
+# --- audio fingerprint: band-energy-difference bits (Haitsma-Kalker
+#     2002 shape) over the fixed-point spectrogram --------------------
+#
+# The audio sibling of the dHash image fingerprint: a robust compact
+# signature from SIGNS of spectral energy differences across time and
+# frequency — bit(t, k) = 1 iff the band-k energy delta from window
+# t-1 to t exceeds the band-(k+1) delta. Pure integer comparisons over
+# the integer-DFT energies, so the signature is hash-exact
+# cross-engine; near-dup matching bands the bits pigeonhole-style like
+# multimodal_phash_neardup.
+
+SIG_TRANSITIONS = 5  # window transitions fingerprinted (windows 0..5)
+SIG_BAND_PAIRS = [(1, 2), (2, 3), (3, 4)]  # adjacent analyzed bins
+SIG_BITS = SIG_TRANSITIONS * len(SIG_BAND_PAIRS)  # 15
+
+
+def audio_fingerprint(samples) -> tuple:
+    """(n_windows, sig): 15 sign bits of time/frequency energy
+    differences over the first SIG_TRANSITIONS+1 windows; windows past
+    the stream's end contribute zero energies (short docs still
+    fingerprint deterministically)."""
+    s = np.asarray(samples, dtype=np.int64)
+    n_windows = max(1, (len(s) + SPEC_WINDOW - 1) // SPEC_WINDOW)
+    # energies per (band, window) for windows 0..SIG_TRANSITIONS
+    e = {k: [0] * (SIG_TRANSITIONS + 1) for k in SPEC_BANDS}
+    for w in range(SIG_TRANSITIONS + 1):
+        win = s[w * SPEC_WINDOW : (w + 1) * SPEC_WINDOW]
+        m = len(win)
+        if m == 0:
+            continue
+        for k in SPEC_BANDS:
+            cos_t = np.asarray(SPEC_COS[k][:m], dtype=np.int64)
+            sin_t = np.asarray(SPEC_SIN[k][:m], dtype=np.int64)
+            re = int((win * cos_t).sum())
+            im = int((win * sin_t).sum())
+            e[k][w] = (re * re + im * im) // SPEC_ENERGY_SHIFT
+    sig = 0
+    bit = 0
+    for t in range(1, SIG_TRANSITIONS + 1):
+        for ka, kb in SIG_BAND_PAIRS:
+            if (e[ka][t] - e[ka][t - 1]) > (e[kb][t] - e[kb][t - 1]):
+                sig |= 1 << bit
+            bit += 1
+    return (n_windows, sig)
+
+
+def audio_fingerprint_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode WAV payloads and fingerprint — one narrow Arrow kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                nw, sig = audio_fingerprint(d["samples"])
+                rows.append((did, nw, sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_windows", "sig"])
+
+    return assets.select(id_col, "payload").mapInPandas(
+        kernel, schema="doc_id long, n_windows long, sig long"
+    )
+
+
+def audio_fingerprint_neardup(
+    fps: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate audio pairs by banded hamming join (the
+    multimodal_phash_neardup recipe on the 15-bit signature): split
+    the signature into 3 five-bit bands — two signatures within
+    hamming `max_hamming` (< 3 bands) MUST agree on some band
+    (pigeonhole), so candidate generation is an equi-join on
+    (band_idx, band_value), never all-pairs; exact hamming verifies.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    bands = []
+    for b in range(3):
+        bands.append(
+            fps.select(
+                F.col(id_col).alias("id"),
+                "sig",
+                F.lit(b).alias("band"),
+                F.shiftright("sig", b * 5).bitwiseAND(F.lit(31)).alias("bval"),
+            )
+        )
+    banded = bands[0].unionByName(bands[1]).unionByName(bands[2])
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -2308,6 +2308,141 @@ def multimodal_wav_decode(spark, sf_dir):
     return multimodal.decode_wav_assets(assets)
 
 
+def _spec_energy_prefix_sql() -> str:
+    """Shared WITH-prefix (through CTE `e`: doc_id, w, e1..e4) for the
+    spectrogram and audio-fingerprint oracles — one restatement of the
+    fixed-point DFT, two consumers."""
+    from ..operators.multimodal import (
+        SPEC_BANDS,
+        SPEC_COS,
+        SPEC_ENERGY_SHIFT,
+        SPEC_SIN,
+        SPEC_WINDOW,
+    )
+
+    def lst(t):
+        return "[" + ", ".join(str(x) for x in t) + "]"
+
+    re_im = ",\n             ".join(
+        f"SUM(v * ({lst(SPEC_COS[k])})[p + 1]) AS re{k},\n             "
+        f"SUM(v * ({lst(SPEC_SIN[k])})[p + 1]) AS im{k}"
+        for k in SPEC_BANDS
+    )
+    energies = ",\n             ".join(
+        f"CAST((re{k}*re{k} + im{k}*im{k}) // {SPEC_ENERGY_SHIFT} AS BIGINT)"
+        f" AS e{k}"
+        for k in SPEC_BANDS
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(i // {SPEC_WINDOW} AS BIGINT) AS w,
+                 CAST(i % {SPEC_WINDOW} AS INT) AS p,
+                 CAST(ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
+                      + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1))
+                      AS BIGINT) AS v
+          FROM base, unnest(generate_series(0, n - 1)) AS t(i)
+          WHERE n > 0),
+    f AS (SELECT doc_id, w,
+             {re_im}
+          FROM s GROUP BY doc_id, w),
+    e AS (SELECT doc_id, w,
+             {energies}
+          FROM f)"""
+
+
+def _audio_fingerprint_sig_sql() -> str:
+    """Shared CTE tail computing (doc_id, n_windows, sig) from `e` —
+    generated from the SAME constants as operators/multimodal.py
+    audio_fingerprint."""
+    from ..operators.multimodal import (
+        SIG_BAND_PAIRS,
+        SIG_TRANSITIONS,
+        SPEC_BANDS,
+        SPEC_WINDOW,
+    )
+
+    pivots = ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN w = {w} THEN e{k} END), 0) AS e{k}_{w}"
+        for k in SPEC_BANDS
+        for w in range(SIG_TRANSITIONS + 1)
+    )
+    bit_terms = []
+    bit = 0
+    for t in range(1, SIG_TRANSITIONS + 1):
+        for ka, kb in SIG_BAND_PAIRS:
+            bit_terms.append(
+                f"CASE WHEN (e{ka}_{t} - e{ka}_{t - 1})"
+                f" > (e{kb}_{t} - e{kb}_{t - 1})"
+                f" THEN {1 << bit} ELSE 0 END"
+            )
+            bit += 1
+    sig_expr = "\n               + ".join(bit_terms)
+    return f""",
+    piv AS (SELECT doc_id,
+             {pivots}
+            FROM e WHERE w <= {SIG_TRANSITIONS} GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+               CAST({sig_expr} AS BIGINT) AS sig
+            FROM piv),
+    fp AS (SELECT b.doc_id,
+               CAST(GREATEST(1, (b.n + {SPEC_WINDOW - 1}) // {SPEC_WINDOW})
+                    AS BIGINT) AS n_windows,
+               COALESCE(s.sig, 0) AS sig
+           FROM base b LEFT JOIN sig s ON b.doc_id = s.doc_id)"""
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=_spec_energy_prefix_sql()
+    + _audio_fingerprint_sig_sql()
+    + "\n    SELECT doc_id, n_windows, sig FROM fp",
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Compact audio fingerprint over the WAV leg — the audio sibling
+    of the dHash image fingerprint, in the Haitsma-Kalker 2002 shape:
+    15 sign bits of spectral energy DIFFERENCES across time (window
+    transitions) and frequency (adjacent analyzed bins), computed on
+    the fixed-point integer-DFT energies, so the signature is pure
+    integer comparisons — hash-exact against the oracle, which
+    restates the same tables and bit algebra over the source text.
+    Robustness comes from using signs of deltas, not magnitudes (the
+    published fingerprint's insight); the near-dup pairing over these
+    signatures is multimodal_audio_neardup."""
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_wav(t.documents, sample_rate=8000)
+    return multimodal.audio_fingerprint_assets(assets)
+
+
+@query(
+    "multimodal_audio_neardup",
+    oracle=_spec_energy_prefix_sql()
+    + _audio_fingerprint_sig_sql()
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """,
+)
+def multimodal_audio_neardup(spark, sf_dir):
+    """Near-duplicate audio pairs by BANDED hamming join over the
+    15-bit fingerprint (operators/multimodal.py
+    audio_fingerprint_neardup): three 5-bit bands — two signatures
+    within hamming 2 must agree on a band (pigeonhole), so candidates
+    come from an equi-join on (band, value), never all-pairs. The
+    oracle states the result as the naive ALL-PAIRS hamming filter, so
+    the hash match is a completeness proof: the banded plan loses no
+    pair the quadratic definition contains. (The oracle may go
+    quadratic — it runs on the 500-doc test corpus; the Spark plan is
+    the one that scales.) Planted near-identical-audio recall is
+    pinned in pytest."""
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_wav(t.documents, sample_rate=8000)
+    fps = multimodal.audio_fingerprint_assets(assets)
+    return multimodal.audio_fingerprint_neardup(fps, max_hamming=2)
+
+
 _UNIP_MAXW = 12  # portable contract: words longer than this are excluded
 
 

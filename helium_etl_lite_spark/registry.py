@@ -103,16 +103,17 @@ FRONT_OF_WINDOW: list[str] = [
     "stream_cdc_mirror_keyed",        # upsert-by-key CDC consumer
     "text_tokenize_unigram_portable", # integer-cost Viterbi exact twin
     "text_quality_classifier_eval",   # held-out confusion/accuracy
+    "multimodal_audio_fingerprint",   # Haitsma-Kalker sign-delta bits
+    "multimodal_audio_neardup",       # banded hamming == all-pairs proof
     # (3) oldest r5 re-confirms fill the remaining slots (rest of the
     #     r5 cohort — the scalar-funcs/windows tail — queues for r11):
     "filter_in_set",                  # r5
     "filter_null_semantics",          # r5
-    "filter_like_regex",              # r5
-    "case_when_dispatch",             # r5
     "join_inner_equi",                # r5
     "join_sortmerge_large",           # r5
     # (r5 vintages still queued for the r11 window: array_funcs,
-    #  case_when/cast_try_cast, date_funcs, filter_*, funnel_conversion,
+    #  case_when_dispatch, cast_try_cast, date_funcs, filter_like_regex,
+    #  funnel_conversion,
     #  hash_funcs, hash_funcs_xxhash64, join_broadcast_dim, join_left_*,
     #  join_range_binned,
     #  join_asof_event_order, join_skew_salted, json_funcs, map_funcs,

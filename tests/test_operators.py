@@ -3197,3 +3197,67 @@ class TestAudioSpectrogram:
             np.ones(33, dtype=np.int64)
         )
         assert sp33["n_windows"] == 3  # 16 + 16 + 1
+
+
+class TestAudioFingerprint:
+    """Haitsma-Kalker-style audio fingerprint + banded near-dup
+    (operators/multimodal.py): planted-pair recall, pigeonhole
+    completeness vs brute force, determinism."""
+
+    def test_planted_near_identical_audio_is_found(self, spark):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(910)
+        rows = []
+        for i in range(20):
+            x = rng.integers(0, 32000, 160)
+            rows.append((i, M.audio_fingerprint(x)[1]))
+        # plant: doc 100 = doc 0's audio with one sample nudged — the
+        # sign-of-delta bits shrug off small perturbations
+        base = rng.integers(0, 32000, 160)
+        pert = base.copy()
+        pert[7] += 3
+        rows.append((100, M.audio_fingerprint(base)[1]))
+        rows.append((101, M.audio_fingerprint(pert)[1]))
+        fps = spark.createDataFrame(
+            [(i, 1, s) for i, s in rows], "doc_id long, n_windows long, sig long"
+        )
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in M.audio_fingerprint_neardup(fps, max_hamming=2).collect()
+        }
+        assert (100, 101) in pairs
+
+    def test_banded_join_equals_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from helium_etl_lite_spark.operators import multimodal as M
+
+        rng = random.Random(3)
+        sigs = [(i, rng.randrange(1 << 15)) for i in range(60)]
+        fps = spark.createDataFrame(
+            [(i, 1, s) for i, s in sigs], "doc_id long, n_windows long, sig long"
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in M.audio_fingerprint_neardup(fps, max_hamming=2).collect()
+        }
+        want = set()
+        for (i, a), (j, b) in itertools.combinations(sigs, 2):
+            h = bin(a ^ b).count("1")
+            if h <= 2:
+                want.add((min(i, j), max(i, j), h))
+        assert got == want
+
+    def test_fingerprint_deterministic_and_short_streams(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as M
+
+        x = np.arange(200, dtype=np.int64) % 3000
+        assert M.audio_fingerprint(x) == M.audio_fingerprint(x.copy())
+        nw, sig = M.audio_fingerprint(np.zeros(1, dtype=np.int64))
+        assert (nw, sig) == (1, 0)

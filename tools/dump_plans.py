@@ -209,6 +209,8 @@ HEADLINE_NOTES = {
     "stream_cdc_mirror_keyed": "foreachBatch keyed apply: null-safe anti-join on the feed's key set + union of inserts; one atomic pointer flip per batch",
     "text_tokenize_unigram_portable": "explode + distinct to the bounded word table, narrow mapInPandas integer Viterbi, broadcast join back, one hash agg",
     "text_quality_classifier_eval": "trainer plan + one pushed doc_id%10 filter on the gradient branches; held-out confusion = single agg over the scored complement",
+    "multimodal_audio_fingerprint": "narrow Arrow kernel (decode + integer DFT + sign-delta bits), zero shuffles",
+    "multimodal_audio_neardup": "pigeonhole bands -> (band, value) equi-join candidates -> exact bit_count(xor) verify; no all-pairs, no BNLJ",
 }
 
 
