@@ -223,18 +223,20 @@ def cmd_sql(
     log=None,
     at_version: int | None = None,
     changes_since: int | None = None,
+    change_key_cols: list[str] | None = None,
 ) -> int:
     """Serving-layer escape hatch: register the output tables under the
     reference's names (cursor-bounded committed view; --at-version
     time-travels an atomic sink; --changes-since N adds
-    `<table>_changes` CDC views diffing version N -> the served one)
-    and run one SQL statement, printing up to 1000 rows. Returns the
-    row count."""
+    `<table>_changes` CDC views diffing version N -> the served one;
+    --key-cols upgrades those views to the KEYED feed with
+    update_preimage/update_postimage pairing) and run one SQL
+    statement, printing up to 1000 rows. Returns the row count."""
     from . import serving
 
     serving.register_views(
         spark, str(cfg["out_dir"]), at_version=at_version,
-        changes_since=changes_since,
+        changes_since=changes_since, change_key_cols=change_key_cols,
     )
     out = spark.sql(sql_text)
     rows = out.limit(1000).collect()
@@ -418,6 +420,12 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot version against the served one (atomic sinks only)",
     )
     p.add_argument(
+        "--key-cols", default=None,
+        help="sql: comma-separated key columns — upgrades the "
+        "--changes-since views to the keyed feed (in-place changes "
+        "pair as update_preimage/update_postimage)",
+    )
+    p.add_argument(
         "--keep-versions", type=int, default=2,
         help="vacuum: snapshot versions to keep (default 2)",
     )
@@ -464,6 +472,11 @@ def main(argv: list[str] | None = None) -> int:
             cmd_sql(
                 spark, cfg, args.execute, at_version=args.at_version,
                 changes_since=args.changes_since,
+                change_key_cols=(
+                    [c.strip() for c in args.key_cols.split(",") if c.strip()]
+                    if args.key_cols
+                    else None
+                ),
             )
         elif args.command == "compact":
             cmd_compact(spark, cfg, args.target_mb)

@@ -45,6 +45,7 @@ def register_views(
     range_size: int = 1000,
     at_version: int | None = None,
     changes_since: int | None = None,
+    change_key_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Expose the output tables under the reference's table names.
     `transactions` is registered only when the pipeline mode produced it
@@ -54,7 +55,11 @@ def register_views(
     plain sinks keep no history to travel to. `changes_since` (atomic
     sinks only) additionally registers `<table>_changes` views holding
     the CDC diff from that version to the served one (read_changes:
-    '_change_type' insert/delete, partition-pruned by manifest diff)."""
+    '_change_type' insert/delete, partition-pruned by manifest diff).
+    `change_key_cols` upgrades those views to the KEYED feed: in-place
+    changes of a key pair as update_preimage/update_postimage (the
+    Delta-CDF contract; tables missing a key column keep the plain
+    feed — a shared key list serves heterogeneous stores)."""
     views: dict[str, DataFrame] = {}
 
     from .etl.snapshot import SnapshotStore, read_changes, read_snapshot
@@ -125,8 +130,16 @@ def register_views(
         v_to = snapshot_manifest["version"]
         for table in snapshot_manifest["tables"]:
             diff = read_changes(spark, out_dir, table, changes_since, v_to)
-            if diff is not None:
-                views[f"{table}_changes"] = diff
+            if diff is None:
+                continue
+            if change_key_cols and all(
+                k in diff.columns for k in change_key_cols
+            ):
+                diff = read_changes(
+                    spark, out_dir, table, changes_since, v_to,
+                    key_cols=change_key_cols,
+                )
+            views[f"{table}_changes"] = diff
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return views

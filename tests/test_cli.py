@@ -347,6 +347,36 @@ def test_sql_changes_since_registers_cdc_views(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "insert" in printed and "delete" in printed
 
+    # --key-cols upgrades the view to the KEYED feed: block 7's change
+    # pairs as update_preimage/update_postimage, block 9 stays a delete
+    n = cli.cmd_sql(
+        spark,
+        {"out_dir": out},
+        "SELECT block, _change_type FROM rewards_changes "
+        "ORDER BY block, _change_type",
+        log=logging.getLogger("test"),
+        changes_since=1,
+        change_key_cols=["block"],
+    )
+    assert n == 3
+    printed = capsys.readouterr().out
+    assert "update_preimage" in printed and "update_postimage" in printed
+    assert printed.count("delete") == 1
+    assert "insert" not in printed.replace("update_postimage", "")
+
+    # a key column the table lacks: falls back to the plain feed
+    n = cli.cmd_sql(
+        spark,
+        {"out_dir": out},
+        "SELECT _change_type FROM rewards_changes ORDER BY 1",
+        log=logging.getLogger("test"),
+        changes_since=1,
+        change_key_cols=["no_such_col"],
+    )
+    assert n == 3
+    printed = capsys.readouterr().out
+    assert "update_preimage" not in printed
+
     # plain (non-atomic) sink: clear error
     import pytest as _pytest
 
