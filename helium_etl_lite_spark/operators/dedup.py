@@ -644,6 +644,16 @@ def connected_components(
     runs with checkpoint dirs on durable storage). Iterations needed =
     graph diameter; near-dup clusters are shallow, so convergence is
     fast and checked each round with one count.
+
+    The per-round label join is HINTED shuffle_hash (r10): labels are
+    O(nodes) — beyond toy scale not broadcastable — and on local[32]
+    the default plan's broadcast build OOMed DETERMINISTICALLY at the
+    10x lane (the heap already holds the checkpointed edge partitions)
+    while the hinted loop completes in 97.6 s; the merge-join
+    alternative measured 2.5x slower (243 s), and base-scale cost is
+    unchanged (5.0 s vs 5.6 s). For deep/huge graphs prefer
+    connected_components_star (O(log n) phases, no per-round state
+    growth).
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     # Materialize the edge list ONCE: `edges` may be an expensive plan
@@ -663,7 +673,10 @@ def connected_components(
         # each node proposes its label to every neighbor; keep the min
         # of (own label, best proposal)
         proposals = (
-            undirected.join(labels, undirected["a"] == labels["id"])
+            undirected.join(
+                labels.hint("shuffle_hash"),
+                undirected["a"] == labels["id"],
+            )
             .select(F.col("b").alias("id"), F.col("component"))
         )
         new_labels = (
