@@ -462,6 +462,11 @@ def main(argv: list[str] | None = None) -> int:
         cfg = load_config(args.config)
     if args.command == "sql" and not args.execute:
         raise SystemExit("sql command requires -e/--execute")
+    if getattr(args, "key_cols", None) and args.changes_since is None:
+        raise SystemExit(
+            "--key-cols only applies to the --changes-since CDC views; "
+            "pass --changes-since N as well"
+        )
     spark = get_spark(f"helium-cli-{args.command}")
     try:
         if args.command == "migrate":

@@ -376,28 +376,41 @@ def read_changes(
     side_to = side_to.select(sorted(side_to.columns))
     inserts = side_to.exceptAll(side_from)
     deletes = side_from.exceptAll(side_to)
+    plain = inserts.withColumn("_change_type", F.lit("insert")).unionByName(
+        deletes.withColumn("_change_type", F.lit("delete"))
+    )
     if key_cols is None:
-        return inserts.withColumn(
-            "_change_type", F.lit("insert")
-        ).unionByName(deletes.withColumn("_change_type", F.lit("delete")))
-    missing_keys = [k for k in key_cols if k not in side_to.columns]
+        return plain
+    return pair_updates(plain, key_cols)
+
+
+def pair_updates(feed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Upgrade a plain insert/delete change feed to the KEYED feed: a
+    key present on BOTH sides changed in place — tag its old image
+    'update_preimage' and its new one 'update_postimage'; one-sided
+    keys keep their plain tags. Shared by read_changes(key_cols=) and
+    serving.register_views(change_key_cols=), which re-tags an
+    already-built diff instead of rebuilding it (review find).
+
+    The key sets are the O(churn) feed's keys — bounded, so the
+    semi/anti joins ride the same small exchange. Joins are NULL-SAFE
+    (eqNullSafe) to match intersect's null semantics — a NULL-keyed
+    in-place change must pair like any other key, not fall through as
+    insert+delete (review find). The renamed key projection breaks the
+    attribute-id tie with `inserts` (intersect reuses the left child's
+    ids): joining the key set un-renamed back against inserts resolves
+    both sides of the condition to the SAME attribute — a
+    trivially-true predicate that would tag every insert a postimage
+    (review find)."""
+    missing_keys = [k for k in key_cols if k not in feed.columns]
     if missing_keys:
         raise ValueError(
-            f"read_changes: key_cols {missing_keys} not in table columns "
-            f"{sorted(side_to.columns)}"
+            f"pair_updates: key_cols {missing_keys} not in feed columns "
+            f"{sorted(feed.columns)}"
         )
-    # a key present on BOTH sides of the diff changed in place: tag the
-    # old image preimage, the new one postimage. The key sets are the
-    # O(churn) diff's keys — bounded, so the semi/anti joins ride the
-    # same small exchange. Joins are NULL-SAFE (eqNullSafe) to match
-    # intersect's null semantics — a NULL-keyed in-place change must
-    # pair like any other key, not fall through as insert+delete
-    # (review find).
-    # the renamed key projection also breaks the attribute-id tie with
-    # `inserts` (intersect reuses the left child's ids): joining uk
-    # un-renamed back against inserts resolves both sides of the
-    # condition to the SAME attribute — a trivially-true predicate that
-    # would tag every insert a postimage (review find).
+    cols = [c for c in feed.columns if c != "_change_type"]
+    inserts = feed.where(F.col("_change_type") == "insert").select(*cols)
+    deletes = feed.where(F.col("_change_type") == "delete").select(*cols)
     upd_keys = (
         inserts.select(*key_cols)
         .intersect(deletes.select(*key_cols))

@@ -308,9 +308,11 @@ def viterbi_cost_segment(word: str, costs: dict, max_piece_len: int) -> tuple:
     """Integer-cost Viterbi: minimize v = sum(1024*cost(piece) + 1).
     Returns (n_tokens, total_cost) decoded from the single combined
     integer (v % 1024 = token count since every word here is < 1024
-    tokens; v // 1024 = cost). Words containing a character absent
-    from the table are the caller's problem — the portable contract
-    covers the seeded alphabet."""
+    tokens; v // 1024 = cost). Fail-stop on an unsegmentable word (a
+    character outside the cost table): decoding the INF sentinel would
+    silently yield n_tokens=0 and an astronomical cost (review find) —
+    the portable contract covers the seeded lowercase alphabet, and a
+    caller feeding anything else must hear about it."""
     n = len(word)
     INF = 1 << 62
     dp = [INF] * (n + 1)
@@ -326,6 +328,12 @@ def viterbi_cost_segment(word: str, costs: dict, max_piece_len: int) -> tuple:
             if v < dp[i]:
                 dp[i] = v
     v = dp[n]
+    if v >= INF:
+        raise ValueError(
+            f"unsegmentable word {word!r}: contains a character outside "
+            "the portable cost table (lowercase a-z) — filter inputs "
+            "like text_tokenize_unigram_portable does"
+        )
     return (v % 1024, v // 1024)
 
 

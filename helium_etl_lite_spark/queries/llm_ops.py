@@ -2310,8 +2310,8 @@ def multimodal_wav_decode(spark, sf_dir):
 
 def _spec_energy_prefix_sql() -> str:
     """Shared WITH-prefix (through CTE `e`: doc_id, w, e1..e4) for the
-    spectrogram and audio-fingerprint oracles — one restatement of the
-    fixed-point DFT, two consumers."""
+    spectrogram, audio-fingerprint and audio-near-dup oracles — ONE
+    restatement of the fixed-point DFT, three consumers."""
     from ..operators.multimodal import (
         SPEC_BANDS,
         SPEC_COS,
@@ -2554,31 +2554,12 @@ def text_tokenize_unigram_portable(spark, sf_dir):
 
 
 def _spectrogram_oracle_sql() -> str:
-    """Generated oracle for multimodal_audio_spectrogram: the SAME
-    fixed-point DFT tables the numpy kernel uses (operators/multimodal
-    SPEC_COS/SPEC_SIN) render as SQL list literals, so kernel and
-    oracle cannot drift (the generated-oracle discipline)."""
-    from ..operators.multimodal import (
-        SPEC_BANDS,
-        SPEC_COS,
-        SPEC_ENERGY_SHIFT,
-        SPEC_SIN,
-        SPEC_WINDOW,
-    )
+    """Generated oracle for multimodal_audio_spectrogram: the shared
+    fixed-point DFT prefix (_spec_energy_prefix_sql — ONE restatement
+    serving the spectrogram, fingerprint and near-dup oracles) plus the
+    per-doc band-energy aggregation tail."""
+    from ..operators.multimodal import SPEC_BANDS
 
-    def lst(t):
-        return "[" + ", ".join(str(x) for x in t) + "]"
-
-    re_im = ",\n             ".join(
-        f"SUM(v * ({lst(SPEC_COS[k])})[p + 1]) AS re{k},\n             "
-        f"SUM(v * ({lst(SPEC_SIN[k])})[p + 1]) AS im{k}"
-        for k in SPEC_BANDS
-    )
-    energies = ",\n             ".join(
-        f"CAST((re{k}*re{k} + im{k}*im{k}) // {SPEC_ENERGY_SHIFT} AS BIGINT)"
-        f" AS e{k}"
-        for k in SPEC_BANDS
-    )
     sums = ",\n               ".join(
         f"CAST(SUM(e{k}) AS BIGINT) AS band{k}_energy" for k in SPEC_BANDS
     )
@@ -2586,22 +2567,7 @@ def _spectrogram_oracle_sql() -> str:
         f"COALESCE(a.band{k}_energy, 0) AS band{k}_energy"
         for k in SPEC_BANDS
     )
-    return f"""
-    WITH base AS (SELECT doc_id, text, length(text) // 2 AS n FROM documents),
-    s AS (SELECT doc_id,
-                 CAST(i // {SPEC_WINDOW} AS BIGINT) AS w,
-                 CAST(i % {SPEC_WINDOW} AS INT) AS p,
-                 CAST(ascii(substr(text, CAST(2 * i + 1 AS INT), 1))
-                      + 256 * ascii(substr(text, CAST(2 * i + 2 AS INT), 1))
-                      AS BIGINT) AS v
-          FROM base, unnest(generate_series(0, n - 1)) AS t(i)
-          WHERE n > 0),
-    f AS (SELECT doc_id, w,
-             {re_im}
-          FROM s GROUP BY doc_id, w),
-    e AS (SELECT doc_id,
-             {energies}
-          FROM f),
+    return _spec_energy_prefix_sql() + f""",
     agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
                {sums}
             FROM e GROUP BY doc_id)

@@ -411,6 +411,41 @@ def sink_snapshot_time_travel(spark, sf_dir):
     return summarize(v1, 1).unionByName(summarize(v2, 2)).orderBy("version")
 
 
+def _cdc_fixture_commit1(spark, sf_dir, root):
+    """Commit 1 of the shared CDC fixture (every sink_snapshot_changes*
+    / stream_cdc_mirror* query proves its consumer against the SAME
+    two-commit story): land every event as (block, value). Returns
+    (ev, hi) for commit 2."""
+    from ..etl.snapshot import commit_batch_atomic
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("block"), F.col("value")
+    )
+    hi = int(ev.agg(F.max("block")).first()[0])
+    commit_batch_atomic(
+        spark, root, {"rewards": ev}, lo=0, hi=hi, height=hi,
+        first_block=0, heights=ev.select("block"),
+    )
+    return ev, hi
+
+
+def _cdc_fixture_commit2(spark, ev, root, hi):
+    """Commit 2: re-claim the block%5 rows but re-emit only the %10
+    rows with value+1 — so the v1->v2 delta is exactly {updates of %10,
+    deletes of %5-but-not-%10}. One definition; the five consumers and
+    their oracles all state this story."""
+    from ..etl.snapshot import commit_batch_atomic
+
+    claimed = ev.where(F.col("block") % 5 == 0).select("block")
+    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    commit_batch_atomic(
+        spark, root, {"rewards": replaced}, lo=0, hi=hi,
+        height=hi, first_block=0, heights=claimed,
+    )
+
+
 @query(
     "sink_snapshot_changes",
     oracle="""
@@ -443,25 +478,11 @@ def sink_snapshot_changes(spark, sf_dir):
     touches a handful of ranges per commit, so the diff IO is
     O(churn), not O(table); row-level arithmetic (value+1.0) is
     FP-exact on both engines."""
-    from ..etl.snapshot import commit_batch_atomic, read_changes
+    from ..etl.snapshot import read_changes
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("block"), F.col("value")
-    )
     root = scratch_dir("snapshot_cdc")
-    hi = ev.agg(F.max("block")).first()[0]
-    commit_batch_atomic(
-        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
-        first_block=0, heights=ev.select("block"),
-    )
-    claimed = ev.where(F.col("block") % 5 == 0).select("block")
-    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
-        "value", F.col("value") + F.lit(1.0)
-    )
-    commit_batch_atomic(
-        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
-        height=int(hi), first_block=0, heights=claimed,
-    )
+    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
+    _cdc_fixture_commit2(spark, ev, root, hi)
     return read_changes(spark, root, "rewards", v_from=1, v_to=2).select(
         "block", "value", "_change_type"
     )
@@ -487,25 +508,11 @@ def sink_snapshot_changes_apply(spark, sf_dir):
     updated images), so a feed that dropped, duplicated, or mis-tagged
     any row hash-mismatches. Multiset apply via unionByName+exceptAll —
     both hash-partitioned, no driver materialization."""
-    from ..etl.snapshot import commit_batch_atomic, read_changes, read_snapshot
+    from ..etl.snapshot import read_changes, read_snapshot
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("block"), F.col("value")
-    )
     root = scratch_dir("snapshot_cdc_apply")
-    hi = ev.agg(F.max("block")).first()[0]
-    commit_batch_atomic(
-        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
-        first_block=0, heights=ev.select("block"),
-    )
-    claimed = ev.where(F.col("block") % 5 == 0).select("block")
-    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
-        "value", F.col("value") + F.lit(1.0)
-    )
-    commit_batch_atomic(
-        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
-        height=int(hi), first_block=0, heights=claimed,
-    )
+    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
+    _cdc_fixture_commit2(spark, ev, root, hi)
     base = read_snapshot(spark, root, "rewards", version=1).select("block", "value")
     feed = read_changes(spark, root, "rewards", v_from=1, v_to=2)
     ins = feed.where(F.col("_change_type") == "insert").select("block", "value")
@@ -549,25 +556,11 @@ def sink_snapshot_changes_updates(spark, sf_dir):
     keyed on the O(churn)-bounded diff — never on the table; the plain
     insert/delete feed (key_cols=None) is byte-identical to before, so
     the mirror/curation streaming consumers are untouched."""
-    from ..etl.snapshot import commit_batch_atomic, read_changes
+    from ..etl.snapshot import read_changes
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("block"), F.col("value")
-    )
     root = scratch_dir("snapshot_cdc_updates")
-    hi = ev.agg(F.max("block")).first()[0]
-    commit_batch_atomic(
-        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
-        first_block=0, heights=ev.select("block"),
-    )
-    claimed = ev.where(F.col("block") % 5 == 0).select("block")
-    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
-        "value", F.col("value") + F.lit(1.0)
-    )
-    commit_batch_atomic(
-        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
-        height=int(hi), first_block=0, heights=claimed,
-    )
+    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
+    _cdc_fixture_commit2(spark, ev, root, hi)
     return read_changes(
         spark, root, "rewards", v_from=1, v_to=2, key_cols=["block"]
     ).select("block", "value", "_change_type")
@@ -598,29 +591,13 @@ def stream_cdc_mirror(spark, sf_dir):
     they close the subscribe-apply contract in both execution models."""
     from ..streaming import mirror
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("block"), F.col("value")
-    )
-    from ..etl.snapshot import commit_batch_atomic
-
     root = scratch_dir("stream_cdc_mirror_src")
     mdir = scratch_dir("stream_cdc_mirror_dst")
     ckpt = scratch_dir("stream_cdc_mirror_ckpt")
-    hi = ev.agg(F.max("block")).first()[0]
-    commit_batch_atomic(
-        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
-        first_block=0, heights=ev.select("block"),
-    )
+    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
     q1 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
     q1.awaitTermination(300)
-    claimed = ev.where(F.col("block") % 5 == 0).select("block")
-    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
-        "value", F.col("value") + F.lit(1.0)
-    )
-    commit_batch_atomic(
-        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
-        height=int(hi), first_block=0, heights=claimed,
-    )
+    _cdc_fixture_commit2(spark, ev, root, hi)
     q2 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
     q2.awaitTermination(300)
     return mirror.read_mirror(spark, mdir).select("block", "value")
@@ -648,32 +625,17 @@ def stream_cdc_mirror_keyed(spark, sf_dir):
     the source even when the mirror's row images drifted (multiset
     apply would strand the stale image AND duplicate the key —
     tests/test_sources_streaming.py pins exactly that divergence)."""
-    from ..etl.snapshot import commit_batch_atomic
     from ..streaming import mirror
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_id").cast("long").alias("block"), F.col("value")
-    )
     root = scratch_dir("stream_cdc_keyed_src")
     mdir = scratch_dir("stream_cdc_keyed_dst")
     ckpt = scratch_dir("stream_cdc_keyed_ckpt")
-    hi = ev.agg(F.max("block")).first()[0]
-    commit_batch_atomic(
-        spark, root, {"rewards": ev}, lo=0, hi=int(hi), height=int(hi),
-        first_block=0, heights=ev.select("block"),
-    )
+    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
     q1 = mirror.start_keyed_mirror_stream(
         spark, root, "rewards", mdir, ckpt, key_cols=["block"]
     )
     q1.awaitTermination(300)
-    claimed = ev.where(F.col("block") % 5 == 0).select("block")
-    replaced = ev.where(F.col("block") % 10 == 0).withColumn(
-        "value", F.col("value") + F.lit(1.0)
-    )
-    commit_batch_atomic(
-        spark, root, {"rewards": replaced}, lo=0, hi=int(hi),
-        height=int(hi), first_block=0, heights=claimed,
-    )
+    _cdc_fixture_commit2(spark, ev, root, hi)
     q2 = mirror.start_keyed_mirror_stream(
         spark, root, "rewards", mdir, ckpt, key_cols=["block"]
     )

@@ -127,6 +127,8 @@ def register_views(
         [cur] if cur is not None else [], FOLLOWER_INFO_SCHEMA
     )
     if changes_since is not None:
+        from .etl.snapshot import pair_updates
+
         v_to = snapshot_manifest["version"]
         for table in snapshot_manifest["tables"]:
             diff = read_changes(spark, out_dir, table, changes_since, v_to)
@@ -135,10 +137,9 @@ def register_views(
             if change_key_cols and all(
                 k in diff.columns for k in change_key_cols
             ):
-                diff = read_changes(
-                    spark, out_dir, table, changes_since, v_to,
-                    key_cols=change_key_cols,
-                )
+                # re-tag the diff already built — pair_updates operates
+                # on the feed itself, so no second manifest/diff pass
+                diff = pair_updates(diff, change_key_cols)
             views[f"{table}_changes"] = diff
     for name, df in views.items():
         df.createOrReplaceTempView(name)

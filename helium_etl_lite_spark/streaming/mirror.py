@@ -192,7 +192,13 @@ def apply_changes_batch_keyed(
         return False
     spark = batch_df.sparkSession
     cols = [c for c in batch_df.columns if c != "_change_type"]
-    inserts = batch_df.where(F.col("_change_type") == "insert").select(*cols)
+    # accept BOTH feed dialects: the plain insert/delete stream AND the
+    # keyed read_changes(key_cols=) feed, whose new images arrive as
+    # update_postimage (review find: filtering to 'insert' alone
+    # dropped updated rows while still deleting their keys).
+    inserts = batch_df.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
     touched = batch_df.select(
         *[F.col(k).alias(f"__k_{k}") for k in key_cols]
     ).distinct()

@@ -994,3 +994,33 @@ def test_keyed_apply_reconverges_after_image_drift(spark, tmp_path):
     assert {
         (r["block"], r["v"]) for r in mirror.read_mirror(spark, m2).collect()
     } == keyed
+
+
+def test_keyed_apply_accepts_keyed_feed_dialect(spark, tmp_path):
+    # review find: the keyed apply must land update_postimage rows —
+    # it is documented as the read_changes(key_cols=) counterpart, and
+    # that feed tags in-place changes pre/postimage, not insert/delete.
+    import os
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    seed = spark.createDataFrame([(10, 1.0), (11, 5.0)], "block long, v double")
+    vdir = os.path.join(mdir, "v=0")
+    seed.write.mode("overwrite").parquet(vdir)
+    mirror.write_pointer_atomic(mdir, 0, data_dir=vdir)
+    keyed_feed = spark.createDataFrame(
+        [
+            (10, 1.0, "update_preimage"),
+            (10, 2.0, "update_postimage"),
+            (11, 5.0, "delete"),
+            (12, 9.0, "insert"),
+        ],
+        "block long, v double, _change_type string",
+    )
+    assert mirror.apply_changes_batch_keyed(keyed_feed, 1, mdir, ["block"])
+    got = {
+        (r["block"], r["v"]) for r in mirror.read_mirror(spark, mdir).collect()
+    }
+    assert got == {(10, 2.0), (12, 9.0)}

@@ -177,3 +177,17 @@ class TestUnigramPortable:
         for r in rows:
             assert r.n_tokens_unigram >= r.n_words  # >=1 token per word
             assert r.total_cost > 0
+
+    def test_unsegmentable_word_fails_loud(self):
+        import pytest
+
+        from helium_etl_lite_spark.operators.unigram import (
+            UNIGRAM_PORTABLE_COSTS,
+            UNIGRAM_PORTABLE_MAX_PIECE,
+            viterbi_cost_segment,
+        )
+
+        with pytest.raises(ValueError, match="unsegmentable"):
+            viterbi_cost_segment(
+                "Héllo", UNIGRAM_PORTABLE_COSTS, UNIGRAM_PORTABLE_MAX_PIECE
+            )
