@@ -1024,3 +1024,81 @@ def test_keyed_apply_accepts_keyed_feed_dialect(spark, tmp_path):
         (r["block"], r["v"]) for r in mirror.read_mirror(spark, mdir).collect()
     }
     assert got == {(10, 2.0), (12, 9.0)}
+
+
+def test_prune_versions_keeps_two_and_ignores_inflight(spark, tmp_path):
+    # retention (r9 ADVICE item 2): after a few applies only the newest
+    # two committed version dirs remain; a directory NEWER than the
+    # pointer (an in-flight writer) is never touched; no-op pre-publish.
+    import os
+
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    assert mirror.prune_versions(mdir) == []  # before any publish
+    for bid in (1, 2, 3, 4):
+        feed = spark.createDataFrame(
+            [(bid, float(bid), "insert")], "block long, v double, _change_type string"
+        )
+        assert mirror.apply_changes_batch(feed, bid, mdir)
+    # in-flight dir beyond the pointer
+    os.makedirs(os.path.join(mdir, "v=99"))
+    pruned = mirror.prune_versions(mdir)
+    assert pruned == []  # apply already pruned; idempotent
+    dirs = sorted(d for d in os.listdir(mdir) if d.startswith("v="))
+    assert dirs == ["v=3", "v=4", "v=99"], dirs
+    # the mirror still reads: all four rows accumulated
+    assert mirror.read_mirror(spark, mdir).count() == 4
+
+
+def test_keyed_and_multiset_apply_agree_on_consistent_feeds(spark, tmp_path):
+    # when the mirror's images are consistent with the feed (the normal
+    # case), the keyed and multiset applies must produce the same
+    # mirror — randomized over keyed insert/delete/update batches.
+    import os
+    import random
+
+    import pyspark.sql.functions as F
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    rng = random.Random(910)
+    state = {k: float(k) for k in range(20)}
+    rows = [(k, v) for k, v in state.items()]
+
+    def seed(mdir):
+        os.makedirs(mdir)
+        df = spark.createDataFrame(rows, "block long, v double")
+        vdir = os.path.join(mdir, "v=0")
+        df.write.mode("overwrite").parquet(vdir)
+        mirror.write_pointer_atomic(mdir, 0, data_dir=vdir)
+
+    m1, m2 = str(tmp_path / "multiset"), str(tmp_path / "keyed")
+    seed(m1)
+    seed(m2)
+    for bid in (1, 2, 3):
+        feed_rows = []
+        keys = rng.sample(sorted(state), 6)
+        for k in keys[:2]:  # updates
+            feed_rows.append((k, state[k], "delete"))
+            state[k] = state[k] + 100.0
+            feed_rows.append((k, state[k], "insert"))
+        for k in keys[2:4]:  # deletes
+            feed_rows.append((k, state.pop(k), "delete"))
+        for i, k in enumerate(keys[4:6]):  # fresh inserts
+            nk = 100 * bid + i
+            state[nk] = float(nk)
+            feed_rows.append((nk, state[nk], "insert"))
+        feed = spark.createDataFrame(
+            feed_rows, "block long, v double, _change_type string"
+        )
+        assert mirror.apply_changes_batch(feed, bid, m1)
+        assert mirror.apply_changes_batch_keyed(feed, bid, m2, ["block"])
+    got1 = {(r["block"], r["v"]) for r in mirror.read_mirror(spark, m1).collect()}
+    got2 = {(r["block"], r["v"]) for r in mirror.read_mirror(spark, m2).collect()}
+    want = set(state.items())
+    assert got1 == want
+    assert got2 == want
