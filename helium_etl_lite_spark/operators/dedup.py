@@ -669,6 +669,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # each node proposes its label to every neighbor; keep the min
         # of (own label, best proposal)
@@ -694,7 +695,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # fail-stop (r10 ADVICE item 2, shared with the star twin):
+        # labels mid-propagation are not component labels.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds (rounds needed = component diameter); raise "
+            "max_iter or use connected_components_star"
+        )
     return labels
 
 
@@ -726,11 +736,14 @@ def connected_components_star(
 
     Kiveris Theorem 1: alternating the two preserves connectivity and
     converges to rooted stars whose centers are the component minima.
-    Convergence = the canonical edge SET stops changing (two exceptAll
-    counts on the current frontier — bounded control actions).
-    Lineage truncates per phase with eager localCheckpoint (the
-    iterative-operator discipline; at 100 TB swap for durable
-    checkpoints)."""
+    Convergence = the canonical edge SET stops changing, probed with
+    one carried count per phase plus a single one-sided exceptAll at
+    the count-equal phase (r10 verdict item 6; distinct sets of equal
+    size are equal iff new-minus-old is empty). Exhausting max_iter
+    without converging RAISES — never silently-wrong labels (r10
+    ADVICE item 2). Lineage truncates per phase with eager
+    localCheckpoint (the iterative-operator discipline; at 100 TB swap
+    for durable checkpoints)."""
     raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     # nodes derive from the RAW edge list (before self-loop removal) so
     # an id appearing only in a self-loop still labels itself — the
@@ -778,14 +791,33 @@ def connected_components_star(
         return out.where(F.col("a") != F.col("b")).distinct()
 
     e = e0
+    # Convergence probe (r10 verdict item 6): the frontier's COUNT is
+    # carried from the previous phase, so an unequal count proves the
+    # edge set changed with zero extra actions; only a count-equal
+    # phase pays an exceptAll — and since both sides are distinct()
+    # sets of equal size, ONE one-sided `new \ old == empty` check is
+    # a full equality proof. Net: one cheap count per phase plus a
+    # single exceptAll at the convergence phase (the old probe paid
+    # two O(E) exceptAll shuffles every phase).
+    prev_cnt = e.count()
+    converged = prev_cnt == 0  # edgeless graph: nothing to contract
     for _ in range(max_iter):
-        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
-        changed = (
-            new_e.exceptAll(e).count() + e.exceptAll(new_e).count()
-        )
-        e = new_e
-        if changed == 0:
+        if converged:
             break
+        new_e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cnt = new_e.count()
+        if cnt == prev_cnt and new_e.exceptAll(e).isEmpty():
+            converged = True
+        e, prev_cnt = new_e, cnt
+    if not converged:
+        # fail-stop (r10 ADVICE item 2): a correctness-critical dedup
+        # path must not emit a half-contracted frontier as if it were
+        # component labels.
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} phases ({prev_cnt} frontier edges remain); "
+            "raise max_iter — O(log n) phases suffice on any topology"
+        )
     # converged: e is a set of (child, root) star edges; roots and
     # isolated-after-contraction nodes label themselves.
     child = e.select(F.col("a").alias("id"), F.col("b").alias("component"))

@@ -811,11 +811,25 @@ def encode_wav(docs: DataFrame, sample_rate: int = 8000,
     mono PCM16 WAV (consecutive byte pairs little-endian; odd tails
     dropped; empty text yields one zero sample). Deterministic, so a
     decode query's stats can be restated from the source text by a
-    SQL oracle."""
+    SQL oracle.
+
+    ASCII-ONLY by contract (fail-stop, r10 ADVICE item 1): the
+    spectrogram/fingerprint oracles restate sample values via SQL
+    ``ascii()`` over CHARACTERS, which agrees with this byte-pair
+    packing only while every byte is < 128 — a byte >= 128 would also
+    wrap negative through the int16 cast here while ``ascii()`` stays
+    unsigned, silently desyncing kernel from oracle. Non-ASCII text
+    raises, mirroring decode_wav's fail-stop discipline."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(text: str) -> bytes:
             raw = text.encode("utf-8")
+            if max(raw, default=0) >= 128:
+                raise ValueError(
+                    "encode_wav is ASCII-only by contract: byte >= 128 "
+                    "would desync the int16 packing from the oracles' "
+                    "unsigned ascii() restatement"
+                )
             n = len(raw) // 2
             if n == 0:
                 samples = np.zeros(1, dtype="<i2")
