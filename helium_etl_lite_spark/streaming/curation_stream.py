@@ -8,10 +8,14 @@ Exactly-once differs from the batch loop in one important way: the
 batch loop's dedup state and curated sink are two separate stores, so
 a crash between the two writes needs the state's set-semantics to
 swallow the replay. Here the curated store IS the state — each
-version v=<batch_id> carries (doc_id, lang, text_hash), so one atomic
-pointer flip publishes the data AND the dedup state together, and a
-replayed batch (stable batch_id, the standard foreachBatch recipe)
-skips wholesale. The pointer/versioning machinery is mirror.py's.
+version carries (doc_id, lang, text_hash), so one atomic pointer flip
+publishes the data AND the dedup state together, and a replayed batch
+(stable batch_id, the standard foreachBatch recipe) skips wholesale.
+The pointer/versioning machinery is mirror.py's, and since the store
+is APPEND-ONLY its deltas are simply the batch's fresh rows (r10
+verdict item 2): an ordinary commit writes and fsyncs O(batch);
+readers union the chain; compaction every COMPACT_EVERY commits
+rewrites one full base so chains stay bounded and retention reclaims.
 
 Probe shape at scale: the curated store never shuffles — the batch's
 distinct hash fingerprints broadcast into a semi-join against the
@@ -28,21 +32,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .mirror import (
+    COMPACT_EVERY,
+    _commit_version,
+    _next_manifest,
+    compose_version,
     mirror_version,
-    prune_versions,
+    prune_versions,  # noqa: F401  (re-export: historical import point)
     read_mirror,
-    write_pointer_atomic,
+    write_pointer_atomic,  # noqa: F401  (re-export)
 )
 
 CURATED_COLS = ["doc_id", "lang", "text_hash"]
 
 
 def curate_changes_batch(
-    batch_df: DataFrame, batch_id: int, curated_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    curated_dir: str,
+    keep: int = 2,
+    compact_every: int = COMPACT_EVERY,
 ) -> bool:
     """Idempotently curate one change-feed microbatch into the
     versioned curated store. Returns False on replay (batch_id already
-    published) or an empty batch."""
+    published) or an empty/no-op batch. Ordinary commits append only
+    the batch's FRESH rows as a delta; every compact_every-th commit
+    rewrites the full base."""
     done = mirror_version(curated_dir)
     if done is not None and done >= batch_id:
         return False
@@ -89,15 +103,13 @@ def curate_changes_batch(
         # same no-op, so skipping keeps the version history meaningful
         # (mirror.py's empty-batch contract).
         return False
-    new = (
-        prev.select(*CURATED_COLS).unionByName(fresh)
-        if prev is not None
-        else fresh
-    )
-    vdir = os.path.join(curated_dir, f"v={batch_id}")
-    new.write.mode("overwrite").parquet(vdir)
-    write_pointer_atomic(curated_dir, batch_id, data_dir=vdir)
-    prune_versions(curated_dir)
+    man = _next_manifest(curated_dir, done, batch_id, "append", compact_every)
+    if man["kind"] == "base":
+        new = prev.unionByName(fresh) if prev is not None else fresh
+        payload = lambda vdir: new.write.mode("overwrite").parquet(vdir)
+    else:
+        payload = lambda vdir: fresh.write.mode("overwrite").parquet(vdir)
+    _commit_version(curated_dir, batch_id, payload, man, keep)
     return True
 
 
@@ -108,6 +120,7 @@ def start_curation_stream(
     curated_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    keep: int = 2,
 ):
     """Subscribe the curation loop to a snapshot table's change feed
     (one microbatch per snapshot-version delta; availableNow drains
@@ -123,7 +136,7 @@ def start_curation_stream(
         .load()
     )
     writer = feed.writeStream.foreachBatch(
-        lambda df, bid: curate_changes_batch(df, bid, curated_dir)
+        lambda df, bid: curate_changes_batch(df, bid, curated_dir, keep=keep)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -136,34 +149,39 @@ def start_curation_stream(
 
 
 def _substring_version_part(spark: SparkSession, out_dir: str, part: str):
-    """Read one part (data | spans) of the current published version,
-    or None before the first publish."""
+    """Read one part (data | spans) of the current published version —
+    the chain composed lazily — or None before the first publish."""
     done = mirror_version(out_dir)
     if done is None:
         return None
-    return spark.read.parquet(os.path.join(out_dir, f"v={done}", part))
+    return compose_version(spark, out_dir, done, part=part)
 
 
 def substring_changes_batch(
-    batch_df: DataFrame, batch_id: int, out_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    keep: int = 2,
+    compact_every: int = COMPACT_EVERY,
 ) -> bool:
     """Idempotently fold one change-feed microbatch through the
     substring-dedup ingest loop into a versioned store. Each published
     version carries the cumulative deduped DATA **and** the cumulative
-    span-hash SET in one atomically-pointered directory — the same
+    span-hash SET behind one atomically-flipped pointer — the same
     no-split-store discipline as the curation loop: a replayed
     batch_id skips wholesale (pointer check), and a crash between the
     data write and the pointer leaves the previous version fully
     intact, spans included, so the replay re-derives the identical
     result.
 
-    Cost model (documented, r9 ADVICE item 2): each version is the
-    CUMULATIVE corpus + span set, so a commit writes and fsyncs
-    O(store), not O(batch) — the price of flipping data and dedup
-    state behind one pointer. prune_versions caps the disk growth to
-    two retained versions; a production variant needing O(batch)
-    commits would split spans into the append-only sharded
-    span_state_add layout and accept the two-store crash window."""
+    Both parts are APPEND-ONLY, so ordinary commits are deltas holding
+    only the batch's own deduped rows and span hashes (r10 verdict
+    item 2 — O(batch) write+fsync per commit; the old layout rewrote
+    the full cumulative corpus+state every microbatch). Span hashes
+    may repeat across deltas (a batch can re-emit a hash an earlier
+    batch owns); that is harmless — the span set is only ever PROBED
+    via semi-joins with distinct on the hit side — and compaction
+    distincts them into the next base."""
     done = mirror_version(out_dir)
     if done is not None and done >= batch_id:
         return False
@@ -180,23 +198,28 @@ def substring_changes_batch(
     )
     if docs.isEmpty():
         return False
-    prev_data = _substring_version_part(spark, out_dir, "data")
     prev_spans = _substring_version_part(spark, out_dir, "spans")
     deduped = substring_anchor_dedup_incremental_df(docs, prev_spans)
     batch_spans = anchored_span_table(docs).select("h").distinct()
-    new_spans = (
-        prev_spans.select("h").unionByName(batch_spans).distinct()
-        if prev_spans is not None
-        else batch_spans
-    )
-    new_data = (
-        prev_data.unionByName(deduped) if prev_data is not None else deduped
-    )
-    vdir = os.path.join(out_dir, f"v={batch_id}")
-    new_data.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
-    new_spans.write.mode("overwrite").parquet(os.path.join(vdir, "spans"))
-    write_pointer_atomic(out_dir, batch_id, data_dir=vdir)
-    prune_versions(out_dir)
+    man = _next_manifest(out_dir, done, batch_id, "append", compact_every)
+    if man["kind"] == "base":
+        prev_data = _substring_version_part(spark, out_dir, "data")
+        data = (
+            prev_data.unionByName(deduped) if prev_data is not None else deduped
+        )
+        spans = (
+            prev_spans.select("h").unionByName(batch_spans).distinct()
+            if prev_spans is not None
+            else batch_spans
+        )
+    else:
+        data, spans = deduped, batch_spans
+
+    def payload(vdir: str) -> None:
+        data.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+        spans.write.mode("overwrite").parquet(os.path.join(vdir, "spans"))
+
+    _commit_version(out_dir, batch_id, payload, man, keep)
     return True
 
 
@@ -207,6 +230,7 @@ def start_substring_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    keep: int = 2,
 ):
     """Subscribe the substring-dedup ingest loop to a snapshot table's
     change feed (one microbatch per snapshot-version delta;
@@ -223,7 +247,7 @@ def start_substring_dedup_stream(
         .load()
     )
     writer = feed.writeStream.foreachBatch(
-        lambda df, bid: substring_changes_batch(df, bid, out_dir)
+        lambda df, bid: substring_changes_batch(df, bid, out_dir, keep=keep)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -11,28 +11,49 @@ local mirror, and survives kill/restart without double-applying.
 Exactly-once is the standard foreachBatch recipe: Structured Streaming
 replays at-least-once with a STABLE batch_id, so the apply is made
 idempotent by versioning the mirror by batch_id — a replayed batch sees
-its version already published and skips. The mirror itself is a tiny
-snapshot-store shape: immutable `v=<batch_id>` parquet dirs plus an
-atomically-renamed CURRENT pointer, so readers never observe a
-half-applied batch and a crash mid-apply leaves the previous version
-live.
+its version already published and skips.
 
-Scale: each apply touches O(mirror + batch) rows locally; at 100 TB the
-same consumer shape lands on a transactional table format instead of
-the pointer-file store, but the idempotence contract (skip already-
-published batch ids) is identical.
+Store layout (r10 verdict item 2 — APPEND-ONLY DELTA): each committed
+version directory ``v=<batch_id>`` holds either
+
+- a BASE: the full snapshot as parquet (the first publish, every
+  ``compact_every``-th commit, and any directory WITHOUT a manifest —
+  which keeps pre-delta stores and hand-seeded fixtures readable), or
+- a DELTA: only the microbatch's own change rows, plus a
+  ``_MANIFEST.json`` naming its apply kind and the chain
+  (base version + ordered delta versions) that reconstructs it.
+
+Readers compose the chain lazily (fold each delta onto the base with
+the same apply the writer used), so a version is still ONE atomic
+pointer flip — data and state publish together — but a non-compaction
+commit writes and fsyncs O(batch), not O(store). Compaction bounds the
+chain (read-plan depth and replay cost) at ``compact_every`` and lets
+retention reclaim superseded chains; per-batch IO is O(batch) amortized
+O(store / compact_every). At 100 TB the same consumer shape lands on a
+transactional table format (whose delta-log + checkpoint design this
+mirrors), but the idempotence contract is identical.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: deltas allowed between full-snapshot compactions (chain length cap).
+COMPACT_EVERY = 8
+
+_MANIFEST = "_MANIFEST.json"  # leading underscore: parquet readers skip it
+
 
 def _pointer_path(mirror_dir: str) -> str:
     return os.path.join(mirror_dir, "CURRENT")
+
+
+def _version_dir(store_dir: str, version: int) -> str:
+    return os.path.join(store_dir, f"v={version}")
 
 
 def _fsync_tree(path: str) -> None:
@@ -40,14 +61,10 @@ def _fsync_tree(path: str) -> None:
     the data half of a durable pointer commit: a pointer made durable
     before its parquet pages flush would name a missing/truncated
     version after a power cut (batch never replays; the store is
-    permanently broken). Cost is the size of the tree PASSED, and the
-    cumulative stores (mirror, curation, substring spans) pass the full
-    v=<batch_id> directory — O(store), not O(batch), per commit. That
-    is the deliberate trade for the single-pointer exactly-once recipe
-    (data + state flip together); a production store that needs
-    O(batch) commit latency would move to an append-only delta layout
-    (the sharded span_state_add path) where each version directory
-    holds only the batch's own files."""
+    permanently broken). Cost is the size of the tree PASSED; with the
+    append-only delta layout that tree is the batch's OWN delta files
+    for ordinary commits — O(batch) — and the full snapshot only at
+    compaction commits."""
     for root, _dirs, files in os.walk(path):
         for name in files:
             fd = os.open(os.path.join(root, name), os.O_RDONLY)
@@ -91,15 +108,168 @@ def write_pointer_atomic(
         os.close(dfd)
 
 
+# ---------------------------------------------------------------------------
+# Manifest + chain plumbing
+
+
+def _write_manifest(vdir: str, manifest: dict) -> None:
+    # written AFTER the parquet payload (mode=overwrite clears the dir)
+    # and BEFORE the pointer flip; _fsync_tree covers it.
+    with open(os.path.join(vdir, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def manifest_of(store_dir: str, version: int) -> dict:
+    """The version's manifest; a directory without one is a BASE (the
+    pre-delta cumulative layout and hand-seeded test fixtures)."""
+    try:
+        with open(os.path.join(_version_dir(store_dir, version), _MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"kind": "base"}
+
+
+def chain_of(store_dir: str, version: int) -> list[int]:
+    """Every version directory needed to reconstruct ``version``
+    (itself, its base, and the deltas between), oldest first."""
+    man = manifest_of(store_dir, version)
+    if man["kind"] == "base":
+        return [version]
+    chain = [] if man["base"] is None else [man["base"]]
+    return chain + list(man["deltas"])
+
+
+def _read_payload(
+    spark: SparkSession, store_dir: str, version: int, part: str | None
+) -> DataFrame:
+    p = _version_dir(store_dir, version)
+    return spark.read.parquet(os.path.join(p, part) if part else p)
+
+
+def _fold_multiset(cur: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """One multiset change-batch applied: deletes are exceptAll (a
+    duplicate row deleted once survives once — the read_changes
+    semantics), inserts append."""
+    cols = [c for c in batch.columns if c != "_change_type"]
+    inserts = batch.where(F.col("_change_type") == "insert").select(*cols)
+    deletes = batch.where(F.col("_change_type") == "delete").select(*cols)
+    base = cur if cur is not None else inserts.limit(0)
+    return base.exceptAll(deletes).unionByName(inserts)
+
+
+def _fold_keyed(
+    cur: DataFrame | None, batch: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """One keyed change-batch applied: every key the feed touches is
+    REPLACED wholesale (null-safe anti-join), then the feed's new
+    images land. Accepts BOTH feed dialects: plain insert/delete and
+    the keyed read_changes(key_cols=) feed whose in-place changes
+    arrive as update_pre/postimage."""
+    cols = [c for c in batch.columns if c != "_change_type"]
+    inserts = batch.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+    if cur is None:
+        return inserts
+    touched = batch.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols]
+    ).distinct()
+    cond = None
+    for k in key_cols:
+        c = cur[k].eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    survivors = cur.join(touched, cond, "left_anti")
+    return survivors.select(*cols).unionByName(inserts)
+
+
+def _fold_delta(
+    cur: DataFrame | None, batch: DataFrame, manifest: dict
+) -> DataFrame:
+    apply = manifest.get("apply", "append")
+    if apply == "multiset":
+        return _fold_multiset(cur, batch)
+    if apply == "keyed":
+        return _fold_keyed(cur, batch, manifest["key_cols"])
+    # append-only stores (curation, substring data/spans)
+    return batch if cur is None else cur.unionByName(batch)
+
+
+def compose_version(
+    spark: SparkSession, store_dir: str, version: int, part: str | None = None
+) -> DataFrame:
+    """Reconstruct one committed version: read its base, then fold each
+    delta in chain order with the apply the WRITER recorded in that
+    delta's own manifest. Lazy — the composition is a DataFrame plan
+    whose depth is bounded by ``compact_every``."""
+    man = manifest_of(store_dir, version)
+    if man["kind"] == "base":
+        return _read_payload(spark, store_dir, version, part)
+    cur = (
+        _read_payload(spark, store_dir, man["base"], part)
+        if man["base"] is not None
+        else None
+    )
+    for d in man["deltas"]:
+        dman = manifest_of(store_dir, d)
+        batch = _read_payload(spark, store_dir, d, part)
+        cur = _fold_delta(cur, batch, dman)
+    assert cur is not None, f"empty chain for v={version}"
+    return cur
+
+
+def _commit_version(
+    store_dir: str,
+    batch_id: int,
+    write_payload,
+    manifest: dict,
+    keep: int,
+) -> None:
+    """Shared commit tail: payload -> manifest -> fsync'd pointer flip
+    -> retention. ``write_payload`` writes parquet into the version
+    dir (overwrite mode clears it, so the manifest lands after)."""
+    vdir = _version_dir(store_dir, batch_id)
+    write_payload(vdir)
+    _write_manifest(vdir, manifest)
+    write_pointer_atomic(store_dir, batch_id, data_dir=vdir)
+    prune_versions(store_dir, keep=keep)
+
+
+def _next_manifest(
+    store_dir: str,
+    prev_version: int | None,
+    batch_id: int,
+    apply: str,
+    compact_every: int,
+    **extra,
+) -> dict:
+    """Decide base-vs-delta for the next commit: the first publish and
+    every commit that would push the chain past ``compact_every`` are
+    BASES (full snapshot); everything else extends the chain."""
+    if prev_version is None:
+        return {"kind": "base"}
+    prev = manifest_of(store_dir, prev_version)
+    deltas = [] if prev["kind"] == "base" else list(prev["deltas"])
+    if len(deltas) + 1 >= compact_every:
+        return {"kind": "base"}
+    base = prev_version if prev["kind"] == "base" else prev["base"]
+    return {
+        "kind": "delta",
+        "base": base,
+        "deltas": deltas + [batch_id],
+        "apply": apply,
+        **extra,
+    }
+
+
 def prune_versions(store_dir: str, keep: int = 2) -> list[int]:
-    """Retention for the versioned stores (r9 ADVICE item 2): each
-    commit writes a fresh cumulative v=<batch_id> directory, so without
-    pruning, disk grows O(versions x store). Keep the `keep` newest
-    version directories at or below the published pointer (the current
-    version plus one predecessor for post-mortem diffing) and delete
-    the rest. Never touches directories NEWER than the pointer (an
-    in-flight writer's tree) and is a no-op before the first publish.
-    Returns the pruned version numbers."""
+    """Retention for the versioned stores (r9 ADVICE item 2): keep the
+    ``keep`` newest COMMITTED versions readable — i.e. keep every
+    directory their chains reference — and delete committed directories
+    no kept chain needs (chain-aware since the delta layout: a delta
+    dir referenced by the current manifest must survive even when its
+    own version number is old). Never touches directories NEWER than
+    the pointer (an in-flight writer's tree) and is a no-op before the
+    first publish. Returns the pruned version numbers."""
     import shutil
 
     done = mirror_version(store_dir)
@@ -113,9 +283,12 @@ def prune_versions(store_dir: str, keep: int = 2) -> list[int]:
             except ValueError:
                 continue
     committed = sorted(v for v in versions if v <= done)
-    pruned = committed[:-keep] if keep > 0 else committed
+    referenced: set[int] = set()
+    for head in committed[-keep:] if keep > 0 else []:
+        referenced.update(chain_of(store_dir, head))
+    pruned = [v for v in committed if v not in referenced]
     for v in pruned:
-        shutil.rmtree(os.path.join(store_dir, f"v={v}"), ignore_errors=True)
+        shutil.rmtree(_version_dir(store_dir, v), ignore_errors=True)
     return pruned
 
 
@@ -129,38 +302,46 @@ def mirror_version(mirror_dir: str) -> int | None:
 
 
 def read_mirror(spark: SparkSession, mirror_dir: str) -> DataFrame | None:
-    """The committed mirror contents (None before the first apply)."""
+    """The committed mirror contents (None before the first apply) —
+    the current version's chain, composed lazily."""
     v = mirror_version(mirror_dir)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(mirror_dir, f"v={v}"))
+    return compose_version(spark, mirror_dir, v)
 
 
-def apply_changes_batch(batch_df: DataFrame, batch_id: int, mirror_dir: str) -> bool:
+def apply_changes_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    mirror_dir: str,
+    keep: int = 2,
+    compact_every: int = COMPACT_EVERY,
+) -> bool:
     """Idempotently fold one change-feed microbatch into the mirror.
 
     Returns False (no-op) when `batch_id` was already applied — the
     restart-replay case — or the batch is empty; True after publishing
     mirror version `batch_id`.  Deletes are multiset (exceptAll), the
     read_changes semantics: a duplicate row deleted once survives once.
-    """
+
+    Ordinary commits write the batch's OWN rows as a delta (O(batch)
+    IO); the fold happens lazily at read. ``keep`` (r10 ADVICE item 4)
+    is the retention width — raise it when out-of-band consumers diff
+    further back than one version."""
     done = mirror_version(mirror_dir)
     if done is not None and done >= batch_id:
         return False
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    cols = [c for c in batch_df.columns if c != "_change_type"]
-    inserts = batch_df.where(F.col("_change_type") == "insert").select(*cols)
-    deletes = batch_df.where(F.col("_change_type") == "delete").select(*cols)
-    prev = read_mirror(spark, mirror_dir)
-    new = (prev if prev is not None else inserts.limit(0)).exceptAll(
-        deletes
-    ).unionByName(inserts)
-    vdir = os.path.join(mirror_dir, f"v={batch_id}")
-    new.write.mode("overwrite").parquet(vdir)
-    write_pointer_atomic(mirror_dir, batch_id, data_dir=vdir)
-    prune_versions(mirror_dir)
+    man = _next_manifest(mirror_dir, done, batch_id, "multiset", compact_every)
+    if man["kind"] == "base":
+        prev = read_mirror(spark, mirror_dir)
+        new = _fold_multiset(prev, batch_df)
+        payload = lambda vdir: new.write.mode("overwrite").parquet(vdir)
+    else:
+        payload = lambda vdir: batch_df.write.mode("overwrite").parquet(vdir)
+    _commit_version(mirror_dir, batch_id, payload, man, keep)
     return True
 
 
@@ -169,12 +350,14 @@ def apply_changes_batch_keyed(
     batch_id: int,
     mirror_dir: str,
     key_cols: list[str],
+    keep: int = 2,
+    compact_every: int = COMPACT_EVERY,
 ) -> bool:
     """KEYED idempotent apply — the upsert consumer for tables whose
     rows are uniquely keyed (r10, the read_changes(key_cols=)
     counterpart): every key the feed touches is REPLACED wholesale
     (prev anti-join on the feed's key set, null-safe), then the feed's
-    inserts land. Same pointer/replay/retention discipline as the
+    inserts land. Same pointer/replay/retention/delta discipline as the
     multiset apply.
 
     Why a second consumer exists: the multiset apply (exceptAll)
@@ -191,31 +374,16 @@ def apply_changes_batch_keyed(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    cols = [c for c in batch_df.columns if c != "_change_type"]
-    # accept BOTH feed dialects: the plain insert/delete stream AND the
-    # keyed read_changes(key_cols=) feed, whose new images arrive as
-    # update_postimage (review find: filtering to 'insert' alone
-    # dropped updated rows while still deleting their keys).
-    inserts = batch_df.where(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(*cols)
-    touched = batch_df.select(
-        *[F.col(k).alias(f"__k_{k}") for k in key_cols]
-    ).distinct()
-    prev = read_mirror(spark, mirror_dir)
-    if prev is not None:
-        cond = None
-        for k in key_cols:
-            c = prev[k].eqNullSafe(F.col(f"__k_{k}"))
-            cond = c if cond is None else (cond & c)
-        survivors = prev.join(touched, cond, "left_anti")
-        new = survivors.select(*cols).unionByName(inserts)
+    man = _next_manifest(
+        mirror_dir, done, batch_id, "keyed", compact_every, key_cols=key_cols
+    )
+    if man["kind"] == "base":
+        prev = read_mirror(spark, mirror_dir)
+        new = _fold_keyed(prev, batch_df, key_cols)
+        payload = lambda vdir: new.write.mode("overwrite").parquet(vdir)
     else:
-        new = inserts
-    vdir = os.path.join(mirror_dir, f"v={batch_id}")
-    new.write.mode("overwrite").parquet(vdir)
-    write_pointer_atomic(mirror_dir, batch_id, data_dir=vdir)
-    prune_versions(mirror_dir)
+        payload = lambda vdir: batch_df.write.mode("overwrite").parquet(vdir)
+    _commit_version(mirror_dir, batch_id, payload, man, keep)
     return True
 
 
@@ -226,14 +394,15 @@ def start_mirror_stream(
     mirror_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    keep: int = 2,
 ):
     """Subscribe the mirror to a snapshot table's change feed.
 
     One microbatch per snapshot-version delta (the source's offset is
     the version number); `available_now=True` drains pending commits
     then stops — the batch-shaped way to drive a long-lived consumer in
-    tests and catch-up jobs.
-    """
+    tests and catch-up jobs. ``keep`` = retention width (versions whose
+    chains stay readable)."""
     from ..sources.python_datasource import register_snapshot_changes
 
     register_snapshot_changes(spark)
@@ -245,7 +414,7 @@ def start_mirror_stream(
         .load()
     )
     writer = feed.writeStream.foreachBatch(
-        lambda df, bid: apply_changes_batch(df, bid, mirror_dir)
+        lambda df, bid: apply_changes_batch(df, bid, mirror_dir, keep=keep)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -260,6 +429,7 @@ def start_keyed_mirror_stream(
     checkpoint_dir: str,
     key_cols: list[str],
     available_now: bool = True,
+    keep: int = 2,
 ):
     """The keyed (upsert-by-key) twin of start_mirror_stream — same
     source, same checkpoint/restart discipline, apply routed through
@@ -275,7 +445,9 @@ def start_keyed_mirror_stream(
         .load()
     )
     writer = feed.writeStream.foreachBatch(
-        lambda df, bid: apply_changes_batch_keyed(df, bid, mirror_dir, key_cols)
+        lambda df, bid: apply_changes_batch_keyed(
+            df, bid, mirror_dir, key_cols, keep=keep
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1026,32 +1026,134 @@ def test_keyed_apply_accepts_keyed_feed_dialect(spark, tmp_path):
     assert got == {(10, 2.0), (12, 9.0)}
 
 
-def test_prune_versions_keeps_two_and_ignores_inflight(spark, tmp_path):
-    # retention (r9 ADVICE item 2): after a few applies only the newest
-    # two committed version dirs remain; a directory NEWER than the
-    # pointer (an in-flight writer) is never touched; no-op pre-publish.
+def test_prune_versions_chain_aware_and_ignores_inflight(spark, tmp_path):
+    # retention (r9 ADVICE item 2, chain-aware since the r11 delta
+    # layout): pruning keeps every directory the newest two committed
+    # versions' CHAINS reference — a delta dir named by the current
+    # manifest survives even when its version number is old — and
+    # deletes superseded chains once compaction re-bases; a directory
+    # NEWER than the pointer (an in-flight writer) is never touched;
+    # no-op pre-publish.
     import os
 
     import pyspark.sql.functions as F
 
     from helium_etl_lite_spark.streaming import mirror
 
-    mdir = str(tmp_path / "m")
-    os.makedirs(mdir)
-    assert mirror.prune_versions(mdir) == []  # before any publish
-    for bid in (1, 2, 3, 4):
-        feed = spark.createDataFrame(
-            [(bid, float(bid), "insert")], "block long, v double, _change_type string"
+    def feed_for(bid):
+        return spark.createDataFrame(
+            [(bid, float(bid), "insert")],
+            "block long, v double, _change_type string",
         )
-        assert mirror.apply_changes_batch(feed, bid, mdir)
-    # in-flight dir beyond the pointer
-    os.makedirs(os.path.join(mdir, "v=99"))
-    pruned = mirror.prune_versions(mdir)
+
+    # default compact_every: v1 base + v2..v4 deltas — ALL referenced
+    # by the kept chains, so nothing is prunable yet.
+    m1 = str(tmp_path / "m1")
+    os.makedirs(m1)
+    assert mirror.prune_versions(m1) == []  # before any publish
+    for bid in (1, 2, 3, 4):
+        assert mirror.apply_changes_batch(feed_for(bid), bid, m1)
+    assert mirror.prune_versions(m1) == []
+    assert sorted(d for d in os.listdir(m1) if d.startswith("v=")) == [
+        "v=1", "v=2", "v=3", "v=4",
+    ]
+    assert mirror.read_mirror(spark, m1).count() == 4
+
+    # compact_every=2 forces a re-base at v3 (chains: v4 -> {3,4},
+    # v3 -> {3}), so the superseded v1/v2 chain is reclaimed.
+    m2 = str(tmp_path / "m2")
+    os.makedirs(m2)
+    for bid in (1, 2, 3, 4):
+        assert mirror.apply_changes_batch(feed_for(bid), bid, m2, compact_every=2)
+    os.makedirs(os.path.join(m2, "v=99"))  # in-flight dir beyond pointer
+    pruned = mirror.prune_versions(m2)
     assert pruned == []  # apply already pruned; idempotent
-    dirs = sorted(d for d in os.listdir(mdir) if d.startswith("v="))
+    dirs = sorted(d for d in os.listdir(m2) if d.startswith("v="))
     assert dirs == ["v=3", "v=4", "v=99"], dirs
     # the mirror still reads: all four rows accumulated
-    assert mirror.read_mirror(spark, mdir).count() == 4
+    assert mirror.read_mirror(spark, m2).count() == 4
+
+
+def test_delta_commit_io_is_o_batch(spark, tmp_path):
+    # r10 verdict item 2's DONE criterion: an ordinary (non-compaction)
+    # commit writes O(batch) bytes, not O(store) — a small batch landing
+    # on a large mirror must produce a version dir a small fraction of
+    # the base's size, and constant-size batches must produce
+    # constant-size deltas regardless of store growth.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    big = spark.range(20000).select(
+        F.col("id").alias("block"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.lit("insert").alias("_change_type"),
+    )
+    assert mirror.apply_changes_batch(big, 1, mdir)
+    base_bytes = dir_bytes(os.path.join(mdir, "v=1"))
+    delta_bytes = []
+    for bid in (2, 3, 4):
+        small = spark.range(10).select(
+            (F.col("id") + 100000 * bid).alias("block"),
+            F.col("id").cast("double").alias("v"),
+            F.lit("insert").alias("_change_type"),
+        )
+        assert mirror.apply_changes_batch(small, bid, mdir)
+        delta_bytes.append(dir_bytes(os.path.join(mdir, f"v={bid}")))
+    # each delta is a small fraction of the base and does not grow as
+    # the store accumulates
+    assert all(b < base_bytes / 5 for b in delta_bytes), (
+        base_bytes, delta_bytes,
+    )
+    assert max(delta_bytes) < 2 * min(delta_bytes), delta_bytes
+    # and the composed read still sees everything
+    assert mirror.read_mirror(spark, mdir).count() == 20000 + 30
+
+
+def test_delta_apply_survives_compaction_boundary(spark, tmp_path):
+    # folding across a compaction re-base must be invisible to readers:
+    # run the SAME keyed feed sequence against compact_every=2 and the
+    # no-compaction default; final mirrors must match row-for-row.
+    import os
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    feeds = [
+        [(1, 1.0, "insert"), (2, 2.0, "insert")],
+        [(1, 1.0, "update_preimage"), (1, 9.0, "update_postimage")],
+        [(2, 2.0, "delete"), (3, 3.0, "insert")],
+        [(3, 3.0, "update_preimage"), (3, 7.0, "update_postimage")],
+        [(4, 4.0, "insert")],
+    ]
+    stores = {}
+    for name, ce in (("compact", 2), ("plain", 100)):
+        mdir = str(tmp_path / name)
+        os.makedirs(mdir)
+        for bid, rows in enumerate(feeds, start=1):
+            feed = spark.createDataFrame(
+                rows, "block long, v double, _change_type string"
+            )
+            assert mirror.apply_changes_batch_keyed(
+                feed, bid, mdir, ["block"], compact_every=ce
+            )
+        stores[name] = {
+            (r["block"], r["v"])
+            for r in mirror.read_mirror(spark, mdir).collect()
+        }
+    assert stores["compact"] == stores["plain"] == {
+        (1, 9.0), (3, 7.0), (4, 4.0),
+    }
 
 
 def test_keyed_and_multiset_apply_agree_on_consistent_feeds(spark, tmp_path):
