@@ -3261,3 +3261,84 @@ class TestAudioFingerprint:
         assert M.audio_fingerprint(x) == M.audio_fingerprint(x.copy())
         nw, sig = M.audio_fingerprint(np.zeros(1, dtype=np.int64))
         assert (nw, sig) == (1, 0)
+
+
+class TestHtmlExtract:
+    """Markup extraction (operators/markup.py): each gating rule on
+    hand-written HTML, entity decode, and Spark/DuckDB rule parity on
+    adversarial markup (the oracle-side generators restate the same
+    constants)."""
+
+    HTML = (
+        "<html><body>"
+        '<div id="menu"><a href="/x">One</a> <a href="/y">Two</a></div>'
+        "<p>short</p>"
+        "<p>This paragraph is long enough to pass the length gate "
+        "and has no links at all in it.</p>"
+        "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;loudly&gt; and this "
+        "line is long enough to be kept as content.</p>"
+        "<p>Mostly <a href='/z'>link link link link link link</a> here</p>"
+        "<div>Copyright 2020 Someone. All rights reserved.</div>"
+        "</body></html>"
+    )
+
+    def _extract(self, spark, html):
+        from helium_etl_lite_spark.operators.markup import html_extract
+
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        return html_extract(df).collect()[0]
+
+    def test_gates_and_entity_decode(self, spark):
+        row = self._extract(spark, self.HTML)
+        kept = row["text_extract"].split("\n")
+        assert row["n_kept"] == 2
+        assert kept[0].startswith("This paragraph is long enough")
+        # entities decoded AFTER the tag strip
+        assert kept[1].startswith('Tom & Jerry say "hi" <loudly>')
+        # nav (link density), "short" (length), link-heavy line (link
+        # density), copyright (rule list) all dropped but counted
+        assert row["n_blocks"] == 6
+
+    def test_empty_and_tagless(self, spark):
+        row = self._extract(spark, "no tags at all but plenty long text here ok")
+        assert row["n_blocks"] == row["n_kept"] == 1
+        row = self._extract(spark, "<p></p><div></div>")
+        assert row["n_blocks"] == row["n_kept"] == 0
+        assert row["text_extract"] == ""
+
+    def test_duckdb_parity_on_adversarial_markup(self, spark):
+        # the generated oracle rules must agree with the Spark rules on
+        # markup the fixture generator never produces (self-closing
+        # tags, attributes with '>', uppercase tags, nested entities)
+        import duckdb
+
+        from helium_etl_lite_spark.operators.markup import (
+            html_extract,
+            html_extract_sql,
+        )
+
+        cases = [
+            self.HTML,
+            "<P CLASS='X'>Uppercase tagged but clearly long enough to keep</P>",
+            "<br/>line one that is long enough to keep around<br/>tiny",
+            "<p>&amp;lt; stays escaped-once and this sentence is long "
+            "enough</p>",
+            "plain text with an <a href='u'>inline anchor</a> and lots "
+            "of surrounding words so density stays low",
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(cases)], "doc_id long, html string"
+        )
+        got = {
+            r["doc_id"]: (r["n_blocks"], r["n_kept"], r["text_extract"])
+            for r in html_extract(df).collect()
+        }
+        con = duckdb.connect()
+        ex = html_extract_sql("h")
+        for i, h in enumerate(cases):
+            nb, nk, te = con.execute(
+                f"SELECT {ex['n_blocks']}, {ex['n_kept']}, "
+                f"{ex['text_extract']} FROM (SELECT ? AS h)",
+                [h],
+            ).fetchone()
+            assert got[i] == (nb, nk, te), (i, got[i], (nb, nk, te))

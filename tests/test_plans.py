@@ -1283,3 +1283,10 @@ def test_keyed_cdc_feed_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_extract_is_shuffle_free(spark, sf_dir):
+    # wrap + extract is ONE row-local projection (r10 verdict item 3's
+    # DONE criterion): no Exchange at any corpus size.
+    df = q("text_html_extract", spark, sf_dir)
+    assert count_shuffles(df) == 0
