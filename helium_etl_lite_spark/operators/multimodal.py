@@ -1094,3 +1094,298 @@ def audio_fingerprint_neardup(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- video: RIFF/AVI container, raw-DIB + MJPEG frames (r10 verdict
+# item 4 — the last absent modality) ---------------------------------
+#
+# AVI is RIFF like WAV, so the decoder is the decode_wav chunk walker
+# generalized to nested LISTs; frames are either '00db' uncompressed
+# DIB (BGR24 bottom-up, rows padded to 4 bytes — LOSSLESS, so frame
+# stats restate exactly from the source text, the encode_ppm move) or
+# '00dc' MJPEG (operators/jpeg.py baseline JFIF per frame — lossy, so
+# perceptual-hash paths own it). Fail-stop discipline throughout: bad
+# magic, truncated chunks, missing hdrl/movi, multi-stream files, and
+# unsupported compression all raise.
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi_bytes(
+    frames: list[np.ndarray], fps: int = 8, codec: str = "raw"
+) -> bytes:
+    """Minimal canonical RIFF/AVI writer: hdrl (avih + one vids strl) +
+    movi. ``frames`` are (h, w) uint8 grayscale planes, all the same
+    shape. codec='raw' stores each plane as an uncompressed BGR24 DIB
+    ('00db', gray replicated to all channels, bottom-up rows padded to
+    4 bytes); codec='mjpeg' JPEG-encodes each plane ('00dc', fourcc
+    MJPG)."""
+    import struct
+
+    from . import jpeg as jpeg_codec
+
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("frames differ in shape")
+    if codec == "raw":
+        handler, compression = b"\x00" * 4, 0
+        row_bytes = (w * 3 + 3) // 4 * 4
+        payloads = []
+        for f in frames:
+            bgr = np.repeat(f.astype(np.uint8)[:, :, None], 3, axis=2)
+            rows = np.zeros((h, row_bytes), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            payloads.append(rows[::-1].tobytes())  # bottom-up
+        fcc = b"00db"
+    elif codec == "mjpeg":
+        handler, compression = b"MJPG", struct.unpack("<I", b"MJPG")[0]
+        payloads = [jpeg_codec.encode_jpeg_bytes(f) for f in frames]
+        fcc = b"00dc"
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # us per frame
+        max_bytes * fps,   # max bytes/sec
+        0, 0x10,           # padding, AVIF_HASINDEX off / flags minimal
+        len(frames), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", handler, 0, 0, 0, 0,
+        1, fps,            # scale, rate -> fps frames/sec
+        0, len(frames), max_bytes, 0, -1, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+        max_bytes, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(fcc, p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_walk_list(data: bytes, pos: int, end: int):
+    """Yield (chunk_id, list_type_or_None, body_lo, body_hi) for each
+    chunk in [pos, end); fail-stop on truncation."""
+    import struct
+
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        lo, hi = pos + 8, pos + 8 + size
+        if hi > end:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"LIST":
+            if size < 4:
+                raise ValueError("LIST chunk too short")
+            yield cid, data[lo : lo + 4], lo + 4, hi
+        else:
+            yield cid, None, lo, hi
+        pos = hi + (size % 2)  # word-aligned
+
+
+def decode_avi(data: bytes) -> dict:
+    """Parse a RIFF/AVI byte string: nested chunk walk (word-aligned),
+    validate the single-video-stream header, decode every frame chunk
+    to a grayscale uint8 plane (raw BGR24 DIBs channel-averaged; MJPG
+    via the baseline JPEG decoder). Fail-stop (ValueError) on bad
+    magic, truncation, missing hdrl/movi, multiple streams, or a
+    compression this walker does not speak — the decode_wav / E3
+    missing-payload discipline."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    declared = struct.unpack("<I", data[4:8])[0]
+    if declared + 8 > len(data):
+        raise ValueError("RIFF size exceeds payload (truncated)")
+    avih = None
+    strh = strf = None
+    frame_chunks: list[tuple[int, int]] = []
+    for cid, ltype, lo, hi in _avi_walk_list(data, 12, declared + 8):
+        if cid == b"LIST" and ltype == b"hdrl":
+            for c2, l2, lo2, hi2 in _avi_walk_list(data, lo, hi):
+                if c2 == b"avih":
+                    avih = struct.unpack("<IIIIIIIIII", data[lo2 : lo2 + 40])
+                elif c2 == b"LIST" and l2 == b"strl":
+                    if strh is not None:
+                        raise ValueError("multiple streams unsupported")
+                    for c3, _l3, lo3, hi3 in _avi_walk_list(data, lo2, hi2):
+                        if c3 == b"strh":
+                            strh = struct.unpack(
+                                "<4s4sIHHIIIIIIIi4H", data[lo3 : lo3 + 56]
+                            )
+                        elif c3 == b"strf":
+                            strf = struct.unpack("<IiiHHIIiiII", data[lo3 : lo3 + 40])
+        elif cid == b"LIST" and ltype == b"movi":
+            for c2, _l2, lo2, hi2 in _avi_walk_list(data, lo, hi):
+                if c2 in (b"00db", b"00dc"):
+                    frame_chunks.append((lo2, hi2))
+    if avih is None or strh is None or strf is None:
+        raise ValueError("missing avih/strh/strf header")
+    if not frame_chunks:
+        raise ValueError("missing movi frame data")
+    if strh[0] != b"vids":
+        raise ValueError(f"unsupported stream type {strh[0]!r}")
+    w, h = avih[8], avih[9]
+    compression = strf[5]
+    scale, rate = strh[6], strh[7]
+    fps = rate / scale if scale else 0.0
+    frames = []
+    if compression == 0:
+        row_bytes = (w * 3 + 3) // 4 * 4
+        for lo, hi in frame_chunks:
+            raw = np.frombuffer(data[lo:hi], dtype=np.uint8)
+            if raw.size != h * row_bytes:
+                raise ValueError("DIB frame size mismatch")
+            rows = raw.reshape(h, row_bytes)[::-1]  # bottom-up -> top-down
+            bgr = rows[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+            frames.append(bgr.mean(axis=2).round().astype(np.uint8))
+    elif strf[5] == struct.unpack("<I", b"MJPG")[0]:
+        from . import jpeg as jpeg_codec
+
+        for lo, hi in frame_chunks:
+            d = jpeg_codec.decode_jpeg(data[lo:hi])
+            px = np.asarray(d["pixels"], dtype=np.float64)
+            gray = px.mean(axis=2) if px.ndim == 3 else px
+            frames.append(np.clip(gray.round(), 0, 255).astype(np.uint8))
+    else:
+        raise ValueError(f"unsupported biCompression 0x{compression:08x}")
+    if len(frames) != avih[4]:
+        raise ValueError(
+            f"frame count mismatch (header {avih[4]}, movi {len(frames)})"
+        )
+    return {
+        "width": int(w),
+        "height": int(h),
+        "fps": float(fps),
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+#: raw-codec video geometry shared by encode_video/decode queries AND
+#: the SQL oracle generator (one constant set, zero drift).
+VIDEO_W, VIDEO_H = 16, 12
+VIDEO_FRAME_PX = VIDEO_W * VIDEO_H
+
+
+def encode_video(docs: DataFrame, codec: str = "raw", fps: int = 8,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Video twin of encode_ppm/encode_wav: each document's bytes
+    become the gray pixel stream of a VIDEO_W x VIDEO_H frame sequence
+    (frame f = byte slice [f*192, (f+1)*192), zero-padded tail), in a
+    real AVI container. ASCII-ONLY by contract for the same reason as
+    encode_wav: the frame-stat oracles restate pixel values via SQL
+    ascii() over characters, which equals the byte stream only below
+    128 — non-ASCII raises rather than desyncing kernel from oracle."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: str) -> bytes:
+            raw = text.encode("utf-8")
+            if max(raw, default=0) >= 128:
+                raise ValueError(
+                    "encode_video is ASCII-only by contract (oracle "
+                    "restates pixels via unsigned ascii())"
+                )
+            n_frames = max(1, -(-len(raw) // VIDEO_FRAME_PX))
+            plane = np.zeros(n_frames * VIDEO_FRAME_PX, dtype=np.uint8)
+            plane[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+            frames = [
+                plane[f * VIDEO_FRAME_PX : (f + 1) * VIDEO_FRAME_PX].reshape(
+                    VIDEO_H, VIDEO_W
+                )
+                for f in range(n_frames)
+            ]
+            return encode_avi_bytes(frames, fps=fps, codec=codec)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        encode, schema="doc_id long, payload binary"
+    )
+    return out.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_video_frames(assets: DataFrame, every_n: int = 1,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Decode AVI payloads and explode every ``every_n``-th frame into
+    per-frame integer stats (pixel sum / max over the gray plane) —
+    all INTEGERS, so a raw-codec corpus restates exactly from source
+    text. Narrow Arrow kernel: binary in, scalar rows out, no
+    shuffle; frame sampling happens INSIDE the kernel so unsampled
+    frames never become rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                d = decode_avi(bytes(payload))
+                for fi in range(0, d["n_frames"], every_n):
+                    plane = d["frames"][fi].astype(np.int64)
+                    rows.append(
+                        (did, fi, d["width"], d["height"],
+                         int(plane.sum()), int(plane.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "pix_sum", "pix_max"],
+            )
+
+    return assets.select(id_col, "payload").mapInPandas(
+        kernel,
+        schema="doc_id long, frame_idx long, width long, height long, "
+               "pix_sum long, pix_max long",
+    )
+
+
+def video_frame_dhash(assets: DataFrame, every_n: int = 1,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-sampled-frame perceptual hash: decode AVI, dHash every
+    ``every_n``-th frame (the image dedup pipeline's front end applied
+    to video). Narrow Arrow kernel, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                d = decode_avi(bytes(payload))
+                for fi in range(0, d["n_frames"], every_n):
+                    gray = d["frames"][fi].astype(np.float64)
+                    rows.append(
+                        (did, fi, format(_dhash_bits(gray), "016x"))
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "phash"])
+
+    return assets.select(id_col, "payload").mapInPandas(
+        kernel, schema="doc_id long, frame_idx long, phash string"
+    )

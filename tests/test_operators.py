@@ -3342,3 +3342,113 @@ class TestHtmlExtract:
                 [h],
             ).fetchone()
             assert got[i] == (nb, nk, te), (i, got[i], (nb, nk, te))
+
+
+class TestAviVideo:
+    """RIFF/AVI video codec (operators/multimodal.py): raw-DIB
+    losslessness, MJPEG tolerance, fail-stop discipline, and the
+    planted-pair recall gate for frame-level near-dup."""
+
+    def _frames(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        return [
+            rng.randint(0, 256, size=(12, 16)).astype(np.uint8)
+            for _ in range(3)
+        ]
+
+    def test_raw_roundtrip_lossless(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        frames = self._frames()
+        d = mm.decode_avi(mm.encode_avi_bytes(frames, fps=8, codec="raw"))
+        assert (d["width"], d["height"], d["n_frames"]) == (16, 12, 3)
+        assert d["fps"] == 8.0
+        for a, b in zip(frames, d["frames"]):
+            assert (a == b).all()
+
+    def test_mjpeg_roundtrip_tolerance(self):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        frames = self._frames()
+        d = mm.decode_avi(mm.encode_avi_bytes(frames, codec="mjpeg"))
+        assert d["n_frames"] == 3
+        for a, b in zip(frames, d["frames"]):
+            # baseline JPEG on random noise: loose but bounded
+            assert abs(a.astype(int) - b.astype(int)).mean() < 16
+
+    def test_fail_stops(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        good = mm.encode_avi_bytes(self._frames(), codec="raw")
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            mm.decode_avi(b"RIFF" + good[4:8] + b"WAVE" + good[12:])
+        with pytest.raises(ValueError, match="truncated|exceeds"):
+            mm.decode_avi(good[:-20])
+        # flip biCompression to an unknown fourcc
+        comp = struct.unpack("<I", b"MJPG")[0]
+        pos = good.find(b"strf") + 8 + 16
+        bad = good[:pos] + struct.pack("<I", 0xDEAD) + good[pos + 4 :]
+        with pytest.raises(ValueError, match="biCompression"):
+            mm.decode_avi(bad)
+        # header/movi frame-count disagreement
+        pos = good.find(b"avih") + 8 + 16
+        bad = good[:pos] + struct.pack("<I", 99) + good[pos + 4 :]
+        with pytest.raises(ValueError, match="frame count"):
+            mm.decode_avi(bad)
+        with pytest.raises(ValueError, match="empty frame"):
+            mm.encode_avi_bytes([], codec="raw")
+        with pytest.raises(ValueError, match="unsupported codec"):
+            mm.encode_avi_bytes(self._frames(), codec="h264")
+
+    def test_encode_video_ascii_fail_stop(self, spark):
+        import pytest
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, "café latte")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="ASCII-only"):
+            mm.encode_video(df).collect()
+
+    def test_planted_pair_recall(self, spark):
+        # two docs sharing their first 192 bytes -> identical first
+        # MJPEG frames -> hamming-0 pairing; an unrelated doc must not
+        # pair with either.
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        base = ("spark row value table " * 12)[:192]  # exactly one frame
+        rows = [
+            (1, base + " tail one"),
+            (2, base + " different second frame entirely xyz"),
+            (3, "completely unrelated content qqq zzz " * 6),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        assets = mm.encode_video(docs, codec="mjpeg")
+        hashed = mm.video_frame_dhash(assets).select(
+            (F.col("doc_id") * 4096 + F.col("frame_idx")).alias("doc_id"),
+            "phash",
+        )
+        out = {
+            r["doc_id"]: (r["keeper_doc_id"], r["hamming"])
+            for r in mm.phash_band_neardup(hashed).collect()
+        }
+        # doc 2 frame 0 routes to doc 1 frame 0 (unit 4096) at hamming 0
+        assert out[2 * 4096] == (1 * 4096, 0)
+        # doc 3's frames keep themselves
+        for unit, (keeper, _h) in out.items():
+            if unit // 4096 == 3:
+                assert keeper == unit

@@ -1290,3 +1290,9 @@ def test_html_extract_is_shuffle_free(spark, sf_dir):
     # DONE criterion): no Exchange at any corpus size.
     df = q("text_html_extract", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_video_frames_is_shuffle_free(spark, sf_dir):
+    # encode + decode are two narrow Arrow kernels: no Exchange.
+    df = q("multimodal_video_frames", spark, sf_dir)
+    assert count_shuffles(df) == 0
