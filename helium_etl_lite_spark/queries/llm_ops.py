@@ -4640,3 +4640,46 @@ def multimodal_video_neardup(spark, sf_dir):
         (F.col("keeper_doc_id") % 4096).cast("long").alias("keeper_frame"),
         "hamming",
     )
+
+
+_KEYFRAME_MIN_DELTA = 1000
+_VIDEO_BYTE = (
+    "(CASE WHEN {pos} <= n THEN ascii(substr(text, {pos}, 1)) ELSE 0 END)"
+)
+_VIDEO_KEYFRAMES_ORACLE = f"""
+WITH fr AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest(generate_series(0,
+           greatest((length(text) + {_VID - 1}) // {_VID}, 1) - 1)) AS f
+  FROM documents),
+d AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         CAST(list_aggregate(list_transform(generate_series(1, {_VID}),
+           p -> abs({_VIDEO_BYTE.format(pos=f"f*{_VID}+p")}
+                  - (CASE WHEN f > 0 THEN
+                      {_VIDEO_BYTE.format(pos=f"(f-1)*{_VID}+p")}
+                     ELSE 0 END))), 'sum') AS BIGINT) AS delta_energy
+  FROM fr)
+SELECT doc_id, frame_idx, delta_energy,
+       delta_energy >= {_KEYFRAME_MIN_DELTA} AS is_keyframe
+FROM d
+"""
+
+
+@query("multimodal_video_keyframes", oracle=_VIDEO_KEYFRAMES_ORACLE)
+def multimodal_video_keyframes(spark, sf_dir):
+    """Shot-boundary detection over the raw-codec AVI corpus, hash-
+    EXACT: per frame the integer temporal delta energy (sum |frame -
+    prev|, frame 0 vs black) and the pixel-difference scene-cut flag.
+    The previous frame lives in the SAME payload, so the comparison
+    happens inside the decode kernel — no self-join, no lag window, no
+    shuffle of pixel data (plan-tested zero exchanges). The oracle
+    restates both frames' bytes from the source text (zero-padded tail
+    included) and the same threshold constant.
+
+    At 100 TB this is the scene-segmentation pass of a video curation
+    pipeline: opaque containers in, per-frame cut decisions out,
+    embarrassingly parallel because temporal adjacency is intra-row."""
+    t = Tables(spark, sf_dir)
+    assets = multimodal.encode_video(t.documents.select("doc_id", "text"))
+    return multimodal.video_keyframes(assets, min_delta=_KEYFRAME_MIN_DELTA)

@@ -49,85 +49,85 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # r10 rotation (r9 verdict directive 2): the ENTIRE 34-query
-    # r4-vintage cohort enters the window — after this round no driver
-    # verdict on record is older than r5.  New r10 registrations are
-    # capped (<=12) and take the remaining slots ahead of the oldest
-    # r5 re-confirms.
-    # (1) all 34 r4-vintage re-confirms:
-    "agg_approx_count_distinct",      # r4 (rows-only by design; re-run)
-    "agg_argminmax",                  # r4
-    "agg_avg_stddev_var",             # r4
-    "agg_collect_list_set",           # r4
-    "agg_corr_covar",                 # r4
-    "agg_cube",                       # r4
-    "agg_grouping_sets",              # r4
-    "agg_having",                     # r4
-    "agg_mode_deterministic",         # r4
-    "agg_partial_final",              # r4
-    "agg_percentile",                 # r4
-    "agg_percentile_approx",          # r4
-    "agg_pivot",                      # r4
-    "agg_rollup",                     # r4
-    "agg_string_listagg",             # r4
-    "anomaly_zscore",                 # r4
-    "dedup_cluster_components",       # r4
-    "dedup_ngram_jaccard",            # r4
-    "exists_in_block_range",          # r4
-    "join_multiway_star",             # r4 (the flagship)
-    "json_variant_extract",           # r4
-    "pipeline_corpus_curation",       # r4
-    "rollup_time_hypertable",         # r4
-    "scd2_intervals",                 # r4
-    "sessionize_gap30",               # r4
-    "sink_partitioned_prune",         # r4
-    "source_orc_roundtrip",           # r4
-    "subquery_in_exists",             # r4
-    "subquery_scalar",                # r4
-    "text_contamination_ngram",       # r4
-    "unpivot_melt",                   # r4
-    "vec_dedup_cosine",               # r4 (exact all-pairs by contract)
-    "vec_knn_cosine",                 # r4
-    "win_cume_dist_nth",              # r4
-    # (2) NEW r10 registrations (first driver contact; each slot here
-    #     displaces an r5 re-confirm to r11):
-    "text_quality_classifier_train",  # hashed logistic-regression trainer
-    "text_tokenize_unigram_lm",       # Kudo-2018 unigram-LM tokenizer
-    "sink_snapshot_changes_updates",  # CDC update_pre/postimage pairing
-    "dedup_cluster_components_star",  # Kiveris-2014 large/small-star CC
-    "multimodal_audio_spectrogram",   # integer-DFT band energies (WAV)
-    "sample_token_budget_unigram",    # unigram-LM-priced token budget
-    # (2b) r10 implementation change — the standard min-theta AnotB
-    #      rewrite (r9 ADVICE item 3) needs a fresh verdict:
-    "agg_kmv_theta_anotb_portable",   # theta=min(a,b) difference est.
-    "stream_cdc_mirror_keyed",        # upsert-by-key CDC consumer
-    "text_tokenize_unigram_portable", # integer-cost Viterbi exact twin
-    "text_quality_classifier_eval",   # held-out confusion/accuracy
-    "multimodal_audio_fingerprint",   # Haitsma-Kalker sign-delta bits
-    "multimodal_audio_neardup",       # banded hamming == all-pairs proof
-    # (3) oldest r5 re-confirms fill the remaining slots (rest of the
-    #     r5 cohort — the scalar-funcs/windows tail — queues for r11):
-    "filter_in_set",                  # r5
-    "filter_null_semantics",          # r5
-    "join_inner_equi",                # r5
-    "join_sortmerge_large",           # r5
-    # (r5 vintages still queued for the r11 window: array_funcs,
-    #  case_when_dispatch, cast_try_cast, date_funcs, filter_like_regex,
-    #  funnel_conversion,
-    #  hash_funcs, hash_funcs_xxhash64, join_broadcast_dim, join_left_*,
-    #  join_range_binned,
-    #  join_asof_event_order, join_skew_salted, json_funcs, map_funcs,
-    #  multimodal_decode_stub,
-    #  pack_sequence_bins, retention_cohort, sample_balance_buckets,
-    #  sample_token_budget, str_funcs, text_dedup_exact,
-    #  text_fingerprint_rolling,
-    #  text_lang_id_ngram, text_perplexity_unigram, text_quality_score,
-    #  text_token_count_regex, text_tokenize_stats, ts_gapfill_locf,
-    #  ts_interpolate_linear, ts_resample_ohlc, vec_ann_lsh,
-    #  win_first_last_value, win_lag_lead, win_rank_dense_rank,
-    #  win_row_number_topk_per_group, win_running_sum_frame — until then their evidence is the
-    #  full-registry DuckDB sweep, tests/test_queries_oracle.py,
-    #  run on HEAD each round)
+    # r11 rotation (r10 verdict directive 1): the ENTIRE 39-query
+    # r5-vintage cohort enters the window — after this round no driver
+    # verdict on record is older than r6.  New r11 registrations are
+    # capped (3, well under the <=11 budget); behaviorally-changed
+    # queries re-enter for fresh verdicts; the two remaining slots go
+    # to the oldest r6 re-confirms.
+    # (1) all 39 r5-vintage re-confirms:
+    "array_funcs",                    # r5
+    "case_when_dispatch",             # r5
+    "cast_try_cast",                  # r5
+    "date_funcs",                     # r5
+    "filter_like_regex",              # r5
+    "funnel_conversion",              # r5
+    "hash_funcs",                     # r5
+    "hash_funcs_xxhash64",            # r5
+    "join_asof_event_order",          # r5
+    "join_broadcast_dim",             # r5
+    "join_left_anti",                 # r5
+    "join_left_right_outer",          # r5
+    "join_left_semi",                 # r5
+    "join_range_binned",              # r5
+    "join_skew_salted",               # r5
+    "json_funcs",                     # r5
+    "map_funcs",                      # r5
+    "multimodal_decode_stub",         # r5
+    "pack_sequence_bins",             # r5
+    "retention_cohort",               # r5
+    "sample_balance_buckets",         # r5
+    "sample_token_budget",            # r5
+    "str_funcs",                      # r5
+    "text_dedup_exact",               # r5
+    "text_fingerprint_rolling",       # r5
+    "text_lang_id_ngram",             # r5
+    "text_perplexity_unigram",        # r5
+    "text_quality_score",             # r5
+    "text_token_count_regex",         # r5
+    "text_tokenize_stats",            # r5
+    "ts_gapfill_locf",                # r5
+    "ts_interpolate_linear",          # r5
+    "ts_resample_ohlc",               # r5
+    "vec_ann_lsh",                    # r5 (rows-only by design; re-run)
+    "win_first_last_value",           # r5
+    "win_lag_lead",                   # r5
+    "win_rank_dense_rank",            # r5
+    "win_row_number_topk_per_group",  # r5
+    "win_running_sum_frame",          # r5
+    # (2) NEW r11 registrations (first driver contact):
+    "text_html_extract",              # WET extraction, exact oracle
+    "multimodal_video_frames",        # raw-DIB AVI frame stats, exact
+    "multimodal_video_neardup",       # MJPEG frame dHash near-dup (rows)
+    "multimodal_video_keyframes",     # scene-cut delta energy, exact
+    # (3) behaviorally-changed in r11, re-enter for fresh verdicts:
+    #     the streaming stores moved to the append-only delta layout
+    #     (composed chain reads), and both CC loops changed their
+    #     convergence probes (+ non-convergence fail-stop).
+    "stream_cdc_mirror",              # delta-layout store (was r7)
+    "stream_cdc_mirror_keyed",        # delta-layout store (was r10)
+    "stream_incremental_curation",    # delta-layout store (was r8)
+    "stream_substring_dedup",         # delta-layout store (was r9)
+    "dedup_cluster_components",       # probe fail-stop (was r10)
+    "dedup_cluster_components_star",  # probe economy (was r10)
+    # (4) oldest r6 re-confirm fills the last slot:
+    "agg_histogram_width_bucket",     # r6
+    # (r6 vintages queued for the r12 window: agg_hll_sketch_union
+    #  (displaced by multimodal_video_keyframes), corpus_stats_report,
+    #  dedup_cluster_stats, dedup_containment, join_asof_tolerance,
+    #  join_null_safe_eq, join_theta_range, merge_upsert_scd1,
+    #  multimodal_phash_dedup, the 14 report_* TPC-H rows,
+    #  rollup_incremental_refresh, sample_importance_weighted,
+    #  sample_token_budget_bpe, scd2_point_in_time,
+    #  sink_bucketed_colocated_join, sink_snapshot_time_travel,
+    #  source_csv_permissive_corrupt, source_python_datasource,
+    #  text_chunk_split, text_dedup_exact_incremental,
+    #  text_dedup_minhash(_incremental), text_gopher_quality_filter,
+    #  text_quality_classifier_hashed, text_token_entropy,
+    #  udtf_python_native, vec_ann_ivfpq, vec_ann_pq,
+    #  vec_dedup_semantic, vec_pca_project, vec_triplet_mining —
+    #  until then their evidence is the full-registry DuckDB sweep,
+    #  tests/test_queries_oracle.py, run on HEAD each round)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

@@ -3452,3 +3452,26 @@ class TestAviVideo:
         for unit, (keeper, _h) in out.items():
             if unit // 4096 == 3:
                 assert keeper == unit
+
+
+class TestVideoKeyframes:
+    def test_repeated_frames_are_not_keyframes(self, spark):
+        # a video whose frames repeat has zero temporal delta after
+        # frame 0; changing content crosses the threshold again.
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        same = np.full((12, 16), 120, dtype=np.uint8)
+        changed = np.full((12, 16), 180, dtype=np.uint8)
+        payload = mm.encode_avi_bytes([same, same, changed], codec="raw")
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        rows = {
+            r["frame_idx"]: (r["delta_energy"], r["is_keyframe"])
+            for r in mm.video_keyframes(df, min_delta=1000).collect()
+        }
+        assert rows[0] == (120 * 192, True)   # vs black
+        assert rows[1] == (0, False)          # identical frame
+        assert rows[2] == (60 * 192, True)    # scene cut

@@ -1296,3 +1296,9 @@ def test_video_frames_is_shuffle_free(spark, sf_dir):
     # encode + decode are two narrow Arrow kernels: no Exchange.
     df = q("multimodal_video_frames", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_video_keyframes_is_shuffle_free(spark, sf_dir):
+    # temporal adjacency is intra-payload: no lag window, no Exchange.
+    df = q("multimodal_video_keyframes", spark, sf_dir)
+    assert count_shuffles(df) == 0

@@ -211,6 +211,9 @@ HEADLINE_NOTES = {
     "text_quality_classifier_eval": "trainer plan + one pushed doc_id%10 filter on the gradient branches; held-out confusion = single agg over the scored complement",
     "multimodal_audio_fingerprint": "narrow Arrow kernel (decode + integer DFT + sign-delta bits), zero shuffles",
     "multimodal_audio_neardup": "pigeonhole bands -> (band, value) equi-join candidates -> exact bit_count(xor) verify; no all-pairs, no BNLJ",
+    "text_html_extract": "wrap + extract is ONE row-local projection (split + nested array lambdas): zero Exchange",
+    "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode): zero Exchange",
+    "multimodal_video_neardup": "per-frame dHash kernel -> pigeonhole band equi-join -> keeper hash aggs; no all-pairs, no BNLJ",
 }
 
 
