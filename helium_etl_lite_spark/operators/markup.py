@@ -81,11 +81,11 @@ def _link_len(b: Column) -> Column:
     return F.length(F.array_join(F.regexp_extract_all(b, F.lit(ANCHOR_RE), 1), ""))
 
 
-def _keep(b: Column) -> Column:
-    s = _stripped(b)
+def _keep_pair(p: Column) -> Column:
+    s = p["s"]
     return (
         (F.length(s) >= MIN_TEXT_LEN)
-        & (_link_len(b) * 10 <= F.length(s) * LINK_DENSITY_TENTHS)
+        & (p["l"] * 10 <= F.length(s) * LINK_DENSITY_TENTHS)
         & ~s.rlike(BOILER_RE)
     )
 
@@ -96,13 +96,23 @@ def html_extract(
     """Extract main text from a markup column: returns (id, n_blocks,
     n_kept, text_extract) where n_blocks counts blocks with any
     stripped text at all and text_extract joins the kept blocks with
-    newlines. Entirely row-local (no exchange)."""
+    newlines. Entirely row-local (no exchange).
+
+    The strip pipeline (tag regex + 6 entity replaces + whitespace
+    collapse) runs ONCE per block into a (stripped, link_len) struct
+    array that every gate reads — Spark performs no common-
+    subexpression elimination across higher-order-function lambdas, so
+    the naive form re-ran the regex work 3x per block (review find)."""
     blocks = F.split(F.col(html_col), BLOCK_SPLIT_RE)
-    kept = F.transform(F.filter(blocks, _keep), _stripped)
+    pairs = F.transform(
+        blocks,
+        lambda b: F.struct(_stripped(b).alias("s"), _link_len(b).alias("l")),
+    )
+    kept = F.transform(F.filter(pairs, _keep_pair), lambda p: p["s"])
     return df.select(
         id_col,
         F.size(
-            F.filter(blocks, lambda b: F.length(_stripped(b)) > 0)
+            F.filter(pairs, lambda p: F.length(p["s"]) > 0)
         ).cast("long").alias("n_blocks"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, "\n").alias("text_extract"),

@@ -1159,7 +1159,10 @@ def encode_avi_bytes(
         "<IIIIIIIIII4I",
         1_000_000 // fps,  # us per frame
         max_bytes * fps,   # max bytes/sec
-        0, 0x10,           # padding, AVIF_HASINDEX off / flags minimal
+        0, 0,              # padding; flags 0 — no idx1 is written, so
+        #                    AVIF_HASINDEX (0x10) must NOT be claimed
+        #                    (review find: a strict demuxer would seek a
+        #                    missing index)
         len(frames), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -1220,21 +1223,29 @@ def decode_avi(data: bytes) -> dict:
     avih = None
     strh = strf = None
     frame_chunks: list[tuple[int, int]] = []
+    def _unpack(fmt: str, lo: int, hi: int, what: str):
+        # validate the chunk's DECLARED size before unpacking: a short
+        # header chunk must raise, not silently read the next chunk's
+        # bytes as header fields (review find; struct.error at buffer
+        # end is also not the documented ValueError).
+        need = struct.calcsize(fmt)
+        if hi - lo < need:
+            raise ValueError(f"{what} chunk too short ({hi - lo} < {need})")
+        return struct.unpack(fmt, data[lo : lo + need])
+
     for cid, ltype, lo, hi in _avi_walk_list(data, 12, declared + 8):
         if cid == b"LIST" and ltype == b"hdrl":
             for c2, l2, lo2, hi2 in _avi_walk_list(data, lo, hi):
                 if c2 == b"avih":
-                    avih = struct.unpack("<IIIIIIIIII", data[lo2 : lo2 + 40])
+                    avih = _unpack("<IIIIIIIIII", lo2, hi2, "avih")
                 elif c2 == b"LIST" and l2 == b"strl":
                     if strh is not None:
                         raise ValueError("multiple streams unsupported")
                     for c3, _l3, lo3, hi3 in _avi_walk_list(data, lo2, hi2):
                         if c3 == b"strh":
-                            strh = struct.unpack(
-                                "<4s4sIHHIIIIIIIi4H", data[lo3 : lo3 + 56]
-                            )
+                            strh = _unpack("<4s4sIHHIIIIIIIi4H", lo3, hi3, "strh")
                         elif c3 == b"strf":
-                            strf = struct.unpack("<IiiHHIIiiII", data[lo3 : lo3 + 40])
+                            strf = _unpack("<IiiHHIIiiII", lo3, hi3, "strf")
         elif cid == b"LIST" and ltype == b"movi":
             for c2, _l2, lo2, hi2 in _avi_walk_list(data, lo, hi):
                 if c2 in (b"00db", b"00dc"):

@@ -4623,21 +4623,35 @@ def multimodal_video_neardup(spark, sf_dir):
     deterministic, and the planted-pair recall gate + codec roundtrip
     live in tests/test_operators.py::TestAviVideo. The raw-codec twin
     multimodal_video_frames carries the driver-exact evidence for the
-    container walk itself."""
+    container walk itself.
+
+    The composite is injective only below 4096 frames per video (a
+    786 KB document at 192 bytes/frame): larger videos RAISE in-plan
+    (review find — an overflow would silently alias doc d's frame
+    4096 with doc d+1's frame 0 and mis-pair near-dups); the decode
+    back uses integer `div`, exact on all longs (`/` is double and
+    rounds above 2^53)."""
     t = Tables(spark, sf_dir)
     assets = multimodal.encode_video(
         t.documents.select("doc_id", "text"), codec="mjpeg"
     )
+    unit = F.when(
+        F.col("frame_idx") < 4096,
+        F.col("doc_id") * 4096 + F.col("frame_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("video exceeds the 4096-frame composite-id budget")
+        )
+    )
     hashed = multimodal.video_frame_dhash(assets).select(
-        (F.col("doc_id") * 4096 + F.col("frame_idx")).alias("doc_id"),
-        "phash",
+        unit.alias("doc_id"), "phash"
     )
     out = multimodal.phash_band_neardup(hashed)
     return out.select(
-        (F.col("doc_id") / 4096).cast("long").alias("doc_id"),
-        (F.col("doc_id") % 4096).cast("long").alias("frame_idx"),
-        (F.col("keeper_doc_id") / 4096).cast("long").alias("keeper_doc"),
-        (F.col("keeper_doc_id") % 4096).cast("long").alias("keeper_frame"),
+        F.expr("doc_id div 4096").alias("doc_id"),
+        (F.col("doc_id") % 4096).alias("frame_idx"),
+        F.expr("keeper_doc_id div 4096").alias("keeper_doc"),
+        (F.col("keeper_doc_id") % 4096).alias("keeper_frame"),
         "hamming",
     )
 

@@ -33,8 +33,7 @@ from pyspark.sql import functions as F
 
 from .mirror import (
     COMPACT_EVERY,
-    _commit_version,
-    _next_manifest,
+    commit_batch_version,
     compose_version,
     mirror_version,
     prune_versions,  # noqa: F401  (re-export: historical import point)
@@ -103,13 +102,14 @@ def curate_changes_batch(
         # same no-op, so skipping keeps the version history meaningful
         # (mirror.py's empty-batch contract).
         return False
-    man = _next_manifest(curated_dir, done, batch_id, "append", compact_every)
-    if man["kind"] == "base":
-        new = prev.unionByName(fresh) if prev is not None else fresh
-        payload = lambda vdir: new.write.mode("overwrite").parquet(vdir)
-    else:
-        payload = lambda vdir: fresh.write.mode("overwrite").parquet(vdir)
-    _commit_version(curated_dir, batch_id, payload, man, keep)
+    commit_batch_version(
+        curated_dir, batch_id, done, "append",
+        write_delta=lambda vdir: fresh.write.mode("overwrite").parquet(vdir),
+        write_base=lambda vdir: (
+            prev.unionByName(fresh) if prev is not None else fresh
+        ).write.mode("overwrite").parquet(vdir),
+        keep=keep, compact_every=compact_every,
+    )
     return True
 
 
@@ -201,25 +201,27 @@ def substring_changes_batch(
     prev_spans = _substring_version_part(spark, out_dir, "spans")
     deduped = substring_anchor_dedup_incremental_df(docs, prev_spans)
     batch_spans = anchored_span_table(docs).select("h").distinct()
-    man = _next_manifest(out_dir, done, batch_id, "append", compact_every)
-    if man["kind"] == "base":
-        prev_data = _substring_version_part(spark, out_dir, "data")
-        data = (
-            prev_data.unionByName(deduped) if prev_data is not None else deduped
-        )
-        spans = (
-            prev_spans.select("h").unionByName(batch_spans).distinct()
-            if prev_spans is not None
-            else batch_spans
-        )
-    else:
-        data, spans = deduped, batch_spans
 
-    def payload(vdir: str) -> None:
+    def _write_parts(vdir: str, data, spans) -> None:
         data.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
         spans.write.mode("overwrite").parquet(os.path.join(vdir, "spans"))
 
-    _commit_version(out_dir, batch_id, payload, man, keep)
+    def write_base(vdir: str) -> None:
+        prev_data = _substring_version_part(spark, out_dir, "data")
+        _write_parts(
+            vdir,
+            prev_data.unionByName(deduped) if prev_data is not None else deduped,
+            prev_spans.select("h").unionByName(batch_spans).distinct()
+            if prev_spans is not None
+            else batch_spans,
+        )
+
+    commit_batch_version(
+        out_dir, batch_id, done, "append",
+        write_delta=lambda vdir: _write_parts(vdir, deduped, batch_spans),
+        write_base=write_base,
+        keep=keep, compact_every=compact_every,
+    )
     return True
 
 

@@ -234,6 +234,37 @@ def _commit_version(
     prune_versions(store_dir, keep=keep)
 
 
+def commit_batch_version(
+    store_dir: str,
+    batch_id: int,
+    prev_version: int | None,
+    apply: str,
+    write_delta,
+    write_base,
+    keep: int,
+    compact_every: int,
+    **manifest_extra,
+) -> None:
+    """The one commit sequence every versioned-store apply shares
+    (review find: the base-vs-delta branch was copy-pasted across four
+    apply functions): decide base-vs-delta, run the matching payload
+    writer (both callables take the version dir; write_base is only
+    invoked at first-publish/compaction commits, so its possibly-
+    expensive chain composition stays lazy), then manifest + fsync'd
+    pointer flip + retention."""
+    man = _next_manifest(
+        store_dir, prev_version, batch_id, apply, compact_every,
+        **manifest_extra,
+    )
+    _commit_version(
+        store_dir,
+        batch_id,
+        write_base if man["kind"] == "base" else write_delta,
+        man,
+        keep,
+    )
+
+
 def _next_manifest(
     store_dir: str,
     prev_version: int | None,
@@ -334,14 +365,14 @@ def apply_changes_batch(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    man = _next_manifest(mirror_dir, done, batch_id, "multiset", compact_every)
-    if man["kind"] == "base":
-        prev = read_mirror(spark, mirror_dir)
-        new = _fold_multiset(prev, batch_df)
-        payload = lambda vdir: new.write.mode("overwrite").parquet(vdir)
-    else:
-        payload = lambda vdir: batch_df.write.mode("overwrite").parquet(vdir)
-    _commit_version(mirror_dir, batch_id, payload, man, keep)
+    commit_batch_version(
+        mirror_dir, batch_id, done, "multiset",
+        write_delta=lambda vdir: batch_df.write.mode("overwrite").parquet(vdir),
+        write_base=lambda vdir: _fold_multiset(
+            read_mirror(spark, mirror_dir), batch_df
+        ).write.mode("overwrite").parquet(vdir),
+        keep=keep, compact_every=compact_every,
+    )
     return True
 
 
@@ -374,16 +405,14 @@ def apply_changes_batch_keyed(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
-    man = _next_manifest(
-        mirror_dir, done, batch_id, "keyed", compact_every, key_cols=key_cols
+    commit_batch_version(
+        mirror_dir, batch_id, done, "keyed",
+        write_delta=lambda vdir: batch_df.write.mode("overwrite").parquet(vdir),
+        write_base=lambda vdir: _fold_keyed(
+            read_mirror(spark, mirror_dir), batch_df, key_cols
+        ).write.mode("overwrite").parquet(vdir),
+        keep=keep, compact_every=compact_every, key_cols=key_cols,
     )
-    if man["kind"] == "base":
-        prev = read_mirror(spark, mirror_dir)
-        new = _fold_keyed(prev, batch_df, key_cols)
-        payload = lambda vdir: new.write.mode("overwrite").parquet(vdir)
-    else:
-        payload = lambda vdir: batch_df.write.mode("overwrite").parquet(vdir)
-    _commit_version(mirror_dir, batch_id, payload, man, keep)
     return True
 
 

@@ -214,6 +214,7 @@ HEADLINE_NOTES = {
     "text_html_extract": "wrap + extract is ONE row-local projection (split + nested array lambdas): zero Exchange",
     "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode): zero Exchange",
     "multimodal_video_neardup": "per-frame dHash kernel -> pigeonhole band equi-join -> keeper hash aggs; no all-pairs, no BNLJ",
+    "multimodal_video_keyframes": "two narrow Arrow kernels (AVI encode, intra-payload temporal delta): zero Exchange",
 }
 
 
