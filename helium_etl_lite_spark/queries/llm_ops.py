@@ -4697,3 +4697,124 @@ def multimodal_video_keyframes(spark, sf_dir):
     t = Tables(spark, sf_dir)
     assets = multimodal.encode_video(t.documents.select("doc_id", "text"))
     return multimodal.video_keyframes(assets, min_delta=_KEYFRAME_MIN_DELTA)
+
+
+# ---------------------------------------------------------------------------
+# r11: CCNet-grade LM perplexity filter — a SPLIT-TRAINED bigram model
+# with stupid backoff (Brants et al. 2007, "Large Language Models in
+# Machine Translation"; the CCNet recipe of Wenzek et al. 2019 uses a
+# KenLM 5-gram the same way: train on a trusted split, score candidate
+# docs, gate on perplexity). The existing text_perplexity_unigram
+# scores docs under their OWN corpus statistics; this one holds out
+# every 10th doc (doc_id % 10 = 0, the repo-wide eval-split convention)
+# and scores ONLY the held-out docs under the model of the other 90% —
+# so the backoff path is genuinely exercised (unseen bigrams and OOV
+# words occur by construction).
+#
+# Model: S(w2|w1) = c(w1,w2) / c(w1)                if c(w1,w2) > 0
+#                 = 0.4 * (c(w2) + 1) / (N + V)     otherwise
+# (the standard 0.4 backoff weight; add-one on the unigram floor keeps
+# OOV words finite; N = train token count, V = train vocab size).
+
+_PPLX_BIGRAM_ORACLE = """
+WITH tr AS (SELECT string_split(text, ' ') AS p FROM documents
+            WHERE doc_id % 10 <> 0),
+     tr_tok AS (SELECT unnest(p) AS w FROM tr),
+     uni AS (SELECT w, COUNT(*) AS c FROM tr_tok GROUP BY w),
+     tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) AS v FROM tr_tok),
+     tr_bg AS (SELECT unnest(list_transform(generate_series(2, len(p)),
+                  i -> struct_pack(w1 := p[i-1], w2 := p[i]))) AS s
+               FROM tr WHERE len(p) >= 2),
+     big AS (SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS c12
+             FROM tr_bg GROUP BY s.w1, s.w2),
+     ho AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents
+            WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 2),
+     ho_bg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(2, len(p)),
+                    i -> struct_pack(w1 := p[i-1], w2 := p[i]))) AS s
+               FROM ho),
+     sc AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM ho_bg),
+     j AS (SELECT sc.doc_id,
+              CASE WHEN b.c12 IS NOT NULL
+                   THEN CAST(b.c12 AS DOUBLE) / u1.c
+                   ELSE CAST(0.4 AS DOUBLE) * (COALESCE(u2.c, 0) + 1)
+                        / (tot.n + tot.v) END AS prob
+           FROM sc
+           LEFT JOIN big b ON sc.w1 = b.w1 AND sc.w2 = b.w2
+           LEFT JOIN uni u1 ON sc.w1 = u1.w
+           LEFT JOIN uni u2 ON sc.w2 = u2.w
+           CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(-ln(prob)), 6) AS avg_nll
+FROM j GROUP BY doc_id
+"""
+
+
+@query("text_perplexity_bigram", oracle=_PPLX_BIGRAM_ORACLE)
+def text_perplexity_bigram(spark, sf_dir):
+    """Held-out bigram perplexity proxy with stupid backoff — the CCNet
+    quality gate one order up from text_perplexity_unigram, hash-EXACT
+    (integer counts, one float division per bigram, round-6 avg on both
+    sides; the unigram query established cross-engine ln/avg agreement).
+
+    Plan shape, and why it holds at 100 TB: bigrams are extracted
+    ROW-LOCALLY (transform over the split array — no self-join, no lag
+    window, no token-stream shuffle to build pairs); the LM is two hash
+    aggregations whose output scales with VOCAB (sublinear in corpus),
+    not corpus size; scoring is three equi-joins on word keys left
+    UNHINTED so AQE broadcasts the LM tables only while they measure
+    small (an open-vocab LM table outgrows a broadcast eventually —
+    same stance as text_perplexity_unigram); the per-doc agg shuffles
+    on doc_id. N and V are one control-plane scalar action. Zero
+    Python in the plan."""
+    t = Tables(spark, sf_dir)
+    parts = F.split("text", " ")
+    tr = t.documents.where(F.col("doc_id") % 10 != 0).select(parts.alias("p"))
+    tr_tok = tr.select(F.explode("p").alias("w"))
+    uni = tr_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    row = tr_tok.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
+    ).collect()[0]
+    # 0-based Spark indexing: i in 1..size-1 pairs p[i-1] with p[i] —
+    # the same len-1 bigrams as the oracle's 1-based generate_series.
+    # size >= 2 is filtered FIRST: Spark's sequence(1, 0) would yield a
+    # DESCENDING [1, 0], not an empty list.
+    bg = F.expr(
+        "transform(sequence(1, size(p) - 1), i -> struct(p[i-1] AS w1, p[i] AS w2))"
+    )
+    tr_bg = (
+        tr.where(F.size("p") >= 2)
+        .select(F.explode(bg).alias("s"))
+        .select("s.w1", "s.w2")
+    )
+    big = tr_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ho = (
+        t.documents.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", parts.alias("p"))
+        .where(F.size("p") >= 2)
+    )
+    sc = ho.select("doc_id", F.explode(bg).alias("s")).select(
+        "doc_id", "s.w1", "s.w2"
+    )
+    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")
+    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
+    j = (
+        sc.join(big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+    )
+    prob = F.when(
+        F.col("c12").isNotNull(), F.col("c12").cast("double") / F.col("c1")
+    ).otherwise(
+        F.lit(0.4)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+        / F.lit(float(row["n"] + row["v"]))
+    )
+    return (
+        j.select("doc_id", prob.alias("prob"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("prob")), 6).alias("avg_nll"),
+        )
+    )
