@@ -4818,3 +4818,141 @@ def text_perplexity_bigram(spark, sf_dir):
             F.round(F.avg(-F.log("prob")), 6).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: WordPiece tokenization — the third mainstream subword family
+# (alongside operators/bpe.py and operators/unigram.py): greedy
+# LONGEST-MATCH-FIRST against a vocab that distinguishes word-initial
+# pieces from continuation pieces (the "##" distinction of Wu et al.
+# 2016 / BERT, tracked here as an is_cont key column rather than a
+# string prefix). Unlike the BPE/unigram families — whose learned
+# vocabs force rows-only production queries plus exact portable twins —
+# greedy matching over a RULE-DERIVED vocab is directly statable in
+# SQL, so this query is hash-exact without a twin.
+#
+# Vocab rule (identical on both sides): every single character seen at
+# a position enters unconditionally (guaranteeing total tokenizability
+# — no [UNK] can occur when tokenizing the vocab's own corpus); a
+# multi-char piece (length 2..4) enters iff its occurrence weight
+# (word count summed over every position it appears at) reaches 5.
+
+_WORDPIECE_ORACLE = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+words AS (SELECT word, COUNT(*) AS wc FROM tok GROUP BY word),
+occ AS (SELECT word, wc, unnest(generate_series(1, length(word))) AS p
+        FROM words WHERE length(word) >= 1),
+cand AS (SELECT word, wc, p, g.l AS l, substr(word, p, g.l) AS piece,
+                p > 1 AS is_cont
+         FROM occ, unnest(generate_series(1, 4)) AS g(l)
+         WHERE p + g.l - 1 <= length(word)),
+vocab AS (
+  SELECT piece, is_cont FROM cand WHERE l = 1 GROUP BY piece, is_cont
+  UNION
+  SELECT piece, is_cont FROM cand WHERE l >= 2
+  GROUP BY piece, is_cont HAVING SUM(wc) >= 5
+),
+steps AS (SELECT c.word, c.p, MAX(c.l) AS step
+          FROM cand c JOIN vocab v
+            ON c.piece = v.piece AND c.is_cont = v.is_cont
+          GROUP BY c.word, c.p),
+walk AS (
+  SELECT word, 1 AS pos, 0 AS n FROM words WHERE length(word) >= 1
+  UNION ALL
+  SELECT w.word, w.pos + s.step, w.n + 1
+  FROM walk w JOIN steps s ON w.word = s.word AND w.pos = s.p
+),
+wp AS (SELECT word, MAX(n) AS n_pieces FROM walk GROUP BY word)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(wp.n_pieces, 0)) AS BIGINT) AS n_pieces
+FROM tok t LEFT JOIN wp ON t.word = wp.word
+GROUP BY t.doc_id
+"""
+
+
+@query("text_tokenize_wordpiece", oracle=_WORDPIECE_ORACLE)
+def text_tokenize_wordpiece(spark, sf_dir):
+    """WordPiece greedy longest-match-first tokenization, hash-EXACT.
+
+    The scale discipline is the unigram operator's: tokenize WORD
+    TYPES, not word occurrences — the greedy walk runs once per
+    distinct word (types grow sublinearly in corpus size; Heaps' law)
+    and a final equi-join prices the token stream. Where the oracle
+    walks positions with a recursive CTE, the Spark side walks them
+    ROW-LOCALLY: the per-position greedy step lengths are folded into a
+    map<pos,step> per word and a higher-order `aggregate` over
+    sequence(1, length) replays the walk inside codegen — each
+    iteration either advances the cursor by its step or no-ops, so a
+    length-n word finishes in n lambda steps with NO recursion, NO
+    driver loop, NO Python. Shuffles: the word-type agg, the bounded
+    vocab agg, the steps agg, the map fold, and the final occurrence
+    join + per-doc agg — every key is a word/piece string, no
+    single-partition stage anywhere."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    # sequence(1, 0) would yield a DESCENDING [1, 0] for empty words —
+    # filter length >= 1 BEFORE exploding (oracle does the same).
+    occ = words.where(F.length("word") >= 1).select(
+        "word",
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
+    )
+    cand = occ.select(
+        "word",
+        "wc",
+        "p",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.lit(4), F.length("word") - F.col("p") + 1)
+            )
+        ).alias("l"),
+    ).select(
+        "word",
+        "wc",
+        "p",
+        "l",
+        F.expr("substring(word, p, l)").alias("piece"),
+        (F.col("p") > 1).alias("is_cont"),
+    )
+    v1 = cand.where("l = 1").select("piece", "is_cont")
+    v2 = (
+        cand.where("l >= 2")
+        .groupBy("piece", "is_cont")
+        .agg(F.sum("wc").alias("wt"))
+        .where(F.col("wt") >= 5)
+        .select("piece", "is_cont")
+    )
+    vocab = v1.union(v2).distinct()
+    steps = (
+        cand.join(vocab, ["piece", "is_cont"])
+        .groupBy("word", "p")
+        .agg(F.max("l").alias("step"))
+    )
+    smap = steps.groupBy("word").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("p", "step")))
+        ).alias("m")
+    )
+    wp = smap.select(
+        "word",
+        F.expr(
+            "aggregate(sequence(1, length(word)),"
+            " struct(1 as pos, 0 as n),"
+            " (st, i) -> IF(i = st.pos,"
+            "   struct(st.pos + element_at(m, st.pos) as pos,"
+            "          st.n + 1 as n),"
+            "   st)).n"
+        ).alias("n_pieces"),
+    )
+    return (
+        tok.join(wp, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_pieces"), F.lit(0))).alias("n_pieces"),
+        )
+    )
