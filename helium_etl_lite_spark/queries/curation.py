@@ -1775,3 +1775,65 @@ def sample_token_budget_unigram(spark, sf_dir):
         budget=20000,
         out_col="cum_tokens_unigram",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r11: deterministic corpus shuffle + shard manifest — the WRITE-OUT
+# step of a pretraining pipeline. Before tokens reach a trainer the
+# corpus is (a) globally shuffled so no shard is topically clumped and
+# (b) cut into a fixed shard count with a manifest the training job
+# reads for split planning. A naive implementation sorts the whole
+# corpus by a random key (one global sort = the classic 100 TB
+# bottleneck); the scale-correct shape used here derives a DETERMINISTIC
+# pseudo-random key row-locally (Knuth multiplicative hash — the repo's
+# established cross-engine mix), takes shard = key % 16 (a hash
+# partition, never a sort), and orders WITHIN shards only (a windowed
+# rank per shard — 16 independent sorts that parallelize across the
+# cluster). The manifest pins byte/doc totals per shard plus an ORDER
+# CHECKSUM (sum of position * doc-residue) so the driver hash proves
+# the within-shard permutation itself, not just shard membership.
+
+_SHARD_MANIFEST_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ((doc_id % 1048576) * 2654435761) % 1048576 AS h
+  FROM documents),
+pos AS (
+  SELECT doc_id, n_chars, h, h % 16 AS shard_id,
+         ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+  FROM keyed)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(pos * (doc_id % 997)) AS BIGINT) AS order_checksum
+FROM pos GROUP BY shard_id
+"""
+
+
+@query("corpus_shard_manifest", oracle=_SHARD_MANIFEST_ORACLE)
+def corpus_shard_manifest(spark, sf_dir):
+    """Deterministic global shuffle into 16 training shards + manifest,
+    hash-EXACT. doc_id is folded to 20 bits BEFORE the multiplicative
+    mix so the product stays far under 2^63 on any engine at any corpus
+    size (DuckDB raises on BIGINT overflow where Spark wraps — the fold
+    keeps the two from ever diverging). No global sort anywhere: the
+    shard key is a row-local hash, the only window is partitioned BY
+    shard, and the manifest is one hash aggregation. At 1000 executors
+    this is one shuffle on shard_id + 16 independent in-shard sorts."""
+    from pyspark.sql import Window as W
+
+    t = Tables(spark, sf_dir)
+    h = ((F.col("doc_id") % 1048576) * F.lit(2654435761).cast("long")) % 1048576
+    keyed = t.documents.select("doc_id", "n_chars", h.alias("h"))
+    w = W.partitionBy(F.col("h") % 16).orderBy("h", "doc_id")
+    pos = keyed.select(
+        "doc_id",
+        "n_chars",
+        (F.col("h") % 16).alias("shard_id"),
+        F.row_number().over(w).alias("pos"),
+    )
+    return pos.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("pos") * (F.col("doc_id") % 997)).alias("order_checksum"),
+    )
