@@ -112,7 +112,11 @@ FRONT_OF_WINDOW: list[str] = [
     "dedup_cluster_components_star",  # probe economy (was r10)
     # (4) oldest r6 re-confirm fills the last slot:
     "agg_histogram_width_bucket",     # r6
-    # (r6 vintages queued for the r12 window: agg_hll_sketch_union
+    # (ALSO queued for r12, first driver contact: the three late-r11
+    #  registrations text_perplexity_bigram, text_tokenize_wordpiece,
+    #  corpus_shard_manifest — registered after the 50-slot window
+    #  filled; until then their evidence is the oracle sweep below.
+    #  r6 vintages queued for the r12 window: agg_hll_sketch_union
     #  (displaced by multimodal_video_keyframes), corpus_stats_report,
     #  dedup_cluster_stats, dedup_containment, join_asof_tolerance,
     #  join_null_safe_eq, join_theta_range, merge_upsert_scd1,

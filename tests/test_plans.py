@@ -1302,3 +1302,39 @@ def test_video_keyframes_is_shuffle_free(spark, sf_dir):
     # temporal adjacency is intra-payload: no lag window, no Exchange.
     df = q("multimodal_video_keyframes", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_bigram_perplexity_no_bnlj_no_pair_shuffle(spark, sf_dir):
+    # bigrams are extracted ROW-LOCALLY (transform over the split
+    # array): the plan must contain no lag window and no self-join of
+    # the token stream against itself — just equi-joins on word keys.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("text_perplexity_bigram", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # no lag-window pair construction
+
+
+def test_wordpiece_no_single_partition(spark, sf_dir):
+    # the greedy walk is row-local (higher-order aggregate over the
+    # per-word step map) — no recursion node, no SinglePartition stage;
+    # every exchange is hash-partitioned on a word/piece key.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("text_tokenize_wordpiece", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_no_global_sort(spark, sf_dir):
+    # the classic write-out mistake is one global sort by random key;
+    # this plan's only window partitions BY shard, so there must be no
+    # SinglePartition exchange anywhere.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("corpus_shard_manifest", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
