@@ -307,6 +307,24 @@ def decode_gray_pixels(data: bytes):
     return gray, d["fmt"]
 
 
+def _fan_out_small(docs: DataFrame) -> DataFrame:
+    """Fan a small scan out to the cluster's parallelism before a
+    CPU-heavy encode/decode kernel chain (r11 scale-lane find: the
+    sf0.1 documents file is one parquet split, so every downstream
+    Arrow kernel ran on ONE core — 17.6 s -> 5.3 s for the MJPEG dhash
+    leg once spread). CONDITIONAL by design: at production scale the
+    scan already yields at least as many splits as cores, the branch is
+    never taken, and no payload bytes are ever shuffled — the round-
+    robin exchange exists only in the tiny-input regime where it is
+    free. Row-local kernels + keyed downstream aggs make the result
+    partitioning-invariant."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def to_binary_assets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Model an asset table: id + opaque binary payload + metadata
     struct (mime/size), as a real image/audio table would look."""
@@ -343,7 +361,7 @@ def encode_ppm(docs: DataFrame, width: int = 24, text_col: str = "text",
                 {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
             )
 
-    out = docs.select(id_col, text_col).mapInPandas(encode, schema="doc_id long, payload binary")
+    out = _fan_out_small(docs.select(id_col, text_col)).mapInPandas(encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -374,7 +392,7 @@ def encode_png(docs: DataFrame, width: int = 24, text_col: str = "text",
                 {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
             )
 
-    out = docs.select(id_col, text_col).mapInPandas(encode, schema="doc_id long, payload binary")
+    out = _fan_out_small(docs.select(id_col, text_col)).mapInPandas(encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -409,7 +427,7 @@ def encode_jpeg(docs: DataFrame, width: int = 24, text_col: str = "text",
                 {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
             )
 
-    out = docs.select(id_col, text_col).mapInPandas(encode, schema="doc_id long, payload binary")
+    out = _fan_out_small(docs.select(id_col, text_col)).mapInPandas(encode, schema="doc_id long, payload binary")
     return out.select(
         "doc_id",
         "payload",
@@ -847,7 +865,7 @@ def encode_wav(docs: DataFrame, sample_rate: int = 8000,
                 {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
             )
 
-    out = docs.select(id_col, text_col).mapInPandas(
+    out = _fan_out_small(docs.select(id_col, text_col)).mapInPandas(
         encode, schema="doc_id long, payload binary"
     )
     return out.select(
@@ -1333,7 +1351,7 @@ def encode_video(docs: DataFrame, codec: str = "raw", fps: int = 8,
                 {"doc_id": pdf[id_col], "payload": pdf[text_col].map(one)}
             )
 
-    out = docs.select(id_col, text_col).mapInPandas(
+    out = _fan_out_small(docs.select(id_col, text_col)).mapInPandas(
         encode, schema="doc_id long, payload binary"
     )
     return out.select(

@@ -82,6 +82,36 @@ def count_shuffles(df: DataFrame) -> int:
     )
 
 
+def count_key_shuffles(df: DataFrame) -> int:
+    """Number of KEY-partitioned shuffle Exchanges — i.e. count_shuffles
+    minus round-robin fan-outs. The multimodal encode kernels fan a
+    small scan out to the cluster's parallelism (operators/multimodal.py
+    _fan_out_small: a RoundRobinPartitioning exchange that exists ONLY
+    in the tiny-input regime and moves sub-MB payloads); the plan
+    property worth pinning is that no hash/range repartition of payload
+    data ever appears, so that is what this counts."""
+    import re
+
+    plan = formatted_plan(df)
+    details: dict[int, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"\((\d+)\) Exchange\b", line.strip())
+        if m:
+            cur = int(m.group(1))
+            details[cur] = ""
+        elif cur is not None:
+            if re.match(r"\(\d+\) ", line.strip()):
+                cur = None
+            else:
+                details[cur] += line + "\n"
+    return sum(
+        1
+        for body in details.values()
+        if "roundrobinpartitioning" not in body.lower()
+    )
+
+
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     # Under AQE the plan is finalized only at execution time, and only
     # this DataFrame's own QueryExecution carries it — collect() (count()

@@ -11,6 +11,7 @@ from helium_etl_lite_spark.plans.explain_tools import (
     assert_pushed_filter,
     assert_read_schema_only,
     assert_whole_stage_codegen,
+    count_key_shuffles,
     count_shuffles,
 )
 
@@ -953,9 +954,10 @@ def test_bm25_topk_no_global_sort(spark, sf_dir):
 
 def test_wav_decode_shuffle_free(spark, sf_dir):
     # encode + decode are two narrow Arrow kernels over the scan: no
-    # Exchange anywhere.
+    # KEY shuffle anywhere (the r11 fan-out round-robin of the tiny
+    # scan is deliberate and vanishes at production split counts).
     df = q("multimodal_wav_decode", spark, sf_dir)
-    assert count_shuffles(df) == 0
+    assert count_key_shuffles(df) == 0
 
 
 def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
@@ -1263,9 +1265,10 @@ def test_classifier_trainer_broadcasts_weights_no_driver_matrix(spark, sf_dir):
 
 
 def test_audio_spectrogram_is_narrow(spark, sf_dir):
-    # encode + decode+DFT are two chained Arrow kernels — no exchange.
+    # encode + decode+DFT are two chained Arrow kernels — no KEY
+    # exchange (fan-out round-robin excepted, see count_key_shuffles).
     df = q("multimodal_audio_spectrogram", spark, sf_dir)
-    assert count_shuffles(df) == 0
+    assert count_key_shuffles(df) == 0
 
 
 def test_unigram_tokenize_final_plan_is_narrow(spark, sf_dir):
@@ -1293,15 +1296,17 @@ def test_html_extract_is_shuffle_free(spark, sf_dir):
 
 
 def test_video_frames_is_shuffle_free(spark, sf_dir):
-    # encode + decode are two narrow Arrow kernels: no Exchange.
+    # encode + decode are two narrow Arrow kernels: no KEY Exchange
+    # (fan-out round-robin excepted, see count_key_shuffles).
     df = q("multimodal_video_frames", spark, sf_dir)
-    assert count_shuffles(df) == 0
+    assert count_key_shuffles(df) == 0
 
 
 def test_video_keyframes_is_shuffle_free(spark, sf_dir):
-    # temporal adjacency is intra-payload: no lag window, no Exchange.
+    # temporal adjacency is intra-payload: no lag window, no KEY
+    # Exchange (fan-out round-robin excepted).
     df = q("multimodal_video_keyframes", spark, sf_dir)
-    assert count_shuffles(df) == 0
+    assert count_key_shuffles(df) == 0
 
 
 def test_bigram_perplexity_no_bnlj_no_pair_shuffle(spark, sf_dir):
