@@ -199,6 +199,20 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "multimodal_audio_spectrogram",
     "sink_snapshot_changes_updates",
     "text_quality_classifier_train",
+    # r11 batch (measured idle-host min-of-3 before adding — all well
+    # under the 10s lane-cost rule after the _fan_out_small fix):
+    # video frame stats 1.0x, keyframes 1.4x, MJPEG-dhash near-dup
+    # 4.2x (base 4.1s; pre-fix it was 32.9s base / 7.3x on ONE core),
+    # WET extraction 0.9x, bigram LM 1.9x, WordPiece 1.7x (both: LM /
+    # vocab tables scale with vocab, sublinear in corpus), shard
+    # manifest 1.1x (16 fixed shards, hash agg).
+    "multimodal_video_frames",
+    "multimodal_video_keyframes",
+    "multimodal_video_neardup",
+    "text_html_extract",
+    "text_perplexity_bigram",
+    "text_tokenize_wordpiece",
+    "corpus_shard_manifest",
 ]
 
 

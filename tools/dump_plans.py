@@ -205,16 +205,19 @@ HEADLINE_NOTES = {
     "sample_token_budget_unigram": "unigram encode = narrow mapInPandas; selection reuses the two-level control-plane running total — no global sort",
     "sink_snapshot_changes_updates": "manifest-pruned O(churn) diff; update pairing = one intersect + four semi/anti joins on the bounded diff keys",
     "dedup_cluster_components_star": "per phase: groupBy-min + join-back (large-star), reorient + groupBy-min + join-back (small-star); lineage truncated per phase; NO broadcast in the loop (the min-label twin's 10x OOM)",
-    "multimodal_audio_spectrogram": "two narrow Arrow kernels (encode WAV, decode+integer DFT), zero shuffles; fixed-point trig tables in the closure",
+    "multimodal_audio_spectrogram": "two narrow Arrow kernels (encode WAV, decode+integer DFT); only exchange is the r11 tiny-input round-robin fan-out (absent at production split counts) — no KEY shuffle",
     "stream_cdc_mirror_keyed": "foreachBatch keyed apply: null-safe anti-join on the feed's key set + union of inserts; one atomic pointer flip per batch",
     "text_tokenize_unigram_portable": "explode + distinct to the bounded word table, narrow mapInPandas integer Viterbi, broadcast join back, one hash agg",
     "text_quality_classifier_eval": "trainer plan + one pushed doc_id%10 filter on the gradient branches; held-out confusion = single agg over the scored complement",
     "multimodal_audio_fingerprint": "narrow Arrow kernel (decode + integer DFT + sign-delta bits), zero shuffles",
     "multimodal_audio_neardup": "pigeonhole bands -> (band, value) equi-join candidates -> exact bit_count(xor) verify; no all-pairs, no BNLJ",
     "text_html_extract": "wrap + extract is ONE row-local projection (split + nested array lambdas): zero Exchange",
-    "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode): zero Exchange",
+    "text_perplexity_bigram": "row-local bigram transform (no lag window); LM = two vocab-scaled hash aggs; unhinted word-key joins (AQE broadcasts while small); per-doc agg",
+    "text_tokenize_wordpiece": "word-TYPE tokenization: greedy walk is a row-local higher-order aggregate over the per-word step map — no recursion node, no SinglePartition; occurrences priced by one equi-join",
+    "corpus_shard_manifest": "row-local hash key, shard = key % 16 (hash partition, never a sort); the only window partitions BY shard; no SinglePartition",
+    "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode); only the tiny-input round-robin fan-out, no KEY shuffle",
     "multimodal_video_neardup": "per-frame dHash kernel -> pigeonhole band equi-join -> keeper hash aggs; no all-pairs, no BNLJ",
-    "multimodal_video_keyframes": "two narrow Arrow kernels (AVI encode, intra-payload temporal delta): zero Exchange",
+    "multimodal_video_keyframes": "two narrow Arrow kernels (AVI encode, intra-payload temporal delta); only the tiny-input round-robin fan-out, no KEY shuffle",
 }
 
 
