@@ -4707,9 +4707,12 @@ def multimodal_video_keyframes(spark, sf_dir):
 # docs, gate on perplexity). The existing text_perplexity_unigram
 # scores docs under their OWN corpus statistics; this one holds out
 # every 10th doc (doc_id % 10 = 0, the repo-wide eval-split convention)
-# and scores ONLY the held-out docs under the model of the other 90% —
-# so the backoff path is genuinely exercised (unseen bigrams and OOV
-# words occur by construction).
+# and scores ONLY the held-out docs under the model of the other 90%,
+# so unseen bigrams / OOV words CAN occur. (The synthetic fixture
+# corpus's vocabulary is tiny — 0 unseen held-out bigrams at sf0.001,
+# 1 at sf0.01 — so the backoff branch is additionally pinned by a
+# planted-corpus pytest with guaranteed unseen bigrams and an OOV
+# word: tests/test_properties.py::TestBigramBackoffCoverage.)
 #
 # Model: S(w2|w1) = c(w1,w2) / c(w1)                if c(w1,w2) > 0
 #                 = 0.4 * (c(w2) + 1) / (N + V)     otherwise
