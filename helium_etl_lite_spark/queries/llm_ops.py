@@ -4959,3 +4959,78 @@ def text_tokenize_wordpiece(spark, sf_dir):
             F.sum(F.coalesce(F.col("n_pieces"), F.lit(0))).alias("n_pieces"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: embedding-level eval-set decontamination — the SEMANTIC
+# counterpart of the 8-gram / substring-anchor text decontamination
+# family: a training example can leak an eval answer through a
+# paraphrase no lexical n-gram ever catches, so modern pipelines also
+# gate on embedding similarity against the held-out set (the SemDeDup /
+# eval-leakage argument of Abbas et al. 2023 applied cross-split).
+
+_VEC_CONTAM_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ev AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       FROM v WHERE vec_id % 10 = 0),
+co AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+       FROM v WHERE vec_id % 10 <> 0),
+sims AS (SELECT co.vec_id,
+                list_dot_product(co.e, ev.e) / (co.nrm * ev.nrm) AS s
+         FROM co CROSS JOIN ev)
+SELECT vec_id, round(MAX(s), 6) AS max_cos_eval,
+       round(MAX(s), 6) >= 0.35 AS is_contaminated
+FROM sims GROUP BY vec_id
+"""
+
+
+@query("vec_contamination_semantic", oracle=_VEC_CONTAM_ORACLE)
+def vec_contamination_semantic(spark, sf_dir):
+    """Max cosine similarity of every training vector to the held-out
+    split (vec_id % 10 = 0, the repo-wide eval convention) + the >=0.35
+    contamination flag, hash-EXACT (dot products are JVM zip_with/
+    aggregate folds in the same sequential order as DuckDB's
+    list_dot_product; round-6 on the max; the flag derives from the
+    ROUNDED value on both sides).
+
+    The plan embraces a BroadcastNestedLoopJoin ON PURPOSE — the one
+    place that shape is correct at 100 TB: an eval set is small and
+    BOUNDED by contract (thousands of examples, never growing with the
+    corpus), so the cross product is linear in the corpus with a
+    broadcast-sized constant. Norms are precomputed per side (not per
+    pair); the per-vector max collapses MAP-SIDE (each training row's
+    eval fan-out lives in one partition, so the two-phase agg ships one
+    row per training vector); the corpus is never key-shuffled. The
+    lexical siblings are text_contamination_ngram (8-gram) and
+    text_contamination_substring (>=54-token spans); this closes the
+    paraphrase gap."""
+    t = Tables(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    v = v.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    ev = v.where(F.col("vec_id") % 10 == 0).select(
+        F.col("e").alias("ev_e"), F.col("nrm").alias("ev_nrm")
+    )
+    co = v.where(F.col("vec_id") % 10 != 0)
+    s = dot(F.col("e"), F.col("ev_e")) / (F.col("nrm") * F.col("ev_nrm"))
+    return (
+        co.crossJoin(F.broadcast(ev))
+        .select("vec_id", s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.round(F.max("s"), 6).alias("max_cos_eval"))
+        .select(
+            "vec_id",
+            "max_cos_eval",
+            (F.col("max_cos_eval") >= 0.35).alias("is_contaminated"),
+        )
+    )

@@ -112,9 +112,9 @@ FRONT_OF_WINDOW: list[str] = [
     "dedup_cluster_components_star",  # probe economy (was r10)
     # (4) oldest r6 re-confirm fills the last slot:
     "agg_histogram_width_bucket",     # r6
-    # (ALSO queued for r12, first driver contact: the three late-r11
+    # (ALSO queued for r12, first driver contact: the four late-r11
     #  registrations text_perplexity_bigram, text_tokenize_wordpiece,
-    #  corpus_shard_manifest — registered after the 50-slot window
+    #  corpus_shard_manifest, vec_contamination_semantic — after the
     #  filled; until then their evidence is the oracle sweep below.
     #  r6 vintages queued for the r12 window: agg_hll_sketch_union
     #  (displaced by multimodal_video_keyframes), corpus_stats_report,

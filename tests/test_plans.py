@@ -1343,3 +1343,16 @@ def test_shard_manifest_no_global_sort(spark, sf_dir):
     df = q("corpus_shard_manifest", spark, sf_dir)
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_vec_contamination_bnlj_is_deliberate_and_agg_is_partial(spark, sf_dir):
+    # the ONE place BroadcastNestedLoopJoin is the correct 100 TB shape:
+    # bounded eval side broadcast (BuildRight), corpus side streamed;
+    # the per-vector max must combine map-side (partial_max before the
+    # exchange) so the shuffle carries one row per training vector.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("vec_contamination_semantic", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "partial_max" in plan, plan[:3000]
