@@ -114,8 +114,9 @@ FRONT_OF_WINDOW: list[str] = [
     "agg_histogram_width_bucket",     # r6
     # (ALSO queued for r12, first driver contact: the four late-r11
     #  registrations text_perplexity_bigram, text_tokenize_wordpiece,
-    #  corpus_shard_manifest, vec_contamination_semantic — after the
-    #  filled; until then their evidence is the oracle sweep below.
+    #  corpus_shard_manifest, vec_contamination_semantic — registered
+    #  after the 50-slot window filled; until then their evidence is
+    #  the oracle sweep, tests/test_queries_oracle.py.
     #  r6 vintages queued for the r12 window: agg_hll_sketch_union
     #  (displaced by multimodal_video_keyframes), corpus_stats_report,
     #  dedup_cluster_stats, dedup_containment, join_asof_tolerance,
