@@ -5034,3 +5034,50 @@ def vec_contamination_semantic(spark, sf_dir):
             (F.col("max_cos_eval") >= 0.35).alias("is_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: C4-style blocklist gate (Raffel et al. 2020 §2.2 drop any page
+# containing a word from a bad-word list) — chronologically the FIRST
+# content filter of the C4/mC4 recipe, upstream even of lang-ID. The
+# list here is a deterministic 5-token stand-in (one entry, 'dup',
+# occurs in ~5% of fixture docs so BOTH branches of the gate carry
+# driver-verified rows — a blocklist no document ever trips is dead
+# code to the oracle) wired as a broadcast literal; a real deployment swaps the literal for a broadcast-joined
+# blocklist table without touching the plan shape (a bounded list is
+# always broadcastable — the vec_contamination_semantic argument).
+
+_BLOCKLIST_SQL = "['fraud', 'casino', 'dup', 'xxx', 'zxq']"
+
+_BLOCKLIST_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id,
+             len(list_intersect(toks, {_BLOCKLIST_SQL})) AS n_blocked_types,
+             len(toks) AS n_tokens
+      FROM d)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_blocked_types AS BIGINT) AS n_blocked_types,
+       n_blocked_types = 0 AS keep
+FROM f
+"""
+
+
+@query("text_blocklist_filter", oracle=_BLOCKLIST_ORACLE)
+def text_blocklist_filter(spark, sf_dir):
+    """Blocklist gate, hash-EXACT: per doc the count of DISTINCT
+    blocklisted word types present (token-boundary matching — 'class'
+    never trips an 'ass' entry, the classic C4 false-positive) and the
+    keep flag. One row-local projection over array_intersect against a
+    literal list: zero Exchange, one codegen span, trivially linear at
+    any corpus size. Emitting the flag rather than filtering keeps the
+    audit trail a real pipeline wants (what fraction did the gate
+    remove, and why)."""
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    blocked = F.array_intersect(toks, F.expr(f"array{_BLOCKLIST_SQL.replace('[', '(').replace(']', ')')}"))
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(blocked).cast("long").alias("n_blocked_types"),
+        (F.size(blocked) == 0).alias("keep"),
+    )

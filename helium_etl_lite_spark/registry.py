@@ -112,9 +112,10 @@ FRONT_OF_WINDOW: list[str] = [
     "dedup_cluster_components_star",  # probe economy (was r10)
     # (4) oldest r6 re-confirm fills the last slot:
     "agg_histogram_width_bucket",     # r6
-    # (ALSO queued for r12, first driver contact: the four late-r11
+    # (ALSO queued for r12, first driver contact: the five late-r11
     #  registrations text_perplexity_bigram, text_tokenize_wordpiece,
-    #  corpus_shard_manifest, vec_contamination_semantic — registered
+    #  corpus_shard_manifest, vec_contamination_semantic,
+    #  text_blocklist_filter — registered
     #  after the 50-slot window filled; until then their evidence is
     #  the oracle sweep, tests/test_queries_oracle.py.
     #  r6 vintages queued for the r12 window: agg_hll_sketch_union

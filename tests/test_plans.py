@@ -1356,3 +1356,10 @@ def test_vec_contamination_bnlj_is_deliberate_and_agg_is_partial(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "partial_max" in plan, plan[:3000]
+
+
+def test_blocklist_filter_is_pure_projection(spark, sf_dir):
+    # the C4 step-1 gate must never cost more than the scan: zero
+    # Exchange, no join node (the list is a literal / broadcast).
+    df = q("text_blocklist_filter", spark, sf_dir)
+    assert count_shuffles(df) == 0
