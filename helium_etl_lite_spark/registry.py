@@ -51,10 +51,11 @@ FRONT_OF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
     # r11 rotation (r10 verdict directive 1): the ENTIRE 39-query
     # r5-vintage cohort enters the window — after this round no driver
-    # verdict on record is older than r6.  New r11 registrations are
-    # capped (4, well under the <=11 budget); behaviorally-changed
-    # queries re-enter for fresh verdicts (6); the one remaining slot
-    # goes to the oldest r6 re-confirm (39 + 4 + 6 + 1 = 50).
+    # verdict on record is older than r6.  New r11 registrations total
+    # 9 (<=11 budget): 4 take window slots here, 5 are queued for r12
+    # (see the note after the list); behaviorally-changed queries
+    # re-enter for fresh verdicts (6); the one remaining slot goes to
+    # the oldest r6 re-confirm (39 + 4 + 6 + 1 = 50).
     # (1) all 39 r5-vintage re-confirms:
     "array_funcs",                    # r5
     "case_when_dispatch",             # r5
