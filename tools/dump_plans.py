@@ -215,6 +215,8 @@ HEADLINE_NOTES = {
     "text_perplexity_bigram": "row-local bigram transform (no lag window); LM = two vocab-scaled hash aggs; unhinted word-key joins (AQE broadcasts while small); per-doc agg",
     "text_tokenize_wordpiece": "word-TYPE tokenization: greedy walk is a row-local higher-order aggregate over the per-word step map — no recursion node, no SinglePartition; occurrences priced by one equi-join",
     "corpus_shard_manifest": "row-local hash key, shard = key % 16 (hash partition, never a sort); the only window partitions BY shard; no SinglePartition",
+    "vec_contamination_semantic": "DELIBERATE BroadcastNestedLoopJoin (bounded eval side broadcast, BuildRight) + map-side partial_max: the corpus is never key-shuffled",
+    "text_blocklist_filter": "array_intersect vs a literal list: ONE row-local projection, zero Exchange",
     "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode); only the tiny-input round-robin fan-out, no KEY shuffle",
     "multimodal_video_neardup": "per-frame dHash kernel -> pigeonhole band equi-join -> keeper hash aggs; no all-pairs, no BNLJ",
     "multimodal_video_keyframes": "two narrow Arrow kernels (AVI encode, intra-payload temporal delta); only the tiny-input round-robin fan-out, no KEY shuffle",
