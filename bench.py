@@ -201,11 +201,13 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "text_quality_classifier_train",
     # r11 batch (measured idle-host min-of-3 before adding — all well
     # under the 10s lane-cost rule after the _fan_out_small fix):
-    # video frame stats 1.0x, keyframes 1.4x, MJPEG-dhash near-dup
-    # 4.2x (base 4.1s; pre-fix it was 32.9s base / 7.3x on ONE core),
-    # WET extraction 0.9x, bigram LM 1.9x, WordPiece 1.7x (both: LM /
-    # vocab tables scale with vocab, sublinear in corpus), shard
-    # manifest 1.1x (16 fixed shards, hash agg).
+    # isolated idle ratios video frame stats 1.0x, keyframes 1.4x,
+    # MJPEG-dhash near-dup 4.2x (base 4.1s; pre-fix it was 32.9s base
+    # / 7.3x on ONE core), WET extraction 0.9x, bigram LM 1.9x,
+    # WordPiece 1.7x (both: LM / vocab tables scale with vocab,
+    # sublinear in corpus), shard manifest 1.1x (16 fixed shards).
+    # First full-lane idle run read 1.7-6.4x for the seven (in-lane
+    # numbers carry sustained-session GC pressure; README scale table).
     "multimodal_video_frames",
     "multimodal_video_keyframes",
     "multimodal_video_neardup",
