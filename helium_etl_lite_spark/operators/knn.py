@@ -1572,3 +1572,227 @@ def ann_topk_ivfpq_portable(
         .select("q_id", "vec_id", "dist_q", "rn")
         .orderBy("q_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: incremental SemDeDup — the embedding family's persisted-state
+# ingest loop, completing the incremental-dedup symmetry (exact:
+# dedup_filter_new; MinHash: minhash_filter_new; substring spans:
+# span_state_add — semantic was the one family without one). Same
+# discipline throughout: land the filtered batch FIRST, then fold it
+# into the state; the state never shuffles on a probe; fold-in appends
+# O(batch) bytes into stable shards.
+
+SEM_STATE_SHARDS = 64
+
+# State-layout fingerprint, persisted with the state (the minhash
+# SIG_VERSION lesson): buckets are pure functions of the vector ONLY
+# under a fixed plane construction + banding — probing a state built
+# under different parameters would silently produce zero collisions.
+SEM_STATE_VERSION = "semdedup-hyperplane-splitmix-b6xL10-v1"
+
+
+def _sem_version_path(state_path: str) -> str:
+    import os
+
+    return os.path.join(state_path, "_sem_version")
+
+
+def _sem_write_version(state_path: str) -> None:
+    import os
+
+    os.makedirs(state_path, exist_ok=True)
+    p = _sem_version_path(state_path)
+    if not os.path.exists(p):
+        with open(p + ".tmp", "w") as f:
+            f.write(SEM_STATE_VERSION)
+        os.replace(p + ".tmp", p)
+
+
+def _sem_check_version(state_path: str) -> None:
+    import os
+
+    p = _sem_version_path(state_path)
+    if os.path.exists(p):
+        with open(p) as f:
+            found = f.read().strip()
+        if found != SEM_STATE_VERSION:
+            raise ValueError(
+                f"semantic dedup state at {state_path} was built under "
+                f"{found!r}; this build probes {SEM_STATE_VERSION!r} — "
+                "rebuild the state (bucket constructions are "
+                "incompatible)"
+            )
+
+
+def _sem_bucket_rows(
+    vectors: DataFrame,
+    n_bands: int = 10,
+    band_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane-LSH rows: one (id, e, nrm, band, bucket) row
+    per band, buckets = sign-bit strings of `band_planes` deterministic
+    hyperplanes (no RNG — _plane_coeff avalanche, plane index global
+    across bands). Banding is what makes the probe RECALL tunable where
+    a single wide bucket is not: at cosine s the per-plane collision
+    probability is 1 - arccos(s)/pi, a band collides at p^band_planes
+    and ANY of n_bands bands suffices — at s=0.8, b=6, L=10 that is
+    1-(1-0.25)^10 ~ 0.94, and a planted near-copy (s~0.99) collides
+    with probability 1 - 1e-8. Zero-norm vectors get NO rows (cosine
+    undefined) — callers must pass them through as survivors."""
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("e")
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    v = v.where(F.col("nrm") > 0)
+    bands = []
+    for band in range(n_bands):
+        bits = []
+        for p in range(band_planes):
+            plane = F.array(
+                *[F.lit(_plane_coeff(band * band_planes + p, d)) for d in range(dim)]
+            )
+            bits.append(
+                F.when(dot(F.col("e"), plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        bands.append(
+            F.struct(F.lit(band).alias("band"), F.concat(*bits).alias("bucket"))
+        )
+    return v.select(
+        id_col, "e", "nrm", F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "e", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _sem_cos(e_a, n_a, e_b, n_b):
+    return dot(e_a, e_b) / (n_a * n_b)
+
+
+def semantic_filter_new(
+    spark,
+    batch: DataFrame,
+    state_path: str,
+    threshold: float,
+    n_bands: int = 10,
+    band_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """Incremental SemDeDup, read side: batch vectors with no kept
+    near-duplicate (cosine >= threshold) in the persisted representative
+    state, with in-batch near-dups collapsed first under the SemDeDup
+    keeper convention (a vector is dropped when ANY smaller-id batch
+    vector is bucket-visible at >= threshold — cluster representative =
+    min id). Candidates come from banded hyperplane-LSH collisions only
+    (the approximation contract of semantic_dedup_pairs: recall math in
+    _sem_bucket_rows); every candidate is VERIFIED with the true cosine
+    before it can drop anything.
+
+    Probe shape (the dedup_filter_new / minhash_filter_new posture):
+    the state never shuffles — shard partition-pruning on the batch's
+    touched buckets, then a left-semi against a BROADCAST of the
+    batch's distinct (band, bucket) keys (guarded; corpus-sized batches
+    fall back to the shuffled equi-join), then the cosine verify join
+    on the surviving candidates. Zero-norm vectors have no buckets and
+    PASS THROUGH as survivors (the minhash NULL-text lesson).
+
+    Ordering contract unchanged: land this output first, then
+    semantic_state_add — replay converges because the state fold-in is
+    a set union and probes read it as a set."""
+    from pyspark.errors import AnalysisException
+
+    from .dedup import _path_missing
+
+    rows = _sem_bucket_rows(batch, n_bands, band_planes, dim, id_col, vec_col)
+    rows = rows.localCheckpoint(eager=True)  # reused >=3 times below
+    # ---- in-batch keeper assignment (min-id representative) ----
+    a = rows.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"), "band", "bucket",
+    )
+    b = rows.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"), "band", "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "e_a", "n_a", "id_b", "e_b", "n_b")
+        .distinct()
+    )
+    dominated = (
+        cand.where(
+            _sem_cos(F.col("e_a"), F.col("n_a"), F.col("e_b"), F.col("n_b"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = batch.join(dominated, id_col, "left_anti")
+    # zero-norm rows never appear in `rows`; they are already inside
+    # `kept` (nothing can dominate them) and must skip the state probe.
+    try:
+        state = spark.read.parquet(state_path)
+    except AnalysisException as exc:
+        if not _path_missing(exc):
+            raise
+        return kept
+    _sem_check_version(state_path)
+    probe = rows.join(F.broadcast(dominated), id_col, "left_anti")
+    shard = F.pmod(F.xxhash64("bucket"), F.lit(SEM_STATE_SHARDS)).cast("int")
+    touched = [
+        r["shard"] for r in probe.select(shard.alias("shard")).distinct().collect()
+    ]
+    state = state.where(F.col("shard").isin(touched))
+    bb = probe.select("band", "bucket").distinct().localCheckpoint(eager=True)
+    if bb.count() <= max_broadcast_rows:
+        state = state.join(F.broadcast(bb), ["band", "bucket"], "left_semi")
+    dup_ids = (
+        probe.join(
+            state.select(
+                "band", "bucket",
+                F.col("e").alias("e_s"), F.col("nrm").alias("n_s"),
+            ),
+            ["band", "bucket"],
+        )
+        .where(
+            _sem_cos(F.col("e"), F.col("nrm"), F.col("e_s"), F.col("n_s"))
+            >= F.lit(threshold)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return kept.join(dup_ids, id_col, "left_anti")
+
+
+def semantic_state_add(
+    spark,
+    fresh: DataFrame,
+    state_path: str,
+    n_bands: int = 10,
+    band_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental SemDeDup, write side: fold the landed batch's bucket
+    rows (+vectors — representatives must be retained, cosine needs
+    them; unlike the hash families the state is O(kept * d), which IS
+    the SemDeDup state lower bound) into the persisted state. Same
+    shard discipline as minhash_state_add: stable pmod(xxhash64(bucket))
+    shards co-located with the probe's pruning key, APPEND-only O(batch)
+    bytes; duplicate appends from a crash replay only duplicate rows
+    and the probe's `.distinct()` on dup ids absorbs that."""
+    _sem_write_version(state_path)
+    rows = _sem_bucket_rows(fresh, n_bands, band_planes, dim, id_col, vec_col)
+    shard = F.pmod(F.xxhash64("bucket"), F.lit(SEM_STATE_SHARDS)).cast("int")
+    (
+        rows.withColumn("shard", shard)
+        .repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(state_path)
+    )

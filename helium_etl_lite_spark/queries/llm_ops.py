@@ -5081,3 +5081,35 @@ def text_blocklist_filter(spark, sf_dir):
         F.size(blocked).cast("long").alias("n_blocked_types"),
         (F.size(blocked) == 0).alias("keep"),
     )
+
+
+@query("vec_dedup_semantic_incremental")  # rows-only: float cosine + LSH recall
+def vec_dedup_semantic_incremental(spark, sf_dir):
+    """The embedding family's ingest loop (closes the incremental-dedup
+    symmetry: exact / MinHash / substring-span each had a persisted-
+    state twin, semantic did not): batch 1 (even vec_ids) lands and
+    folds its banded hyperplane-LSH bucket rows + vectors into a
+    persisted sharded state; batch 2 (odd vec_ids) probes that state
+    and only vectors with no kept near-dup (verified cosine >= 0.35)
+    against the WHOLE landed corpus survive. Deterministic (fixed
+    avalanche planes, parity split); rows-only BY DESIGN (float cosine
+    + engine-specific xxhash shard routing); the family's driver-exact
+    evidence is vec_dedup_semantic_portable, and the mutual-freeness /
+    planted-near-copy / replay gates live in
+    tests/test_operators.py::TestSemanticIncremental.
+
+    Scale posture: the state never shuffles on a probe (shard pruning +
+    broadcast bucket-key semi-join, the minhash_filter_new posture);
+    fold-in appends O(batch); state size O(kept * d) — the SemDeDup
+    lower bound, representatives must be retained."""
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    state = scratch_dir("semantic_incremental") + "/state"
+    emb = t.embeddings
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    f1 = knn.semantic_filter_new(spark, b1, state, threshold=0.35)
+    knn.semantic_state_add(spark, f1, state)
+    f2 = knn.semantic_filter_new(spark, b2, state, threshold=0.35)
+    return f2.select("vec_id").orderBy("vec_id")

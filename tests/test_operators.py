@@ -3475,3 +3475,124 @@ class TestVideoKeyframes:
         assert rows[0] == (120 * 192, True)   # vs black
         assert rows[1] == (0, False)          # identical frame
         assert rows[2] == (60 * 192, True)    # scene cut
+
+
+class TestSemanticIncremental:
+    """semantic_filter_new / semantic_state_add (operators/knn.py): the
+    embedding family's persisted-state ingest loop."""
+
+    def _mkvecs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def _rand(self, seed, d=64):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        v = rng.randn(d)
+        return v / np.linalg.norm(v)
+
+    def test_planted_near_copy_is_dropped_and_survivors_kept(self, spark, tmp_path):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import knn
+
+        state = str(tmp_path / "sem_state")
+        base = [(i, self._rand(i)) for i in range(10)]
+        b1 = self._mkvecs(spark, base)
+        f1 = knn.semantic_filter_new(spark, b1, state, threshold=0.8)
+        kept1 = sorted(r["vec_id"] for r in f1.select("vec_id").collect())
+        assert kept1 == list(range(10))  # random unit vectors: no dups
+        knn.semantic_state_add(spark, f1, state)
+        # batch 2: a near-copy of kept vector 3 (cos ~ 0.999) + a fresh one
+        near = self._rand(3) + 0.02 * self._rand(99)
+        near = near / np.linalg.norm(near)
+        b2 = self._mkvecs(spark, [(100, near), (101, self._rand(500))])
+        f2 = knn.semantic_filter_new(spark, b2, state, threshold=0.8)
+        kept2 = sorted(r["vec_id"] for r in f2.select("vec_id").collect())
+        assert kept2 == [101], kept2
+
+    def test_in_batch_min_id_keeper(self, spark, tmp_path):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import knn
+
+        state = str(tmp_path / "sem_state2")
+        v = self._rand(7)
+        near = v + 0.02 * self._rand(42)
+        near = near / np.linalg.norm(near)
+        batch = self._mkvecs(spark, [(1, v), (2, near), (3, self._rand(8))])
+        f = knn.semantic_filter_new(spark, batch, state, threshold=0.8)
+        assert sorted(r["vec_id"] for r in f.collect()) == [1, 3]
+
+    def test_replay_is_idempotent_and_zero_norm_passes_through(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators import knn
+
+        state = str(tmp_path / "sem_state3")
+        b1 = self._mkvecs(spark, [(i, self._rand(i)) for i in range(5)])
+        f1 = knn.semantic_filter_new(spark, b1, state, threshold=0.8)
+        knn.semantic_state_add(spark, f1, state)
+        # crash replay: the same batch probed again folds in duplicate
+        # rows; the probe must still drop ALL of batch 1 (each vector is
+        # its own near-dup at cos = 1) and keep a zero-norm row (no
+        # bucket, cosine undefined -> pass-through survivor).
+        b1z = self._mkvecs(spark, [(i, self._rand(i)) for i in range(5)] + [(50, [0.0] * 64)])
+        f_replay = knn.semantic_filter_new(spark, b1z, state, threshold=0.8)
+        assert sorted(r["vec_id"] for r in f_replay.collect()) == [50]
+
+    def test_kept_set_mutually_neardup_free(self, spark, sf_dir):
+        """After the full incremental run over the fixture embeddings,
+        NO two kept vectors that share an LSH bucket clear the
+        threshold — brute-force numpy verification of the keeper
+        invariant (bucket-visible completeness is the declared
+        approximation contract)."""
+        import numpy as np
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        kept = {
+            r["vec_id"]
+            for r in registry.QUERIES["vec_dedup_semantic_incremental"](
+                spark, sf_dir
+            ).collect()
+        }
+        # batch 1 keepers are also in the final kept corpus
+        from helium_etl_lite_spark.operators import knn
+        from helium_etl_lite_spark.tables import Tables
+
+        emb = Tables(spark, sf_dir).embeddings
+        rows = knn._sem_bucket_rows(emb).collect()
+        by_bucket = {}
+        vecs = {}
+        for r in rows:
+            by_bucket.setdefault((r["band"], r["bucket"]), []).append(r["vec_id"])
+            vecs[r["vec_id"]] = np.array(r["e"])
+        # final kept corpus = batch-1 survivors (folded) + batch-2 survivors;
+        # recompute batch-1 survivors the same way the query does
+        state_kept = kept | {
+            v for v in vecs if v % 2 == 0 and self._b1_kept(vecs, by_bucket, v)
+        }
+        for ids in by_bucket.values():
+            ks = sorted(i for i in ids if i in state_kept)
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    a, b = vecs[ks[i]], vecs[ks[j]]
+                    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                    assert cos < 0.35, (ks[i], ks[j], cos)
+
+    def _b1_kept(self, vecs, by_bucket, v):
+        # batch-1 (even ids) min-id-dominated rule over bucket-visible pairs
+        import numpy as np
+
+        for ids in by_bucket.values():
+            if v not in ids:
+                continue
+            for u in ids:
+                if u < v and u % 2 == 0:
+                    a, b = vecs[u], vecs[v]
+                    if float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))) >= 0.35:
+                        return False
+        return True

@@ -1363,3 +1363,14 @@ def test_blocklist_filter_is_pure_projection(spark, sf_dir):
     # Exchange, no join node (the list is a literal / broadcast).
     df = q("text_blocklist_filter", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_semantic_incremental_probe_no_bnlj(spark, sf_dir):
+    # the state probe must be an equi-join on (band, bucket) with
+    # true-cosine verification — never a nested-loop against the state.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("vec_dedup_semantic_incremental", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
