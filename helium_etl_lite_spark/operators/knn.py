@@ -1599,30 +1599,52 @@ def _sem_version_path(state_path: str) -> str:
 
 
 def _sem_write_version(state_path: str) -> None:
+    """Stamp (or verify) the state-layout marker BEFORE appending. A
+    marker-less directory that already holds shard data is refused —
+    stamping the current version onto data of unknown construction
+    would silently legitimize exactly the incompatibility the marker
+    exists to catch (the minhash _check_sig_version_for_append
+    lesson, review find)."""
     import os
 
     os.makedirs(state_path, exist_ok=True)
     p = _sem_version_path(state_path)
-    if not os.path.exists(p):
-        with open(p + ".tmp", "w") as f:
-            f.write(SEM_STATE_VERSION)
-        os.replace(p + ".tmp", p)
+    if os.path.exists(p):
+        _sem_check_version(state_path)
+        return
+    if any(n.startswith("shard=") for n in os.listdir(state_path)):
+        raise ValueError(
+            f"semantic dedup state at {state_path} holds shard data but "
+            "no _sem_version marker; refusing to stamp it with "
+            f"{SEM_STATE_VERSION!r} — rebuild the state"
+        )
+    with open(p + ".tmp", "w") as f:
+        f.write(SEM_STATE_VERSION)
+    os.replace(p + ".tmp", p)
 
 
 def _sem_check_version(state_path: str) -> None:
-    import os
-
+    """Probe-side guard: a state with data but no marker is as
+    incompatible as a wrong marker — zero bucket collisions would let
+    every duplicate through silently, so fail fast (review find: the
+    earlier silent-accept branch diverged from the minhash pattern
+    this family cites)."""
     p = _sem_version_path(state_path)
-    if os.path.exists(p):
+    try:
         with open(p) as f:
             found = f.read().strip()
-        if found != SEM_STATE_VERSION:
-            raise ValueError(
-                f"semantic dedup state at {state_path} was built under "
-                f"{found!r}; this build probes {SEM_STATE_VERSION!r} — "
-                "rebuild the state (bucket constructions are "
-                "incompatible)"
-            )
+    except FileNotFoundError:
+        raise ValueError(
+            f"semantic dedup state at {state_path} carries no "
+            "_sem_version marker; refusing to probe a state of unknown "
+            "bucket construction"
+        ) from None
+    if found != SEM_STATE_VERSION:
+        raise ValueError(
+            f"semantic dedup state at {state_path} was built under "
+            f"{found!r}; this build probes {SEM_STATE_VERSION!r} — "
+            "rebuild the state (bucket constructions are incompatible)"
+        )
 
 
 def _sem_bucket_rows(
@@ -1642,24 +1664,47 @@ def _sem_bucket_rows(
     and ANY of n_bands bands suffices — at s=0.8, b=6, L=10 that is
     1-(1-0.25)^10 ~ 0.94, and a planted near-copy (s~0.99) collides
     with probability 1 - 1e-8. Zero-norm vectors get NO rows (cosine
-    undefined) — callers must pass them through as survivors."""
-    v = vectors.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("e")
-    ).withColumn("nrm", l2_norm(F.col("e")))
-    v = v.where(F.col("nrm") > 0)
-    bands = []
-    for band in range(n_bands):
-        bits = []
-        for p in range(band_planes):
-            plane = F.array(
-                *[F.lit(_plane_coeff(band * band_planes + p, d)) for d in range(dim)]
+    undefined) — callers must pass them through as survivors.
+
+    Codegen shape follows lsh_table_buckets (review find: the first
+    form built 60 planes as ~3.8k separate F.lit nodes — the exact
+    expression-tree blowup that function's docstring documents at ~10x
+    compile cost): the planes enter as ONE literal array<array<double>>
+    walked with transform/aggregate, buckets bit-identical to the
+    per-literal form (same _plane_coeff global plane indexing)."""
+    coeff = _plane_coeff
+    n_planes = n_bands * band_planes
+    mat_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(repr(coeff(p, d)) + "D" for d in range(dim))
+        for p in range(n_planes)
+    )
+    bits = F.transform(
+        F.expr(mat_sql),
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(F.col("e"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            bits.append(
-                F.when(dot(F.col("e"), plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            )
-        bands.append(
-            F.struct(F.lit(band).alias("band"), F.concat(*bits).alias("bucket"))
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    v = (
+        vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .where(F.col("nrm") > 0)
+        .withColumn("__bits", bits)
+    )
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "", F.slice(F.col("__bits"), band * band_planes + 1, band_planes)
+            ).alias("bucket"),
         )
+        for band in range(n_bands)
+    ]
     return v.select(
         id_col, "e", "nrm", F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "e", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -1741,7 +1786,9 @@ def semantic_filter_new(
             raise
         return kept
     _sem_check_version(state_path)
-    probe = rows.join(F.broadcast(dominated), id_col, "left_anti")
+    # no broadcast hint on `dominated` (review find): a duplicate-heavy
+    # corpus-sized batch makes it unbounded — let AQE pick the strategy.
+    probe = rows.join(dominated, id_col, "left_anti")
     shard = F.pmod(F.xxhash64("bucket"), F.lit(SEM_STATE_SHARDS)).cast("int")
     touched = [
         r["shard"] for r in probe.select(shard.alias("shard")).distinct().collect()

