@@ -5118,3 +5118,58 @@ def vec_dedup_semantic_incremental(spark, sf_dir):
     knn.semantic_state_add(spark, f1, state)
     f2 = knn.semantic_filter_new(spark, b2, state, threshold=0.35)
     return f2.select("vec_id").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# r11: in-document repetition REMOVAL — the scrubbing leg of the Gopher
+# repetition family (Rae et al. 2021 §A1.3 measure-and-REMOVE;
+# text_repetition_stats already measures these signals, this operator
+# performs the canonical fix): collapse every run of consecutive
+# duplicate tokens to its first occurrence. Deterministic row-local
+# rewrite; the oracle hash pins the SCRUBBED CONTENT itself (md5 of the
+# reassembled text), not just the counts.
+
+_REP_SCRUB_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+k AS (SELECT doc_id, p,
+        list_filter(generate_series(1, len(p)),
+                    i -> i = 1 OR p[i] <> p[i-1]) AS keep_idx
+      FROM d)
+SELECT doc_id,
+       CAST(len(p) AS BIGINT) AS n_tokens,
+       CAST(len(keep_idx) AS BIGINT) AS n_after,
+       CAST(len(p) - len(keep_idx) AS BIGINT) AS n_collapsed,
+       md5(array_to_string(list_transform(keep_idx, i -> p[i]), ' ')) AS scrub_md5
+FROM k
+"""
+
+
+@query("text_repetition_scrub", oracle=_REP_SCRUB_ORACLE)
+def text_repetition_scrub(spark, sf_dir):
+    """Run-length token dedup per document, hash-EXACT including the
+    rewritten content (md5 over the scrubbed reassembly — both engines
+    emit lowercase-hex md5 of the UTF-8 bytes). Both sides keep
+    position i iff i = 1 or p[i] != p[i-1] over the SAME 1-based
+    indexing (Spark element_at is 1-based like DuckDB's list index, so
+    the predicate transliterates directly). One row-local projection —
+    zero Exchange, embarrassingly parallel at any corpus size; the
+    fixture corpus genuinely exercises it ('batch batch batch' runs
+    occur in the synthetic text)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.split("text", " ").alias("p"))
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("p")),
+        lambda i: (i == F.lit(1))
+        | (F.element_at("p", i) != F.element_at("p", i - F.lit(1))),
+    )
+    k = docs.select("doc_id", "p", keep_idx.alias("keep_idx"))
+    scrubbed = F.array_join(
+        F.transform("keep_idx", lambda i: F.element_at("p", i)), " "
+    )
+    return k.select(
+        "doc_id",
+        F.size("p").cast("long").alias("n_tokens"),
+        F.size("keep_idx").cast("long").alias("n_after"),
+        (F.size("p") - F.size("keep_idx")).cast("long").alias("n_collapsed"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

@@ -52,7 +52,7 @@ FRONT_OF_WINDOW: list[str] = [
     # r11 rotation (r10 verdict directive 1): the ENTIRE 39-query
     # r5-vintage cohort enters the window — after this round no driver
     # verdict on record is older than r6.  New r11 registrations total
-    # 10 (<=11 budget): 4 take window slots here, 6 are queued for r12
+    # 11 (budget exactly met): 4 take window slots here, 7 queued for r12
     # (see the note after the list); behaviorally-changed queries
     # re-enter for fresh verdicts (6); the one remaining slot goes to
     # the oldest r6 re-confirm (39 + 4 + 6 + 1 = 50).
@@ -113,10 +113,11 @@ FRONT_OF_WINDOW: list[str] = [
     "dedup_cluster_components_star",  # probe economy (was r10)
     # (4) oldest r6 re-confirm fills the last slot:
     "agg_histogram_width_bucket",     # r6
-    # (ALSO queued for r12, first driver contact: the six late-r11
+    # (ALSO queued for r12, first driver contact: the seven late-r11
     #  registrations text_perplexity_bigram, text_tokenize_wordpiece,
     #  corpus_shard_manifest, vec_contamination_semantic,
-    #  text_blocklist_filter, vec_dedup_semantic_incremental — registered
+    #  text_blocklist_filter, vec_dedup_semantic_incremental,
+    #  text_repetition_scrub — registered
     #  after the 50-slot window filled; until then their evidence is
     #  the oracle sweep, tests/test_queries_oracle.py.
     #  r6 vintages queued for the r12 window: agg_hll_sketch_union

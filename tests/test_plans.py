@@ -1377,3 +1377,9 @@ def test_semantic_incremental_probe_no_bnlj(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_scrub_is_pure_projection(spark, sf_dir):
+    # run-length token dedup is row-local: zero Exchange.
+    df = q("text_repetition_scrub", spark, sf_dir)
+    assert count_shuffles(df) == 0

@@ -217,6 +217,7 @@ HEADLINE_NOTES = {
     "corpus_shard_manifest": "row-local hash key, shard = key % 16 (hash partition, never a sort); the only window partitions BY shard; no SinglePartition",
     "vec_contamination_semantic": "DELIBERATE BroadcastNestedLoopJoin (bounded eval side broadcast, BuildRight) + map-side partial_max: the corpus is never key-shuffled",
     "text_blocklist_filter": "array_intersect vs a literal list: ONE row-local projection, zero Exchange",
+    "text_repetition_scrub": "run-length token dedup + md5 of the scrubbed reassembly: ONE row-local projection, zero Exchange",
     "vec_dedup_semantic_incremental": "banded hyperplane-LSH bucket equi-joins + true-cosine verify; state probe = shard-pruned scan semi-joined against broadcast bucket keys, no BNLJ",
     "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode); only the tiny-input round-robin fan-out, no KEY shuffle",
     "multimodal_video_neardup": "per-frame dHash kernel -> pigeonhole band equi-join -> keeper hash aggs; no all-pairs, no BNLJ",
