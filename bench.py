@@ -237,8 +237,48 @@ def _bench_one(spark, sf_dir, name, n_runs=N_RUNS, tag=""):
     return runs, best, spread
 
 
+def _wait_for_idle():
+    """Bounded wait-for-idle before the headline pass (r11 verdict
+    item 2): BENCH_r09..r11 all absorbed 30-40% host-load noise into
+    the official series.  The r10 flag made the noise VISIBLE
+    (degraded: true fired honestly on r11); this makes it AVOIDABLE —
+    poll 1-min loadavg until it drops under the same 2.0 threshold the
+    flag uses, give up after a bounded budget so the driver's bench
+    slot can't hang, and report how long the wait was either way.
+    Returns (waited_sec, timed_out)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600"))
+    poll = 15.0
+    t0 = time.monotonic()
+    while True:
+        load1 = os.getloadavg()[0]
+        waited = time.monotonic() - t0
+        if load1 < threshold:
+            if waited > 0.5:
+                print(
+                    f"# idle gate: loadavg {load1:.2f} < {threshold} "
+                    f"after {waited:.0f}s wait",
+                    file=sys.stderr,
+                )
+            return round(waited, 1), False
+        if waited + poll > budget:
+            print(
+                f"# idle gate TIMED OUT after {waited:.0f}s "
+                f"(loadavg still {load1:.2f}); proceeding degraded",
+                file=sys.stderr,
+            )
+            return round(waited, 1), True
+        print(
+            f"# idle gate: loadavg {load1:.2f} >= {threshold}, "
+            f"waiting ({waited:.0f}/{budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idle_wait, idle_timeout = _wait_for_idle()
     registry.load_all()
     spark = get_spark("bench")
     try:
@@ -321,6 +361,9 @@ def main():
             "spread_pct": spreads,
             "loadavg_start": [round(x, 2) for x in load0],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "degraded": bool(idle_timeout or load0[0] > 2.0),
+            "idle_wait_sec": idle_wait,
+            "idle_wait_timeout": idle_timeout,
         }
         if scale_block is not None:
             detail["scale"] = scale_block
@@ -347,12 +390,14 @@ def main():
             out["scale_n_queries"] = len(scale_block["queries"])
             out["scale_worst3_ratio"] = worst3
             out["scale_max_ratio"] = max(ratios.values()) if ratios else None
-        # Loadavg gate (r10 verdict item 7): round-over-round totals are
-        # only comparable between idle-host runs; tag the line when the
-        # host was already busy at start so a slow number isn't read as
-        # a regression (r9/r10 both absorbed 30-40% load noise).
-        if load0[0] > 2.0:
-            out["degraded"] = True
+        # Loadavg gate (r10 verdict item 7, strengthened per r11 item
+        # 2): the idle gate above waits for loadavg < 2 before the
+        # session starts, so degraded should normally be false now —
+        # it stays ALWAYS-PRESENT (not just when true) so the series
+        # records that the gate ran, and fires only when the bounded
+        # wait timed out or load arrived after the gate passed.
+        out["degraded"] = detail["degraded"]
+        out["idle_wait_sec"] = idle_wait
         line = json.dumps(out)
         if len(line) > 1500:
             # Never leave the driver without a parseable final line

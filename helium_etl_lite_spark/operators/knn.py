@@ -1746,11 +1746,8 @@ def semantic_filter_new(
 
     Ordering contract unchanged: land this output first, then
     semantic_state_add — replay converges because the state fold-in is
-    a set union and probes read it as a set."""
-    from pyspark.errors import AnalysisException
-
-    from .dedup import _path_missing
-
+    a set union and probes read it as a set (and a marker-only state
+    dir from a crash mid-first-append reads as empty, see below)."""
     rows = _sem_bucket_rows(batch, n_bands, band_planes, dim, id_col, vec_col)
     rows = rows.localCheckpoint(eager=True)  # reused >=3 times below
     # ---- in-batch keeper assignment (min-id representative) ----
@@ -1779,13 +1776,25 @@ def semantic_filter_new(
     kept = batch.join(dominated, id_col, "left_anti")
     # zero-norm rows never appear in `rows`; they are already inside
     # `kept` (nothing can dominate them) and must skip the state probe.
-    try:
-        state = spark.read.parquet(state_path)
-    except AnalysisException as exc:
-        if not _path_missing(exc):
-            raise
+    import os
+
+    has_shards = os.path.isdir(state_path) and any(
+        n.startswith("shard=") for n in os.listdir(state_path)
+    )
+    if not has_shards:
+        # Missing dir, or a MARKER-ONLY dir left by a crash between
+        # _sem_write_version and the first append (r11 ADVICE item 2:
+        # spark.read.parquet on that dir raises UNABLE_TO_INFER_SCHEMA,
+        # which _path_missing re-raised — the ingest loop wedged until
+        # manual cleanup, contradicting the replay-converges contract).
+        # Both shapes ARE the empty state: nothing kept yet, so nothing
+        # can dominate the batch. A wrong-VERSION marker still fails
+        # fast — the incompatibility guard outranks replay convenience.
+        if os.path.exists(_sem_version_path(state_path)):
+            _sem_check_version(state_path)
         return kept
     _sem_check_version(state_path)
+    state = spark.read.parquet(state_path)
     # no broadcast hint on `dominated` (review find): a duplicate-heavy
     # corpus-sized batch makes it unbounded — let AQE pick the strategy.
     probe = rows.join(dominated, id_col, "left_anti")

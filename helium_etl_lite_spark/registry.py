@@ -49,93 +49,73 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # r11 rotation (r10 verdict directive 1): the ENTIRE 39-query
-    # r5-vintage cohort enters the window — after this round no driver
-    # verdict on record is older than r6.  New r11 registrations total
-    # 11 (budget exactly met): 4 take window slots here, 7 queued for r12
-    # (see the note after the list); behaviorally-changed queries
-    # re-enter for fresh verdicts (6); the one remaining slot goes to
-    # the oldest r6 re-confirm (39 + 4 + 6 + 1 = 50).
-    # (1) all 39 r5-vintage re-confirms:
-    "array_funcs",                    # r5
-    "case_when_dispatch",             # r5
-    "cast_try_cast",                  # r5
-    "date_funcs",                     # r5
-    "filter_like_regex",              # r5
-    "funnel_conversion",              # r5
-    "hash_funcs",                     # r5
-    "hash_funcs_xxhash64",            # r5
-    "join_asof_event_order",          # r5
-    "join_broadcast_dim",             # r5
-    "join_left_anti",                 # r5
-    "join_left_right_outer",          # r5
-    "join_left_semi",                 # r5
-    "join_range_binned",              # r5
-    "join_skew_salted",               # r5
-    "json_funcs",                     # r5
-    "map_funcs",                      # r5
-    "multimodal_decode_stub",         # r5
-    "pack_sequence_bins",             # r5
-    "retention_cohort",               # r5
-    "sample_balance_buckets",         # r5
-    "sample_token_budget",            # r5
-    "str_funcs",                      # r5
-    "text_dedup_exact",               # r5
-    "text_fingerprint_rolling",       # r5
-    "text_lang_id_ngram",             # r5
-    "text_perplexity_unigram",        # r5
-    "text_quality_score",             # r5
-    "text_token_count_regex",         # r5
-    "text_tokenize_stats",            # r5
-    "ts_gapfill_locf",                # r5
-    "ts_interpolate_linear",          # r5
-    "ts_resample_ohlc",               # r5
-    "vec_ann_lsh",                    # r5 (rows-only by design; re-run)
-    "win_first_last_value",           # r5
-    "win_lag_lead",                   # r5
-    "win_rank_dense_rank",            # r5
-    "win_row_number_topk_per_group",  # r5
-    "win_running_sum_frame",          # r5
-    # (2) NEW r11 registrations (first driver contact):
-    "text_html_extract",              # WET extraction, exact oracle
-    "multimodal_video_frames",        # raw-DIB AVI frame stats, exact
-    "multimodal_video_neardup",       # MJPEG frame dHash near-dup (rows)
-    "multimodal_video_keyframes",     # scene-cut delta energy, exact
-    # (3) behaviorally-changed in r11, re-enter for fresh verdicts:
-    #     the streaming stores moved to the append-only delta layout
-    #     (composed chain reads), and both CC loops changed their
-    #     convergence probes (+ non-convergence fail-stop).
-    "stream_cdc_mirror",              # delta-layout store (was r7)
-    "stream_cdc_mirror_keyed",        # delta-layout store (was r10)
-    "stream_incremental_curation",    # delta-layout store (was r8)
-    "stream_substring_dedup",         # delta-layout store (was r9)
-    "dedup_cluster_components",       # probe fail-stop (was r10)
-    "dedup_cluster_components_star",  # probe economy (was r10)
-    # (4) oldest r6 re-confirm fills the last slot:
-    "agg_histogram_width_bucket",     # r6
-    # (ALSO queued for r12, first driver contact: the seven late-r11
-    #  registrations text_perplexity_bigram, text_tokenize_wordpiece,
-    #  corpus_shard_manifest, vec_contamination_semantic,
-    #  text_blocklist_filter, vec_dedup_semantic_incremental,
-    #  text_repetition_scrub — registered
-    #  after the 50-slot window filled; until then their evidence is
-    #  the oracle sweep, tests/test_queries_oracle.py.
-    #  r6 vintages queued for the r12 window: agg_hll_sketch_union
-    #  (displaced by multimodal_video_keyframes), corpus_stats_report,
-    #  dedup_cluster_stats, dedup_containment, join_asof_tolerance,
-    #  join_null_safe_eq, join_theta_range, merge_upsert_scd1,
-    #  multimodal_phash_dedup, the 14 report_* TPC-H rows,
-    #  rollup_incremental_refresh, sample_importance_weighted,
-    #  sample_token_budget_bpe, scd2_point_in_time,
-    #  sink_bucketed_colocated_join, sink_snapshot_time_travel,
-    #  source_csv_permissive_corrupt, source_python_datasource,
-    #  text_chunk_split, text_dedup_exact_incremental,
-    #  text_dedup_minhash(_incremental), text_gopher_quality_filter,
-    #  text_quality_classifier_hashed, text_token_entropy,
-    #  udtf_python_native, vec_ann_ivfpq, vec_ann_pq,
-    #  vec_dedup_semantic, vec_pca_project, vec_triplet_mining —
-    #  until then their evidence is the full-registry DuckDB sweep,
-    #  tests/test_queries_oracle.py, run on HEAD each round)
+    # r12 rotation (r11 verdict directive 1): the 7 late-r11
+    # registrations take their FIRST driver contact, and 43 of the 44
+    # r6-vintage re-confirms fill the rest (7 + 43 = 50).  The one
+    # r6-vintage query held back for r13 is text_dedup_minhash — its
+    # verdict class is rows-only BY DESIGN (engine-specific minhash
+    # permutation) so a re-run carries the least information, and its
+    # exact portable twin text_dedup_minhash_portable was driver-exact
+    # at r8.  After this round every query has a driver verdict and at
+    # most one verdict on record is older than r7 (the directive's
+    # "≤1 older than r7" target, met exactly).
+    # (1) the 7 first-contact r11 registrations:
+    "text_perplexity_bigram",          # bigram LM + stupid backoff, exact
+    "text_tokenize_wordpiece",         # WordPiece greedy walk, exact
+    "corpus_shard_manifest",           # deterministic shard plan, exact
+    "vec_contamination_semantic",      # embedding decontamination, exact
+    "text_blocklist_filter",           # C4 blocklist gate, exact
+    "vec_dedup_semantic_incremental",  # SemDeDup state (rows by design)
+    "text_repetition_scrub",           # Gopher repetition removal, exact
+    # (2) 43 of the 44 r6-vintage re-confirms:
+    "agg_hll_sketch_union",            # r6
+    "corpus_stats_report",             # r6
+    "dedup_cluster_stats",             # r6
+    "dedup_containment",               # r6
+    "join_asof_tolerance",             # r6
+    "join_null_safe_eq",               # r6
+    "join_theta_range",                # r6
+    "merge_upsert_scd1",               # r6
+    "multimodal_phash_dedup",          # r6 (rows-only by design; re-run)
+    "report_customer_distribution",    # r6
+    "report_discounted_revenue",       # r6
+    "report_dormant_accounts",         # r6
+    "report_large_orders",             # r6
+    "report_local_supplier_volume",    # r6
+    "report_market_share",             # r6
+    "report_order_priority",           # r6
+    "report_pricing_summary",          # r6
+    "report_promo_revenue",            # r6
+    "report_returned_items",           # r6
+    "report_shipping_priority",        # r6
+    "report_small_quantity_revenue",   # r6
+    "report_top_supplier",             # r6
+    "report_volume_shipping",          # r6
+    "rollup_incremental_refresh",      # r6
+    "sample_importance_weighted",      # r6
+    "sample_token_budget_bpe",         # r6
+    "scd2_point_in_time",              # r6
+    "sink_bucketed_colocated_join",    # r6
+    "sink_snapshot_time_travel",       # r6
+    "source_csv_permissive_corrupt",   # r6
+    "source_python_datasource",        # r6
+    "text_chunk_split",                # r6
+    "text_dedup_exact_incremental",    # r6
+    "text_dedup_minhash_incremental",  # r6 (rows-only by design; re-run)
+    "text_gopher_quality_filter",      # r6
+    "text_quality_classifier_hashed",  # r6
+    "text_token_entropy",              # r6
+    "udtf_python_native",              # r6
+    "vec_ann_ivfpq",                   # r6 (rows-only by design; re-run)
+    "vec_ann_pq",                      # r6 (rows-only by design; re-run)
+    "vec_dedup_semantic",              # r6
+    "vec_pca_project",                 # r6
+    "vec_triplet_mining",              # r6
+    # (QUEUED for r13: text_dedup_minhash (r6, rows-only by design —
+    #  see the rotation note above) plus any NEW r12 registrations,
+    #  which per the r11 verdict are capped out of this rotation; until
+    #  then their evidence is the full-registry DuckDB oracle sweep,
+    #  tests/test_queries_oracle.py, run on HEAD each round.)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry

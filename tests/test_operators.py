@@ -3542,6 +3542,37 @@ class TestSemanticIncremental:
         f_replay = knn.semantic_filter_new(spark, b1z, state, threshold=0.8)
         assert sorted(r["vec_id"] for r in f_replay.collect()) == [50]
 
+    def test_marker_only_state_dir_reads_as_empty(self, spark, tmp_path):
+        """r11 ADVICE item 2: a crash between _sem_write_version and the
+        first parquet append leaves a MARKER-ONLY directory; the next
+        probe must treat it as empty state (not wedge the ingest loop
+        on UNABLE_TO_INFER_SCHEMA) so replay converges as the docstring
+        promises — while a WRONG-version marker still fails fast."""
+        import pytest
+
+        from helium_etl_lite_spark.operators import knn
+
+        state = str(tmp_path / "sem_state_crash")
+        # simulate the crash window: marker stamped, no shard data
+        knn._sem_write_version(state)
+        b1 = self._mkvecs(spark, [(i, self._rand(i)) for i in range(5)])
+        f1 = knn.semantic_filter_new(spark, b1, state, threshold=0.8)
+        assert sorted(r["vec_id"] for r in f1.collect()) == list(range(5))
+        # the replay then folds in and the loop proceeds normally
+        knn.semantic_state_add(spark, f1, state)
+        f2 = knn.semantic_filter_new(spark, b1, state, threshold=0.8)
+        assert f2.count() == 0
+        # wrong-version marker-only dir: the incompatibility guard
+        # outranks the empty-state shortcut
+        bad = str(tmp_path / "sem_state_badver")
+        import os
+
+        os.makedirs(bad)
+        with open(knn._sem_version_path(bad), "w") as fh:
+            fh.write("semdedup-other-construction-v0")
+        with pytest.raises(ValueError, match="built under"):
+            knn.semantic_filter_new(spark, b1, bad, threshold=0.8)
+
     def test_kept_set_mutually_neardup_free(self, spark, sf_dir):
         """After the full incremental run over the fixture embeddings,
         NO two kept vectors that share an LSH bucket clear the

@@ -850,3 +850,30 @@ class TestShardManifestProperties:
         # physical partitioning decisions) must agree exactly
         again = {r["shard_id"]: r.asDict() for r in fn(spark, sf_dir).collect()}
         assert base == again
+
+    def test_shard_key_not_degenerate(self, spark, sf_dir):
+        """r11 ADVICE: the original Knuth-mix shard key collapsed to
+        doc_id % 16 (2654435761 === 1 mod 16 under the pre-mix fold).
+        Pin that the avalanche key actually mixes: the fraction of docs
+        whose shard equals doc_id % 16 must sit near the 1/16 chance
+        rate, nowhere near the degenerate 1.0."""
+        from pyspark.sql import functions as F
+        from helium_etl_lite_spark.tables import Tables
+
+        docs = Tables(spark, sf_dir).documents
+        m = F.lit(2147483648).cast("long")
+        x0 = F.shiftright(F.col("doc_id"), 31).bitwiseXOR(F.col("doc_id") % m)
+        x1 = (x0 * F.lit(2654435761).cast("long")) % m
+        y1 = x1.bitwiseXOR(F.shiftright(x1, 15))
+        x2 = (y1 * F.lit(1597334677).cast("long")) % m
+        h = x2.bitwiseXOR(F.shiftright(x2, 13))
+        frac = (
+            docs.select(
+                ((F.shiftright(h, 27) % 16) == (F.col("doc_id") % 16))
+                .cast("int")
+                .alias("same")
+            )
+            .agg(F.avg("same"))
+            .collect()[0][0]
+        )
+        assert frac < 0.2, f"shard key degenerated: {frac:.3f} coincide"

@@ -79,7 +79,7 @@ HEADLINE_NOTES = {
     "sink_bucketed_colocated_join": "bucketed layout both sides: SortMergeJoin AND per-order agg with ZERO Exchange (the agg rides the bucket distribution)",
     "join_asof_tolerance": "band-bounded pairwise as-of: equi-join on user_id carries the plan (no BNLJ); per-event top-1 window",
     "dedup_containment": "lang-blocked directed pairs; array_intersect/size codegen'd; exact-by-contract quadratic per block",
-    "multimodal_phash_dedup": "encode+dhash as narrow mapInPandas stages (no KEY shuffle (plus the r11 tiny-input round-robin fan-out, absent at production split counts)) + ONE hash agg on the 64-bit key",
+    "multimodal_phash_dedup": "encode+dhash as narrow mapInPandas stages + ONE hash agg on the 64-bit key; no KEY shuffle (r11 tiny-input round-robin fan-out excepted, absent at production split counts)",
     "dedup_cluster_stats": "closure (iterative join+agg) then two bounded aggs: component sizes -> size histogram",
     "corpus_stats_report": "one GROUPING SETS pass: single Expand + one shuffle for all three granularities",
     "agg_histogram_width_bucket": "row-side bucket key -> two-phase hash agg; no sort",
@@ -214,7 +214,7 @@ HEADLINE_NOTES = {
     "text_html_extract": "wrap + extract is ONE row-local projection (split + nested array lambdas): zero Exchange",
     "text_perplexity_bigram": "row-local bigram transform (no lag window); LM = two vocab-scaled hash aggs; unhinted word-key joins (AQE broadcasts while small); per-doc agg",
     "text_tokenize_wordpiece": "word-TYPE tokenization: greedy walk is a row-local higher-order aggregate over the per-word step map — no recursion node, no SinglePartition; occurrences priced by one equi-join",
-    "corpus_shard_manifest": "row-local hash key, shard = key % 16 (hash partition, never a sort); the only window partitions BY shard; no SinglePartition",
+    "corpus_shard_manifest": "row-local 64->31-bit avalanche key (r12: two multiply/xor-shift rounds, shard from HIGH bits — the degenerate single Knuth multiply is gone), shard = (h>>27) % 16 (hash partition, never a sort); the only window partitions BY shard; no SinglePartition",
     "vec_contamination_semantic": "DELIBERATE BroadcastNestedLoopJoin (bounded eval side broadcast, BuildRight) + map-side partial_max: the corpus is never key-shuffled",
     "text_blocklist_filter": "array_intersect vs a literal list: ONE row-local projection, zero Exchange",
     "text_repetition_scrub": "run-length token dedup + md5 of the scrubbed reassembly: ONE row-local projection, zero Exchange",
