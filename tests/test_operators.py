@@ -3627,3 +3627,74 @@ class TestSemanticIncremental:
                     if float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))) >= 0.35:
                         return False
         return True
+
+
+class TestUrlCuration:
+    """operators/url.py — canonicalization rules, blocklist semantics,
+    fixture collision structure (r11 verdict item 3)."""
+
+    def _canon(self, spark, urls):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import url as U
+
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+        return [
+            r["c"]
+            for r in df.select(U.canonical_url(F.col("url")).alias("c"))
+            .orderBy("i")
+            .collect()
+        ]
+
+    def test_canonicalization_rules(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "HTTP://Example.COM:80/path?utm_source=a&id=3#frag",
+                "https://example.com:443/",
+                "https://example.com:8080/a",     # non-default port KEPT
+                "http://example.com:443/a",       # 443 is NOT http's default
+                "http://example.com",             # empty path -> "/"
+                "https://h.io/p?utm_campaign=x&gclid=1&fbclid=2&ref=z",
+                "https://h.io/p?b=2&a=1",         # order preserved, no sort
+            ],
+        )
+        assert got == [
+            "http://example.com/path?id=3",
+            "https://example.com/",
+            "https://example.com:8080/a",
+            "http://example.com:443/a",
+            "http://example.com/",
+            "https://h.io/p",
+            "https://h.io/p?b=2&a=1",
+        ]
+
+    def test_blocklist_subdomain_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import url as U
+
+        hosts = [
+            ("ads-site.net", True),
+            ("tracker.ads-site.net", True),
+            ("deep.sub.ads-site.net", True),
+            ("notads-site.net", False),   # suffix without the dot boundary
+            ("ads-site.net.evil.com", False),
+            ("example.com", False),
+        ]
+        df = spark.createDataFrame(hosts, "host string, want boolean")
+        rows = df.select("want", U.host_blocked(F.col("host")).alias("got")).collect()
+        assert all(r["want"] == r["got"] for r in rows)
+
+    def test_fixture_has_canonical_collisions(self, spark, sf_dir):
+        # URL dedup must have real work: distinct canonical URLs ==
+        # URL_GROUPS at any corpus size >= URL_GROUPS docs.
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.operators import url as U
+
+        registry.load_all()
+        out = registry.QUERIES["url_dedup_canonical"](spark, sf_dir).collect()
+        assert len(out) == U.URL_GROUPS
+        assert sum(r["n_docs"] for r in out) == registry.QUERIES[
+            "url_canonicalize"
+        ](spark, sf_dir).count()

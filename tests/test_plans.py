@@ -1383,3 +1383,35 @@ def test_repetition_scrub_is_pure_projection(spark, sf_dir):
     # run-length token dedup is row-local: zero Exchange.
     df = q("text_repetition_scrub", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_url_canonicalize_is_shuffle_free(spark, sf_dir):
+    # r11 verdict item 3's DONE criterion: the row-local URL legs carry
+    # ZERO Exchange — canonicalization is a narrow regex/string map.
+    df = q("url_canonicalize", spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_url_blocklist_filter_is_shuffle_free_and_joinless(spark, sf_dir):
+    # the literal blocklist compiles to a row-local boolean: no join
+    # node of any kind, no Exchange.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("url_blocklist_filter", spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert "Join" not in formatted_plan(df)
+
+
+def test_url_host_stats_single_agg_shuffle(spark, sf_dir):
+    # ONE two-phase hash agg on the host (the count-distinct expand
+    # rides the same key): partial aggregation present, and no more
+    # than the agg's own exchanges (host, host+canon distinct = 2).
+    df = q("url_host_stats", spark, sf_dir)
+    assert_partial_aggregate(df)
+    assert count_shuffles(df) <= 2
+
+
+def test_url_dedup_single_agg_shuffle(spark, sf_dir):
+    df = q("url_dedup_canonical", spark, sf_dir)
+    assert_partial_aggregate(df)
+    assert count_shuffles(df) == 1
