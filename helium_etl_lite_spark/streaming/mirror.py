@@ -146,14 +146,28 @@ def _read_payload(
     return spark.read.parquet(os.path.join(p, part) if part else p)
 
 
-def _fold_multiset(cur: DataFrame | None, batch: DataFrame) -> DataFrame:
+def _fold_multiset(
+    cur: DataFrame | None, batch: DataFrame, has_deletes: bool = True
+) -> DataFrame:
     """One multiset change-batch applied: deletes are exceptAll (a
     duplicate row deleted once survives once — the read_changes
-    semantics), inserts append."""
+    semantics), inserts append.
+
+    ``has_deletes=False`` is the writer-recorded fast path (r12, from
+    the bench_delta_chain datapoint: the exceptAll fold costs ~0.5 s
+    per chain link at 2M rows even when the delta holds zero deletes,
+    because the reader can't know without scanning): an insert-only
+    delta composes as a plain union — the append-heavy CDC shape pays
+    no fold at all. The flag comes from the delta's own manifest,
+    stamped at commit time when the writer has the batch in hand;
+    manifests without the key (pre-r12 stores) default to True, the
+    always-correct path."""
     cols = [c for c in batch.columns if c != "_change_type"]
     inserts = batch.where(F.col("_change_type") == "insert").select(*cols)
-    deletes = batch.where(F.col("_change_type") == "delete").select(*cols)
     base = cur if cur is not None else inserts.limit(0)
+    if not has_deletes:
+        return base.unionByName(inserts)
+    deletes = batch.where(F.col("_change_type") == "delete").select(*cols)
     return base.exceptAll(deletes).unionByName(inserts)
 
 
@@ -187,7 +201,7 @@ def _fold_delta(
 ) -> DataFrame:
     apply = manifest.get("apply", "append")
     if apply == "multiset":
-        return _fold_multiset(cur, batch)
+        return _fold_multiset(cur, batch, manifest.get("has_deletes", True))
     if apply == "keyed":
         return _fold_keyed(cur, batch, manifest["key_cols"])
     # append-only stores (curation, substring data/spans)
@@ -365,13 +379,19 @@ def apply_changes_batch(
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
+    # stamped into the delta manifest so readers skip the exceptAll
+    # fold for insert-only batches (the bench_delta_chain datapoint);
+    # one O(batch) probe with an early-out limit, paid once at commit.
+    has_deletes = not batch_df.where(
+        F.col("_change_type") == "delete"
+    ).isEmpty()
     commit_batch_version(
         mirror_dir, batch_id, done, "multiset",
         write_delta=lambda vdir: batch_df.write.mode("overwrite").parquet(vdir),
         write_base=lambda vdir: _fold_multiset(
-            read_mirror(spark, mirror_dir), batch_df
+            read_mirror(spark, mirror_dir), batch_df, has_deletes
         ).write.mode("overwrite").parquet(vdir),
-        keep=keep, compact_every=compact_every,
+        keep=keep, compact_every=compact_every, has_deletes=has_deletes,
     )
     return True
 

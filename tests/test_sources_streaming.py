@@ -1132,6 +1132,49 @@ def test_delta_commit_io_is_o_batch(spark, tmp_path):
     assert mirror.read_mirror(spark, mdir).count() == 20000 + 30
 
 
+def test_compaction_triggers_at_cap_and_read_touches_only_base(spark, tmp_path):
+    # r11 verdict item 4 (the read-side half of the delta layout):
+    # drive COMPACT_EVERY+1 commits at the DEFAULT cap and pin that
+    # (a) the chain never exceeds the cap, (b) the commit that would
+    # is a BASE (compaction actually triggers), and (c) the
+    # post-compaction read PLANS only the compacted base's files —
+    # inputFiles() must name nothing from the superseded chain.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from helium_etl_lite_spark.streaming import mirror
+
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    cap = mirror.COMPACT_EVERY
+
+    def feed(bid):
+        return spark.range(5).select(
+            (F.col("id") + bid * 1000).alias("block"),
+            F.col("id").cast("double").alias("v"),
+            F.lit("insert").alias("_change_type"),
+        )
+
+    for bid in range(1, cap + 2):
+        assert mirror.apply_changes_batch(feed(bid), bid, mdir)
+        assert len(mirror.chain_of(mdir, bid)) <= cap
+    # v1 base, v2..v_cap deltas (chain reaches exactly the cap), then
+    # the next commit re-bases
+    assert mirror.manifest_of(mdir, 1)["kind"] == "base"
+    for bid in range(2, cap + 1):
+        assert mirror.manifest_of(mdir, bid)["kind"] == "delta"
+    assert len(mirror.chain_of(mdir, cap)) == cap
+    assert mirror.manifest_of(mdir, cap + 1)["kind"] == "base"
+    # read-side: the composed plan of the compacted head touches ONLY
+    # the base version's files, and still sees every row
+    df = mirror.read_mirror(spark, mdir)
+    vdir = os.path.join(mdir, f"v={cap + 1}")
+    assert all(f"v={cap + 1}" in p for p in df.inputFiles()), df.inputFiles()
+    assert os.path.isdir(vdir)
+    assert df.count() == 5 * (cap + 1)
+
+
 def test_delta_apply_survives_compaction_boundary(spark, tmp_path):
     # folding across a compaction re-base must be invisible to readers:
     # run the SAME keyed feed sequence against compact_every=2 and the
