@@ -1452,3 +1452,81 @@ def video_keyframes(assets: DataFrame, min_delta: int = 1000,
         schema="doc_id long, frame_idx long, delta_energy long, "
                "is_keyframe boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal (image, caption) pair dedup — r11 verdict item 6, the
+# LAION curation shape.
+
+
+def pair_dedup(
+    pairs: DataFrame,
+    k: int = 3,
+    max_captions: int = 2,
+    id_col: str = "doc_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Joint keeper policy over (image, caption) pairs — the dedup an
+    image-text corpus runs before CLIP-style training (the LAION
+    pipeline shape): the SAME image recrawled under different captions
+    must not flood the corpus, and byte-different near-identical images
+    (re-encodes, crops) count as the same image.
+
+    Composition of two existing primitives, nothing new to trust:
+    images cluster in two stages — EXACT phash grouping first (byte-
+    identical recrawls always land together, and the distinct-hash
+    representative set is what near-dup banding then reconciles), then
+    dhash band near-dup (phash_band_neardup: pigeonhole bands, exact
+    hamming <= k verify, per-bucket min-id keeper) over the
+    REPRESENTATIVES only. Running the banding on representatives
+    instead of members both shrinks the banded join input (a viral
+    image is one row, not millions) and removes the one-candidate
+    split an interfering hot bucket could force between byte-identical
+    members. Captions hash row-locally (xxhash64 — engine-side 8-byte
+    keys, the text_dedup shuffle-width discipline).
+
+    Keeper policy, two levels inside each image cluster:
+    1. strict dups (same image cluster AND same caption hash) collapse
+       to the min id — re-downloads of the same pair;
+    2. caption VARIANTS rank by first appearance (min id per caption,
+       ties broken by the hash) and at most ``max_captions`` survive —
+       keeps some caption diversity per image (LAION keeps one; CLIP
+       data work keeps a few for augmentation) without letting one
+       viral image contribute thousands of pairs.
+
+    Returns one row per distinct (image cluster, caption): the
+    cluster's keeper image id, the caption's min pair id, how many
+    strict dups it had, its rank among the cluster's captions, and
+    whether it survives the cap.
+
+    Scale shape: decode+hash are narrow Arrow kernels; the cluster
+    assignment is the banded equi-join; then ONE hash agg on
+    (cluster, caption_hash) — partials collapse map-side, so a hot
+    image cluster ships one row per caption per partition — and a
+    window over clusters whose row count is the cluster's DISTINCT
+    caption count, not its pair count.
+    """
+    from pyspark.sql import Window as W
+
+    hashed = dhash_assets(pairs, id_col=id_col)
+    reps = hashed.groupBy("phash").agg(F.min(id_col).alias("__rep_id"))
+    assign = phash_band_neardup(
+        reps.select(F.col("__rep_id").alias(id_col), "phash"), k=k,
+        id_col=id_col,
+    ).select(F.col(id_col).alias("__rep_id"), "keeper_doc_id")
+    members = hashed.select(id_col, "phash").join(reps, "phash").join(
+        assign, "__rep_id"
+    )
+    joined = pairs.select(
+        id_col, F.xxhash64(F.col(caption_col)).alias("caption_hash")
+    ).join(members.select(id_col, "keeper_doc_id"), id_col)
+    per_caption = joined.groupBy(
+        F.col("keeper_doc_id").alias("image_keeper"), "caption_hash"
+    ).agg(
+        F.min(id_col).alias("pair_keeper"),
+        F.count(F.lit(1)).alias("n_strict_dups"),
+    )
+    w = W.partitionBy("image_keeper").orderBy("pair_keeper", "caption_hash")
+    return per_caption.withColumn(
+        "caption_rank", F.row_number().over(w)
+    ).withColumn("is_kept", F.col("caption_rank") <= max_captions)

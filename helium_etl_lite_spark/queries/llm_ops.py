@@ -5173,3 +5173,69 @@ def text_repetition_scrub(spark, sf_dir):
         (F.size("p") - F.size("keep_idx")).cast("long").alias("n_collapsed"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: cross-modal (image, caption) pair dedup — the LAION curation
+# shape (r11 verdict item 6).
+
+
+@query("multimodal_pair_dedup")  # rows-only: binary image decode + dHash
+def multimodal_pair_dedup(spark, sf_dir):
+    """Joint image-text keeper policy (operators/multimodal.py
+    pair_dedup): same-image-different-caption pairs collapse to at
+    most 2 caption variants per image, strict re-downloads (same image
+    cluster AND same caption) collapse to the min id — composed from
+    the EXISTING primitives (dHash banding for the image side,
+    xxhash64 for the caption side), so the only new logic is the
+    two-level keeper policy.
+
+    Fixture: the corpus has no paired media, so each document becomes
+    a pair deterministically — the IMAGE renders from the doc's group
+    string (doc_id % 25: ~n/25 pairs share a byte-identical image, the
+    recrawled-image shape), the CAPTION is the document's own text
+    (duplicate texts in the fixture corpus land as strict dups). The
+    pytest gate (TestPairDedup) plants near-identical images (<= 3
+    flipped gradient bits), strict dups, and caption variants, and
+    checks recall + the cap.
+
+    Output, one row per image cluster: keeper pair, pair/caption/kept
+    counts — the manifest a pair-curation job hands the trainer.
+
+    Scale: decode+hash narrow kernels, banded equi-join, ONE
+    (cluster, caption) hash agg (map-side partials absorb hot viral
+    images), a window whose partition row count is caption diversity
+    (bounded), final cluster agg. Rows-only BY DESIGN: dHash over
+    binary payloads is not SQL-expressible; the policy layer is pinned
+    by pytest over planted fixtures instead."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    # group-dependent repeat count: image HEIGHT differs across groups
+    # (single-character pixel differences alone sit within hamming <= 3
+    # and would legitimately merge adjacent groups into one cluster)
+    g = F.col("doc_id") % 25
+    img_src = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("pair-image-group "),
+            F.repeat(
+                F.concat(F.lit("g"), g.cast("string"), F.lit(" ")),
+                (F.lit(20) + g * 7).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    assets = multimodal.encode_ppm(img_src, width=24)
+    pairs = assets.join(
+        docs.select("doc_id", F.col("text").alias("caption")), "doc_id"
+    )
+    per_caption = multimodal.pair_dedup(pairs, k=3, max_captions=2)
+    return (
+        per_caption.groupBy("image_keeper")
+        .agg(
+            F.sum("n_strict_dups").alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_captions"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+            F.min("pair_keeper").alias("keeper_pair_id"),
+        )
+        .orderBy("image_keeper")
+    )

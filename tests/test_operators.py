@@ -3698,3 +3698,97 @@ class TestUrlCuration:
         assert sum(r["n_docs"] for r in out) == registry.QUERIES[
             "url_canonicalize"
         ](spark, sf_dir).count()
+
+
+class TestPairDedup:
+    """operators/multimodal.py pair_dedup — the cross-modal (image,
+    caption) keeper policy (r11 verdict item 6): strict dups collapse,
+    caption variants cap at max_captions, byte-different but
+    visually-identical/near images share one cluster."""
+
+    @staticmethod
+    def _ppm(gray):
+        import numpy as np
+
+        h, w = gray.shape
+        plane = np.repeat(gray[..., None].astype(np.uint8), 3, axis=2).tobytes()
+        return b"P6\n%d %d\n255\n" % (w, h) + plane
+
+    def test_policy_and_near_image_recall(self, spark):
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 200, size=(16, 16)).astype(np.uint8)
+        h0 = mm._dhash_bits(base.astype(float))
+        # brightness-shifted re-encode: different BYTES, hamming 0
+        bright = (base + 30).astype(np.uint8)
+        # planted near image: one 2x2 block lifted +80 -> hamming 1..3
+        # (position found deterministically; assert the precondition so
+        # a future dhash change fails loudly here, not as a recall slip)
+        near = base.astype(int)
+        near[0:2, 0:2] = np.clip(near[0:2, 0:2] + 80, 0, 255)
+        near = near.astype(np.uint8)
+        d = bin(h0 ^ mm._dhash_bits(near.astype(float))).count("1")
+        assert 1 <= d <= 3, d
+        far = rng.integers(0, 200, size=(16, 16)).astype(np.uint8)
+        assert bin(h0 ^ mm._dhash_bits(far.astype(float))).count("1") > 3
+
+        rows = [
+            # strict dups: same image, same caption
+            (10, self._ppm(base), "a red bird"),
+            (11, self._ppm(base), "a red bird"),
+            # caption variants on the same image (ranks 2..4)
+            (12, self._ppm(base), "bird, red"),
+            (13, self._ppm(base), "red bird photo"),
+            (14, self._ppm(base), "oiseau rouge"),
+            # re-encode (different bytes, hamming 0) + near image
+            (15, self._ppm(bright), "a red bird"),
+            (16, self._ppm(near), "slightly edited bird"),
+            # unrelated pair
+            (20, self._ppm(far), "a blue car"),
+        ]
+        pairs = spark.createDataFrame(
+            [(i, bytearray(p), c) for i, p, c in rows],
+            "doc_id long, payload binary, caption string",
+        )
+        out = mm.pair_dedup(pairs, k=3, max_captions=2).collect()
+        by_cap = {(r["image_keeper"], r["caption_hash"]): r for r in out}
+        clusters = {r["image_keeper"] for r in out}
+        # the far pair is its own cluster; everything else is ONE
+        assert clusters == {10, 20}, clusters
+        # strict dups collapsed: the "a red bird" caption row counts
+        # 10, 11 AND the re-encoded 15 (same cluster, same caption)
+        red_bird = [
+            r for r in out
+            if r["image_keeper"] == 10 and r["pair_keeper"] == 10
+        ]
+        assert len(red_bird) == 1 and red_bird[0]["n_strict_dups"] == 3
+        # caption ranks: keeper caption first, cap at 2
+        cluster_rows = sorted(
+            (r for r in out if r["image_keeper"] == 10),
+            key=lambda r: r["caption_rank"],
+        )
+        assert [r["pair_keeper"] for r in cluster_rows] == [10, 12, 13, 14, 16]
+        assert [r["is_kept"] for r in cluster_rows] == [
+            True, True, False, False, False,
+        ]
+        # far pair survives untouched
+        assert by_cap[(20, [r for r in out if r["image_keeper"] == 20][0]["caption_hash"])]["is_kept"]
+
+    def test_registered_query_shape(self, spark, sf_dir):
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rows = registry.QUERIES["multimodal_pair_dedup"](spark, sf_dir).collect()
+        # every fixture doc contributes exactly one pair
+        from helium_etl_lite_spark.tables import Tables
+
+        n_docs = Tables(spark, sf_dir).documents.count()
+        assert sum(r["n_pairs"] for r in rows) == n_docs
+        assert all(r["n_kept"] <= 2 for r in rows)
+        assert all(r["n_kept"] <= r["n_captions"] for r in rows)
+        # byte-identical group images can never split: at most 25
+        # image clusters exist (groups may legitimately merge)
+        assert len(rows) <= 25

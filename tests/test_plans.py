@@ -1415,3 +1415,14 @@ def test_url_dedup_single_agg_shuffle(spark, sf_dir):
     df = q("url_dedup_canonical", spark, sf_dir)
     assert_partial_aggregate(df)
     assert count_shuffles(df) == 1
+
+
+def test_pair_dedup_no_cartesian_no_bnlj(spark, sf_dir):
+    # cross-modal pair dedup: banding runs over distinct-hash
+    # representatives; every join is an equi-join.
+    from helium_etl_lite_spark.plans.explain_tools import formatted_plan
+
+    df = q("multimodal_pair_dedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
