@@ -5239,3 +5239,50 @@ def multimodal_pair_dedup(spark, sf_dir):
         )
         .orderBy("image_keeper")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: PII redaction — the privacy scrub between extraction and
+# training (RefinedWeb §2.5 / FineWeb pipeline stage).
+
+from ..operators import pii as _pii  # noqa: E402
+
+_PII_COUNTS = _pii.pii_counts_sql("text")
+_PII_REDACT_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_pii.pii_wrap_sql()} AS text FROM documents)
+SELECT doc_id,
+       {_PII_COUNTS["email"]} AS n_emails,
+       {_PII_COUNTS["phone"]} AS n_phones,
+       {_PII_COUNTS["ip"]} AS n_ips,
+       md5({_pii.pii_redact_sql("text")}) AS redacted_md5
+FROM planted
+"""
+
+
+@query("text_pii_redact", oracle=_PII_REDACT_ORACLE)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction, hash-EXACT including the rewritten content (md5
+    over the redacted text — the text_repetition_scrub convention):
+    emails/phones/IPv4s matched with shared RE2-safe patterns
+    (operators/pii.py PII_RULES, restated verbatim by the generated
+    DuckDB oracle) and replaced with fixed placeholder tokens in rule
+    order; per-class counts measured on the original text. The corpus
+    fixtures carry no PII, so the deterministic pii_wrap fixture
+    plants email/phone/IP sentences on doc_id residues 3/5/7 —
+    overlapping residues exercise multi-class docs, and non-residue
+    docs pin the byte-identical no-op path.
+
+    Scale: counting + chained replacement is ONE row-local projection —
+    zero Exchange at any corpus size (plan-tested); the exact shape a
+    100 TB privacy pass runs as an embarrassingly parallel map."""
+    t = Tables(spark, sf_dir)
+    planted = _pii.pii_wrap(t.documents.select("doc_id", "text"))
+    counts = _pii.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        F.md5(_pii.pii_redact(F.col("text"))).alias("redacted_md5"),
+    )

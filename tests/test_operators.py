@@ -3792,3 +3792,41 @@ class TestPairDedup:
         # byte-identical group images can never split: at most 25
         # image clusters exist (groups may legitimately merge)
         assert len(rows) <= 25
+
+
+class TestPiiRedact:
+    """operators/pii.py — placeholder substitution, per-class counts,
+    byte-identical no-op path."""
+
+    def test_rules_and_noop(self, spark):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import pii as P
+
+        rows = [
+            (1, "write to jane.doe+x@sub.example.co.uk today"),
+            (2, "call 555-123-4567 or 555 987 6543 now"),
+            (3, "hosts 10.0.0.1 and 192.168.254.3"),
+            (4, "mixed a@b.io then 555-000-1111 at 8.8.8.8"),
+            (5, "clean text with no identifiers at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        c = P.pii_counts(F.col("text"))
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", c["email"].alias("e"), c["phone"].alias("p"),
+                c["ip"].alias("i"), P.pii_redact(F.col("text")).alias("red"),
+            ).collect()
+        }
+        assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 0, 0)
+        assert out[1]["red"] == "write to <EMAIL> today"
+        assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 2, 0)
+        assert out[2]["red"] == "call <PHONE> or <PHONE> now"
+        assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (0, 0, 2)
+        assert out[3]["red"] == "hosts <IP> and <IP>"
+        assert (out[4]["e"], out[4]["p"], out[4]["i"]) == (1, 1, 1)
+        assert out[4]["red"] == "mixed <EMAIL> then <PHONE> at <IP>"
+        # the no-op path is byte-identical
+        assert (out[5]["e"], out[5]["p"], out[5]["i"]) == (0, 0, 0)
+        assert out[5]["red"] == rows[4][1]

@@ -1426,3 +1426,9 @@ def test_pair_dedup_no_cartesian_no_bnlj(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    # plant + count + redact is ONE row-local projection.
+    df = q("text_pii_redact", spark, sf_dir)
+    assert count_shuffles(df) == 0
