@@ -215,6 +215,18 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "text_perplexity_bigram",
     "text_tokenize_wordpiece",
     "corpus_shard_manifest",
+    # r12 batch (measured idle-host min-of-2 base / 1 run x10 before
+    # adding, all under the 10s lane-cost rule): URL family 0.8-1.5x
+    # (row-local legs + one hash agg each), PII redact 0.9x (pure
+    # narrow map), cross-modal pair dedup 1.6x at 8.6s base (exact
+    # phash grouping shrinks the banded join to distinct-hash
+    # representatives).
+    "url_canonicalize",
+    "url_host_stats",
+    "url_blocklist_filter",
+    "url_dedup_canonical",
+    "text_pii_redact",
+    "multimodal_pair_dedup",
 ]
 
 

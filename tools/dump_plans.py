@@ -215,6 +215,11 @@ HEADLINE_NOTES = {
     "text_perplexity_bigram": "row-local bigram transform (no lag window); LM = two vocab-scaled hash aggs; unhinted word-key joins (AQE broadcasts while small); per-doc agg",
     "text_tokenize_wordpiece": "word-TYPE tokenization: greedy walk is a row-local higher-order aggregate over the per-word step map — no recursion node, no SinglePartition; occurrences priced by one equi-join",
     "multimodal_pair_dedup": "encode+dhash narrow kernels; EXACT phash grouping first (one hash agg), band near-dup over distinct-hash REPRESENTATIVES only (shrunken banded equi-join); then one (cluster, caption-hash) agg + a caption-diversity-bounded window; no BNLJ, no cartesian",
+    "url_canonicalize": "wrap + parse + canonicalize as ONE row-local regex/string projection: ZERO Exchange, one codegen span",
+    "url_host_stats": "row-local host/canonical/tracking derivation -> one two-phase hash agg on the host (count-distinct rides the same key)",
+    "url_blocklist_filter": "literal blocklist compiles to a row-local boolean: no join node of any kind, ZERO Exchange",
+    "url_dedup_canonical": "row-local canonicalization -> ONE hash agg on the canonical string (at 100 TB: on xxhash64(canonical))",
+    "text_pii_redact": "plant + count + chained regex replacement as ONE row-local projection: ZERO Exchange, one codegen span",
     "corpus_shard_manifest": "row-local 64->31-bit avalanche key (r12: two multiply/xor-shift rounds, shard from HIGH bits — the degenerate single Knuth multiply is gone), shard = (h>>27) % 16 (hash partition, never a sort); the only window partitions BY shard; no SinglePartition",
     "vec_contamination_semantic": "DELIBERATE BroadcastNestedLoopJoin (bounded eval side broadcast, BuildRight) + map-side partial_max: the corpus is never key-shuffled",
     "text_blocklist_filter": "array_intersect vs a literal list: ONE row-local projection, zero Exchange",
