@@ -877,3 +877,42 @@ class TestShardManifestProperties:
             .collect()[0][0]
         )
         assert frac < 0.2, f"shard key degenerated: {frac:.3f} coincide"
+
+
+class TestUrlPiiIdempotence:
+    """Normalizers must be fixed points on their own output: a second
+    canonicalization/redaction pass changes nothing — the property that
+    lets a 100 TB pipeline re-run these stages safely on partially
+    processed data."""
+
+    def test_url_canonicalize_idempotent(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import url as U
+        from helium_etl_lite_spark.tables import Tables
+
+        docs = Tables(spark, sf_dir).documents.select("doc_id")
+        edges = spark.createDataFrame(
+            [(100001, "HTTP://X.COM:80/?utm_source=a#f"),
+             (100002, "https://a.b.c:8080"),
+             (100003, "http://h.io:443/p?id=1&utm_x=2&q=3")],
+            "doc_id long, url string",
+        )
+        wrapped = U.url_wrap(docs).select("doc_id", "url").unionByName(edges)
+        c1 = U.canonical_url(F.col("url"))
+        out = wrapped.select(
+            c1.alias("c1"), U.canonical_url(c1).alias("c2")
+        )
+        assert out.where(F.col("c1") != F.col("c2")).count() == 0
+
+    def test_pii_redact_idempotent(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import pii as P
+        from helium_etl_lite_spark.tables import Tables
+
+        docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+        planted = P.pii_wrap(docs)
+        r1 = P.pii_redact(F.col("text"))
+        out = planted.select(r1.alias("r1"), P.pii_redact(r1).alias("r2"))
+        assert out.where(F.col("r1") != F.col("r2")).count() == 0
