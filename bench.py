@@ -94,6 +94,9 @@ EXTENDED = [
     "view_incremental_join_refresh",
     "pipeline_incremental_curation",
     "table_diff_audit",
+    # r12: the C4 front-end flagship (url gate -> extract -> redact ->
+    # dedup in one plan; measured 2.9s base / 4.1x at x10 before adding).
+    "pipeline_web_curation",
 ]
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
@@ -227,6 +230,7 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "url_dedup_canonical",
     "text_pii_redact",
     "multimodal_pair_dedup",
+    "pipeline_web_curation",
 ]
 
 

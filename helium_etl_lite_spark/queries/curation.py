@@ -2007,3 +2007,78 @@ def url_dedup_canonical(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 flagship composition: the C4/RefinedWeb web-curation FRONT-END as
+# one plan — URL blocklist gate -> markup extraction -> PII redaction ->
+# length gate -> exact content dedup. Every leg is individually
+# hash-exact (operators/url.py, operators/markup.py, operators/pii.py),
+# so the composition is too: the oracle chains the SAME generated SQL.
+
+from ..operators import markup as _markup  # noqa: E402
+from ..operators import pii as _pii  # noqa: E402
+
+_WEB_CURATION_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, text, {_url.url_wrap_sql()} AS url FROM documents),
+hosted AS (
+  SELECT doc_id, text, {_url.host_sql('url')} AS host FROM u),
+passed AS (
+  SELECT doc_id, text FROM hosted
+  WHERE NOT ({_url.host_blocked_sql('host')})),
+planted AS (
+  SELECT doc_id, {_pii.pii_wrap_sql()} AS text FROM passed),
+pages AS (
+  SELECT doc_id, {_markup.html_wrap_sql()} AS html FROM planted),
+extracted AS (
+  SELECT doc_id,
+         {_markup.html_extract_sql('html')['text_extract']} AS text
+  FROM pages),
+red AS (
+  SELECT doc_id, {_pii.pii_redact_sql('text')} AS text FROM extracted),
+gated AS (
+  SELECT doc_id, text FROM red WHERE length(text) >= 200)
+SELECT md5(text) AS content_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(length(text)) AS BIGINT) AS text_len
+FROM gated GROUP BY 1
+"""
+
+
+@query("pipeline_web_curation", oracle=_WEB_CURATION_ORACLE)
+def pipeline_web_curation(spark, sf_dir):
+    """The C4-style web-curation front-end in ONE Catalyst plan,
+    hash-EXACT end to end (each leg is the r12/r11 exact operator, and
+    the oracle chains the same generated SQL): host-blocklist gate
+    (row-local boolean), PII plant + markup wrap (the deterministic
+    fixtures — a crawl corpus arrives with these already in the bytes),
+    jusText/trafilatura extraction (row-local), PII redaction
+    (row-local), minimum-length gate, then exact content dedup keeping
+    the smallest doc_id per md5.
+
+    Scale shape: everything upstream of the dedup is a single fused
+    row-local projection+filter (zero Exchange until the agg — the
+    physical plan is scan -> codegen span -> ONE hash agg on the
+    16-byte md5); this is precisely how the C4 front-end wants to run
+    at 100 TB: embarrassingly parallel until the one content-identity
+    shuffle, whose payload is a hash, not the text."""
+    t = Tables(spark, sf_dir)
+    u = _url.url_wrap(t.documents.select("doc_id", "text"))
+    host = _url.url_parts(F.col("url"))["host"]
+    passed = u.where(~_url.host_blocked(host)).drop("url")
+    planted = _pii.pii_wrap(passed)
+    pages = _markup.html_wrap(planted)
+    extracted = _markup.html_extract(pages).select(
+        "doc_id", F.col("text_extract").alias("text")
+    )
+    red = extracted.select(
+        "doc_id", _pii.pii_redact(F.col("text")).alias("text")
+    )
+    gated = red.where(F.length("text") >= 200)
+    return gated.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min(F.length("text")).alias("text_len"),
+    )

@@ -1432,3 +1432,11 @@ def test_pii_redact_is_shuffle_free(spark, sf_dir):
     # plant + count + redact is ONE row-local projection.
     df = q("text_pii_redact", spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_web_curation_single_shuffle(spark, sf_dir):
+    # the whole front-end fuses into one row-local span; the ONLY
+    # Exchange is the content-identity hash agg (16-byte md5 keys).
+    df = q("pipeline_web_curation", spark, sf_dir)
+    assert_partial_aggregate(df)
+    assert count_shuffles(df) == 1
