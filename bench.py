@@ -267,9 +267,13 @@ def _wait_for_idle():
     poll = 15.0
     t0 = time.monotonic()
     while True:
-        load1 = os.getloadavg()[0]
+        load1, load5, _ = os.getloadavg()
         waited = time.monotonic() - t0
-        if load1 < threshold:
+        # ALSO gate on the 5-min average (first dry-run find): right
+        # after a heavy job the 1-min decays under the threshold while
+        # the host is still draining — that run measured every headline
+        # query uniformly ~25% slow at load1 1.6 / load5 3.6.
+        if load1 < threshold and load5 < threshold * 1.5:
             if waited > 0.5:
                 print(
                     f"# idle gate: loadavg {load1:.2f} < {threshold} "
@@ -280,13 +284,14 @@ def _wait_for_idle():
         if waited + poll > budget:
             print(
                 f"# idle gate TIMED OUT after {waited:.0f}s "
-                f"(loadavg still {load1:.2f}); proceeding degraded",
+                f"(loadavg still {load1:.2f}/{load5:.2f}); proceeding degraded",
                 file=sys.stderr,
             )
             return round(waited, 1), True
         print(
-            f"# idle gate: loadavg {load1:.2f} >= {threshold}, "
-            f"waiting ({waited:.0f}/{budget:.0f}s)",
+            f"# idle gate: loadavg {load1:.2f}/{load5:.2f} vs "
+            f"{threshold}/{threshold * 1.5}, waiting "
+            f"({waited:.0f}/{budget:.0f}s)",
             file=sys.stderr,
         )
         time.sleep(poll)
