@@ -231,6 +231,10 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     "text_pii_redact",
     "multimodal_pair_dedup",
     "pipeline_web_curation",
+    # second r12 batch (measured 2.9s base / 1.8x at x10 / 3.5x at x30
+    # before adding): the CCNet tercile selector on the grouped_ntile
+    # control plane.
+    "text_ccnet_perplexity_buckets",
 ]
 
 

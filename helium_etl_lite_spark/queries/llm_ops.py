@@ -5286,3 +5286,73 @@ def text_pii_redact(spark, sf_dir):
         counts["ip"].alias("n_ips"),
         F.md5(_pii.pii_redact(F.col("text"))).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: CCNet head/middle/tail perplexity bucketing (Wenzek 2020 §4.3).
+
+_CCNET_BUCKETS_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+     vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+     tot AS (SELECT COUNT(*) AS n FROM tok),
+     scored AS (SELECT t.doc_id, -ln(v.c / CAST(tot.n AS DOUBLE)) AS nll
+                FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot),
+     ppl AS (SELECT doc_id, round(AVG(nll), 6) AS avg_nll
+             FROM scored GROUP BY doc_id),
+     j AS (SELECT p.doc_id, d.lang, p.avg_nll
+           FROM ppl p JOIN documents d USING (doc_id))
+SELECT doc_id, lang, avg_nll,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_nll, doc_id) AS INT) AS tercile,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_nll, doc_id) AS INT) <= 2 AS is_kept
+FROM j
+"""
+
+
+@query("text_ccnet_perplexity_buckets", oracle=_CCNET_BUCKETS_ORACLE)
+def text_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail selection (Wenzek 2020 §4.3),
+    hash-EXACT: per-LANGUAGE perplexity terciles under the corpus's own
+    unigram LM (the text_perplexity_unigram scorer — driver-exact, so
+    the rounded scores agree across engines and the tercile order is
+    identical), keep head+middle (tercile <= 2), drop the
+    high-perplexity tail. Ties break on doc_id; ordering uses the
+    ROUNDED score on both engines so a sub-1e-6 float divergence can't
+    flip a tercile boundary.
+
+    Scale shape: the scorer is two hash aggs + an unhinted vocab join
+    (the perplexity query's plan); the tercile does NOT use a bare
+    per-lang ntile window (a handful of langs would each sort in ONE
+    task at any scale — the r6 win_ntile lesson): it rides the
+    grouped_ntile control plane, so the sort partitions are
+    (lang, nll-bin) with a bounded bin domain and the exact SQL ntile
+    formula is applied to the recovered global rank."""
+    from ..operators.scale import grouped_ntile
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # control plane: one scalar
+    scored = tok.join(vocab, "token").select(
+        "doc_id", (-F.log(F.col("c") / F.lit(float(total)))).alias("nll")
+    )
+    ppl = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("avg_nll")
+    )
+    d = ppl.join(t.documents.select("doc_id", "lang"), "doc_id")
+    out = grouped_ntile(
+        d,
+        ["lang"],
+        F.floor(F.col("avg_nll") * 10),  # monotone along avg_nll ASC
+        [F.col("avg_nll").asc(), F.col("doc_id").asc()],
+        n_tiles=3,
+        out_col="tercile",
+    )
+    return out.select(
+        "doc_id", "lang", "avg_nll", "tercile",
+        (F.col("tercile") <= 2).alias("is_kept"),
+    )

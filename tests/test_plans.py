@@ -409,6 +409,7 @@ def test_no_low_cardinality_window_partitions(spark, sf_dir):
         ("win_ntile", "c_mktsegment"),
         ("sample_mixture_interleave", "lang"),
         ("sample_reservoir_per_group", "lang"),
+        ("text_ccnet_perplexity_buckets", "lang"),
     ]:
         df = q(name, spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan().toString()

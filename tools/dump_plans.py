@@ -38,6 +38,7 @@ HEADLINE_NOTES = {
     "multimodal_decode_stub": "PPM encode + decode kernels as two narrow mapInPandas stages, no KEY shuffle (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "pipeline_corpus_curation": "fused scan→filter→hash-window→agg in one plan",
     "pipeline_web_curation": "the C4 front-end fused: url gate + pii plant + html wrap/extract + redact + length gate as ONE row-local codegen span; the ONLY Exchange is the content-md5 hash agg",
+    "text_ccnet_perplexity_buckets": "unigram scorer (two hash aggs + unhinted vocab join) -> grouped_ntile control plane: (lang, nll-bin) windows, bounded offsets — no bare-lang partition, no SinglePartition",
     "stream_stream_interval_join": "hash join on user_id + interval residual — the stream-stream join shape, no BNLJ",
     "text_repetition_stats": "three doc_id-keyed two-phase hash aggs + per-doc window; no global exchange",
     "sample_stratified": "LCG membership filter pushed into the scan; no shuffle, no RNG",
