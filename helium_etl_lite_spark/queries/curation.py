@@ -2082,3 +2082,62 @@ def pipeline_web_curation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_dups"),
         F.min(F.length("text")).alias("text_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: context-length truncation-loss report — the trainer-facing
+# diagnostic run before choosing a packing policy: at candidate context
+# lengths, how many documents overflow and what fraction of corpus
+# tokens a hard per-document truncation would discard (the number that
+# decides truncate-vs-split-vs-concat packing; see the pack_* family
+# for the policies themselves).
+
+_TRUNCATION_ORACLE = """
+WITH n AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT unnest([128, 512, 2048]) AS context_len)
+SELECT CAST(c.context_len AS BIGINT) AS context_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens > c.context_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_over,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(GREATEST(n_tokens - c.context_len, 0)) AS BIGINT)
+            AS tokens_lost,
+       round(SUM(GREATEST(n_tokens - c.context_len, 0))
+             / CAST(SUM(n_tokens) AS DOUBLE), 6) AS loss_rate
+FROM n CROSS JOIN c GROUP BY c.context_len
+"""
+
+
+@query("corpus_truncation_report", oracle=_TRUNCATION_ORACLE)
+def corpus_truncation_report(spark, sf_dir):
+    """Truncation-loss report at candidate context lengths (128 / 512 /
+    2048), hash-EXACT: per length, documents overflowing and the
+    fraction of corpus tokens a hard truncate-at-C policy would
+    discard. Row-local token count, a 3-way explode of the candidate
+    lengths, ONE two-phase hash agg on context_len (3 groups — partials
+    collapse map-side, the Exchange ships 3 rows per partition). At
+    100 TB this is a single cheap pass regardless of corpus size."""
+    lens = [128, 512, 2048]
+    t = Tables(spark, sf_dir)
+    n = t.documents.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    e = n.select(
+        "n_tokens",
+        F.explode(F.array(*[F.lit(c).cast("long") for c in lens])).alias(
+            "context_len"
+        ),
+    )
+    lost = F.greatest(F.col("n_tokens") - F.col("context_len"), F.lit(0))
+    return e.groupBy("context_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tokens") > F.col("context_len")).cast("long")).alias(
+            "n_docs_over"
+        ),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum(lost).alias("tokens_lost"),
+        F.round(
+            F.sum(lost) / F.sum("n_tokens").cast("double"), 6
+        ).alias("loss_rate"),
+    )
