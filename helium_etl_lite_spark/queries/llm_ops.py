@@ -1134,15 +1134,23 @@ def text_perplexity_unigram(spark, sf_dir):
     # back to the token stream WITHOUT a broadcast hint (an open-vocab
     # corpus grows the LM table without bound; AQE broadcasts it when
     # measured small); the per-doc agg shuffles on doc_id. No Python
-    # in the loop.
+    # in the loop. The corpus token total rides as a 1-row broadcast
+    # crossJoin derived from the vocab table the query builds anyway
+    # (sum of counts == token total, the oracle's own `tot` CTE shape)
+    # — the former eager tok.count() was a SECOND full
+    # tokenize-and-scan pass over documents purely for one scalar
+    # (r12 verdict item 3): at 100 TB, a full extra pass. The vocab is
+    # persisted because the inner join pushes isnotnull(token) into its
+    # join-side branch, which breaks exchange-reuse canonicalization —
+    # without the persist the tot branch re-tokenizes the corpus.
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()  # control plane: one scalar
-    scored = tok.join(vocab, "token").select(
-        "doc_id", (-F.log(F.col("c") / F.lit(float(total)))).alias("nll")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    tot = vocab.agg(F.sum("c").cast("double").alias("__tot_n"))
+    scored = tok.join(vocab, "token").crossJoin(F.broadcast(tot)).select(
+        "doc_id", (-F.log(F.col("c") / F.col("__tot_n"))).alias("nll")
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -5335,10 +5343,14 @@ def text_ccnet_perplexity_buckets(spark, sf_dir):
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()  # control plane: one scalar
-    scored = tok.join(vocab, "token").select(
-        "doc_id", (-F.log(F.col("c") / F.lit(float(total)))).alias("nll")
+    # token total from the vocab agg (1 row, broadcast) — NOT an eager
+    # tok.count(), which re-scanned the whole corpus (r12 verdict item
+    # 3); vocab persisted so the tot branch reads the cached LM table
+    # instead of re-tokenizing (see text_perplexity_unigram)
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    tot = vocab.agg(F.sum("c").cast("double").alias("__tot_n"))
+    scored = tok.join(vocab, "token").crossJoin(F.broadcast(tot)).select(
+        "doc_id", (-F.log(F.col("c") / F.col("__tot_n"))).alias("nll")
     )
     ppl = scored.groupBy("doc_id").agg(
         F.round(F.avg("nll"), 6).alias("avg_nll")

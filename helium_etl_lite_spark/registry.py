@@ -49,72 +49,81 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # r12 rotation (r11 verdict directive 1): the 7 late-r11
-    # registrations take their FIRST driver contact, and 43 of the 44
-    # r6-vintage re-confirms fill the rest (7 + 43 = 50).  The one
-    # r6-vintage query held back for r13 is text_dedup_minhash — its
-    # verdict class is rows-only BY DESIGN (engine-specific minhash
-    # permutation) so a re-run carries the least information, and its
-    # exact portable twin text_dedup_minhash_portable was driver-exact
-    # at r8.  After this round every query has a driver verdict and at
-    # most one verdict on record is older than r7 (the directive's
-    # "≤1 older than r7" target, met exactly).
-    # (1) the 7 first-contact r11 registrations:
-    "text_perplexity_bigram",          # bigram LM + stupid backoff, exact
-    "text_tokenize_wordpiece",         # WordPiece greedy walk, exact
-    "corpus_shard_manifest",           # deterministic shard plan, exact
-    "vec_contamination_semantic",      # embedding decontamination, exact
-    "text_blocklist_filter",           # C4 blocklist gate, exact
-    "vec_dedup_semantic_incremental",  # SemDeDup state (rows by design)
-    "text_repetition_scrub",           # Gopher repetition removal, exact
-    # (2) 43 of the 44 r6-vintage re-confirms:
-    "agg_hll_sketch_union",            # r6
-    "corpus_stats_report",             # r6
-    "dedup_cluster_stats",             # r6
-    "dedup_containment",               # r6
-    "join_asof_tolerance",             # r6
-    "join_null_safe_eq",               # r6
-    "join_theta_range",                # r6
-    "merge_upsert_scd1",               # r6
-    "multimodal_phash_dedup",          # r6 (rows-only by design; re-run)
-    "report_customer_distribution",    # r6
-    "report_discounted_revenue",       # r6
-    "report_dormant_accounts",         # r6
-    "report_large_orders",             # r6
-    "report_local_supplier_volume",    # r6
-    "report_market_share",             # r6
-    "report_order_priority",           # r6
-    "report_pricing_summary",          # r6
-    "report_promo_revenue",            # r6
-    "report_returned_items",           # r6
-    "report_shipping_priority",        # r6
-    "report_small_quantity_revenue",   # r6
-    "report_top_supplier",             # r6
-    "report_volume_shipping",          # r6
-    "rollup_incremental_refresh",      # r6
-    "sample_importance_weighted",      # r6
-    "sample_token_budget_bpe",         # r6
-    "scd2_point_in_time",              # r6
-    "sink_bucketed_colocated_join",    # r6
-    "sink_snapshot_time_travel",       # r6
-    "source_csv_permissive_corrupt",   # r6
-    "source_python_datasource",        # r6
-    "text_chunk_split",                # r6
-    "text_dedup_exact_incremental",    # r6
-    "text_dedup_minhash_incremental",  # r6 (rows-only by design; re-run)
-    "text_gopher_quality_filter",      # r6
-    "text_quality_classifier_hashed",  # r6
-    "text_token_entropy",              # r6
-    "udtf_python_native",              # r6
-    "vec_ann_ivfpq",                   # r6 (rows-only by design; re-run)
-    "vec_ann_pq",                      # r6 (rows-only by design; re-run)
-    "vec_dedup_semantic",              # r6
-    "vec_pca_project",                 # r6
-    "vec_triplet_mining",              # r6
-    # (QUEUED for r13: text_dedup_minhash (r6, rows-only by design —
-    #  see the rotation note above) plus any NEW r12 registrations,
-    #  which per the r11 verdict are capped out of this rotation; until
-    #  then their evidence is the full-registry DuckDB oracle sweep,
+    # r13 rotation (r12 verdict directive 1): the 9 r12 registrations
+    # take their FIRST driver contact, text_dedup_minhash clears the
+    # last pre-r7 verdict (r6, rows-only by design — its exact portable
+    # twin was driver-exact at r8), and 40 of the 50 r7-vintage
+    # re-confirms fill the rest (9 + 1 + 40 = 50).  The directive's
+    # "no verdict older than r8" target is arithmetically out of reach
+    # this round (50 r7-vintage verdicts exist, only 40 slots remain) —
+    # the 10 held for r14 are chosen to carry the LEAST re-run
+    # information: the 6 rows-only-by-design r7s (a rows-only re-run
+    # re-confirms nothing an exact verdict wouldn't; each has a
+    # driver-exact portable twin or pytest recall gate) plus the
+    # UDF-contract trio and win_ntile (single-operator queries whose
+    # code has not changed since r2 and which the full-registry pytest
+    # oracle sweep re-proves on HEAD every round).
+    # (1) the 9 first-contact r12 registrations:
+    "url_canonicalize",                # C4 URL canon, exact
+    "url_host_stats",                  # per-host corpus stats, exact
+    "url_blocklist_filter",            # host blocklist gate, exact
+    "url_dedup_canonical",             # recrawl collapse, exact
+    "text_pii_redact",                 # PII scrub + redacted md5, exact
+    "pipeline_web_curation",           # C4 front-end flagship, exact
+    "corpus_truncation_report",        # truncation-loss report, exact
+    "text_ccnet_perplexity_buckets",   # CCNet terciles, exact
+    "multimodal_pair_dedup",           # image-text pairs (rows by design)
+    # (2) the last pre-r7 verdict:
+    "text_dedup_minhash",              # r6 (rows-only by design; re-run)
+    # (3) 40 of the 50 r7-vintage re-confirms:
+    "agg_count_min_sketch",            # r7
+    "distinct_dedup",                  # r7
+    "dq_expectations_report",          # r7
+    "join_cross",                      # r7
+    "join_full_outer",                 # r7
+    "join_interval_overlap",           # r7
+    "limit_topk",                      # r7
+    "multimodal_png_decode",           # r7
+    "pipeline_pretraining_select",     # r7
+    "report_parts_supplier_count",     # r7
+    "report_priority_shipping",        # r7
+    "report_product_profit",           # r7
+    "report_waiting_suppliers",        # r7
+    "sample_mixture_interleave",       # r7
+    "sample_mixture_temperature",      # r7
+    "sample_reservoir_per_group",      # r7
+    "sample_split_train_test",         # r7
+    "scan_parquet",                    # r7
+    "scan_predicate_pushdown",         # r7
+    "scan_projection_pushdown",        # r7
+    "set_except",                      # r7
+    "set_intersect",                   # r7
+    "set_union_all",                   # r7
+    "set_union_distinct",              # r7
+    "sink_compact_files",              # r7
+    "sink_roundtrip_parquet",          # r7
+    "sink_snapshot_changes",           # r7
+    "sink_snapshot_changes_apply",     # r7
+    "sort_multi_key",                  # r7
+    "source_json_lines",               # r7
+    "source_schema_evolution",         # r7
+    "stream_cursor_incremental",       # r7
+    "stream_dedup_by_key",             # r7
+    "stream_session_window",           # r7
+    "stream_sliding_window_agg",       # r7
+    "stream_tumbling_window_agg",      # r7
+    "stream_watermark_late_drop",      # r7
+    "text_fuzzy_levenshtein",          # r7
+    "text_paragraph_dedup",            # r7
+    "text_tfidf",                      # r7
+    # (QUEUED for r14: the 10 r7-vintage holds —
+    #  dedup_containment_screened, graph_pagerank_topk,
+    #  multimodal_jpeg_decode, pipeline_pretraining_select_bpe,
+    #  text_dedup_simhash, vec_ann_pq_rerank (rows-only by design),
+    #  udaf_grouped_agg, udf_pandas_vectorized, udf_scalar_python,
+    #  win_ntile — plus any NEW r13 registrations, which per the r11
+    #  verdict are capped out of the same-round rotation; until then
+    #  their evidence is the full-registry DuckDB oracle sweep,
     #  tests/test_queries_oracle.py, run on HEAD each round.)
 ]
 
