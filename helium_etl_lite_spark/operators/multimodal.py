@@ -660,11 +660,13 @@ def dhash_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 hashes.append(format(_dhash_bits(gray), "016x"))
                 fmts.append(fmt)
             yield pd.DataFrame(
-                {"doc_id": ids, "phash": hashes, "fmt": fmts}
+                {id_col: ids, "phash": hashes, "fmt": fmts}
             )
 
+    # the output id column is NAMED id_col (not hardcoded doc_id) so a
+    # caller passing a custom id keeps working downstream (r12 ADVICE)
     return assets.select(id_col, "payload").mapInPandas(
-        kernel, schema="doc_id long, phash string, fmt string"
+        kernel, schema=f"{id_col} long, phash string, fmt string"
     )
 
 
@@ -1485,7 +1487,10 @@ def pair_dedup(
     members. Captions hash row-locally (xxhash64 — engine-side 8-byte
     keys, the text_dedup shuffle-width discipline).
 
-    Keeper policy, two levels inside each image cluster:
+    Keeper policy, two levels inside each image cluster (the
+    ``pair_keeper_policy`` stage below — shared verbatim with the
+    SQL-portable twin query so the policy layer carries a driver-exact
+    verdict even though dHash itself is not SQL-statable):
     1. strict dups (same image cluster AND same caption hash) collapse
        to the min id — re-downloads of the same pair;
     2. caption VARIANTS rank by first appearance (min id per caption,
@@ -1495,9 +1500,10 @@ def pair_dedup(
        viral image contribute thousands of pairs.
 
     Returns one row per distinct (image cluster, caption): the
-    cluster's keeper image id, the caption's min pair id, how many
-    strict dups it had, its rank among the cluster's captions, and
-    whether it survives the cap.
+    cluster's keeper image id, the caption's min pair id, the group's
+    total pair count ``n_pairs`` (INCLUDING the keeper — n_pairs - 1
+    strict duplicates were dropped), its rank among the cluster's
+    captions, and whether it survives the cap.
 
     Scale shape: decode+hash are narrow Arrow kernels; the cluster
     assignment is the banded equi-join; then ONE hash agg on
@@ -1506,8 +1512,6 @@ def pair_dedup(
     window over clusters whose row count is the cluster's DISTINCT
     caption count, not its pair count.
     """
-    from pyspark.sql import Window as W
-
     hashed = dhash_assets(pairs, id_col=id_col)
     reps = hashed.groupBy("phash").agg(F.min(id_col).alias("__rep_id"))
     assign = phash_band_neardup(
@@ -1520,11 +1524,40 @@ def pair_dedup(
     joined = pairs.select(
         id_col, F.xxhash64(F.col(caption_col)).alias("caption_hash")
     ).join(members.select(id_col, "keeper_doc_id"), id_col)
+    return pair_keeper_policy(joined, max_captions=max_captions,
+                              id_col=id_col)
+
+
+def pair_keeper_policy(
+    joined: DataFrame,
+    max_captions: int = 2,
+    id_col: str = "doc_id",
+    cluster_col: str = "keeper_doc_id",
+) -> DataFrame:
+    """The two-level (image cluster, caption) keeper policy of
+    ``pair_dedup``, split out so the SQL-portable twin
+    (queries/llm_ops.py multimodal_pair_dedup_portable) drives the SAME
+    code path over deterministic integer ids — the portable-twin
+    discipline that gave every ANN family a driver-exact verdict.
+
+    Input: one row per (pair id, image cluster id, caption hash).
+    Output: one row per distinct (cluster, caption) with the min pair
+    id as keeper, the group's total pair count ``n_pairs`` (INCLUDING
+    the keeper — n_pairs - 1 strict duplicates were dropped), the
+    caption's first-appearance rank within its cluster, and the
+    ``max_captions`` survival flag.
+
+    Scale shape: ONE hash agg on (cluster, caption_hash) — map-side
+    partials absorb a hot viral image — plus a window whose partition
+    row count is the cluster's DISTINCT caption count, not its pair
+    count."""
+    from pyspark.sql import Window as W
+
     per_caption = joined.groupBy(
-        F.col("keeper_doc_id").alias("image_keeper"), "caption_hash"
+        F.col(cluster_col).alias("image_keeper"), "caption_hash"
     ).agg(
         F.min(id_col).alias("pair_keeper"),
-        F.count(F.lit(1)).alias("n_strict_dups"),
+        F.count(F.lit(1)).alias("n_pairs"),
     )
     w = W.partitionBy("image_keeper").orderBy("pair_keeper", "caption_hash")
     return per_caption.withColumn(

@@ -20,6 +20,16 @@ constants (the generated-oracle discipline of operators/markup.py /
 operators/url.py). Patterns are RE2-safe (no lookarounds), so Spark's
 Java regex and DuckDB's RE2 agree on every match.
 
+Known, deliberate over-match (r12 ADVICE): the IPv4 rule bounds every
+octet to 0-255, but ``\\b`` does not stop at dots, so the leading quad
+of a LONGER dotted sequence still matches — a version string
+``1.2.3.4.5`` redacts to ``<IP>.5``. Excluding that case needs a
+lookahead (``(?!\\.[0-9])``), which RE2 does not support, and the
+oracle parity contract requires one shared RE2-safe pattern; redacting
+a version-string lookalike is the safe failure direction for a privacy
+scrub, so the over-match is accepted and pinned by
+TestPiiRedact.test_dotted_sequences.
+
 The corpus fixtures carry no PII, so ``pii_wrap`` plants some
 deterministically (the html_wrap pattern): emails on doc_id % 3 == 0,
 phones on % 5 == 0, IPs on % 7 == 0 — overlapping residues exercise
@@ -41,7 +51,15 @@ from pyspark.sql import functions as F
 PII_RULES = [
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b", "<PHONE>"),
-    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # octets bounded to 0-255 (r12 ADVICE: the {1,3} form accepted
+    # 999.999.999.999); see the module docstring for the one remaining
+    # over-match (leading quad of longer dotted sequences).
+    (
+        "ip",
+        r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
 ]
 
 

@@ -5240,13 +5240,61 @@ def multimodal_pair_dedup(spark, sf_dir):
     return (
         per_caption.groupBy("image_keeper")
         .agg(
-            F.sum("n_strict_dups").alias("n_pairs"),
+            F.sum("n_pairs").alias("n_pairs"),
             F.count(F.lit(1)).alias("n_captions"),
             F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
             F.min("pair_keeper").alias("keeper_pair_id"),
         )
         .orderBy("image_keeper")
     )
+
+
+_PAIR_DEDUP_PORTABLE_ORACLE = """
+WITH j AS (SELECT doc_id,
+                  doc_id % 97 AS cluster_id,
+                  (doc_id * 31) % 5 AS caption_hash
+           FROM documents),
+pc AS (SELECT cluster_id AS image_keeper, caption_hash,
+              MIN(doc_id) AS pair_keeper,
+              COUNT(*) AS n_pairs
+       FROM j GROUP BY 1, 2)
+SELECT image_keeper,
+       CAST(caption_hash AS BIGINT) AS caption_hash,
+       CAST(pair_keeper AS BIGINT) AS pair_keeper,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(row_number() OVER (PARTITION BY image_keeper
+            ORDER BY pair_keeper, caption_hash) AS INT) AS caption_rank,
+       CAST(row_number() OVER (PARTITION BY image_keeper
+            ORDER BY pair_keeper, caption_hash) AS INT) <= 2 AS is_kept
+FROM pc
+"""
+
+
+@query("multimodal_pair_dedup_portable", oracle=_PAIR_DEDUP_PORTABLE_ORACLE)
+def multimodal_pair_dedup_portable(spark, sf_dir):
+    """The pair-dedup KEEPER POLICY with a driver-exact verdict (r12
+    verdict item 7): multimodal_pair_dedup is rows-only because dHash
+    over binary payloads is not SQL-statable, but the two-level policy
+    itself is — so this twin drives the SAME code path
+    (operators/multimodal.py pair_keeper_policy, called by pair_dedup)
+    over deterministic integer ids the oracle restates verbatim:
+    cluster = doc_id % 97 (the image identity the banded join would
+    assign), caption_hash = (doc_id * 31) % 5 (the xxhash64 the real
+    pipeline computes). Strict dups collapse to the min pair id,
+    caption variants rank by first appearance, at most 2 survive —
+    exactly the portable-twin discipline that closed every ANN family.
+
+    Scale shape is the policy's own: ONE (cluster, caption) hash agg
+    with map-side partials, then a window whose partition row count is
+    the cluster's DISTINCT caption count (bounded at 5 here; caption
+    diversity, never pair count, in production)."""
+    t = Tables(spark, sf_dir)
+    joined = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % 97).alias("keeper_doc_id"),
+        ((F.col("doc_id") * 31) % 5).alias("caption_hash"),
+    )
+    return multimodal.pair_keeper_policy(joined, max_captions=2)
 
 
 # ---------------------------------------------------------------------------

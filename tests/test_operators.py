@@ -3758,13 +3758,15 @@ class TestPairDedup:
         clusters = {r["image_keeper"] for r in out}
         # the far pair is its own cluster; everything else is ONE
         assert clusters == {10, 20}, clusters
-        # strict dups collapsed: the "a red bird" caption row counts
-        # 10, 11 AND the re-encoded 15 (same cluster, same caption)
+        # strict dups collapsed: the "a red bird" caption group holds
+        # 10, 11 AND the re-encoded 15 (same cluster, same caption) —
+        # n_pairs counts the whole group INCLUDING the keeper (3 pairs,
+        # 2 strict duplicates dropped)
         red_bird = [
             r for r in out
             if r["image_keeper"] == 10 and r["pair_keeper"] == 10
         ]
-        assert len(red_bird) == 1 and red_bird[0]["n_strict_dups"] == 3
+        assert len(red_bird) == 1 and red_bird[0]["n_pairs"] == 3
         # caption ranks: keeper caption first, cap at 2
         cluster_rows = sorted(
             (r for r in out if r["image_keeper"] == 10),
@@ -3776,6 +3778,25 @@ class TestPairDedup:
         ]
         # far pair survives untouched
         assert by_cap[(20, [r for r in out if r["image_keeper"] == 20][0]["caption_hash"])]["is_kept"]
+
+    def test_custom_id_col(self, spark):
+        """r12 ADVICE: pair_dedup(id_col=...) used to fail analysis for
+        any non-default value because dhash_assets hardcoded doc_id in
+        its output schema — pin the renamed-id path end to end."""
+        from helium_etl_lite_spark.operators import multimodal as mm
+
+        rows = [
+            (100, self._ppm(__import__("numpy").full((16, 16), 120, dtype="uint8")), "same cap"),
+            (101, self._ppm(__import__("numpy").full((16, 16), 120, dtype="uint8")), "same cap"),
+            (102, self._ppm(__import__("numpy").full((16, 16), 120, dtype="uint8")), "other cap"),
+        ]
+        pairs = spark.createDataFrame(
+            [(i, bytearray(p), c) for i, p, c in rows],
+            "img_id long, payload binary, caption string",
+        )
+        out = mm.pair_dedup(pairs, k=3, max_captions=1, id_col="img_id").collect()
+        got = {(r["image_keeper"], r["pair_keeper"]): (r["n_pairs"], r["is_kept"]) for r in out}
+        assert got == {(100, 100): (2, True), (100, 102): (1, False)}, got
 
     def test_registered_query_shape(self, spark, sf_dir):
         from helium_etl_lite_spark import registry
@@ -3830,3 +3851,50 @@ class TestPiiRedact:
         # the no-op path is byte-identical
         assert (out[5]["e"], out[5]["p"], out[5]["i"]) == (0, 0, 0)
         assert out[5]["red"] == rows[4][1]
+
+    def test_dotted_sequences(self, spark):
+        """r12 ADVICE: octets bound to 0-255 (999-quads no longer
+        match); the documented residual over-match — the leading quad
+        of a longer dotted sequence — is pinned so a future pattern
+        change surfaces here, and Spark/DuckDB agree on every case."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.operators import pii as P
+
+        rows = [
+            (1, "bad quad 999.999.999.999 stays"),
+            (2, "edge 255.255.255.255 and 0.0.0.0 match"),
+            (3, "over 256.1.1.1 and 1.1.1.256 do not"),
+            (4, "version 1.2.3.4.5 loses its leading quad"),
+            (5, "decimal 3.14159 is untouched"),
+        ]
+        expect = {
+            1: (0, "bad quad 999.999.999.999 stays"),
+            2: (2, "edge <IP> and <IP> match"),
+            # "256.1.1.1": no full-quad match ("56.1.1.1" is blocked by
+            # \b after the 2); "1.1.1.256" likewise (the trailing "256"
+            # caps at "25"/"6", no boundary parse works)
+            3: (0, "over 256.1.1.1 and 1.1.1.256 do not"),
+            4: (1, "version <IP>.5 loses its leading quad"),
+            5: (0, "decimal 3.14159 is untouched"),
+        }
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        c = P.pii_counts(F.col("text"))
+        got = {
+            r["doc_id"]: (r["i"], r["red"])
+            for r in df.select(
+                "doc_id", c["ip"].alias("i"),
+                P.pii_redact(F.col("text")).alias("red"),
+            ).collect()
+        }
+        assert got == expect, got
+        # cross-engine parity on the same cases via the generated SQL
+        con = duckdb.connect()
+        for doc_id, text in rows:
+            n, red = con.execute(
+                "SELECT " + P.pii_counts_sql("t")["ip"] + ", "
+                + P.pii_redact_sql("t") + " FROM (SELECT ? AS t)",
+                [text],
+            ).fetchone()
+            assert (n, red) == expect[doc_id], (doc_id, n, red)
