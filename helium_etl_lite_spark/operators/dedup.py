@@ -834,10 +834,16 @@ def dedup_filter_new(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_broadcast_rows: int = 4_000_000,
+    normalize: bool = True,
 ) -> DataFrame:
     """Incremental exact dedup, read side: the batch rows whose content
     hash has never been seen (anti-join against the persisted hash
     state), with in-batch duplicates collapsed to the min-id keeper.
+
+    ``normalize=False`` hashes ``text_col`` verbatim — for keys that
+    are ALREADY canonical where the default lower(trim()) would be
+    wrong (a canonical URL's path is case-sensitive: /Page and /page
+    are different resources; r12 verdict item 4's URL recrawl loop).
 
     The canonical ingest loop dedupes each new crawl batch against the
     WHOLE corpus so far; materializing only the content hashes keeps the
@@ -869,7 +875,8 @@ def dedup_filter_new(
     in between replays to the same output (state unchanged), and the
     landed output's sink idempotence absorbs the double write.
     """
-    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    h = F.sha2(key, 256)
     b = batch.withColumn("text_hash", h)
     w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
     b = b.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")

@@ -2009,6 +2009,60 @@ def url_dedup_canonical(spark, sf_dir):
     )
 
 
+_URL_DEDUP_INCR_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_WRAP} AS url FROM documents),
+c AS (SELECT doc_id, {_URL_CANON} AS canonical_url FROM u),
+b1 AS (SELECT DISTINCT canonical_url FROM c WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id, canonical_url FROM c WHERE doc_id % 2 = 1),
+firsts AS (SELECT doc_id, canonical_url,
+                  row_number() OVER (PARTITION BY canonical_url
+                                     ORDER BY doc_id) AS rn
+           FROM b2)
+SELECT f.doc_id, f.canonical_url
+FROM firsts f LEFT JOIN b1 ON f.canonical_url = b1.canonical_url
+WHERE f.rn = 1 AND b1.canonical_url IS NULL
+"""
+
+
+@query("url_dedup_canonical_incremental", oracle=_URL_DEDUP_INCR_ORACLE)
+def url_dedup_canonical_incremental(spark, sf_dir):
+    """The URL recrawl loop with PERSISTED state, hash-EXACT (r12
+    verdict item 4 — the one dedup class that lacked an ingest twin,
+    and the one a production recrawl needs most): batch 1 (even
+    doc_ids) canonicalizes and folds its canonical-URL hashes into the
+    sharded parquet state (operators/dedup.py dedup_state_add — O(batch)
+    appended bytes, replay-idempotent), batch 2 (odd) canonicalizes and
+    probes it via dedup_filter_new's broadcast fingerprint semi-join —
+    the state never shuffles — and only URLs never crawled before
+    survive, with in-batch recrawls collapsed to the min doc_id.
+
+    ``normalize=False`` because the canonical URL is already canonical:
+    the default lower(trim()) key would merge case-DISTINCT paths
+    (/Page vs /page are different resources). Every step is
+    deterministic, so the two-batch loop hash-matches a pure SQL oracle
+    over the union (the text_dedup_exact_incremental pattern);
+    replay-idempotence of the fold-in is pinned by pytest
+    (tests/test_rollup.py TestUrlDedupIncremental)."""
+    from ..operators import dedup
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    state = scratch_dir("url_incremental") + "/state"
+    u = _url.url_wrap(t.documents.select("doc_id")).select(
+        "doc_id", _url.canonical_url(F.col("url")).alias("canonical_url")
+    )
+    b1 = u.where(F.col("doc_id") % 2 == 0)
+    b2 = u.where(F.col("doc_id") % 2 == 1)
+    f1 = dedup.dedup_filter_new(
+        spark, b1, state, text_col="canonical_url", normalize=False
+    )
+    dedup.dedup_state_add(spark, f1, state)
+    f2 = dedup.dedup_filter_new(
+        spark, b2, state, text_col="canonical_url", normalize=False
+    )
+    return f2.select("doc_id", "canonical_url")
+
+
 # ---------------------------------------------------------------------------
 # r12 flagship composition: the C4/RefinedWeb web-curation FRONT-END as
 # one plan — URL blocklist gate -> markup extraction -> PII redaction ->

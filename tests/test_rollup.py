@@ -257,6 +257,74 @@ class TestIncrementalDedup:
         assert dedup.dedup_filter_new(spark, b1, state).count() == 0
 
 
+class TestUrlDedupIncremental:
+    # r12 verdict item 4: the URL recrawl loop — dedup_filter_new with
+    # normalize=False over canonical URLs (case-SENSITIVE keys).
+
+    def _urls(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, canonical_url string")
+
+    def test_case_sensitive_keys_and_replay_idempotence(self, spark, tmp_path):
+        from helium_etl_lite_spark.operators import dedup
+
+        state = str(tmp_path / "state")
+        b1 = self._urls(spark, [
+            (1, "http://a.com/Page"),
+            (2, "http://a.com/page"),   # case-distinct path: a DIFFERENT resource
+            (3, "http://a.com/Page"),   # in-batch recrawl -> collapses to 1
+        ])
+        f1 = dedup.dedup_filter_new(
+            spark, b1, state, text_col="canonical_url", normalize=False
+        )
+        assert sorted(r["doc_id"] for r in f1.collect()) == [1, 2]
+        dedup.dedup_state_add(spark, f1, state)
+
+        # crash-replay of the fold-in: duplicate appended rows change no
+        # probe result (set semantics), compaction restores minimality
+        dedup.dedup_state_add(spark, f1, state)
+        b2 = self._urls(spark, [
+            (10, "http://a.com/page"),  # recrawl of the landed lowercase
+            (11, "http://a.com/PAGE"),  # case-distinct: genuinely new
+            (12, "http://b.com/x"),
+        ])
+        probe = lambda: sorted(
+            r["doc_id"]
+            for r in dedup.dedup_filter_new(
+                spark, b2, state, text_col="canonical_url", normalize=False
+            ).collect()
+        )
+        assert probe() == [11, 12]
+        dedup.dedup_state_compact(spark, state)
+        assert spark.read.parquet(state).count() == 2
+        assert probe() == [11, 12]
+
+    def test_registered_query_matches_oneshot(self, spark, sf_dir):
+        # the two-batch loop's survivors == the canonical-URL groups of
+        # the odd batch that are new vs the even batch (one-shot form)
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.operators import url as U
+
+        registry.load_all()
+        got = {
+            r["doc_id"]
+            for r in registry.QUERIES["url_dedup_canonical_incremental"](
+                spark, sf_dir
+            ).collect()
+        }
+        from helium_etl_lite_spark.tables import Tables
+        from pyspark.sql import functions as F
+
+        u = U.url_wrap(Tables(spark, sf_dir).documents.select("doc_id")).select(
+            "doc_id", U.canonical_url(F.col("url")).alias("c")
+        )
+        even = {r["c"] for r in u.where(F.col("doc_id") % 2 == 0).select("c").distinct().collect()}
+        odd = u.where(F.col("doc_id") % 2 == 1).groupBy("c").agg(
+            F.min("doc_id").alias("keeper")
+        )
+        want = {r["keeper"] for r in odd.collect() if r["c"] not in even}
+        assert got == want
+
+
 class TestIncrementalMinhashDedup:
     # operators/dedup.py minhash_filter_new/minhash_state_add: near-dup
     # ingest against the persisted band-bucket + signature state
