@@ -101,6 +101,14 @@ EXTENDED = [
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+# Rolling best official headline total (r11, BENCH_r11.json). The r12
+# verdict's rerun rule keys off this: a first headline pass more than
+# 1.5x the record WITH a mid-run load breach is presumed
+# noise-contaminated and is re-run once in the same session. Update
+# when a new official round sets a faster point.
+HEADLINE_RECORD_SEC = 6.043
+RERUN_FACTOR = 1.5
+
 # Scaling lane: replicate sf0.1 by this factor and re-run the headline
 # set (vec_dedup_cosine swapped for its subquadratic production twin).
 SCALE_ENABLED = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
@@ -259,42 +267,45 @@ def _bench_one(spark, sf_dir, name, n_runs=N_RUNS, tag=""):
 
 def _wait_for_idle():
     """Bounded wait-for-idle before the headline pass (r11 verdict
-    item 2): BENCH_r09..r11 all absorbed 30-40% host-load noise into
-    the official series.  The r10 flag made the noise VISIBLE
-    (degraded: true fired honestly on r11); this makes it AVOIDABLE —
-    poll 1-min loadavg until it drops under the same 2.0 threshold the
-    flag uses, give up after a bounded budget so the driver's bench
-    slot can't hang, and report how long the wait was either way.
+    item 2, tightened per r12 item 2): BENCH_r09..r12 all absorbed
+    30-100% host-load noise into the official series — r12 passed the
+    old gate at the EDGE (load5 2.91 vs the 3.0 threshold, 15-min
+    still 3.53) and every headline query came out 1.7-2.7x slow.  The
+    gate now requires ALL THREE loadavg windows to be calm: 1-min and
+    5-min under the threshold (2.0), 15-min under 1.25x of it — a
+    draining host shows up in the longer averages long after the 1-min
+    decays.  Bounded budget so the driver's bench slot can't hang.
     Returns (waited_sec, timed_out)."""
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600"))
     poll = 15.0
     t0 = time.monotonic()
     while True:
-        load1, load5, _ = os.getloadavg()
+        load1, load5, load15 = os.getloadavg()
         waited = time.monotonic() - t0
-        # ALSO gate on the 5-min average (first dry-run find): right
-        # after a heavy job the 1-min decays under the threshold while
-        # the host is still draining — that run measured every headline
-        # query uniformly ~25% slow at load1 1.6 / load5 3.6.
-        if load1 < threshold and load5 < threshold * 1.5:
+        if (
+            load1 < threshold
+            and load5 < threshold
+            and load15 < threshold * 1.25
+        ):
             if waited > 0.5:
                 print(
-                    f"# idle gate: loadavg {load1:.2f} < {threshold} "
-                    f"after {waited:.0f}s wait",
+                    f"# idle gate: loadavg {load1:.2f}/{load5:.2f}/"
+                    f"{load15:.2f} calm after {waited:.0f}s wait",
                     file=sys.stderr,
                 )
             return round(waited, 1), False
         if waited + poll > budget:
             print(
-                f"# idle gate TIMED OUT after {waited:.0f}s "
-                f"(loadavg still {load1:.2f}/{load5:.2f}); proceeding degraded",
+                f"# idle gate TIMED OUT after {waited:.0f}s (loadavg "
+                f"still {load1:.2f}/{load5:.2f}/{load15:.2f}); "
+                "proceeding degraded",
                 file=sys.stderr,
             )
             return round(waited, 1), True
         print(
-            f"# idle gate: loadavg {load1:.2f}/{load5:.2f} vs "
-            f"{threshold}/{threshold * 1.5}, waiting "
+            f"# idle gate: loadavg {load1:.2f}/{load5:.2f}/{load15:.2f} "
+            f"vs {threshold}/{threshold}/{threshold * 1.25}, waiting "
             f"({waited:.0f}/{budget:.0f}s)",
             file=sys.stderr,
         )
@@ -318,7 +329,47 @@ def main():
 
         timings: dict[str, float] = {}
         spreads: dict[str, float] = {}
-        for name in HEADLINE + EXTENDED:
+        # Headline pass with MID-RUN load sampling (r12 verdict item 2):
+        # the idle gate only proves the host was calm at t=0; load that
+        # arrives DURING the pass contaminated r09-r12. Sample loadavg
+        # after every headline query, stamp a per-query breach flag, and
+        # if the total comes out > RERUN_FACTOR x the rolling record
+        # WITH any mid-run breach, rerun the headline pass once in the
+        # same session (keeping per-query minima — min-of-runs is
+        # already the series metric).
+        midrun_load: dict[str, float] = {}
+
+        def _headline_pass(tag=""):
+            t_pass, s_pass, breach = {}, {}, False
+            for name in HEADLINE:
+                _, best, spread = _bench_one(spark, sf_dir, name, tag=tag)
+                t_pass[name] = round(best, 3)
+                s_pass[name] = spread
+                load1 = os.getloadavg()[0]
+                midrun_load[name] = max(midrun_load.get(name, 0.0), round(load1, 2))
+                if load1 > 2.0:
+                    breach = True
+            return t_pass, s_pass, breach
+
+        t1, s1, breach1 = _headline_pass()
+        total1 = sum(t1.values())
+        headline_rerun = False
+        if breach1 and total1 > RERUN_FACTOR * HEADLINE_RECORD_SEC:
+            headline_rerun = True
+            print(
+                f"# headline total {total1:.3f}s > {RERUN_FACTOR}x record "
+                f"{HEADLINE_RECORD_SEC}s with a mid-run load breach "
+                f"(max {max(midrun_load.values()):.2f}) — rerunning the "
+                "headline pass once",
+                file=sys.stderr,
+            )
+            t2, s2, _ = _headline_pass(tag="rerun ")
+            for name in HEADLINE:
+                if t2[name] < t1[name]:
+                    t1[name], s1[name] = t2[name], s2[name]
+        timings.update(t1)
+        spreads.update(s1)
+        for name in EXTENDED:
             _, best, spread = _bench_one(spark, sf_dir, name)
             timings[name] = round(best, 3)
             spreads[name] = spread
@@ -386,9 +437,24 @@ def main():
             "spread_pct": spreads,
             "loadavg_start": [round(x, 2) for x in load0],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-            "degraded": bool(idle_timeout or load0[0] > 2.0),
+            # degraded fires when the bounded idle wait gave up, load was
+            # present at session start, or the headline total is STILL
+            # record-breaking slow with a recorded mid-run breach after
+            # the one allowed rerun (r12 verdict item 2).
+            "degraded": bool(
+                idle_timeout
+                or load0[0] > 2.0
+                or (
+                    any(v > 2.0 for v in midrun_load.values())
+                    and sum(timings[q] for q in HEADLINE)
+                    > RERUN_FACTOR * HEADLINE_RECORD_SEC
+                )
+            ),
             "idle_wait_sec": idle_wait,
             "idle_wait_timeout": idle_timeout,
+            "midrun_load": midrun_load,
+            "headline_rerun": headline_rerun,
+            "headline_record_sec": HEADLINE_RECORD_SEC,
         }
         if scale_block is not None:
             detail["scale"] = scale_block
@@ -423,6 +489,11 @@ def main():
         # wait timed out or load arrived after the gate passed.
         out["degraded"] = detail["degraded"]
         out["idle_wait_sec"] = idle_wait
+        out["midrun_load_max"] = (
+            max(midrun_load.values()) if midrun_load else 0.0
+        )
+        if headline_rerun:
+            out["headline_rerun"] = True
         line = json.dumps(out)
         if len(line) > 1500:
             # Never leave the driver without a parseable final line
