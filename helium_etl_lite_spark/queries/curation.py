@@ -720,6 +720,104 @@ def text_quality_classifier_hashed(spark, sf_dir):
     )
 
 
+_DSIR_ORACLE = f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+f AS (SELECT doc_id, lang,
+             unnest(list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i+1])
+                    ELSE [] END)) AS feat
+      FROM w),
+b AS (SELECT doc_id, lang, {_bucket4_sql('feat')} AS b FROM f),
+c AS (SELECT b, COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM b GROUP BY b),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM c),
+lr AS (SELECT b, ln((c_tgt + 1) / CAST(n_tgt + 65536 AS DOUBLE))
+               - ln((c_raw + 1) / CAST(n_raw + 65536 AS DOUBLE)) AS logr
+       FROM c CROSS JOIN tot),
+s AS (SELECT t.doc_id, COUNT(*) AS n_feats, round(AVG(lr.logr), 6) AS avg_logw
+      FROM b t JOIN lr ON t.b = lr.b GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, avg_logw,
+       avg_logw > 0 AS is_selected
+FROM s
+"""
+
+
+@query("text_dsir_importance", oracle=_DSIR_ORACLE)
+def text_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie 2023, "Data Selection for Language
+    Models via Importance Resampling"), hash-EXACT: hashed-n-gram
+    importance weighting — each document scores the mean log-ratio of
+    target vs raw feature probabilities over its hashed unigrams AND
+    bigrams, the selection signal that upweights target-domain-like
+    text. Target distribution = the corpus's 'en' slice (DSIR's target
+    is any trusted reference corpus; the lang slice states the shape
+    without new fixtures). Features hash through the SHARED md5
+    16-bit bucket (hashed_token_bucket — bit-identical across engines);
+    add-1 smoothing over the 65536-bucket space; avg rounded to 6 on
+    both engines (the text_perplexity_unigram discipline).
+
+    Scale shape: one tokenize+explode pass, ONE (bucket) hash agg that
+    computes raw and target counts together (no second corpus scan —
+    the conditional sum rides the same shuffle), totals as a 1-row agg
+    over the persisted bucket table riding a broadcast crossJoin, and
+    the log-ratio table is BOUNDED at 65536 rows by construction (the
+    hashing trick's point) so the join back to the feature stream is a
+    true broadcast — the corpus shuffles only on doc_id for the final
+    per-doc agg. This is exactly how DSIR runs at 100 TB: bounded LM
+    tables, two linear passes."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    # bigrams guarded: Spark's sequence(0, -1) would DESCEND (the
+    # text_ngram_topk lesson); DuckDB's range(1, 1) is simply empty
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.expr(
+            "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    feats = d.select(
+        "doc_id", "lang", F.explode(F.concat(F.col("ws"), bg)).alias("feat")
+    )
+    b = feats.select(
+        "doc_id", "lang", hashed_token_bucket(F.col("feat")).alias("b")
+    )
+    c = (
+        b.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+        )
+        .persist()  # bounded <= 65536 rows; feeds totals AND the ratio join
+    )
+    tot = c.agg(F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt"))
+    lr = c.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + 65536).cast("double"))
+            - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + 65536).cast("double"))
+        ).alias("logr"),
+    )
+    s = (
+        b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("logr"), 6).alias("avg_logw"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        "avg_logw",
+        (F.col("avg_logw") > 0).alias("is_selected"),
+    )
+
+
 @query(
     "pipeline_pretraining_select",
     oracle=f"""

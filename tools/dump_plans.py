@@ -38,12 +38,12 @@ HEADLINE_NOTES = {
     "multimodal_decode_stub": "PPM encode + decode kernels as two narrow mapInPandas stages, no KEY shuffle (plus the r11 tiny-input round-robin fan-out, absent at production split counts)",
     "pipeline_corpus_curation": "fused scan→filter→hash-window→agg in one plan",
     "pipeline_web_curation": "the C4 front-end fused: url gate + pii plant + html wrap/extract + redact + length gate as ONE row-local codegen span; the ONLY Exchange is the content-md5 hash agg",
-    "text_ccnet_perplexity_buckets": "unigram scorer (two hash aggs + unhinted vocab join) -> grouped_ntile control plane: (lang, nll-bin) windows, bounded offsets — no bare-lang partition, no SinglePartition",
+    "text_ccnet_perplexity_buckets": "unigram scorer (two hash aggs + unhinted vocab join; token total from the persisted vocab, r13 — no eager second corpus pass) -> grouped_ntile control plane: (lang, nll-bin) windows, bounded offsets — no bare-lang partition, no SinglePartition",
     "stream_stream_interval_join": "hash join on user_id + interval residual — the stream-stream join shape, no BNLJ",
     "text_repetition_stats": "three doc_id-keyed two-phase hash aggs + per-doc window; no global exchange",
     "sample_stratified": "LCG membership filter pushed into the scan; no shuffle, no RNG",
     "text_ngram_topk": "transform-built bigrams → two-phase hash agg → TakeOrderedAndProject (no global sort)",
-    "text_perplexity_unigram": "vocab hash agg broadcast back to the token stream; per-doc agg is the only big shuffle",
+    "text_perplexity_unigram": "vocab hash agg broadcast back to the token stream; token total = 1-row agg over the PERSISTED vocab riding a broadcast crossJoin (r13: the eager tok.count() second corpus pass is gone; InMemoryTableScan feeds both the join and the total); per-doc agg is the only big shuffle",
     "vec_quantize_int8": "pure projection of array higher-order fns: zero Exchange, one codegen span",
     "feature_user_activity": "one hash agg on user_id; conditional counts fused; distinct-days expand",
     "text_dedup_keep_longest": "single Exchange on text_hash feeding window + filter",
@@ -230,6 +230,9 @@ HEADLINE_NOTES = {
     "multimodal_video_frames": "two narrow Arrow kernels (AVI encode, chunk-walk decode + frame explode); only the tiny-input round-robin fan-out, no KEY shuffle",
     "multimodal_video_neardup": "per-frame dHash kernel -> pigeonhole band equi-join -> keeper hash aggs; no all-pairs, no BNLJ",
     "multimodal_video_keyframes": "two narrow Arrow kernels (AVI encode, intra-payload temporal delta); only the tiny-input round-robin fan-out, no KEY shuffle",
+    "multimodal_pair_dedup_portable": "the pair_keeper_policy code path alone over integer ids: ONE (cluster, caption) hash agg with map-side partials + a caption-diversity-bounded window; no kernels, no joins",
+    "text_dsir_importance": "one tokenize+explode pass -> ONE bucket hash agg carrying raw AND target counts together; totals = 1-row agg over the persisted bucket table via broadcast crossJoin; log-ratio table bounded at 65536 rows -> TRUE broadcast join back; corpus shuffles only on doc_id",
+    "url_dedup_canonical_incremental": "two-batch recrawl loop: row-local canonicalization, state probe = broadcast fingerprint semi-join (state parquet never shuffles), fold-in = O(batch) sharded append; normalize=False keeps canonical paths case-sensitive",
 }
 
 
