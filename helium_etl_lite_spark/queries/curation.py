@@ -720,7 +720,7 @@ def text_quality_classifier_hashed(spark, sf_dir):
     )
 
 
-_DSIR_ORACLE = f"""
+_DSIR_CORE_SQL = f"""
 WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
 f AS (SELECT doc_id, lang,
              unnest(list_concat(ws,
@@ -737,38 +737,45 @@ tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM c),
 lr AS (SELECT b, ln((c_tgt + 1) / CAST(n_tgt + 65536 AS DOUBLE))
                - ln((c_raw + 1) / CAST(n_raw + 65536 AS DOUBLE)) AS logr
        FROM c CROSS JOIN tot),
-s AS (SELECT t.doc_id, COUNT(*) AS n_feats, round(AVG(lr.logr), 6) AS avg_logw
+s AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             round(AVG(lr.logr), 6) AS avg_logw
       FROM b t JOIN lr ON t.b = lr.b GROUP BY t.doc_id)
-SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, avg_logw,
-       avg_logw > 0 AS is_selected
-FROM s
 """
 
+_DSIR_ORACLE = (
+    _DSIR_CORE_SQL
+    + """
+SELECT doc_id, n_feats, avg_logw, avg_logw > 0 AS is_selected
+FROM s
+"""
+)
 
-@query("text_dsir_importance", oracle=_DSIR_ORACLE)
-def text_dsir_importance(spark, sf_dir):
-    """DSIR importance weights (Xie 2023, "Data Selection for Language
-    Models via Importance Resampling"), hash-EXACT: hashed-n-gram
-    importance weighting — each document scores the mean log-ratio of
-    target vs raw feature probabilities over its hashed unigrams AND
-    bigrams, the selection signal that upweights target-domain-like
-    text. Target distribution = the corpus's 'en' slice (DSIR's target
-    is any trusted reference corpus; the lang slice states the shape
-    without new fixtures). Features hash through the SHARED md5
-    16-bit bucket (hashed_token_bucket — bit-identical across engines);
-    add-1 smoothing over the 65536-bucket space; avg rounded to 6 on
-    both engines (the text_perplexity_unigram discipline).
+_DSIR_BUDGET = 6000
 
-    Scale shape: one tokenize+explode pass, ONE (bucket) hash agg that
-    computes raw and target counts together (no second corpus scan —
-    the conditional sum rides the same shuffle), totals as a 1-row agg
-    over the persisted bucket table riding a broadcast crossJoin, and
-    the log-ratio table is BOUNDED at 65536 rows by construction (the
-    hashing trick's point) so the join back to the feature stream is a
-    true broadcast — the corpus shuffles only on doc_id for the final
-    per-doc agg. This is exactly how DSIR runs at 100 TB: bounded LM
-    tables, two linear passes."""
-    t = Tables(spark, sf_dir)
+_DSIR_BUDGET_ORACLE = (
+    _DSIR_CORE_SQL
+    + f"""
+, tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS n_tokens
+         FROM documents),
+j AS (SELECT s.doc_id, s.avg_logw, tk.n_tokens
+      FROM s JOIN tk USING (doc_id)),
+cum AS (SELECT doc_id, avg_logw, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY avg_logw DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
+        FROM j)
+SELECT doc_id, avg_logw, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {_DSIR_BUDGET}
+"""
+)
+
+
+def _dsir_doc_scores(t):
+    """Shared DSIR score derivation: per-doc (n_feats, avg_logw) under
+    the hashed-n-gram importance model — serves text_dsir_importance
+    (the weight report) and sample_dsir_token_budget (the budgeted
+    selection)."""
     d = t.documents.select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
     )
@@ -802,19 +809,76 @@ def text_dsir_importance(spark, sf_dir):
             - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + 65536).cast("double"))
         ).alias("logr"),
     )
-    s = (
+    return (
         b.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
             F.round(F.avg("logr"), 6).alias("avg_logw"),
         )
     )
+
+
+@query("text_dsir_importance", oracle=_DSIR_ORACLE)
+def text_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie 2023, "Data Selection for Language
+    Models via Importance Resampling"), hash-EXACT: hashed-n-gram
+    importance weighting — each document scores the mean log-ratio of
+    target vs raw feature probabilities over its hashed unigrams AND
+    bigrams, the selection signal that upweights target-domain-like
+    text. Target distribution = the corpus's 'en' slice (DSIR's target
+    is any trusted reference corpus; the lang slice states the shape
+    without new fixtures). Features hash through the SHARED md5
+    16-bit bucket (hashed_token_bucket — bit-identical across engines);
+    add-1 smoothing over the 65536-bucket space; avg rounded to 6 on
+    both engines (the text_perplexity_unigram discipline).
+
+    Scale shape: one tokenize+explode pass, ONE (bucket) hash agg that
+    computes raw and target counts together (no second corpus scan —
+    the conditional sum rides the same shuffle), totals as a 1-row agg
+    over the persisted bucket table riding a broadcast crossJoin, and
+    the log-ratio table is BOUNDED at 65536 rows by construction (the
+    hashing trick's point) so the join back to the feature stream is a
+    true broadcast — the corpus shuffles only on doc_id for the final
+    per-doc agg. This is exactly how DSIR runs at 100 TB: bounded LM
+    tables, two linear passes."""
+    t = Tables(spark, sf_dir)
+    s = _dsir_doc_scores(t)
     return s.select(
         "doc_id",
-        F.col("n_feats").cast("long").alias("n_feats"),
+        "n_feats",
         "avg_logw",
         (F.col("avg_logw") > 0).alias("is_selected"),
+    )
+
+
+@query("sample_dsir_token_budget", oracle=_DSIR_BUDGET_ORACLE)
+def sample_dsir_token_budget(spark, sf_dir):
+    """DSIR end to end, hash-EXACT: the budgeted-selection half of Xie
+    2023 — rank documents by their hashed-n-gram importance weight
+    (_dsir_doc_scores, the SAME code path as text_dsir_importance) and
+    keep the most target-like until the token budget is hit. The
+    deterministic analog of DSIR's Gumbel-noise resampling: identical
+    expected composition, reproducible output (the property an
+    auditable training-data pipeline wants).
+
+    Scale shape: the DSIR scorer's two linear passes, then
+    select_token_budget's two-level control plane for the running
+    total — per-distinct-score sums to the driver, bounded windows
+    everywhere else — instead of the oracle's partition-less
+    SUM() OVER (ORDER BY score DESC) single-task global sort."""
+    from ..operators.scale import select_token_budget
+
+    t = Tables(spark, sf_dir)
+    s = _dsir_doc_scores(t)
+    tk = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    j = s.select("doc_id", "avg_logw").join(tk, "doc_id")
+    return select_token_budget(
+        j, "avg_logw", "doc_id", "n_tokens",
+        budget=_DSIR_BUDGET, out_col="cum_tokens",
     )
 
 
