@@ -2225,6 +2225,47 @@ def url_dedup_canonical_incremental(spark, sf_dir):
     return f2.select("doc_id", "canonical_url")
 
 
+_STREAM_URL_DEDUP_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_WRAP} AS url FROM documents),
+c AS (SELECT doc_id, {_URL_CANON} AS canonical_url FROM u),
+r AS (SELECT doc_id, canonical_url,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY doc_id % 2, doc_id) AS rn
+      FROM c)
+SELECT doc_id, canonical_url FROM r WHERE rn = 1
+"""
+
+
+@query("stream_url_dedup_canonical", oracle=_STREAM_URL_DEDUP_ORACLE)
+def stream_url_dedup_canonical(spark, sf_dir):
+    """The URL recrawl loop in TRUE STREAMING form, hash-EXACT — the
+    foreachBatch twin of url_dedup_canonical_incremental with the SAME
+    semantics oracle: batch 1 (even doc_ids, one json file = one
+    micro-batch) drains through streaming/dedup_stream.py
+    start_url_dedup_stream, batch 2 (odds) lands as a second file and a
+    SECOND stream RESTARTED from the checkpoint drains the delta — the
+    kill/catch-up cycle. The landed corpus is first-crawl-wins per
+    canonical URL across both batches (evens first, then min doc_id),
+    which the oracle states as one row_number over the union — the
+    hash match proves the streaming execution lands exactly the
+    two-batch batch-loop semantics (the stream_incremental_curation
+    convergence discipline, now for the URL class)."""
+    from ..scratch import scratch_dir
+    from ..streaming.dedup_stream import start_url_dedup_stream, url_corpus
+
+    t = Tables(spark, sf_dir)
+    u = _url.url_wrap(t.documents.select("doc_id"))
+    feed = scratch_dir("stream_url_src")
+    out = scratch_dir("stream_url_out")
+
+    u.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").json(feed)
+    start_url_dedup_stream(spark, feed, out).awaitTermination(300)
+    u.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").json(feed)
+    start_url_dedup_stream(spark, feed, out).awaitTermination(300)
+
+    return url_corpus(spark, out).select("doc_id", "canonical_url")
+
+
 # ---------------------------------------------------------------------------
 # r12 flagship composition: the C4/RefinedWeb web-curation FRONT-END as
 # one plan — URL blocklist gate -> markup extraction -> PII redaction ->

@@ -520,6 +520,56 @@ class TestStreamingDedupIngest:
         assert state.select("doc_id").distinct().count() == len(clusters)
 
 
+class TestStreamingUrlDedup:
+    def test_stream_equals_batch_loop_and_state_shape(self, spark, tmp_path):
+        # Two drains with a checkpoint restart in between (the
+        # kill/catch-up cycle); survivors must equal the batch
+        # incremental loop over the same two batches, and the state
+        # holds one hash row per distinct canonical URL.
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark.streaming.dedup_stream import (
+            start_url_dedup_stream,
+            url_corpus,
+        )
+
+        b1 = [
+            (2, "HTTP://A.com:80/x?utm_source=f"),   # canon http://a.com/x
+            (4, "http://a.com/x#frag"),              # recrawl of 2
+            (6, "https://b.com/Y"),
+        ]
+        b2 = [
+            (1, "http://a.com/x"),                   # seen in batch 1
+            (3, "https://b.com/y"),                  # case-DISTINCT path: new
+            (5, "https://c.com/z?gclid=1"),          # new
+        ]
+        feed, out = str(tmp_path / "feed"), str(tmp_path / "out")
+        spark.createDataFrame(b1, "doc_id long, url string").coalesce(
+            1
+        ).write.mode("append").json(feed)
+        start_url_dedup_stream(spark, feed, out).awaitTermination(180)
+        spark.createDataFrame(b2, "doc_id long, url string").coalesce(
+            1
+        ).write.mode("append").json(feed)
+        start_url_dedup_stream(spark, feed, out).awaitTermination(180)
+
+        landed = url_corpus(spark, out)
+        got = {
+            r["doc_id"]: r["canonical_url"] for r in landed.collect()
+        }
+        assert got == {
+            2: "http://a.com/x",
+            6: "https://b.com/Y",
+            3: "https://b.com/y",
+            5: "https://c.com/z",
+        }, got
+        # state: one hash per distinct canonical landed
+        import os as _os
+
+        state = spark.read.parquet(_os.path.join(out, "url_state"))
+        assert state.select("text_hash").distinct().count() == 4
+
+
 class TestIncrementalJoinView:
     """view_incremental_join_refresh: the delta-rule identity
     V2 = V1 ∪ ΔA⋈B1 ∪ A1⋈ΔB ∪ ΔA⋈ΔB (insert-only). The exact-oracle

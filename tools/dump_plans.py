@@ -234,6 +234,7 @@ HEADLINE_NOTES = {
     "text_dsir_importance": "one tokenize+explode pass -> ONE bucket hash agg carrying raw AND target counts together; totals = 1-row agg over the persisted bucket table via broadcast crossJoin; log-ratio table bounded at 65536 rows -> TRUE broadcast join back; corpus shuffles only on doc_id",
     "sample_dsir_token_budget": "DSIR scorer plan + select_token_budget's two-level control plane for the running total — no partition-less SUM OVER (ORDER BY score) global sort",
     "url_dedup_canonical_incremental": "two-batch recrawl loop: row-local canonicalization, state probe = broadcast fingerprint semi-join (state parquet never shuffles), fold-in = O(batch) sharded append; normalize=False keeps canonical paths case-sensitive",
+    "stream_url_dedup_canonical": "foreachBatch twin of the URL recrawl loop: per-micro-batch row-local canonicalize -> min-id collapse -> broadcast fingerprint state probe -> O(batch) land + fold-in; checkpoint-restarted second drain proves catch-up",
 }
 
 
