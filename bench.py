@@ -243,6 +243,18 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     # before adding): the CCNet tercile selector on the grouped_ntile
     # control plane.
     "text_ccnet_perplexity_buckets",
+    # r13 batch (measured idle-host min-of-2 base + x10 before adding;
+    # both trivially cheap): the pair-dedup policy twin (0.3s base,
+    # 1.0x — output bounded by the 97x5 cluster/caption domain) and the
+    # URL recrawl state loop (2.3s base, 1.5x — probe O(batch), state
+    # append O(batch)). The OTHER r13 newcomers stay manual-measured
+    # (README scale table) on the bench-budget rule: text_dsir
+    # importance runs 39s at x10 (8.7x of a 4.5s base — would be the
+    # lane's heaviest member), sample_dsir_token_budget 64s at x10
+    # (6.8x of 9.4s), stream_url_dedup_canonical is a two-drain
+    # streaming loop (5.6s base, 1.2x).
+    "multimodal_pair_dedup_portable",
+    "url_dedup_canonical_incremental",
 ]
 
 
