@@ -3898,3 +3898,48 @@ class TestPiiRedact:
                 [text],
             ).fetchone()
             assert (n, red) == expect[doc_id], (doc_id, n, red)
+
+
+class TestDsirImportance:
+    """queries/curation.py DSIR — beyond oracle parity, the SEMANTIC
+    claim: documents from the target distribution ('en') must score a
+    higher mean importance weight than the rest, and the budget
+    selection must prefer them."""
+
+    def test_target_slice_scores_higher(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.tables import Tables
+
+        registry.load_all()
+        w = registry.QUERIES["text_dsir_importance"](spark, sf_dir)
+        langs = Tables(spark, sf_dir).documents.select("doc_id", "lang")
+        m = (
+            w.join(langs, "doc_id")
+            .groupBy(F.col("lang") == "en")
+            .agg(F.avg("avg_logw").alias("m"))
+            .collect()
+        )
+        by = {r[0]: r["m"] for r in m}
+        assert by[True] > by[False], by
+
+    def test_budget_selection_prefers_target(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from helium_etl_lite_spark import registry
+        from helium_etl_lite_spark.tables import Tables
+
+        registry.load_all()
+        sel = registry.QUERIES["sample_dsir_token_budget"](spark, sf_dir)
+        langs = Tables(spark, sf_dir).documents.select("doc_id", "lang")
+        t = Tables(spark, sf_dir).documents
+        corpus_en = t.where(F.col("lang") == "en").count() / t.count()
+        got = sel.join(langs, "doc_id")
+        sel_en = got.where(F.col("lang") == "en").count() / got.count()
+        # the selected set is strictly enriched in the target language
+        assert sel_en > corpus_en, (sel_en, corpus_en)
+        # and the running total respects the budget
+        from helium_etl_lite_spark.queries.curation import _DSIR_BUDGET
+
+        assert got.agg(F.max("cum_tokens")).first()[0] <= _DSIR_BUDGET
