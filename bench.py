@@ -255,6 +255,10 @@ SCALE_SET = [q for q in HEADLINE if q != "vec_dedup_cosine"] + [
     # streaming loop (5.6s base, 1.2x).
     "multimodal_pair_dedup_portable",
     "url_dedup_canonical_incremental",
+    # second r13 batch (measured 1.7s base / 0.8x at x10 before
+    # adding): interpolated Kneser-Ney — all four LM statistics off one
+    # persisted bigram table, which scales with VOCAB, not corpus.
+    "text_perplexity_kneser_ney",
 ]
 
 

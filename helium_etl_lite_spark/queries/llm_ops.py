@@ -4836,6 +4836,143 @@ def text_perplexity_bigram(spark, sf_dir):
     )
 
 
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1998 §2.7)
+# — the smoothing KenLM actually ships (Heafield 2011), i.e. what the
+# real CCNet gate runs, one rung above the stupid-backoff scorer:
+#   P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·) + lam(w1) * Pcont(w2)
+#   lam(w1)  = D * N1+(w1,·) / c(w1·)
+#   Pcont(w2)= (N1+(·,w2) + 1) / (B + Vc + 1)   [add-one floor: OOV
+#              continuations stay finite; B = bigram types, Vc =
+#              distinct continuation types]
+#   unseen context w1 -> pure continuation probability.
+# Every statistic derives from the ONE bigram-count table (D = 0.75).
+
+_PPLX_KN_ORACLE = """
+WITH tr AS (SELECT string_split(text, ' ') AS p FROM documents
+            WHERE doc_id % 10 <> 0),
+     tr_bg AS (SELECT unnest(list_transform(generate_series(2, len(p)),
+                  i -> struct_pack(w1 := p[i-1], w2 := p[i]))) AS s
+               FROM tr WHERE len(p) >= 2),
+     big AS (SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS c12
+             FROM tr_bg GROUP BY s.w1, s.w2),
+     ctx AS (SELECT w1, SUM(c12) AS c1dot, COUNT(*) AS n1fw
+             FROM big GROUP BY w1),
+     cont AS (SELECT w2, COUNT(*) AS n1bw FROM big GROUP BY w2),
+     tot AS (SELECT COUNT(*) AS bt, COUNT(DISTINCT w2) AS vc FROM big),
+     ho AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents
+            WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 2),
+     sc AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(2, len(p)),
+                       i -> struct_pack(w1 := p[i-1], w2 := p[i]))) AS s
+              FROM ho)),
+     j AS (SELECT sc.doc_id,
+              (COALESCE(c.n1bw, 0) + 1)
+                / CAST(t.bt + t.vc + 1 AS DOUBLE) AS pcont,
+              b.c12, x.c1dot, x.n1fw
+           FROM sc
+           LEFT JOIN big b ON sc.w1 = b.w1 AND sc.w2 = b.w2
+           LEFT JOIN ctx x ON sc.w1 = x.w1
+           LEFT JOIN cont c ON sc.w2 = c.w2
+           CROSS JOIN tot t),
+     pr AS (SELECT doc_id,
+              CASE WHEN c1dot IS NOT NULL
+                   THEN (greatest(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75,
+                                  0.0) / c1dot)
+                        + ((0.75 * n1fw) / c1dot) * pcont
+                   ELSE pcont END AS prob
+            FROM j)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(-ln(prob)), 6) AS avg_nll
+FROM pr GROUP BY doc_id
+"""
+
+
+@query("text_perplexity_kneser_ney", oracle=_PPLX_KN_ORACLE)
+def text_perplexity_kneser_ney(spark, sf_dir):
+    """Held-out INTERPOLATED KNESER-NEY bigram perplexity, hash-EXACT —
+    the smoothing the production CCNet gate actually uses (KenLM ships
+    modified KN; this is the classic interpolated form with one
+    absolute discount D=0.75): seen bigrams pay the discounted ML
+    estimate PLUS the interpolation mass, unseen bigrams fall through
+    to lambda(w1)*Pcont(w2), and unseen CONTEXTS score the pure
+    continuation probability — the distributional novelty signal
+    ("how many distinct contexts does w2 follow") that stupid backoff
+    (text_perplexity_bigram) cannot express. Same split convention:
+    train on doc_id % 10 != 0, score the held-out 10%.
+
+    Exactness: every statistic is an integer count off the ONE bigram
+    table; per-bigram probability is a fixed parenthesized float
+    expression both engines evaluate identically; per-doc avg rounds
+    to 6 (the established perplexity discipline).
+
+    Plan shape at 100 TB: bigrams extract ROW-LOCALLY (no lag window,
+    no self-join); the bigram table is PERSISTED and feeds all four
+    derived statistics (count join, context agg, continuation agg,
+    1-row totals via broadcast crossJoin) — without the persist each
+    branch would re-tokenize the corpus (the r13 perplexity-scorer
+    lesson); LM tables scale with vocab (sublinear in corpus), joins
+    stay unhinted so AQE broadcasts them only while small; the per-doc
+    agg is the only corpus-sized shuffle."""
+    t = Tables(spark, sf_dir)
+    parts = F.split("text", " ")
+    bg = F.expr(
+        "transform(sequence(1, size(p) - 1), i -> struct(p[i-1] AS w1, p[i] AS w2))"
+    )
+    tr = t.documents.where(F.col("doc_id") % 10 != 0).select(parts.alias("p"))
+    tr_bg = (
+        tr.where(F.size("p") >= 2)
+        .select(F.explode(bg).alias("s"))
+        .select("s.w1", "s.w2")
+    )
+    big = (
+        tr_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1dot"), F.count(F.lit(1)).alias("n1fw")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    tot = big.agg(
+        F.count(F.lit(1)).alias("bt"), F.countDistinct("w2").alias("vc")
+    )
+    ho = (
+        t.documents.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", parts.alias("p"))
+        .where(F.size("p") >= 2)
+    )
+    sc = ho.select("doc_id", F.explode(bg).alias("s")).select(
+        "doc_id", "s.w1", "s.w2"
+    )
+    j = (
+        sc.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    pcont = (F.coalesce(F.col("n1bw"), F.lit(0)) + 1) / (
+        F.col("bt") + F.col("vc") + 1
+    ).cast("double")
+    prob = F.when(
+        F.col("c1dot").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c12"), F.lit(0)).cast("double") - 0.75,
+                F.lit(0.0),
+            )
+            / F.col("c1dot")
+        )
+        + ((F.lit(0.75) * F.col("n1fw")) / F.col("c1dot")) * pcont,
+    ).otherwise(pcont)
+    return (
+        j.select("doc_id", prob.alias("prob"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("prob")), 6).alias("avg_nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # r11: WordPiece tokenization — the third mainstream subword family
 # (alongside operators/bpe.py and operators/unigram.py): greedy

@@ -121,11 +121,12 @@ FRONT_OF_WINDOW: list[str] = [
     #  multimodal_jpeg_decode, pipeline_pretraining_select_bpe,
     #  text_dedup_simhash, vec_ann_pq_rerank (rows-only by design),
     #  udaf_grouped_agg, udf_pandas_vectorized, udf_scalar_python,
-    #  win_ntile — plus the 5 NEW r13 registrations
+    #  win_ntile — plus the 6 NEW r13 registrations
     #  (url_dedup_canonical_incremental, stream_url_dedup_canonical,
     #  multimodal_pair_dedup_portable, text_dsir_importance,
-    #  sample_dsir_token_budget — all five oracle-exact at sf0.001 AND
-    #  sf0.01 before registration), which per the r11 verdict are
+    #  sample_dsir_token_budget, text_perplexity_kneser_ney — all six
+    #  oracle-exact at sf0.001 AND sf0.01 before registration), which
+    #  per the r11 verdict are
     #  capped out of the same-round rotation; until then their
     #  evidence is the full-registry DuckDB oracle sweep,
     #  tests/test_queries_oracle.py, run on HEAD each round.)

@@ -831,6 +831,75 @@ class TestBigramBackoffCoverage:
         assert got[0][1] > 1.0
 
 
+class TestKneserNeyCoverage:
+    def test_all_three_branches_fire_and_stay_exact(self, spark, tmp_path):
+        """Planted corpus exercising every KN branch in the held-out
+        doc: a train-SEEN bigram (discounted ML + interpolation mass),
+        an UNSEEN bigram whose context IS seen (pure lambda * Pcont),
+        and an unseen CONTEXT (OOV w1 -> pure continuation floor) —
+        Spark and DuckDB must agree exactly on all of them, and KN's
+        defining property must hold: the unseen bigram scores strictly
+        between the seen bigram and the OOV-context floor."""
+        import duckdb
+        import math
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rows = [
+            # held-out doc 0 bigrams: (alpha,beta) train-SEEN;
+            # (beta,alpha) unseen bigram, SEEN context; (alpha,zzz)
+            # unseen continuation, seen context; (zzz,alpha) OOV context
+            (0, "alpha beta alpha zzz alpha", "en", "s", 25),
+            # train: big = {(alpha,beta):3, (beta,gamma):1,
+            # (beta,delta):1, (gamma,alpha):1}; B=4 types, Vc=4
+            (1, "alpha beta gamma", "en", "s", 16),
+            (2, "alpha beta delta", "en", "s", 16),
+            (3, "gamma alpha beta", "en", "s", 16),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = str(tmp_path / "knk")
+        df.coalesce(1).write.parquet(d + "/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in registry.QUERIES["text_perplexity_kneser_ney"](
+                spark, d
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                registry.ORACLES["text_perplexity_kneser_ney"]
+            ).fetchall()
+        }
+        assert got == want and got[0][0] == 4
+        # hand model from the planted counts: pcont = (n1bw+1)/9
+        pcont_alpha = 2 / 9   # N1+(.,alpha)=1
+        pcont_beta = 2 / 9    # N1+(.,beta)=1
+        pcont_zzz = 1 / 9     # OOV continuation -> add-one floor
+        # ctx alpha: c1dot=3, n1fw=1; ctx beta: c1dot=2, n1fw=2
+        p_seen = (3 - 0.75) / 3 + (0.75 * 1 / 3) * pcont_beta
+        p_unseen_seen_ctx = (0.75 * 2 / 2) * pcont_alpha
+        p_unseen_cont = (0.75 * 1 / 3) * pcont_zzz
+        p_oov_ctx = pcont_alpha
+        # KN's defining ordering: seen >> unseen-with-seen-context,
+        # and every branch stays finite
+        assert p_seen > p_unseen_seen_ctx > p_unseen_cont > 0
+        hand = -(
+            math.log(p_seen)
+            + math.log(p_unseen_seen_ctx)
+            + math.log(p_unseen_cont)
+            + math.log(p_oov_ctx)
+        ) / 4
+        assert abs(got[0][1] - round(hand, 6)) < 2e-6, (got[0][1], hand)
+
+
 class TestShardManifestProperties:
     def test_partition_invariance_and_totals(self, spark, sf_dir):
         """The manifest is a pure function of the data: identical under

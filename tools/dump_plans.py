@@ -233,6 +233,7 @@ HEADLINE_NOTES = {
     "multimodal_pair_dedup_portable": "the pair_keeper_policy code path alone over integer ids: ONE (cluster, caption) hash agg with map-side partials + a caption-diversity-bounded window; no kernels, no joins",
     "text_dsir_importance": "one tokenize+explode pass -> ONE bucket hash agg carrying raw AND target counts together; totals = 1-row agg over the persisted bucket table via broadcast crossJoin; log-ratio table bounded at 65536 rows -> TRUE broadcast join back; corpus shuffles only on doc_id",
     "sample_dsir_token_budget": "DSIR scorer plan + select_token_budget's two-level control plane for the running total — no partition-less SUM OVER (ORDER BY score) global sort",
+    "text_perplexity_kneser_ney": "row-local bigram extraction; ONE persisted bigram table feeds count join, context agg, continuation agg AND the 1-row totals broadcast crossJoin (no re-tokenize per statistic); unhinted LM joins (AQE broadcasts while small); per-doc agg is the only corpus shuffle",
     "url_dedup_canonical_incremental": "two-batch recrawl loop: row-local canonicalization, state probe = broadcast fingerprint semi-join (state parquet never shuffles), fold-in = O(batch) sharded append; normalize=False keeps canonical paths case-sensitive",
     "stream_url_dedup_canonical": "foreachBatch twin of the URL recrawl loop: per-micro-batch row-local canonicalize -> min-id collapse -> broadcast fingerprint state probe -> O(batch) land + fold-in; checkpoint-restarted second drain proves catch-up",
 }
