@@ -49,87 +49,83 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # them.  Update this list each round from CORRECTNESS_r{N}.json.
 FRONT_OF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # r13 rotation (r12 verdict directive 1): the 9 r12 registrations
-    # take their FIRST driver contact, text_dedup_minhash clears the
-    # last pre-r7 verdict (r6, rows-only by design — its exact portable
-    # twin was driver-exact at r8), and 40 of the 50 r7-vintage
-    # re-confirms fill the rest (9 + 1 + 40 = 50).  The directive's
-    # "no verdict older than r8" target is arithmetically out of reach
-    # this round (50 r7-vintage verdicts exist, only 40 slots remain) —
-    # the 10 held for r14 are chosen to carry the LEAST re-run
-    # information: the 6 rows-only-by-design r7s (a rows-only re-run
-    # re-confirms nothing an exact verdict wouldn't; each has a
-    # driver-exact portable twin or pytest recall gate) plus the
-    # UDF-contract trio and win_ntile (single-operator queries whose
-    # code has not changed since r2 and which the full-registry pytest
-    # oracle sweep re-proves on HEAD every round).
-    # (1) the 9 first-contact r12 registrations:
-    "url_canonicalize",                # C4 URL canon, exact
-    "url_host_stats",                  # per-host corpus stats, exact
-    "url_blocklist_filter",            # host blocklist gate, exact
-    "url_dedup_canonical",             # recrawl collapse, exact
-    "text_pii_redact",                 # PII scrub + redacted md5, exact
-    "pipeline_web_curation",           # C4 front-end flagship, exact
-    "corpus_truncation_report",        # truncation-loss report, exact
-    "text_ccnet_perplexity_buckets",   # CCNet terciles, exact
-    "multimodal_pair_dedup",           # image-text pairs (rows by design)
-    # (2) the last pre-r7 verdict:
-    "text_dedup_minhash",              # r6 (rows-only by design; re-run)
-    # (3) 40 of the 50 r7-vintage re-confirms:
-    "agg_count_min_sketch",            # r7
-    "distinct_dedup",                  # r7
-    "dq_expectations_report",          # r7
-    "join_cross",                      # r7
-    "join_full_outer",                 # r7
-    "join_interval_overlap",           # r7
-    "limit_topk",                      # r7
-    "multimodal_png_decode",           # r7
-    "pipeline_pretraining_select",     # r7
-    "report_parts_supplier_count",     # r7
-    "report_priority_shipping",        # r7
-    "report_product_profit",           # r7
-    "report_waiting_suppliers",        # r7
-    "sample_mixture_interleave",       # r7
-    "sample_mixture_temperature",      # r7
-    "sample_reservoir_per_group",      # r7
-    "sample_split_train_test",         # r7
-    "scan_parquet",                    # r7
-    "scan_predicate_pushdown",         # r7
-    "scan_projection_pushdown",        # r7
-    "set_except",                      # r7
-    "set_intersect",                   # r7
-    "set_union_all",                   # r7
-    "set_union_distinct",              # r7
-    "sink_compact_files",              # r7
-    "sink_roundtrip_parquet",          # r7
-    "sink_snapshot_changes",           # r7
-    "sink_snapshot_changes_apply",     # r7
-    "sort_multi_key",                  # r7
-    "source_json_lines",               # r7
-    "source_schema_evolution",         # r7
-    "stream_cursor_incremental",       # r7
-    "stream_dedup_by_key",             # r7
-    "stream_session_window",           # r7
-    "stream_sliding_window_agg",       # r7
-    "stream_tumbling_window_agg",      # r7
-    "stream_watermark_late_drop",      # r7
-    "text_fuzzy_levenshtein",          # r7
-    "text_paragraph_dedup",            # r7
-    "text_tfidf",                      # r7
-    # (QUEUED for r14: the 10 r7-vintage holds —
-    #  dedup_containment_screened, graph_pagerank_topk,
-    #  multimodal_jpeg_decode, pipeline_pretraining_select_bpe,
-    #  text_dedup_simhash, vec_ann_pq_rerank (rows-only by design),
-    #  udaf_grouped_agg, udf_pandas_vectorized, udf_scalar_python,
-    #  win_ntile — plus the 6 NEW r13 registrations
-    #  (url_dedup_canonical_incremental, stream_url_dedup_canonical,
-    #  multimodal_pair_dedup_portable, text_dsir_importance,
-    #  sample_dsir_token_budget, text_perplexity_kneser_ney — all six
-    #  oracle-exact at sf0.001 AND sf0.01 before registration), which
-    #  per the r11 verdict are
-    #  capped out of the same-round rotation; until then their
-    #  evidence is the full-registry DuckDB oracle sweep,
-    #  tests/test_queries_oracle.py, run on HEAD each round.)
+    # r14 rotation (r13 verdict directive 1): the 6 r13 registrations
+    # take their FIRST driver contact (all oracle-bearing — expect 6
+    # exact), the 10 r7-vintage holds clear the oldest verdicts, and 34
+    # of the 47 r8-vintage re-confirms fill the rest (6 + 10 + 34 = 50).
+    # The 13 r8s held for r15 are chosen to carry the LEAST re-run
+    # information: the 1 rows-only-by-design r8 (multimodal_phash_neardup
+    # — a rows-only re-run re-confirms nothing; its recall gate is
+    # pytest-pinned) plus 12 of the 15 r8 portable twins (pure
+    # integer-deterministic functions over fixed input whose exactness
+    # the full-registry pytest oracle sweep re-proves on HEAD every
+    # round; 3 portables stay in-window so the class itself still gets
+    # a fresh driver point).
+    # (1) the 6 first-contact r13 registrations:
+    "text_dsir_importance",            # DSIR importance weights, exact
+    "sample_dsir_token_budget",        # DSIR top-score token budget, exact
+    "text_perplexity_kneser_ney",      # interpolated-KN bigram PPL, exact
+    "url_dedup_canonical_incremental", # URL dedup w/ persisted state, exact
+    "stream_url_dedup_canonical",      # true-streaming URL dedup, exact
+    "multimodal_pair_dedup_portable",  # pair keeper policy, exact
+    # (2) the 10 r7-vintage holds:
+    "udf_scalar_python",               # r7
+    "udf_pandas_vectorized",           # r7
+    "udaf_grouped_agg",                # r7
+    "win_ntile",                       # r7
+    "text_dedup_simhash",              # r7 (rows-only by design)
+    "dedup_containment_screened",      # r7 (rows-only by design)
+    "graph_pagerank_topk",             # r7 (rows-only by design)
+    "multimodal_jpeg_decode",          # r7 (rows-only by design)
+    "pipeline_pretraining_select_bpe", # r7 (rows-only by design)
+    "vec_ann_pq_rerank",               # r7 (rows-only by design)
+    # (3) 34 of the 47 r8-vintage re-confirms:
+    "agg_bitmap_distinct",             # r8
+    "agg_bloom_filter_probe",          # r8
+    "agg_chi_square_independence",     # r8
+    "agg_grid_hotspot",                # r8
+    "agg_ks_drift_binned",             # r8
+    "agg_quantile_sketch_grouped",     # r8
+    "dedup_containment_screened_portable",  # r8
+    "dq_referential_integrity",        # r8
+    "er_sorted_neighborhood",          # r8
+    "graph_triangle_count",            # r8
+    "join_bloom_pruned",               # r8
+    "join_lateral_topk",               # r8
+    "join_spatial_grid",               # r8
+    "multimodal_wav_decode",           # r8
+    "pack_concat_chunk",               # r8
+    "pipeline_incremental_curation",   # r8
+    "report_excess_inventory",         # r8
+    "report_forecast_revenue",         # r8
+    "report_important_stock",          # r8
+    "report_min_cost_supplier",        # r8
+    "sample_quota_waterfill",          # r8
+    "sink_file_skipping_index",        # r8
+    "sink_zorder_cluster",             # r8
+    "table_diff_audit",                # r8
+    "text_bm25_topk",                  # r8
+    "text_dedup_source_priority",      # r8
+    "text_fingerprint_winnow",         # r8
+    "text_inverted_index",             # r8
+    "text_inverted_index_incremental", # r8
+    "text_span_dedup_overlap",         # r8
+    "ts_event_transitions",            # r8
+    "view_incremental_join_refresh",   # r8
+    "vec_kmeans_portable",             # r8 (portable kept in-window)
+    "vec_pca_portable",                # r8 (portable kept in-window)
+    # (QUEUED for r15: the 13 r8-vintage holds —
+    #  multimodal_phash_neardup (rows-only by design),
+    #  agg_hll_sketch_portable, agg_quantile_sketch_portable,
+    #  graph_pagerank_portable, sample_token_budget_bpe_portable,
+    #  text_bpe_train_portable, text_dedup_minhash_portable,
+    #  text_dedup_simhash_portable, vec_ann_bitsample_portable,
+    #  vec_ann_ivf_portable, vec_ann_lsh_portable, vec_ann_pq_portable,
+    #  vec_dedup_semantic_portable — plus any NEW r14 registrations,
+    #  which per the r11 verdict are capped out of the same-round
+    #  rotation; until then their evidence is the full-registry DuckDB
+    #  oracle sweep, tests/test_queries_oracle.py, run on HEAD each
+    #  round.)
 ]
 
 # The 50-query window boundary is position-sensitive; a duplicate entry
