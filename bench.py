@@ -109,6 +109,39 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 HEADLINE_RECORD_SEC = 6.043
 RERUN_FACTOR = 1.5
 
+# Rolling best PER-QUERY official points (min over BENCH_r01..r13
+# stdout summaries; sums to 5.84s). The r13 verdict's outlier rule
+# (What's wrong #1): the total-keyed rerun above can never fire when a
+# single contaminated query hides inside an under-record total — r13
+# shipped scan_predicate_pushdown at 5.2x its record inside a
+# 0.95x-record total. A headline query exceeding OUTLIER_FACTOR x its
+# rolling record is presumed noise (min-of-5 on an idle host does not
+# drift 3x without interference; the headline set and its modules are
+# stable across rounds) and triggers the same bounded once-per-session
+# headline rerun. Update entries when an official round sets a faster
+# point.
+HEADLINE_QUERY_RECORD_SEC = {
+    "scan_predicate_pushdown": 0.231,
+    "join_multiway_star": 1.086,
+    "join_sortmerge_large": 0.517,
+    "agg_groupby_hash": 0.265,
+    "agg_count_distinct": 0.214,
+    "win_row_number_topk_per_group": 0.394,
+    "join_asof_event_order": 0.345,
+    "stream_session_window": 0.346,
+    "text_dedup_minhash": 0.924,
+    "vec_knn_cosine": 0.495,
+    "vec_dedup_cosine": 0.658,
+    "pipeline_corpus_curation": 0.362,
+}
+OUTLIER_FACTOR = 3.0
+
+# Idle-gate / breach threshold, shared by _wait_for_idle, the mid-run
+# breach check and the degraded expression (r13 ADVICE item 1: these
+# previously hardcoded 2.0 while the gate honored the env var, so an
+# override desynced them).
+IDLE_LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+
 # Scaling lane: replicate sf0.1 by this factor and re-run the headline
 # set (vec_dedup_cosine swapped for its subquadratic production twin).
 SCALE_ENABLED = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
@@ -292,7 +325,7 @@ def _wait_for_idle():
     draining host shows up in the longer averages long after the 1-min
     decays.  Bounded budget so the driver's bench slot can't hang.
     Returns (waited_sec, timed_out)."""
-    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+    threshold = IDLE_LOAD_THRESHOLD
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600"))
     poll = 15.0
     t0 = time.monotonic()
@@ -354,6 +387,17 @@ def main():
         # same session (keeping per-query minima — min-of-runs is
         # already the series metric).
         midrun_load: dict[str, float] = {}
+        # Caveat (r13 ADVICE item 2): the mid-run load1 sample cannot
+        # distinguish EXTERNAL load from the bench's own CPU — Spark
+        # saturates cores during a pass, and loadavg decays over ~60s,
+        # so a long pass self-inflates the 1-min average. The baseline
+        # sample just before the pass bounds this: a breach that was
+        # ALREADY present at pass start is external; one that only
+        # appears mid-pass may be self-load. Both the single-rerun
+        # bound and the headline_rerun flag disclose any retry either
+        # way, so the worst case is one extra (still-honest, min-kept)
+        # pass.
+        load_before_pass = round(os.getloadavg()[0], 2)
 
         def _headline_pass(tag=""):
             t_pass, s_pass, breach = {}, {}, False
@@ -363,30 +407,60 @@ def main():
                 s_pass[name] = spread
                 load1 = os.getloadavg()[0]
                 midrun_load[name] = max(midrun_load.get(name, 0.0), round(load1, 2))
-                if load1 > 2.0:
+                if load1 > IDLE_LOAD_THRESHOLD:
                     breach = True
             return t_pass, s_pass, breach
+
+        # the per-query records are sf0.1 official-series numbers; the
+        # outlier rule only arms on that series (an sf0.001 smoke or an
+        # sf10 stress run would mis-trip it in either direction)
+        outlier_rule_armed = sf_dir.rstrip("/").endswith("sf0.1")
+
+        def _outliers(t_pass):
+            if not outlier_rule_armed:
+                return []
+            return sorted(
+                name
+                for name, rec in HEADLINE_QUERY_RECORD_SEC.items()
+                if name in t_pass and t_pass[name] > OUTLIER_FACTOR * rec
+            )
 
         t1, s1, breach1 = _headline_pass()
         total1 = sum(t1.values())
         headline_rerun = False
-        # rerun when slowness is attributable to MEASURED load: either a
-        # mid-run 1-min breach, or the idle gate itself timed out (the
-        # host was known-draining at start — observed r13: a post-test
-        # session ran 13.6s at load1 0.06 / load15 3.2 with no breach).
-        if (breach1 or idle_timeout) and total1 > RERUN_FACTOR * HEADLINE_RECORD_SEC:
+        # rerun when slowness is attributable to MEASURED load (either a
+        # mid-run 1-min breach, or the idle gate itself timed out — the
+        # host was known-draining at start; observed r13: a post-test
+        # session ran 13.6s at load1 0.06 / load15 3.2 with no breach)
+        # OR when any single headline query exceeds OUTLIER_FACTOR x its
+        # rolling per-query record (r13 verdict item 2: a 5.2x outlier
+        # inside an under-record total never trips the total rule).
+        total_slow = (
+            breach1 or idle_timeout
+        ) and total1 > RERUN_FACTOR * HEADLINE_RECORD_SEC
+        outliers1 = _outliers(t1)
+        if total_slow or outliers1:
             headline_rerun = True
-            print(
-                f"# headline total {total1:.3f}s > {RERUN_FACTOR}x record "
+            reason = (
+                f"total {total1:.3f}s > {RERUN_FACTOR}x record "
                 f"{HEADLINE_RECORD_SEC}s with a load signal (mid-run max "
-                f"{max(midrun_load.values()):.2f}, idle_timeout="
-                f"{idle_timeout}) — rerunning the headline pass once",
+                f"{max(midrun_load.values()):.2f}, idle_timeout={idle_timeout})"
+                if total_slow
+                else f"per-query outliers > {OUTLIER_FACTOR}x rolling record: "
+                + ", ".join(
+                    f"{q} {t1[q]}s vs {HEADLINE_QUERY_RECORD_SEC[q]}s"
+                    for q in outliers1
+                )
+            )
+            print(
+                f"# headline {reason} — rerunning the headline pass once",
                 file=sys.stderr,
             )
             t2, s2, _ = _headline_pass(tag="rerun ")
             for name in HEADLINE:
                 if t2[name] < t1[name]:
                     t1[name], s1[name] = t2[name], s2[name]
+        outliers_final = _outliers(t1)
         timings.update(t1)
         spreads.update(s1)
         for name in EXTENDED:
@@ -458,23 +532,28 @@ def main():
             "loadavg_start": [round(x, 2) for x in load0],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             # degraded fires when the bounded idle wait gave up, load was
-            # present at session start, or the headline total is STILL
+            # present at session start, the headline total is STILL
             # record-breaking slow with a recorded mid-run breach after
-            # the one allowed rerun (r12 verdict item 2).
+            # the one allowed rerun (r12 verdict item 2), or a per-query
+            # outlier survived the rerun (r13 verdict item 2 — the point
+            # is then honest-but-contaminated, never silently official).
             "degraded": bool(
                 idle_timeout
-                or load0[0] > 2.0
+                or load0[0] > IDLE_LOAD_THRESHOLD
                 or (
-                    any(v > 2.0 for v in midrun_load.values())
+                    any(v > IDLE_LOAD_THRESHOLD for v in midrun_load.values())
                     and sum(timings[q] for q in HEADLINE)
                     > RERUN_FACTOR * HEADLINE_RECORD_SEC
                 )
+                or bool(outliers_final)
             ),
             "idle_wait_sec": idle_wait,
             "idle_wait_timeout": idle_timeout,
+            "load_before_pass": load_before_pass,
             "midrun_load": midrun_load,
             "headline_rerun": headline_rerun,
             "headline_record_sec": HEADLINE_RECORD_SEC,
+            "headline_outliers": outliers_final,
         }
         if scale_block is not None:
             detail["scale"] = scale_block
@@ -514,6 +593,8 @@ def main():
         )
         if headline_rerun:
             out["headline_rerun"] = True
+        if outliers_final:
+            out["headline_outliers"] = outliers_final
         line = json.dumps(out)
         if len(line) > 1500:
             # Never leave the driver without a parseable final line

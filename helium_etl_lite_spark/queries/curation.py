@@ -799,7 +799,11 @@ def _dsir_doc_scores(t):
             F.count(F.lit(1)).alias("c_raw"),
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
         )
-        .persist()  # bounded <= 65536 rows; feeds totals AND the ratio join
+        # bounded <= 65536 rows; feeds totals AND the ratio join. Lazy
+        # return means no safe in-function unpersist — the bounded
+        # blocks rely on MEMORY_AND_DISK LRU eviction (r13 ADVICE item
+        # 4, same policy as text_perplexity_unigram).
+        .persist()
     )
     tot = c.agg(F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt"))
     lr = c.crossJoin(F.broadcast(tot)).select(

