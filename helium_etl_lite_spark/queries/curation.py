@@ -771,14 +771,14 @@ FROM cum WHERE cum_tokens <= {_DSIR_BUDGET}
 )
 
 
-def _dsir_doc_scores(t):
-    """Shared DSIR score derivation: per-doc (n_feats, avg_logw) under
-    the hashed-n-gram importance model — serves text_dsir_importance
-    (the weight report) and sample_dsir_token_budget (the budgeted
-    selection)."""
-    d = t.documents.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
-    )
+def _dsir_feats(docs):
+    """DSIR hashed-feature stream: (doc_id, lang, text) -> one row per
+    unigram AND bigram feature, hashed to the shared 16-bit md5 bucket
+    (doc_id, lang, b). Row-local (split + transform + explode), zero
+    exchanges — the SINGLE feature definition the batch scorer, the
+    budget sampler and the incremental state twin all build on, so the
+    bucket space cannot desynchronize between them."""
+    d = docs.select("doc_id", "lang", F.split(F.col("text"), " ").alias("ws"))
     # bigrams guarded: Spark's sequence(0, -1) would DESCEND (the
     # text_ngram_topk lesson); DuckDB's range(1, 1) is simply empty
     bg = F.when(
@@ -790,29 +790,43 @@ def _dsir_doc_scores(t):
     feats = d.select(
         "doc_id", "lang", F.explode(F.concat(F.col("ws"), bg)).alias("feat")
     )
-    b = feats.select(
+    return feats.select(
         "doc_id", "lang", hashed_token_bucket(F.col("feat")).alias("b")
     )
-    c = (
-        b.groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("c_raw"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
-        )
-        # bounded <= 65536 rows; feeds totals AND the ratio join. Lazy
-        # return means no safe in-function unpersist — the bounded
-        # blocks rely on MEMORY_AND_DISK LRU eviction (r13 ADVICE item
-        # 4, same policy as text_perplexity_unigram).
-        .persist()
+
+
+def _dsir_bucket_counts(b):
+    """ONE bucket hash agg computing raw and target counts together
+    (the conditional sum rides the same shuffle — no second corpus
+    scan); output bounded at 65536 rows by the hashing trick. The
+    counts are plain integer sums, so deltas from disjoint batches
+    merge by per-bucket ADDITION — the property the incremental state
+    twin (operators/dsir.py) is built on."""
+    return b.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
     )
+
+
+def _dsir_logratio(c):
+    """Log-ratio table from a bucket-count table: add-1 smoothing over
+    the 65536-bucket space, totals as a 1-row agg riding a broadcast
+    crossJoin. Bounded input -> bounded output: the result is a TRUE
+    broadcast table."""
     tot = c.agg(F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt"))
-    lr = c.crossJoin(F.broadcast(tot)).select(
+    return c.crossJoin(F.broadcast(tot)).select(
         "b",
         (
             F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + 65536).cast("double"))
             - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + 65536).cast("double"))
         ).alias("logr"),
     )
+
+
+def _dsir_score(b, lr):
+    """Per-doc importance score: broadcast-join the feature stream to
+    the bounded log-ratio table, then ONE doc_id agg — the corpus
+    shuffles only here."""
     return (
         b.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
@@ -821,6 +835,23 @@ def _dsir_doc_scores(t):
             F.round(F.avg("logr"), 6).alias("avg_logw"),
         )
     )
+
+
+def _dsir_doc_scores(t):
+    """Shared DSIR score derivation: per-doc (n_feats, avg_logw) under
+    the hashed-n-gram importance model — serves text_dsir_importance
+    (the weight report) and sample_dsir_token_budget (the budgeted
+    selection)."""
+    b = _dsir_feats(t.documents)
+    c = (
+        _dsir_bucket_counts(b)
+        # bounded <= 65536 rows; feeds totals AND the ratio join. Lazy
+        # return means no safe in-function unpersist — the bounded
+        # blocks rely on MEMORY_AND_DISK LRU eviction (r13 ADVICE item
+        # 4, same policy as text_perplexity_unigram).
+        .persist()
+    )
+    return _dsir_score(b, _dsir_logratio(c))
 
 
 @query("text_dsir_importance", oracle=_DSIR_ORACLE)
@@ -883,6 +914,68 @@ def sample_dsir_token_budget(spark, sf_dir):
     return select_token_budget(
         j, "avg_logw", "doc_id", "n_tokens",
         budget=_DSIR_BUDGET, out_col="cum_tokens",
+    )
+
+
+_DSIR_INCR_ORACLE = (
+    _DSIR_CORE_SQL
+    + """
+SELECT doc_id, n_feats, avg_logw, avg_logw > 0 AS is_selected
+FROM s WHERE doc_id % 2 = 1
+"""
+)
+
+
+@query("text_dsir_importance_incremental", oracle=_DSIR_INCR_ORACLE)
+def text_dsir_importance_incremental(spark, sf_dir):
+    """The DSIR importance scorer with PERSISTED bucket-count state,
+    hash-EXACT (r13 verdict item 3 — the one scorer family without an
+    ingest twin): batch 1 (even doc_ids) folds its per-bucket (c_raw,
+    c_tgt) count delta into the sharded parquet state
+    (operators/dsir.py dsir_state_add — a dynamic-partition-overwrite
+    write keyed on batch id, replay-idempotent because replacing a
+    partition with identical content is a no-op; integer counts CANNOT
+    use dedup_state_add's append-only set discipline, a double append
+    would double-count). Batch 2 (odds) folds its own delta the same
+    way, then the accumulated counts are re-derived from state by
+    per-bucket addition (dsir_state_counts), the bounded log-ratio
+    broadcast is rebuilt from them, and ONLY the new batch is scored —
+    the landed corpus is never re-read.
+
+    The oracle states the equivalent batch semantics: bucket counts
+    over the UNION of both batches (which is the whole corpus — DSIR
+    scores against the full raw distribution), scores for the new
+    batch's docs. The hash match proves the two-batch fold-in
+    reconstructs the global sufficient statistics EXACTLY — addition
+    of disjoint deltas is lossless, unlike sketch merges. Drives the
+    SAME _dsir_feats/_dsir_bucket_counts/_dsir_logratio/_dsir_score
+    code path as text_dsir_importance, so the scorer cannot fork.
+    Replay-idempotence and fold-order-commutativity are pinned by
+    pytest (tests/test_rollup.py TestDsirIncremental).
+
+    Scale shape: each batch scanned once to count, the new batch once
+    more to score; state reads are O(65536 x n_batches) rows of
+    integers; the score join is a true broadcast; the only corpus-sized
+    shuffle is the per-doc agg — exactly the batch scorer's posture
+    with the corpus-wide count pass replaced by bounded state
+    arithmetic."""
+    from ..operators import dsir
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    state = scratch_dir("dsir_incremental") + "/state"
+    docs = t.documents.select("doc_id", "lang", "text")
+    b1 = _dsir_feats(docs.where(F.col("doc_id") % 2 == 0))
+    b2 = _dsir_feats(docs.where(F.col("doc_id") % 2 == 1))
+    dsir.dsir_state_add(spark, _dsir_bucket_counts(b1), state, batch_id=0)
+    dsir.dsir_state_add(spark, _dsir_bucket_counts(b2), state, batch_id=1)
+    c = dsir.dsir_state_counts(spark, state)
+    s = _dsir_score(b2, _dsir_logratio(c))
+    return s.select(
+        "doc_id",
+        "n_feats",
+        "avg_logw",
+        (F.col("avg_logw") > 0).alias("is_selected"),
     )
 
 
