@@ -4982,6 +4982,308 @@ def text_perplexity_kneser_ney(spark, sf_dir):
     )
 
 
+# Modified Kneser-Ney over TRIGRAMS (Chen & Goodman 1998 §3) — the
+# production form KenLM ships (Heafield 2011), one rung above the
+# r13 interpolated-KN bigram scorer: instead of one absolute discount
+# D = 0.75, each order carries THREE count-bucketed discounts
+#   Y    = n1 / (n1 + 2*n2)            [counts-of-counts at that order]
+#   D1   = 1 - 2*Y*n2/n1,  D2 = 2 - 3*Y*n3/n2,  D3+ = 3 - 4*Y*n4/n3
+# applied by the n-gram's own count bucket, with the interpolation
+# weight gamma(ctx) = (D1*N1(ctx·) + D2*N2(ctx·) + D3+*N3+(ctx·)) /
+# c(ctx·). The LOWER order runs on CONTINUATION counts — c'(w2,w3) =
+# N1+(·,w2,w3), the number of distinct left-contexts, NOT raw bigram
+# counts (KN's defining substitution) — with its own discount triple
+# computed from the continuation-count histogram, and the base
+# distribution is the unigram continuation probability with the same
+# add-one OOV floor as the bigram scorer. EVERY statistic derives
+# from the ONE persisted trigram-count table: the continuation table
+# is a groupBy over it, both histograms are 1-row aggs over those two
+# tables, and the discount triples ride the scoring join as 1-row
+# broadcasts.
+
+_PPLX_MKN_ORACLE = """
+WITH tr AS (SELECT string_split(text, ' ') AS p FROM documents
+            WHERE doc_id % 10 <> 0),
+tr_tg AS (SELECT unnest(list_transform(generate_series(3, len(p)),
+            i -> struct_pack(w1 := p[i-2], w2 := p[i-1], w3 := p[i]))) AS s
+          FROM tr WHERE len(p) >= 3),
+big3 AS (SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3, COUNT(*) AS c123
+         FROM tr_tg GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, SUM(c123) AS c12dot,
+                SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS nt1,
+                SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS nt2,
+                SUM(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END) AS nt3p
+         FROM big3 GROUP BY w1, w2),
+hist3 AS (SELECT SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS h1,
+                 SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS h2,
+                 SUM(CASE WHEN c123 = 3 THEN 1 ELSE 0 END) AS h3,
+                 SUM(CASE WHEN c123 = 4 THEN 1 ELSE 0 END) AS h4
+          FROM big3),
+y3 AS (SELECT h1, h2, h3, h4,
+              CASE WHEN h1 + 2 * h2 > 0
+                   THEN h1 / CAST(h1 + 2 * h2 AS DOUBLE) ELSE 0.0 END AS y
+       FROM hist3),
+disc3 AS (SELECT
+            CASE WHEN h1 > 0 THEN 1.0 - (2.0 * y * h2) / h1 ELSE 0.5 END AS d1,
+            CASE WHEN h2 > 0 THEN 2.0 - (3.0 * y * h3) / h2 ELSE 1.5 END AS d2,
+            CASE WHEN h3 > 0 THEN 3.0 - (4.0 * y * h4) / h3 ELSE 2.5 END AS d3
+          FROM y3),
+cont23 AS (SELECT w2, w3, COUNT(*) AS cb FROM big3 GROUP BY w2, w3),
+ctx2 AS (SELECT w2, SUM(cb) AS c2dot,
+                SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS mt1,
+                SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS mt2,
+                SUM(CASE WHEN cb >= 3 THEN 1 ELSE 0 END) AS mt3p
+         FROM cont23 GROUP BY w2),
+hist2 AS (SELECT SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS g1,
+                 SUM(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS g2,
+                 SUM(CASE WHEN cb = 3 THEN 1 ELSE 0 END) AS g3,
+                 SUM(CASE WHEN cb = 4 THEN 1 ELSE 0 END) AS g4,
+                 COUNT(*) AS bt, COUNT(DISTINCT w3) AS vc
+          FROM cont23),
+y2 AS (SELECT g1, g2, g3, g4, bt, vc,
+              CASE WHEN g1 + 2 * g2 > 0
+                   THEN g1 / CAST(g1 + 2 * g2 AS DOUBLE) ELSE 0.0 END AS y
+       FROM hist2),
+disc2 AS (SELECT
+            CASE WHEN g1 > 0 THEN 1.0 - (2.0 * y * g2) / g1 ELSE 0.5 END AS e1,
+            CASE WHEN g2 > 0 THEN 2.0 - (3.0 * y * g3) / g2 ELSE 1.5 END AS e2,
+            CASE WHEN g3 > 0 THEN 3.0 - (4.0 * y * g4) / g3 ELSE 2.5 END AS e3,
+            bt, vc
+          FROM y2),
+contw AS (SELECT w3, COUNT(*) AS n1bw FROM cont23 GROUP BY w3),
+ho AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents
+       WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+sc AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3 FROM (
+         SELECT doc_id, unnest(list_transform(generate_series(3, len(p)),
+           i -> struct_pack(w1 := p[i-2], w2 := p[i-1], w3 := p[i]))) AS s
+         FROM ho)),
+j AS (SELECT sc.doc_id, b.c123, x.c12dot, x.nt1, x.nt2, x.nt3p,
+             cbt.cb, x2.c2dot, x2.mt1, x2.mt2, x2.mt3p, cw.n1bw,
+             dt.d1, dt.d2, dt.d3, et.e1, et.e2, et.e3, et.bt, et.vc
+      FROM sc
+      LEFT JOIN big3 b ON sc.w1 = b.w1 AND sc.w2 = b.w2 AND sc.w3 = b.w3
+      LEFT JOIN ctx3 x ON sc.w1 = x.w1 AND sc.w2 = x.w2
+      LEFT JOIN cont23 cbt ON sc.w2 = cbt.w2 AND sc.w3 = cbt.w3
+      LEFT JOIN ctx2 x2 ON sc.w2 = x2.w2
+      LEFT JOIN contw cw ON sc.w3 = cw.w3
+      CROSS JOIN disc3 dt CROSS JOIN disc2 et),
+jl AS (SELECT doc_id, c123, c12dot, nt1, nt2, nt3p, d1, d2, d3,
+         CASE WHEN c2dot IS NOT NULL THEN
+           greatest(CAST(COALESCE(cb, 0) AS DOUBLE) -
+             (CASE WHEN cb IS NULL THEN 0.0 WHEN cb = 1 THEN e1
+                   WHEN cb = 2 THEN e2 ELSE e3 END), 0.0) / c2dot
+           + (((e1 * mt1) + (e2 * mt2) + (e3 * mt3p)) / c2dot)
+             * ((COALESCE(n1bw, 0) + 1) / CAST(bt + vc + 1 AS DOUBLE))
+         ELSE (COALESCE(n1bw, 0) + 1) / CAST(bt + vc + 1 AS DOUBLE)
+         END AS plower
+       FROM j),
+pr AS (SELECT doc_id,
+         CASE WHEN c12dot IS NOT NULL THEN
+           greatest(CAST(COALESCE(c123, 0) AS DOUBLE) -
+             (CASE WHEN c123 IS NULL THEN 0.0 WHEN c123 = 1 THEN d1
+                   WHEN c123 = 2 THEN d2 ELSE d3 END), 0.0) / c12dot
+           + (((d1 * nt1) + (d2 * nt2) + (d3 * nt3p)) / c12dot) * plower
+         ELSE plower END AS prob
+       FROM jl)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       round(AVG(-ln(prob)), 6) AS avg_nll
+FROM pr GROUP BY doc_id
+"""
+
+
+@query("text_perplexity_modified_kn", oracle=_PPLX_MKN_ORACLE)
+def text_perplexity_modified_kn(spark, sf_dir):
+    """Held-out MODIFIED KNESER-NEY trigram perplexity, hash-EXACT —
+    KenLM's production smoothing (Chen & Goodman 1998 §3; Heafield
+    2011), the natural rung above text_perplexity_kneser_ney's single
+    absolute discount: three count-bucketed discounts (D1/D2/D3+)
+    derived from each order's counts-of-counts histogram, applied by
+    the scored n-gram's own count bucket; gamma redistributes exactly
+    the discounted mass; the lower order runs on CONTINUATION counts
+    (distinct left-contexts, KN's defining substitution) with its own
+    discount triple; unseen trigram contexts fall through to the
+    continuation-bigram model and unseen bigram contexts to the
+    add-one-floored unigram continuation base (the r13 KN
+    convention). Same split: train on doc_id % 10 != 0, score the
+    held-out 10% (docs with >= 3 tokens).
+
+    Exactness: every statistic is an integer count off the ONE
+    persisted trigram table; both discount triples are fixed
+    parenthesized double expressions over 1-row histograms evaluated
+    identically by both engines; per-doc avg rounds to 6.
+
+    Plan shape at 100 TB: trigrams extract ROW-LOCALLY; the trigram
+    table feeds context agg, continuation table, histogram, and count
+    join; the continuation table (bounded by bigram TYPES) feeds its
+    own three branches — both persisted, so no branch re-tokenizes
+    the corpus (the r13 perplexity-scorer lesson; same LRU-eviction
+    cache policy as text_perplexity_unigram). The discount triples
+    are 1-row broadcast crossJoins; LM joins stay unhinted for AQE;
+    the per-doc agg is the only corpus-sized shuffle."""
+    t = Tables(spark, sf_dir)
+    parts = F.split("text", " ")
+    tg = F.expr(
+        "transform(sequence(2, size(p) - 1), "
+        "i -> struct(p[i-2] AS w1, p[i-1] AS w2, p[i] AS w3))"
+    )
+    tr = t.documents.where(F.col("doc_id") % 10 != 0).select(parts.alias("p"))
+    tr_tg = (
+        tr.where(F.size("p") >= 3)
+        .select(F.explode(tg).alias("s"))
+        .select("s.w1", "s.w2", "s.w3")
+    )
+    big3 = (
+        tr_tg.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .persist()
+    )
+    ctx3 = big3.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12dot"),
+        F.sum(F.when(F.col("c123") == 1, 1).otherwise(0)).alias("nt1"),
+        F.sum(F.when(F.col("c123") == 2, 1).otherwise(0)).alias("nt2"),
+        F.sum(F.when(F.col("c123") >= 3, 1).otherwise(0)).alias("nt3p"),
+    )
+    hist3 = big3.agg(
+        F.sum(F.when(F.col("c123") == 1, 1).otherwise(0)).alias("h1"),
+        F.sum(F.when(F.col("c123") == 2, 1).otherwise(0)).alias("h2"),
+        F.sum(F.when(F.col("c123") == 3, 1).otherwise(0)).alias("h3"),
+        F.sum(F.when(F.col("c123") == 4, 1).otherwise(0)).alias("h4"),
+    )
+    y3 = hist3.select(
+        "h1", "h2", "h3", "h4",
+        F.when(
+            F.col("h1") + 2 * F.col("h2") > 0,
+            F.col("h1") / (F.col("h1") + 2 * F.col("h2")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("y"),
+    )
+    disc3 = y3.select(
+        F.when(
+            F.col("h1") > 0,
+            F.lit(1.0) - (F.lit(2.0) * F.col("y") * F.col("h2")) / F.col("h1"),
+        ).otherwise(F.lit(0.5)).alias("d1"),
+        F.when(
+            F.col("h2") > 0,
+            F.lit(2.0) - (F.lit(3.0) * F.col("y") * F.col("h3")) / F.col("h2"),
+        ).otherwise(F.lit(1.5)).alias("d2"),
+        F.when(
+            F.col("h3") > 0,
+            F.lit(3.0) - (F.lit(4.0) * F.col("y") * F.col("h4")) / F.col("h3"),
+        ).otherwise(F.lit(2.5)).alias("d3"),
+    )
+    cont23 = (
+        big3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cb")).persist()
+    )
+    ctx2 = cont23.groupBy("w2").agg(
+        F.sum("cb").alias("c2dot"),
+        F.sum(F.when(F.col("cb") == 1, 1).otherwise(0)).alias("mt1"),
+        F.sum(F.when(F.col("cb") == 2, 1).otherwise(0)).alias("mt2"),
+        F.sum(F.when(F.col("cb") >= 3, 1).otherwise(0)).alias("mt3p"),
+    )
+    hist2 = cont23.agg(
+        F.sum(F.when(F.col("cb") == 1, 1).otherwise(0)).alias("g1"),
+        F.sum(F.when(F.col("cb") == 2, 1).otherwise(0)).alias("g2"),
+        F.sum(F.when(F.col("cb") == 3, 1).otherwise(0)).alias("g3"),
+        F.sum(F.when(F.col("cb") == 4, 1).otherwise(0)).alias("g4"),
+        F.count(F.lit(1)).alias("bt"),
+        F.countDistinct("w3").alias("vc"),
+    )
+    y2 = hist2.select(
+        "g1", "g2", "g3", "g4", "bt", "vc",
+        F.when(
+            F.col("g1") + 2 * F.col("g2") > 0,
+            F.col("g1") / (F.col("g1") + 2 * F.col("g2")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("y"),
+    )
+    disc2 = y2.select(
+        F.when(
+            F.col("g1") > 0,
+            F.lit(1.0) - (F.lit(2.0) * F.col("y") * F.col("g2")) / F.col("g1"),
+        ).otherwise(F.lit(0.5)).alias("e1"),
+        F.when(
+            F.col("g2") > 0,
+            F.lit(2.0) - (F.lit(3.0) * F.col("y") * F.col("g3")) / F.col("g2"),
+        ).otherwise(F.lit(1.5)).alias("e2"),
+        F.when(
+            F.col("g3") > 0,
+            F.lit(3.0) - (F.lit(4.0) * F.col("y") * F.col("g4")) / F.col("g3"),
+        ).otherwise(F.lit(2.5)).alias("e3"),
+        "bt", "vc",
+    )
+    contw = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("n1bw"))
+    ho = (
+        t.documents.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", parts.alias("p"))
+        .where(F.size("p") >= 3)
+    )
+    sc = ho.select("doc_id", F.explode(tg).alias("s")).select(
+        "doc_id", "s.w1", "s.w2", "s.w3"
+    )
+    j = (
+        sc.join(big3, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(cont23, ["w2", "w3"], "left")
+        .join(ctx2, "w2", "left")
+        .join(contw, "w3", "left")
+        .crossJoin(F.broadcast(disc3))
+        .crossJoin(F.broadcast(disc2))
+    )
+    pbase = (F.coalesce(F.col("n1bw"), F.lit(0)) + 1) / (
+        F.col("bt") + F.col("vc") + 1
+    ).cast("double")
+    db = (
+        F.when(F.col("cb").isNull(), F.lit(0.0))
+        .when(F.col("cb") == 1, F.col("e1"))
+        .when(F.col("cb") == 2, F.col("e2"))
+        .otherwise(F.col("e3"))
+    )
+    plower = F.when(
+        F.col("c2dot").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("cb"), F.lit(0)).cast("double") - db, F.lit(0.0)
+        )
+        / F.col("c2dot")
+        + (
+            (
+                (F.col("e1") * F.col("mt1"))
+                + (F.col("e2") * F.col("mt2"))
+                + (F.col("e3") * F.col("mt3p"))
+            )
+            / F.col("c2dot")
+        )
+        * pbase,
+    ).otherwise(pbase)
+    dd = (
+        F.when(F.col("c123").isNull(), F.lit(0.0))
+        .when(F.col("c123") == 1, F.col("d1"))
+        .when(F.col("c123") == 2, F.col("d2"))
+        .otherwise(F.col("d3"))
+    )
+    prob = F.when(
+        F.col("c12dot").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c123"), F.lit(0)).cast("double") - dd, F.lit(0.0)
+        )
+        / F.col("c12dot")
+        + (
+            (
+                (F.col("d1") * F.col("nt1"))
+                + (F.col("d2") * F.col("nt2"))
+                + (F.col("d3") * F.col("nt3p"))
+            )
+            / F.col("c12dot")
+        )
+        * plower,
+    ).otherwise(plower)
+    return (
+        j.select("doc_id", prob.alias("prob"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(-F.log("prob")), 6).alias("avg_nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # r11: WordPiece tokenization — the third mainstream subword family
 # (alongside operators/bpe.py and operators/unigram.py): greedy

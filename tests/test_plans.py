@@ -1497,3 +1497,31 @@ def test_url_dedup_incremental_state_never_shuffles(spark, sf_dir):
     df = q("url_dedup_canonical_incremental", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_modified_kn_single_tokenize_no_cartesian(spark, sf_dir):
+    # r14: the modified-KN trigram scorer derives ALL statistics from
+    # the persisted trigram table (and the continuation table derived
+    # from it) — after materialization the plan must read the caches
+    # in multiple branches (no branch re-tokenizes the corpus), and
+    # the only nested-loop joins are the 1-row discount-triple
+    # broadcasts (BuildRight, Cross) — never a CartesianProduct.
+    df = q("text_perplexity_modified_kn", spark, sf_dir)
+    df.count()  # materialize so the cache shows in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "BuildRight, Cross" in plan, plan
+
+
+def test_dsir_incremental_state_arithmetic_is_broadcast(spark, sf_dir):
+    # r14: the incremental DSIR scorer rebuilds the log-ratio table
+    # from persisted bucket-count state (bounded at 65536 rows) — the
+    # join back to the new batch's feature stream must stay a
+    # broadcast hash join (the corpus side never key-shuffles on the
+    # bucket), exactly like the one-shot scorer's plan gate.
+    df = q("text_dsir_importance_incremental", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

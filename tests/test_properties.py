@@ -900,6 +900,89 @@ class TestKneserNeyCoverage:
         assert abs(got[0][1] - round(hand, 6)) < 2e-6, (got[0][1], hand)
 
 
+class TestModifiedKNCoverage:
+    def test_all_smoothing_branches_fire_and_stay_exact(self, spark, tmp_path):
+        """Planted corpus exercising every modified-KN branch in the
+        held-out doc: trigrams in all three discount buckets (count
+        1 / 2 / >=3), an unseen trigram whose CONTEXT is seen (trigram
+        gamma * lower), unseen trigram contexts falling to the
+        continuation-bigram model on both its seen path (cb=1 and the
+        cb=2 bucket) and its gamma path, and full fall-through to the
+        add-one unigram-continuation floor — Spark and DuckDB must
+        agree exactly on the per-doc result."""
+        import duckdb
+
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        rows = [
+            # held-out doc 0 trigram stream (16 trigrams) hits, in
+            # order: (a,b,c) c=3 -> D3+ bucket; (b,c,d) c=1 -> D1;
+            # (c,d,q)/(d,q,x)/(q,x,y) unseen ctx -> lower, w2 not a
+            # continuation context -> pbase floor; (x,y,z) c=2 -> D2;
+            # (y,z,w) unseen trigram, SEEN ctx -> gamma3 * lower with
+            # (z,w) unseen but z a seen cont-context -> lower gamma;
+            # (q,b,c) unseen ctx, (b,c) cont pair cb=1 -> lower seen
+            # D1; (k,y,z) unseen ctx, (y,z) cont pair cb=2 -> lower
+            # seen D2.
+            (0, "a b c d q x y z w a q q b c d k y z", "en", "s", 36),
+            # train: (a,b,c) x3 (docs 1-3), (x,y,z) x2 (docs 4-5),
+            # singles (b,c,d)/(b,c,e)/(b,c,f)/(y,z,y)/(z,y,z)/(y,z,q);
+            # cont pairs: (y,z) has distinct w1 {x,z} -> cb=2, rest 1
+            (1, "a b c d", "en", "s", 7),
+            (2, "a b c e", "en", "s", 7),
+            (3, "a b c f", "en", "s", 7),
+            (4, "x y z y z", "en", "s", 9),
+            (5, "x y z q", "en", "s", 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = str(tmp_path / "mkn")
+        df.coalesce(1).write.parquet(d + "/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["avg_nll"])
+            for r in registry.QUERIES["text_perplexity_modified_kn"](
+                spark, d
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+        )
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                registry.ORACLES["text_perplexity_modified_kn"]
+            ).fetchall()
+        }
+        assert got == want and got[0][0] == 16
+        assert got[0][1] > 0
+        # pin the planted statistics the branch claims above rest on:
+        # trigram counts hit all three discount buckets, and the
+        # continuation table has both a cb=1 and the cb=2 pair (y,z)
+        from pyspark.sql import functions as F
+
+        tr = spark.read.parquet(d + "/documents.parquet").where(
+            F.col("doc_id") % 10 != 0
+        )
+        tgs = tr.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(split(text,' ')) - 1), "
+                    "i -> struct(split(text,' ')[i-2] AS w1, "
+                    "split(text,' ')[i-1] AS w2, split(text,' ')[i] AS w3))"
+                )
+            ).alias("s")
+        ).select("s.w1", "s.w2", "s.w3")
+        big3 = tgs.groupBy("w1", "w2", "w3").count()
+        buckets = {r["count"] for r in big3.collect()}
+        assert {1, 2, 3} <= buckets
+        cont = big3.groupBy("w2", "w3").count()
+        cbs = {(r["w2"], r["w3"]): r["count"] for r in cont.collect()}
+        assert cbs[("y", "z")] == 2 and 1 in set(cbs.values())
+
+
 class TestShardManifestProperties:
     def test_partition_invariance_and_totals(self, spark, sf_dir):
         """The manifest is a pure function of the data: identical under
