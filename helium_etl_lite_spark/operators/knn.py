@@ -1054,6 +1054,57 @@ def pq_ann_rerank(
     )
 
 
+def _portable_assign_quantized(points: DataFrame, cs: DataFrame) -> DataFrame:
+    """One portable-kmeans assignment pass: quantized points (vec_id,
+    q) against a K-row codebook (centroid_id, cq), broadcast join +
+    per-point min with deterministic ties on centroid_id. The SINGLE
+    assignment definition the Lloyd loop, the final-stats pass and
+    kmeans_portable_assign all share, so training-time and
+    selection-time assignments cannot drift."""
+    d = (
+        F.aggregate(F.zip_with("q", "q", lambda x, y: x * y),
+                    F.lit(0.0), lambda a, x: a + x)
+        - 2.0 * F.aggregate(F.zip_with("q", "cq", lambda x, y: x * y),
+                            F.lit(0.0), lambda a, x: a + x)
+        + F.aggregate(F.zip_with("cq", "cq", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    )
+    pairs = points.join(F.broadcast(cs)).withColumn("dist", d)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "q", "centroid_id", "dist")
+    )
+
+
+def kmeans_portable_assign(
+    vectors: DataFrame,
+    cents: DataFrame,
+    scale: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign raw vectors to a trained portable-kmeans codebook:
+    quantize exactly as training did (round(x*scale), the one IEEE
+    multiply + half-away round), then the shared broadcast assignment
+    pass. Returns (vec_id, centroid_id, dist) — dist is the exact
+    integer-valued quantized squared-L2. The K-row codebook broadcasts;
+    the fact side never shuffles."""
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0),
+        ).alias("q"),
+    )
+    return _portable_assign_quantized(q, cents).select(
+        "vec_id", "centroid_id", "dist"
+    )
+
+
 def kmeans_portable_quantized(
     vectors: DataFrame,
     k: int = 8,
@@ -1123,24 +1174,7 @@ def kmeans_portable_quantized(
             f"numerics covering 0..{k - 1}"
         )
 
-    def _assign(points: DataFrame, cs: DataFrame) -> DataFrame:
-        d = (
-            F.aggregate(F.zip_with("q", "q", lambda x, y: x * y),
-                        F.lit(0.0), lambda a, x: a + x)
-            - 2.0 * F.aggregate(F.zip_with("q", "cq", lambda x, y: x * y),
-                                F.lit(0.0), lambda a, x: a + x)
-            + F.aggregate(F.zip_with("cq", "cq", lambda x, y: x * y),
-                          F.lit(0.0), lambda a, x: a + x)
-        )
-        pairs = points.join(F.broadcast(cs)).withColumn("dist", d)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
-        return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "q", "centroid_id", "dist")
-        )
+    _assign = _portable_assign_quantized
 
     for _ in range(rounds):
         best = _assign(q, cents)

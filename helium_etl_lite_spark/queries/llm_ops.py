@@ -2796,6 +2796,90 @@ def vec_ann_ivf_portable(spark, sf_dir):
     )
 
 
+_CBS_Q = 20
+
+_CBS_ORACLE = (
+    _kmp_cte_prefix(_KMP_K, _KMP_SCALE, _KMP_ROUNDS, _KMP_DIM)
+    + f""",
+    final_best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_KMP_DIST} ASC, c.centroid_id ASC) AS rn
+        FROM v, c{_KMP_ROUNDS} c) WHERE rn = 1),
+    tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+    jj AS (SELECT f.centroid_id, tk.doc_id, tk.n_tokens
+           FROM final_best f JOIN tk ON f.vec_id = tk.doc_id),
+    rr AS (SELECT centroid_id, doc_id, n_tokens,
+                  row_number() OVER (PARTITION BY centroid_id
+                                     ORDER BY n_tokens DESC, doc_id ASC)
+                    AS rank_in_cluster
+           FROM jj)
+    SELECT doc_id, centroid_id, n_tokens,
+           CAST(rank_in_cluster AS BIGINT) AS rank_in_cluster
+    FROM rr WHERE rank_in_cluster <= {_CBS_Q}"""
+)
+
+
+@query("pipeline_cluster_balanced_select", oracle=_CBS_ORACLE)
+def pipeline_cluster_balanced_select(spark, sf_dir):
+    """CLUSTER-BALANCED data selection, hash-EXACT end to end — the
+    diversity-preserving sampling of prototype-based pruning (Sorscher
+    et al. 2022, "Beyond neural scaling laws") and SemDeDup-style
+    curation: embed -> k-means -> take the top documents from EVERY
+    cluster, so selection keeps the corpus's semantic spread instead
+    of letting one dominant mode fill the budget. Train the
+    integer-exact portable codebook (vec_kmeans_portable's — SAME
+    constants, so this oracle splices selection onto the SAME
+    generated Lloyd CTE prefix and the two can never drift), assign
+    every vector via the shared broadcast assignment pass
+    (operators/knn.py kmeans_portable_assign), join the documents
+    table, and keep each cluster's top 20 by token count (the
+    deterministic quality proxy; a trained classifier score plugs into
+    the same plan as one more broadcast join).
+
+    Scale shape: codebook training is the portable-kmeans loop (K-row
+    broadcasts, one narrow re-center agg per round — never an N-row
+    shuffle); assignment is a K-row broadcast map pass; the per-cluster
+    top-Q rides the GROUPED control plane (operators/scale.py
+    grouped_row_number) because centroid_id has only K=8 values — a
+    bare window partitioned on it would funnel each cluster through
+    ONE task at 100 TB (the win_ntile lesson), while the token-count
+    bucket spreads every cluster across the bin domain."""
+    from ..operators.knn import kmeans_portable_assign, kmeans_portable_quantized
+    from ..operators.scale import grouped_row_number
+
+    t = Tables(spark, sf_dir)
+    _, cents = kmeans_portable_quantized(
+        t.embeddings,
+        k=_KMP_K,
+        scale=_KMP_SCALE,
+        rounds=_KMP_ROUNDS,
+        compute_stats=False,
+    )
+    asg = kmeans_portable_assign(t.embeddings, cents, scale=_KMP_SCALE).select(
+        F.col("vec_id").alias("doc_id"), "centroid_id"
+    )
+    tk = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    ranked = grouped_row_number(
+        asg.join(tk, "doc_id"),
+        ["centroid_id"],
+        F.floor(-F.col("n_tokens") / F.lit(16)),
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        out_col="rank_in_cluster",
+    )
+    return ranked.where(F.col("rank_in_cluster") <= _CBS_Q).select(
+        "doc_id",
+        "centroid_id",
+        "n_tokens",
+        F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"),
+    )
+
+
 @query(
     "text_dedup_source_priority",
     oracle="""

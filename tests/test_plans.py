@@ -1515,6 +1515,38 @@ def test_modified_kn_single_tokenize_no_cartesian(spark, sf_dir):
         assert "BuildRight, Cross" in plan, plan
 
 
+def test_cluster_balanced_select_rides_grouped_plane(spark, sf_dir):
+    # r14: the per-cluster top-Q must NOT be a bare window partitioned
+    # on centroid_id (K=8 values -> one task per cluster at 100 TB);
+    # it rides grouped_row_number, so any window PARTITIONED on
+    # centroid_id must also partition (or offset-sort) on the __gb
+    # bucket. The Lloyd-loop windows legitimately ORDER on centroid_id
+    # inside a vec_id partition, so the check parses the partition
+    # part (everything before the first ASC/DESC-marked order key)
+    # rather than grepping the whole spec.
+    import re
+
+    df = q("pipeline_cluster_balanced_select", spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "no window in plan?"
+    saw_grouped = False
+    for spec in specs:
+        parts = spec.split(", ")
+        partition = []
+        for p in parts:
+            if " ASC" in p or " DESC" in p:
+                break
+            partition.append(p)
+        part_str = ", ".join(partition)
+        if "centroid_id" in part_str:
+            assert "__gb" in spec, (
+                f"window partitioned on bare centroid_id: {spec}"
+            )
+            saw_grouped = True
+    assert saw_grouped, "expected a (centroid_id, __gb) grouped window"
+
+
 def test_dsir_incremental_state_arithmetic_is_broadcast(spark, sf_dir):
     # r14: the incremental DSIR scorer rebuilds the log-ratio table
     # from persisted bucket-count state (bounded at 65536 rows) — the
