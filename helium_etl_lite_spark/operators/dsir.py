@@ -32,15 +32,9 @@ the score join back to the feature stream is a true broadcast.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-
-def _path_missing(exc: AnalysisException) -> bool:
-    from ..errors import is_path_not_found
-
-    return is_path_not_found(exc)
+from .count_state import count_state_add, count_state_totals
 
 
 def dsir_state_add(
@@ -52,25 +46,15 @@ def dsir_state_add(
     """Fold one batch's bucket-count delta into the persisted state.
 
     `counts` must be a (b, c_raw, c_tgt) table (one row per touched
-    bucket — the output of the shared bucket agg). The write replaces
-    ONLY the `batch=batch_id` partition (dynamic partition overwrite),
-    so replaying a crashed fold-in converges: the delta is a pure
-    function of the batch, and overwrite-with-identical-content is a
-    no-op. coalesce(1) is safe — the delta is bounded at 65536 rows by
-    the bucket space, a single small file per batch."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            counts.select("b", "c_raw", "c_tgt")
-            .withColumn("batch", F.lit(int(batch_id)))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(state_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    bucket — the output of the shared bucket agg). Delegates to the
+    generic additive-count state (operators/count_state.py): the write
+    replaces ONLY the `batch=batch_id` partition, so replaying a
+    crashed fold-in converges; one file per batch is right because the
+    delta is bounded at 65536 rows by the bucket space."""
+    count_state_add(
+        spark, counts, state_path, batch_id,
+        key_cols=["b"], count_cols=["c_raw", "c_tgt"],
+    )
 
 
 def dsir_state_counts(
@@ -81,12 +65,6 @@ def dsir_state_counts(
     batch scorer computes from a full corpus scan, derived here from
     O(65536 x n_batches) stored rows instead. None if no batch has
     ever been folded in."""
-    try:
-        state = spark.read.parquet(state_path)
-    except AnalysisException as exc:
-        if not _path_missing(exc):
-            raise
-        return None
-    return state.groupBy("b").agg(
-        F.sum("c_raw").alias("c_raw"), F.sum("c_tgt").alias("c_tgt")
+    return count_state_totals(
+        spark, state_path, key_cols=["b"], count_cols=["c_raw", "c_tgt"]
     )

@@ -5205,22 +5205,44 @@ def text_perplexity_modified_kn(spark, sf_dir):
     are 1-row broadcast crossJoins; LM joins stay unhinted for AQE;
     the per-doc agg is the only corpus-sized shuffle."""
     t = Tables(spark, sf_dir)
-    parts = F.split("text", " ")
-    tg = F.expr(
+    big3 = _mkn_train_trigrams(
+        t.documents.where(F.col("doc_id") % 10 != 0)
+    ).persist()
+    return _mkn_score_from_big3(t, big3)
+
+
+def _mkn_tg():
+    # F.expr needs an active session, so this cannot be a module const
+    return F.expr(
         "transform(sequence(2, size(p) - 1), "
         "i -> struct(p[i-2] AS w1, p[i-1] AS w2, p[i] AS w3))"
     )
-    tr = t.documents.where(F.col("doc_id") % 10 != 0).select(parts.alias("p"))
+
+
+def _mkn_train_trigrams(docs):
+    """Trigram-count table off a (training) document set: row-local
+    extraction (no lag window, no self-join), ONE (w1,w2,w3) hash agg.
+    The SINGLE trigram definition the one-shot scorer and the
+    incremental state twin both build on."""
+    tr = docs.select(F.split("text", " ").alias("p"))
     tr_tg = (
         tr.where(F.size("p") >= 3)
-        .select(F.explode(tg).alias("s"))
+        .select(F.explode(_mkn_tg()).alias("s"))
         .select("s.w1", "s.w2", "s.w3")
     )
-    big3 = (
-        tr_tg.groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c123"))
-        .persist()
-    )
+    return tr_tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+
+
+def _mkn_score_from_big3(t, big3):
+    """Modified-KN held-out scoring given a (persisted) trigram-count
+    table: derives EVERY statistic — context aggs, continuation table,
+    both counts-of-counts histograms, both discount triples — from
+    `big3`, then scores the held-out 10%. Shared verbatim by
+    text_perplexity_modified_kn (big3 from one corpus scan) and
+    text_perplexity_modified_kn_incremental (big3 summed from
+    persisted per-batch deltas): integer addition is lossless, so the
+    two entry points are bit-identical downstream of this seam."""
+    parts = F.split("text", " ")
     ctx3 = big3.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12dot"),
         F.sum(F.when(F.col("c123") == 1, 1).otherwise(0)).alias("nt1"),
@@ -5299,7 +5321,7 @@ def text_perplexity_modified_kn(spark, sf_dir):
         .select("doc_id", parts.alias("p"))
         .where(F.size("p") >= 3)
     )
-    sc = ho.select("doc_id", F.explode(tg).alias("s")).select(
+    sc = ho.select("doc_id", F.explode(_mkn_tg()).alias("s")).select(
         "doc_id", "s.w1", "s.w2", "s.w3"
     )
     j = (
@@ -5366,6 +5388,53 @@ def text_perplexity_modified_kn(spark, sf_dir):
             F.round(F.avg(-F.log("prob")), 6).alias("avg_nll"),
         )
     )
+
+
+@query("text_perplexity_modified_kn_incremental", oracle=_PPLX_MKN_ORACLE)
+def text_perplexity_modified_kn_incremental(spark, sf_dir):
+    """The modified-KN scorer with PERSISTED trigram-count state,
+    hash-EXACT against the SAME oracle as the one-shot form — the
+    LM-statistics ingest loop a continuously-growing corpus runs:
+    batch 1 (training docs with even doc_id) folds its trigram-count
+    delta into the state (operators/count_state.py — one partition per
+    batch, dynamic-overwrite keyed on batch id, so a crash-replay
+    REPLACES identical content; integer counts cannot use append-only
+    set semantics), batch 2 (odd training doc_ids) folds its own, then
+    the accumulated trigram table is re-derived by per-key addition
+    and the held-out 10% scores through the IDENTICAL
+    _mkn_score_from_big3 path as text_perplexity_modified_kn. Integer
+    addition is lossless, so the oracle string is literally the same:
+    counts-from-state == counts-from-one-scan, bit for bit, down
+    through both discount triples and every smoothed probability.
+
+    This closes the LM-scorer half of the ingest-loop symmetry the
+    DSIR twin (queries/curation.py) opened: both count-statistics
+    scorer families now fold batches in O(batch) and never re-read the
+    landed corpus. Unlike DSIR's 65536-bounded bucket table, the
+    trigram key domain scales with VOCAB — still sublinear in corpus,
+    and the per-batch delta partition keeps fold-in cost proportional
+    to the batch's own type count.
+
+    Scale shape: identical to the one-shot scorer downstream of the
+    state seam; upstream, each batch is tokenized exactly once."""
+    from ..operators.count_state import count_state_add, count_state_totals
+    from ..scratch import scratch_dir
+
+    t = Tables(spark, sf_dir)
+    state = scratch_dir("mkn_incremental") + "/state"
+    train = t.documents.where(F.col("doc_id") % 10 != 0)
+    b1 = _mkn_train_trigrams(train.where(F.col("doc_id") % 2 == 0))
+    b2 = _mkn_train_trigrams(train.where(F.col("doc_id") % 2 == 1))
+    count_state_add(
+        spark, b1, state, 0, key_cols=["w1", "w2", "w3"], count_cols=["c123"]
+    )
+    count_state_add(
+        spark, b2, state, 1, key_cols=["w1", "w2", "w3"], count_cols=["c123"]
+    )
+    big3 = count_state_totals(
+        spark, state, key_cols=["w1", "w2", "w3"], count_cols=["c123"]
+    ).persist()
+    return _mkn_score_from_big3(t, big3)
 
 
 # ---------------------------------------------------------------------------

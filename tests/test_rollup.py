@@ -396,6 +396,30 @@ class TestDsirIncremental:
         assert self._totals(spark, s12) == self._totals(spark, s21)
 
 
+class TestMknIncremental:
+    def test_state_path_equals_oneshot(self, spark, sf_dir):
+        # the incremental twin's whole claim: trigram counts summed
+        # from per-batch state deltas feed the IDENTICAL scorer, so
+        # the registered query must equal the one-shot form row for
+        # row (same oracle string backs both in the registry).
+        from helium_etl_lite_spark import registry
+
+        registry.load_all()
+        one = {
+            r["doc_id"]: (r["n_trigrams"], r["avg_nll"])
+            for r in registry.QUERIES["text_perplexity_modified_kn"](
+                spark, sf_dir
+            ).collect()
+        }
+        inc = {
+            r["doc_id"]: (r["n_trigrams"], r["avg_nll"])
+            for r in registry.QUERIES[
+                "text_perplexity_modified_kn_incremental"
+            ](spark, sf_dir).collect()
+        }
+        assert one == inc and len(one) > 0
+
+
 class TestIncrementalMinhashDedup:
     # operators/dedup.py minhash_filter_new/minhash_state_add: near-dup
     # ingest against the persisted band-bucket + signature state
