@@ -46,20 +46,25 @@ def count_state_add(
     persisted state by REPLACING the `batch=batch_id` partition. The
     delta is a pure function of the batch, so a crash-replay converges.
     `n_files=1` is right for bounded key domains (a single small file
-    per batch); vocab-scaled callers can raise it."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            delta.select(*key_cols, *count_cols)
-            .withColumn("batch", F.lit(int(batch_id)))
-            .coalesce(n_files)
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(state_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    per batch); vocab-scaled callers can raise it.
+
+    The dynamic-overwrite mode rides the WRITE OPTION, not the session
+    conf: inside foreachBatch the micro-batch DataFrame is bound to a
+    CLONED SparkSession with isolated conf, so a conf set on the
+    caller's session never reaches the write and a static overwrite
+    silently wipes every other batch's partition (found live by the
+    streaming twin: only the last batch's delta survived). The
+    per-write option binds to this write regardless of which session
+    owns the frame, and mutates no shared state."""
+    (
+        delta.select(*key_cols, *count_cols)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_path)
+    )
 
 
 def count_state_totals(

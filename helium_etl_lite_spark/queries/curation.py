@@ -979,6 +979,53 @@ def text_dsir_importance_incremental(spark, sf_dir):
     )
 
 
+@query("stream_dsir_importance", oracle=_DSIR_INCR_ORACLE)
+def stream_dsir_importance(spark, sf_dir):
+    """The DSIR statistics loop in TRUE STREAMING form, hash-EXACT —
+    the foreachBatch twin of text_dsir_importance_incremental with the
+    SAME semantics oracle: batch 1 (even doc_ids, one json file = one
+    micro-batch) drains through streaming/count_stream.py, folding its
+    bucket-count delta into the persisted additive-count state under
+    the stream's own batch_id; batch 2 (odds) lands as a second file
+    and a SECOND stream RESTARTED from the checkpoint drains the delta
+    — the kill/catch-up cycle, continuing the batch_id sequence so
+    each delta folds exactly once (the partition-overwrite replay
+    discipline integer counts REQUIRE; a replayed append would
+    double-count where the dedup streams' set fold-ins shrug). The new
+    batch then scores against the log-ratio broadcast re-derived from
+    the full accumulated state, through the same
+    _dsir_feats/_dsir_logratio/_dsir_score path as every other DSIR
+    entry point. The hash match proves the streaming execution lands
+    exactly the two-batch batch-loop statistics (the
+    stream_url_dedup_canonical convergence discipline, now for the
+    COUNT state class)."""
+    from ..operators import dsir
+    from ..scratch import scratch_dir
+    from ..streaming.count_stream import start_dsir_count_stream
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "text")
+    feed = scratch_dir("stream_dsir_src")
+    out = scratch_dir("stream_dsir_out")
+
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").json(feed)
+    start_dsir_count_stream(spark, feed, out).awaitTermination(300)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").json(feed)
+    start_dsir_count_stream(spark, feed, out).awaitTermination(300)
+
+    import os
+
+    c = dsir.dsir_state_counts(spark, os.path.join(out, "dsir_state"))
+    b2 = _dsir_feats(docs.where(F.col("doc_id") % 2 == 1))
+    s = _dsir_score(b2, _dsir_logratio(c))
+    return s.select(
+        "doc_id",
+        "n_feats",
+        "avg_logw",
+        (F.col("avg_logw") > 0).alias("is_selected"),
+    )
+
+
 @query(
     "pipeline_pretraining_select",
     oracle=f"""

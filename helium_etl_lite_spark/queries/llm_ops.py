@@ -5425,11 +5425,16 @@ def text_perplexity_modified_kn_incremental(spark, sf_dir):
     train = t.documents.where(F.col("doc_id") % 10 != 0)
     b1 = _mkn_train_trigrams(train.where(F.col("doc_id") % 2 == 0))
     b2 = _mkn_train_trigrams(train.where(F.col("doc_id") % 2 == 1))
+    # n_files=16: the trigram delta scales with vocab (unlike DSIR's
+    # 65536-bounded buckets), so the partition write must not funnel
+    # through one task
     count_state_add(
-        spark, b1, state, 0, key_cols=["w1", "w2", "w3"], count_cols=["c123"]
+        spark, b1, state, 0,
+        key_cols=["w1", "w2", "w3"], count_cols=["c123"], n_files=16,
     )
     count_state_add(
-        spark, b2, state, 1, key_cols=["w1", "w2", "w3"], count_cols=["c123"]
+        spark, b2, state, 1,
+        key_cols=["w1", "w2", "w3"], count_cols=["c123"], n_files=16,
     )
     big3 = count_state_totals(
         spark, state, key_cols=["w1", "w2", "w3"], count_cols=["c123"]

@@ -382,6 +382,33 @@ class TestDsirIncremental:
         )
         assert merged == direct
 
+    def test_fold_from_cloned_session_preserves_other_batches(
+        self, spark, tmp_path
+    ):
+        # foreachBatch binds micro-batch frames to a CLONED session
+        # with isolated conf, so the dynamic-overwrite must ride the
+        # WRITE OPTION — a session-conf approach never reaches the
+        # clone and the static overwrite silently wipes every other
+        # batch's partition (found live by stream_dsir_importance:
+        # only the last delta survived).
+        from helium_etl_lite_spark.operators import dsir
+
+        state = str(tmp_path / "state")
+        b1 = self._docs(spark, [(1, "en", "the cat")])
+        dsir.dsir_state_add(spark, self._counts(b1), state, batch_id=0)
+        clone = spark.newSession()
+        b2c = clone.createDataFrame(
+            [(2, "de", "der hund")], "doc_id long, lang string, text string"
+        )
+        dsir.dsir_state_add(clone, self._counts(b2c), state, batch_id=1)
+        merged = self._totals(spark, state)
+        union = b1.unionByName(self._docs(spark, [(2, "de", "der hund")]))
+        direct = sorted(
+            (r["b"], r["c_raw"], r["c_tgt"])
+            for r in self._counts(union).collect()
+        )
+        assert merged == direct
+
     def test_fold_order_commutes(self, spark, tmp_path):
         from helium_etl_lite_spark.operators import dsir
 
