@@ -236,6 +236,12 @@ HEADLINE_NOTES = {
     "text_perplexity_kneser_ney": "row-local bigram extraction; ONE persisted bigram table feeds count join, context agg, continuation agg AND the 1-row totals broadcast crossJoin (no re-tokenize per statistic); unhinted LM joins (AQE broadcasts while small); per-doc agg is the only corpus shuffle",
     "url_dedup_canonical_incremental": "two-batch recrawl loop: row-local canonicalization, state probe = broadcast fingerprint semi-join (state parquet never shuffles), fold-in = O(batch) sharded append; normalize=False keeps canonical paths case-sensitive",
     "stream_url_dedup_canonical": "foreachBatch twin of the URL recrawl loop: per-micro-batch row-local canonicalize -> min-id collapse -> broadcast fingerprint state probe -> O(batch) land + fold-in; checkpoint-restarted second drain proves catch-up",
+    # r14 additions
+    "text_dsir_importance_incremental": "bucket-count deltas folded per batch (dynamic partition overwrite, O(batch)); totals re-derived from state by per-bucket addition; log-ratio rebuilt bounded -> broadcast join to the NEW batch only — the landed corpus is never re-read",
+    "stream_dsir_importance": "foreachBatch count-state ingest: per micro-batch ONE bucket agg -> partition-overwrite fold under the stream's batch_id (write-OPTION dynamic mode — session conf does not reach the foreachBatch clone); checkpoint-restarted second drain continues the id sequence",
+    "text_perplexity_modified_kn": "row-local trigram extraction; ONE persisted trigram table feeds count join, context agg, the continuation table (also persisted, feeding ITS context agg + histogram + unigram-continuation base) and both counts-of-counts histograms; discount triples ride 1-row broadcast crossJoins; per-doc agg is the only corpus shuffle",
+    "text_perplexity_modified_kn_incremental": "trigram-count deltas folded per batch (n_files=16 — vocab-scaled deltas must not one-task the write); totals by per-key addition feed the IDENTICAL scorer plan as the one-shot form",
+    "pipeline_cluster_balanced_select": "portable-kmeans training loop (K-row centroid broadcasts, narrow re-center aggs); assignment = K-row broadcast map pass; per-cluster top-Q on the grouped control plane ((centroid_id, token-bin) windows, bounded offsets) — never a bare K=8-partition window",
 }
 
 
