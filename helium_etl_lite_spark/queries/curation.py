@@ -87,6 +87,63 @@ def text_contamination_ngram(spark, sf_dir):
 
 
 @query(
+    "report_dedup_cross_source",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    s AS (SELECT DISTINCT source,
+                 array_to_string(ws[i*20+1 : i*20+20], ' ') AS span
+          FROM w, unnest(generate_series(0,
+                   CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1)) AS g(i)
+          WHERE len(ws) > 0)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+    FROM s a JOIN s b ON a.span = b.span AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def report_dedup_cross_source(spark, sf_dir):
+    """Cross-source duplication matrix, hash-EXACT — the "where is my
+    duplication coming from" diagnostic a multi-source corpus build
+    runs before choosing dedup policy (the FineWeb/Dolma cross-dump
+    analysis): for every source pair, how many distinct 20-token spans
+    (the text_paragraph_dedup granularity — sub-document boilerplate
+    is what actually crosses sources; whole-doc hashes rarely collide
+    across crawls) appear in BOTH. Feeds source-priority keeper rules
+    (text_dedup_source_priority) and tells you which pairs are worth a
+    targeted near-dup pass.
+
+    Scale shape: span construction is ROW-LOCAL (split + transform/
+    slice, no token explode-shuffle); one distinct on (source, span);
+    the self-join keys on the span (at 100 TB: on xxhash64(span) —
+    8-byte keys, the text_paragraph_dedup production trick; the
+    oracle-portable form joins the string) and Spark reuses the
+    distinct's exchange for both sides; output is bounded by the
+    source-pair domain regardless of corpus size."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("source", F.split("text", " ").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    spans = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(ws)/20.0) as int) - 1),"
+                " i -> array_join(slice(ws, i*20+1, 20), ' '))"
+            )
+        ).alias("span"),
+    ).distinct()
+    a = spans.select(F.col("source").alias("source_a"), "span")
+    b = spans.select(F.col("source").alias("source_b"), "span")
+    return (
+        a.join(b, "span")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
+@query(
     "sample_token_budget",
     oracle="""
     WITH d AS (
