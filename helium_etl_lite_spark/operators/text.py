@@ -143,9 +143,18 @@ def winnow_gram_table(
     pairs = F.transform(
         idx, lambda i: F.struct(i.cast("long").alias("i"), key_at(i).alias("key"))
     )
+    # explode_outer, not explode (r14): InferFiltersFromGenerate adds a
+    # size(<generate input>) > 0 pre-filter under a plain explode, and
+    # Catalyst performs no CSE across lambda boundaries — the ENTIRE
+    # gram/md5 transform was evaluated twice per row (once in the
+    # inferred filter, once in Generate). The pair array is never empty
+    # (sequence(0, greatest(n-k, 0)) has >= 1 element), so the guard
+    # buys nothing; outer explode skips the rule and the cheap
+    # isNotNull filter drops only null-text rows — identical output.
     ex = (
         docs.withColumn("__p", pairs)
-        .select(id_col, F.explode("__p").alias("s"))
+        .select(id_col, F.explode_outer("__p").alias("s"))
+        .where(F.col("s").isNotNull())
         .select(id_col, F.col("s.i").alias("i"), F.col("s.key").alias("key"))
     )
     win = W.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
@@ -164,20 +173,32 @@ def winnow_fingerprints(
     sharing >= w+k-1 consecutive tokens share >= 1 fp_hash); docs with
     fewer than w grams keep their global minimum as the single
     fingerprint."""
+    # r14 optimization (guide §2.4): the per-doc gram count and global
+    # min ride the SAME doc_id partitioning the rolling-min window
+    # already exchanged+sorted on (unbounded frame, no extra sort), and
+    # the short-doc branch folds into one CASE — the former separate
+    # groupBy + left_semi join re-derived the whole gram table (scan +
+    # explode + md5 a SECOND time) and added a second exchange. One
+    # scan, one exchange; the trailing distinct adds no exchange either
+    # (hash-partitioning on doc_id already clusters (doc_id, fp_key)).
+    from pyspark.sql import Window as W
+
     g = winnow_gram_table(docs, k, w, text_col, id_col)
-    counts = g.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"), F.min("key").alias("__min_key")
+    wp = W.partitionBy(id_col)
+    g2 = g.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
+        "__min_key", F.min("key").over(wp)
     )
-    full = (
-        g.where(F.col("i") >= w - 1)
-        .join(counts.where(F.col("__n") >= w).select(id_col), id_col, "left_semi")
-        .select(id_col, F.col("wmin").alias("fp_key"))
+    fp = (
+        g2.select(
+            F.col(id_col),
+            F.when(F.col("__n") < w, F.col("__min_key"))
+            .when(F.col("i") >= w - 1, F.col("wmin"))
+            .alias("fp_key"),
+        )
+        .where(F.col("fp_key").isNotNull())
         .distinct()
     )
-    short = counts.where(F.col("__n") < w).select(
-        id_col, F.col("__min_key").alias("fp_key")
-    )
-    return full.unionByName(short).select(
+    return fp.select(
         F.col(id_col),
         (F.col("fp_key") / F.lit(1048576)).cast("long").alias("fp_hash"),
         F.pmod(F.col("fp_key"), F.lit(1048576)).cast("long").alias("pos"),
