@@ -1217,14 +1217,17 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
 
     k = _KMV_K
     li = t.lineitem
-    s = (
-        li.where(F.col("l_quantity") <= 5)
-        .select(F.lit("a").alias("sid"), F.col("l_partkey").alias("key"))
-        .unionByName(
-            li.where(F.col("l_quantity") >= 45).select(
-                F.lit("b").alias("sid"), F.col("l_partkey").alias("key")
-            )
-        )
+    # r14 (guide §2.4 / §1.2): the two set filters are DISJOINT
+    # (quantity <= 5 vs >= 45), so the oracle's UNION ALL collapses to
+    # ONE scan with a conditional sid — identical rows, one lineitem
+    # pass instead of two.
+    s = li.where(
+        (F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45)
+    ).select(
+        F.when(F.col("l_quantity") <= 5, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("sid"),
+        F.col("l_partkey").alias("key"),
     )
     h = s.select(
         "sid",
@@ -1244,23 +1247,24 @@ def agg_kmv_theta_sketch_portable(spark, sf_dir):
         F.max(F.when(F.col("sid") == "b", F.col("ks"))).alias("kb"),
         F.max(F.when(F.col("sid") == "b", F.col("n"))).alias("n_b"),
     )
-    exact_a = (
-        li.where(F.col("l_quantity") <= 5)
-        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_a"))
-    )
-    exact_b = (
-        li.where(F.col("l_quantity") >= 45)
-        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_b"))
-    )
-    exact_u = (
-        li.where((F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45))
-        .agg(F.countDistinct("l_partkey").cast("long").alias("exact_union"))
+    # r14: the three exact reference counts ride ONE lineitem pass as
+    # conditional countDistincts (null keys don't count) instead of
+    # three separate scan+agg branches — 1 scan instead of 3, and one
+    # broadcast crossJoin instead of three.
+    exacts = li.where(
+        (F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45)
+    ).agg(
+        F.countDistinct(F.when(F.col("l_quantity") <= 5, F.col("l_partkey")))
+        .cast("long")
+        .alias("exact_a"),
+        F.countDistinct(F.when(F.col("l_quantity") >= 45, F.col("l_partkey")))
+        .cast("long")
+        .alias("exact_b"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_union"),
     )
     pool = F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb"))))
     u = (
-        one.crossJoin(F.broadcast(exact_a))
-        .crossJoin(F.broadcast(exact_b))
-        .crossJoin(F.broadcast(exact_u))
+        one.crossJoin(F.broadcast(exacts))
         .withColumn("ku", F.slice(pool, 1, k))
         .withColumn("n_pool", F.size(pool).cast("long"))
     )
@@ -1381,14 +1385,16 @@ def agg_kmv_theta_anotb_portable(spark, sf_dir):
     k = _KMV_K
     t = Tables(spark, sf_dir)
     li = t.lineitem
-    s = (
-        li.where(F.col("l_quantity") <= 5)
-        .select(F.lit("a").alias("sid"), F.col("l_partkey").alias("key"))
-        .unionByName(
-            li.where(F.col("l_quantity") >= 45).select(
-                F.lit("b").alias("sid"), F.col("l_partkey").alias("key")
-            )
-        )
+    # r14 (guide §2.4): disjoint set filters -> ONE scan with a
+    # conditional sid (the sketch-query fold); identical rows to the
+    # oracle's UNION ALL.
+    s = li.where(
+        (F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45)
+    ).select(
+        F.when(F.col("l_quantity") <= 5, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("sid"),
+        F.col("l_partkey").alias("key"),
     )
     h = s.select(
         "sid",
@@ -1408,12 +1414,17 @@ def agg_kmv_theta_anotb_portable(spark, sf_dir):
         F.max(F.when(F.col("sid") == "b", F.col("ks"))).alias("kb"),
         F.max(F.when(F.col("sid") == "b", F.col("n"))).alias("n_b"),
     )
-    b_keys = li.where(F.col("l_quantity") >= 45).select("l_partkey").distinct()
+    # r14: exact |A \ B| in ONE scan — per-key membership flags via a
+    # partial-aggregable groupBy instead of two distinct branches and
+    # an anti-join (4 lineitem passes -> this one + the sketch's one).
     exact = (
-        li.where(F.col("l_quantity") <= 5)
-        .select("l_partkey")
-        .distinct()
-        .join(b_keys, "l_partkey", "left_anti")
+        li.where((F.col("l_quantity") <= 5) | (F.col("l_quantity") >= 45))
+        .groupBy("l_partkey")
+        .agg(
+            F.max((F.col("l_quantity") <= 5).cast("int")).alias("__in_a"),
+            F.max((F.col("l_quantity") >= 45).cast("int")).alias("__in_b"),
+        )
+        .where((F.col("__in_a") == 1) & (F.col("__in_b") == 0))
         .agg(F.count(F.lit(1)).cast("long").alias("exact_anotb"))
     )
     big = F.lit(_KMV_H).cast("long")
