@@ -3656,9 +3656,14 @@ def vec_pca_portable(spark, sf_dir):
     m = q.groupBy("idx").agg(
         F.floor(F.sum("val") / F.count(F.lit(1))).cast("double").alias("mv")
     )
+    # r14: materialize the centered table ONCE (eager localCheckpoint)
+    # — it feeds BOTH sides of the Gram self-join and the final
+    # projection, so without it the N*d explode + mean join was
+    # re-derived three times (and the mean agg's own q a fourth).
+    # Bounded at N*d narrow rows; blocks free with the DataFrame.
     c = q.join(F.broadcast(m), "idx").select(
         "vec_id", "idx", (F.col("val") - F.col("mv")).alias("cv")
-    )
+    ).localCheckpoint(eager=True)
     a = c.select("vec_id", F.col("idx").alias("i"), F.col("cv").alias("ca"))
     b = c.select("vec_id", F.col("idx").alias("j"), F.col("cv").alias("cb"))
     cov = (
