@@ -4081,13 +4081,27 @@ def text_inverted_index(spark, sf_dir):
     each shard serves point lookups without touching the corpus."""
     t = Tables(spark, sf_dir)
     tok = _invidx_terms(t.documents)
-    stats = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("tf_total"),
+    # r14 (guide §2.3/§2.4): collapse to the (token, doc_id, tf) table
+    # FIRST — one tokenize pass and one map-side-combinable shuffle —
+    # and checkpoint it: the former shape tokenized the corpus TWICE
+    # (stats pass + postings pass) and its mixed distinct/plain agg
+    # planned an Expand that doubled the shuffled rows. td IS the
+    # pre-banding index (what an index-shard job materializes anyway);
+    # df = rows per token, tf_total = sum(tf), postings ride the same
+    # bounded keep-set join as before (collect still gated to the
+    # in-band tokens — no unbounded arrays).
+    td = (
+        tok.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    stats = td.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
     )
     keep = stats.where((F.col("df") >= 3) & (F.col("df") <= 100))
     post = (
-        tok.join(keep.select("token"), "token")
+        td.join(keep.select("token"), "token")
         .groupBy("token")
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))).alias("postings")
