@@ -258,8 +258,10 @@ def containment_screened_pairs(
     # persist(): a persist here is never unpersisted (the returned
     # plan is lazy) and would leak one cache per call for the session
     # lifetime; checkpointed blocks free with the DataFrame reference.
-    # band_rows is ~`bands` 24-byte rows per doc.
-    band_rows = _band_rows(sig, num_perm, bands, id_col).localCheckpoint(eager=True)
+    # band_rows is ~`bands` 24-byte rows per doc. eager=False (r14):
+    # the unconditional stats action below materializes the checkpoint
+    # anyway — one job instead of two.
+    band_rows = _band_rows(sig, num_perm, bands, id_col).localCheckpoint(eager=False)
     sizes = band_rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
     )
@@ -890,10 +892,13 @@ def dedup_filter_new(
     # checkpoint the guard count and the broadcast each re-derive the
     # whole batch-side hash+window subplan (review finding: ~3x batch
     # CPU per ingest)
+    # eager=False (r14): the guard count below materializes the
+    # checkpoint in the same job — one driver round-trip instead of two
+    # per ingest batch.
     fps = (
         b.select(F.xxhash64("text_hash").alias("__fp"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if fps.count() <= max_broadcast_rows:
         candidates = seen.join(

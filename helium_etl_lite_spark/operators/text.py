@@ -217,15 +217,17 @@ def winnow_stopgram_filter(
     exact-oracle checkable. The dropped hash/doc-row counts are logged
     via one bounded 1-row aggregate over the per-hash size table — the
     no-silent-caps discipline."""
-    # Materialize the fingerprint table ONCE (eager localCheckpoint):
-    # the stats action below executes the caller's whole winnow
-    # pipeline, and the returned anti-join plan reads it twice more
-    # (probe side + hot side) — without it that corpus-wide gram build
-    # ran 3x per call (r8 ADVICE). Checkpoint, not persist(): a
-    # persist here is never unpersisted and leaks one cache per call;
-    # checkpointed blocks free with the DataFrame reference.
+    # Materialize the fingerprint table ONCE (localCheckpoint): the
+    # stats action below executes the caller's whole winnow pipeline,
+    # and the returned anti-join plan reads it twice more (probe side +
+    # hot side) — without it that corpus-wide gram build ran 3x per
+    # call (r8 ADVICE). Checkpoint, not persist(): a persist here is
+    # never unpersisted and leaks one cache per call; checkpointed
+    # blocks free with the DataFrame reference. eager=False (r14): the
+    # unconditional stats action below materializes it anyway, so the
+    # lazy form folds checkpoint + stats into ONE job instead of two.
     # ~n_grams/3 compact rows per doc.
-    fpd = fpd.localCheckpoint(eager=True)
+    fpd = fpd.localCheckpoint(eager=False)
     sizes = fpd.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__n"))
     hot = sizes.where(F.col("__n") > max_docs_per_fp)
     stats = hot.agg(
