@@ -1241,9 +1241,18 @@ def span_dedup_overlap(
             p.cast("long").alias("p"), F.xxhash64(span_at(p)).alias("h")
         ),
     )
+    # explode_outer (r14): a plain explode on the __spans ATTRIBUTE
+    # triggers InferFiltersFromGenerate -> size(__spans) > 0, and after
+    # CollapseProject that filter re-evaluates the ENTIRE span
+    # slice+hash transform once per row (no CSE across operators — the
+    # winnow_gram_table find). starts always contains the tail span, so
+    # the array is only null for null text; the isNotNull filter keeps
+    # the output identical.
     ex = docs.withColumn("__spans", spans).select(
-        id_col, F.explode("__spans").alias("s")
-    ).select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+        id_col, F.explode_outer("__spans").alias("s")
+    ).where(F.col("s").isNotNull()).select(
+        id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h")
+    )
     w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
     dups = (
         ex.withColumn("rn", F.row_number().over(w_first))

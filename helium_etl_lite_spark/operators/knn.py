@@ -224,7 +224,13 @@ def lloyd_refine(
     assigned = assign_nearest_centroid(vectors, centroids, id_col, vec_col)
     v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("e"))
     members = assigned.select("vec_id", "centroid_id").join(v, "vec_id")
-    dims = members.select("centroid_id", F.posexplode("e").alias("pos", "val"))
+    # posexplode_outer (r14): a plain posexplode on the `e` attribute
+    # makes InferFiltersFromGenerate re-evaluate the cast transform per
+    # row; embeddings are never empty, so outer + isNotNull is free and
+    # identical.
+    dims = members.select(
+        "centroid_id", F.posexplode_outer("e").alias("pos", "val")
+    ).where(F.col("pos").isNotNull())
     means = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
     return (
         means.groupBy("centroid_id")
@@ -641,7 +647,8 @@ def semantic_dedup_pairs(
     assigned = v.mapInPandas(assigner(cents), "vid long, list_id long")
     means = (
         v.join(assigned, "vid")
-        .select("list_id", F.posexplode("e").alias("pos", "val"))
+        .select("list_id", F.posexplode_outer("e").alias("pos", "val"))
+        .where(F.col("pos").isNotNull())
         .groupBy("list_id", "pos")
         .agg(F.avg("val").alias("m"))
         .groupBy("list_id")

@@ -1190,28 +1190,37 @@ def _pretraining_scored(spark, sf_dir, keep_text: bool = False):
         .drop("__rn")
     )
 
-    # stage 3: decontamination vs the held-out split
-    def shingles(df):
+    # stage 3: decontamination vs the held-out split.
+    # r14: the per-side (doc_id, shingle) distincts the old shape
+    # carried are stated explicitly as absent now — left_semi ignores
+    # probe-side duplicates and the trailing .select("doc_id")
+    # .distinct() collapses candidate multiplicity. (Measured r14:
+    # Catalyst's RemoveRedundantAggregates was ALREADY eliminating
+    # them — the physical plan is unchanged by this rewrite; the code
+    # now states what actually executes instead of relying on the
+    # rule.) explode_outer: harmless here (the inline generator input
+    # never triggers InferFiltersFromGenerate — that rule bites only
+    # on attribute inputs, the winnow_gram_table case); the size >= 8
+    # gate guarantees non-empty arrays so outer == inner.
+    def shingle_rows(df, cols):
         toks = F.split(F.col("text"), " ")
-        return (
-            df.where(F.size(toks) >= 8)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 7),
-                        lambda i: F.array_join(F.slice(toks, i, 8), " "),
-                    )
-                ).alias("shingle"),
-            )
-            .distinct()
+        return df.where(F.size(toks) >= 8).select(
+            *cols,
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 7),
+                    lambda i: F.array_join(F.slice(toks, i, 8), " "),
+                )
+            ).alias("shingle"),
         )
 
     cand = ded.where(F.col("doc_id") % 10 != 0)
     bench = docs.where(F.col("doc_id") % 10 == 0)
     contaminated = (
-        shingles(cand)
-        .join(shingles(bench).select("shingle").distinct(), "shingle", "left_semi")
+        shingle_rows(cand, ["doc_id"])
+        .join(
+            shingle_rows(bench, []).distinct(), "shingle", "left_semi"
+        )
         .select("doc_id")
         .distinct()
     )

@@ -1393,9 +1393,15 @@ def _paragraph_dedup(spark, sf_dir, hash_key: bool):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # posexplode_outer (r14): the plain posexplode on the spans
+    # ATTRIBUTE triggered InferFiltersFromGenerate -> size(spans) > 0,
+    # which after CollapseProject re-evaluated the whole span
+    # slice+join transform once per row (the winnow_gram_table find).
+    # Empty arrays exist only for empty text; outer emits a null span
+    # for them and the isNotNull filter drops it — identical rows.
     ex = t.documents.withColumn("spans", spans).select(
-        "doc_id", F.posexplode("spans").alias("span_id", "span")
-    )
+        "doc_id", F.posexplode_outer("spans").alias("span_id", "span")
+    ).where(F.col("span").isNotNull())
     key = F.xxhash64("span") if hash_key else F.col("span")
     w_first = W.partitionBy(key).orderBy("doc_id", "span_id")
     kept = (
