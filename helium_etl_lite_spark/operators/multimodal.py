@@ -963,22 +963,33 @@ def spectrogram_band_energies(samples, bands=SPEC_BANDS) -> dict:
     """Fixed-point DFT band energies of one int16 sample stream:
     windows of SPEC_WINDOW (last window may be partial), per window
     e_k = (re_k^2 + im_k^2) // SPEC_ENERGY_SHIFT with integer
-    re/im = dot(window, table), summed per band. Pure int64."""
+    re/im = dot(window, table), summed per band. Pure int64.
+
+    r14 (guide §4.2): vectorized — the former per-window / per-band
+    Python loop allocated two tiny numpy arrays and two dots per
+    (window, band); one zero-padded reshape + two int64 matmuls
+    computes every window of every band at once. Zero-padding the
+    partial tail window is EXACT: coefficient * 0 contributes nothing,
+    identical to the truncated-table dot; all arithmetic stays int64
+    (numpy integer matmul is exact, no FP)."""
     s = np.asarray(samples, dtype=np.int64)
     n_windows = max(1, (len(s) + SPEC_WINDOW - 1) // SPEC_WINDOW)
-    totals = {k: 0 for k in bands}
-    for w in range(n_windows):
-        win = s[w * SPEC_WINDOW : (w + 1) * SPEC_WINDOW]
-        m = len(win)
-        if m == 0:
-            continue
-        for k in bands:
-            cos_t = np.asarray(SPEC_COS[k][:m], dtype=np.int64)
-            sin_t = np.asarray(SPEC_SIN[k][:m], dtype=np.int64)
-            re = int((win * cos_t).sum())
-            im = int((win * sin_t).sum())
-            totals[k] += (re * re + im * im) // SPEC_ENERGY_SHIFT
-    return {"n_windows": n_windows, "energies": totals}
+    if len(s) == 0:
+        return {"n_windows": n_windows, "energies": {k: 0 for k in bands}}
+    pad = n_windows * SPEC_WINDOW - len(s)
+    W = np.concatenate([s, np.zeros(pad, dtype=np.int64)]).reshape(
+        n_windows, SPEC_WINDOW
+    )
+    C = np.array([SPEC_COS[k] for k in bands], dtype=np.int64).T
+    Sn = np.array([SPEC_SIN[k] for k in bands], dtype=np.int64).T
+    re = W @ C
+    im = W @ Sn
+    e = (re * re + im * im) // SPEC_ENERGY_SHIFT
+    tot = e.sum(axis=0)
+    return {
+        "n_windows": n_windows,
+        "energies": {k: int(tot[j]) for j, k in enumerate(bands)},
+    }
 
 
 def audio_spectrogram_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1030,19 +1041,21 @@ def audio_fingerprint(samples) -> tuple:
     fingerprint deterministically)."""
     s = np.asarray(samples, dtype=np.int64)
     n_windows = max(1, (len(s) + SPEC_WINDOW - 1) // SPEC_WINDOW)
-    # energies per (band, window) for windows 0..SIG_TRANSITIONS
-    e = {k: [0] * (SIG_TRANSITIONS + 1) for k in SPEC_BANDS}
-    for w in range(SIG_TRANSITIONS + 1):
-        win = s[w * SPEC_WINDOW : (w + 1) * SPEC_WINDOW]
-        m = len(win)
-        if m == 0:
-            continue
-        for k in SPEC_BANDS:
-            cos_t = np.asarray(SPEC_COS[k][:m], dtype=np.int64)
-            sin_t = np.asarray(SPEC_SIN[k][:m], dtype=np.int64)
-            re = int((win * cos_t).sum())
-            im = int((win * sin_t).sum())
-            e[k][w] = (re * re + im * im) // SPEC_ENERGY_SHIFT
+    # energies per (window, band) for windows 0..SIG_TRANSITIONS — r14:
+    # vectorized like spectrogram_band_energies (zero-pad is exact,
+    # windows past the stream's end stay all-zero -> energy 0).
+    need = (SIG_TRANSITIONS + 1) * SPEC_WINDOW
+    buf = np.zeros(need, dtype=np.int64)
+    m = min(len(s), need)
+    buf[:m] = s[:m]
+    W = buf.reshape(SIG_TRANSITIONS + 1, SPEC_WINDOW)
+    C = np.array([SPEC_COS[k] for k in SPEC_BANDS], dtype=np.int64).T
+    Sn = np.array([SPEC_SIN[k] for k in SPEC_BANDS], dtype=np.int64).T
+    re = W @ C
+    im = W @ Sn
+    ew = (re * re + im * im) // SPEC_ENERGY_SHIFT  # (windows, bands)
+    e = {k: [int(ew[w, j]) for w in range(SIG_TRANSITIONS + 1)]
+         for j, k in enumerate(SPEC_BANDS)}
     sig = 0
     bit = 0
     for t in range(1, SIG_TRANSITIONS + 1):
