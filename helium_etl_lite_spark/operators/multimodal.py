@@ -623,13 +623,26 @@ def _dhash_bits(gray: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
         gray = np.repeat(gray, -(-hash_h // h), axis=0)
     if w < hash_w + 1:
         gray = np.repeat(gray, -(-(hash_w + 1) // w), axis=1)
-    rows = np.array_split(gray, hash_h, axis=0)
-    bits = 0
-    for r in rows:
-        cells = [c.mean() for c in np.array_split(r, hash_w + 1, axis=1)]
-        for i in range(hash_w):
-            bits = (bits << 1) | int(cells[i] < cells[i + 1])
-    return bits
+    # r14 (guide §4.2): vectorized block means — the former
+    # array_split + per-cell .mean() ran ~72 tiny numpy calls per
+    # frame (~0.6 ms/frame, the video-dedup hot spot). reduceat over
+    # the SAME block boundaries np.array_split uses computes every
+    # cell sum in two passes. Bit-exact on this pipeline's inputs: the
+    # gray planes are integer-valued (uint8 decodes / rounded means),
+    # so every block sum is an exact integer in float64 regardless of
+    # summation order, and sum/size == np.mean exactly.
+    def _bounds(n: int, k: int) -> np.ndarray:
+        q, r = divmod(n, k)
+        return np.cumsum([0] + [q + 1] * r + [q] * (k - r))
+
+    g = np.asarray(gray, dtype=np.float64)
+    ri = _bounds(g.shape[0], hash_h)
+    ci = _bounds(g.shape[1], hash_w + 1)
+    row_sums = np.add.reduceat(g, ri[:-1], axis=0)
+    cell_sums = np.add.reduceat(row_sums, ci[:-1], axis=1)
+    cells = cell_sums / np.outer(np.diff(ri), np.diff(ci))
+    bits_mat = cells[:, :hash_w] < cells[:, 1 : hash_w + 1]
+    return int.from_bytes(np.packbits(bits_mat.ravel()).tobytes(), "big")
 
 
 def dhash_assets(assets: DataFrame, id_col: str = "doc_id") -> DataFrame:
