@@ -1993,14 +1993,14 @@ def train_hashed_classifier(docs, train_cond=None):
         .otherwise(F.lit(0))
         .cast("long")
         .alias("y"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     feat = (
         base.select("doc_id", F.explode("ws").alias("tk"))
         .select("doc_id", hashed_token_bucket(F.col("tk")).alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .join(meta, "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     feat_train = feat.where(train_cond) if train_cond is not None else feat
     ndocs = (
@@ -2010,7 +2010,7 @@ def train_hashed_classifier(docs, train_cond=None):
         feat.select("bucket")
         .distinct()
         .withColumn("w", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     half = _QCT_P9 // 2
     for den in _QCT_EPOCH_DENS:
@@ -2037,8 +2037,10 @@ def train_hashed_classifier(docs, train_cond=None):
             .groupBy("bucket")
             .agg(F.sum(F.expr("(q * c) div n")).cast("long").alias("g"))
         )
-        # the weight table is O(buckets) — the every-epoch eager
-        # localCheckpoint collapses the lineage so epoch k+1's plan
+        # the weight table is O(buckets) — the every-epoch lazy
+        # localCheckpoint collapses the lineage (materialized inside the
+        # next epoch's broadcast build — r14: one driver round-trip
+        # fewer per epoch) so epoch k+1's plan
         # doesn't re-derive epochs 1..k (the r9 iterative-operator
         # lesson).
         w = (
@@ -2052,7 +2054,7 @@ def train_hashed_classifier(docs, train_cond=None):
                     )
                 ).cast("long").alias("w"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     zf = (
         feat.join(F.broadcast(w), "bucket")
