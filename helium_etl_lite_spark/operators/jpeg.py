@@ -64,6 +64,9 @@ def _zigzag_order():
     return order
 
 ZIGZAG = _zigzag_order()
+# raster (row-major flat) index of the k-th zigzag coefficient, for
+# vectorized gather/scatter instead of 64-iteration Python loops
+ZIGZAG_FLAT = np.array([r * 8 + c for r, c in ZIGZAG], dtype=np.intp)
 
 # Annex K.3 standard Huffman tables: (bits counts per length 1..16, values)
 DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -172,37 +175,51 @@ def _magnitude(v: int):
     return size, bits
 
 
-def _encode_block(writer, block, quant, dc_lut, ac_lut, dc_pred):
-    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+def _component_zigzag_blocks(padded: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """DCT + quantize + zigzag every 8x8 block of a padded plane in one
+    vectorized pass. Returns (n_block_rows, n_block_cols, 64) int32 in
+    raster block order; the entropy loop below indexes it by
+    (block_row, block_col) so the MCU interleave order is unchanged.
+    The per-block math is the same `_DCT @ (b - 128) @ _DCT.T` /
+    `round(coef / quant)` expression as the historical per-block form —
+    matmul broadcasting runs the identical 8-long dot products, so the
+    quantized integers are bit-equal (property-pinned in
+    tests/test_operators.py)."""
+    h, w = padded.shape
+    blocks = (
+        padded.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2) - 128.0
+    )  # (br, bc, 8, 8)
+    coef = _DCT @ blocks @ _DCT.T
     q = np.round(coef / quant).astype(np.int32)
-    zz = np.array([q[r, c] for r, c in ZIGZAG], dtype=np.int32)
+    return q.reshape(h // 8, w // 8, 64)[..., ZIGZAG_FLAT]
+
+
+def _encode_block(writer, zz, ac_nz, dc_lut, ac_lut, dc_pred):
+    """Entropy-code one block from its precomputed zigzag coefficients
+    (a plain Python list) and the indices of its nonzero AC coefs."""
     # DC: differential
-    diff = int(zz[0]) - dc_pred
+    diff = zz[0] - dc_pred
     size, bits = _magnitude(diff)
     code, ln = dc_lut[size]
-    writer.write(code, ln)
-    if size:
-        writer.write(bits, size)
-    # AC: run-length of zeros + size
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    # appending the amplitude bits to the category code is the same
+    # bit stream as two write() calls
+    writer.write((code << size) | bits, ln + size)
+    # AC: run-length of zeros + size, visiting only the nonzero coefs
+    prev = 0
+    for k in ac_nz:
+        run = k - prev - 1
         while run > 15:
             code, ln = ac_lut[0xF0]  # ZRL
             writer.write(code, ln)
             run -= 16
-        size, bits = _magnitude(v)
+        size, bits = _magnitude(zz[k])
         code, ln = ac_lut[(run << 4) | size]
-        writer.write(code, ln)
-        writer.write(bits, size)
-        run = 0
-    if run:
+        writer.write((code << size) | bits, ln + size)
+        prev = k
+    if prev != 63:
         code, ln = ac_lut[0x00]  # EOB
         writer.write(code, ln)
-    return int(zz[0])
+    return zz[0]
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -302,6 +319,23 @@ def encode_jpeg_bytes(
         p[:, cw:] = p[:, cw - 1 : cw]
         padded.append(p)
 
+    # vectorized DCT/quant/zigzag over every block of every component;
+    # zz as nested Python lists + per-block nonzero-AC indices so the
+    # entropy loop below touches only actual symbols
+    comp_zz = []
+    comp_nz = []
+    for ci, p in enumerate(padded):
+        zzb = _component_zigzag_blocks(p, quants[0 if ci == 0 else 1])
+        comp_zz.append(zzb.tolist())
+        nzmask = zzb != 0
+        nzmask[..., 0] = False  # DC is coded separately
+        comp_nz.append(
+            [
+                [np.flatnonzero(nzmask[br, bc]).tolist() for bc in range(zzb.shape[1])]
+                for br in range(zzb.shape[0])
+            ]
+        )
+
     writer = _BitWriter()
     preds = [0] * ncomp
     rst = 0
@@ -319,12 +353,11 @@ def encode_jpeg_bytes(
                 sh, sv = sampling[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        br = my * sv + by
+                        bc = mx * sh + bx
                         preds[ci] = _encode_block(
-                            writer, block, quants[t], dc_luts[t], ac_luts[t],
-                            preds[ci],
+                            writer, comp_zz[ci][br][bc], comp_nz[ci][br][bc],
+                            dc_luts[t], ac_luts[t], preds[ci],
                         )
             n_mcu += 1
     writer.flush()
@@ -336,74 +369,135 @@ def encode_jpeg_bytes(
 # ----------------------------------------------------------------- decode
 
 
+# 16-bit-window Huffman LUTs: LUT[w] = (symbol, code length) for every
+# 16-bit peek w whose prefix is a valid code. One array index replaces
+# the historical read-one-bit/probe-a-dict loop (up to 16 dict lookups
+# per symbol). Cached per table CONTENT because every Annex-K stream
+# ships the same four tables — the 2x64 KiB build cost is paid once per
+# process, not once per image.
+_LUT_CACHE: dict = {}
+
+
+def _huffman_lut(bits, vals):
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            k += 1
+            code += 1
+        code <<= 1
+    lut = (sym.tolist(), ln.tolist())  # plain lists: ints, no numpy scalar tax
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+def _split_entropy_segments(data: bytes, pos: int):
+    """Pre-scan the entropy stream once: unstuff F.1.2.3 0xFF00 bytes
+    and split at RSTn markers. Returns a list of plain-bytes segments
+    (segment k+1 begins after the k-th restart marker); scanning stops
+    at the first non-RST marker (EOI or the next header)."""
+    segments = []
+    cur = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            break
+        cur += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:
+            break  # EOI or other marker terminates the scan
+    segments.append(bytes(cur))
+    return segments
+
+
 class _BitReader:
-    """Entropy-segment bit reader with F.1.2.3 unstuffing; RST markers
-    are consumed by the caller via align_to_marker()."""
+    """Bit reader over pre-unstuffed entropy segments. The accumulator
+    is masked to the unconsumed bits on every consume — without that
+    mask it grows by 8 bits per byte for the whole scan, making decode
+    O(n^2) bignum arithmetic on real-sized images (review find)."""
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+        self.segments = _split_entropy_segments(data, pos)
+        self.seg = 0
+        self.buf = self.segments[0]
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self):
-        while self.nbits <= 24:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 2
-                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    return  # restart marker: caller handles
-                else:
-                    return  # EOI or other marker: stop filling
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | b
+    def peek16(self) -> int:
+        buf, n = self.buf, len(self.buf)
+        while self.nbits < 16 and self.pos < n:
+            self.acc = (self.acc << 8) | buf[self.pos]
+            self.pos += 1
             self.nbits += 8
-        # truncate consumed bits: without this mask the accumulator
-        # grows by 8 bits per byte for the whole scan, making decode
-        # O(n^2) bignum arithmetic on real-sized images (review find)
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        # near stream end: pad the window with virtual 1s (the encoder
+        # pads with 1s too); consume() still refuses to eat past the
+        # real bits, so truncation errors are preserved
+        pad = 16 - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def consume(self, k: int):
+        if k > self.nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        self.nbits -= k
         self.acc &= (1 << self.nbits) - 1
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        buf, n = self.buf, len(self.buf)
+        while self.nbits < k:
+            if self.pos >= n:
                 raise ValueError("truncated JPEG entropy stream")
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+            self.acc = (self.acc << 8) | buf[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= k
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def restart(self):
-        """Consume an RSTn marker and reset bit alignment (E.2.4)."""
+        """Advance past an RSTn marker and reset bit alignment (E.2.4)."""
+        self.seg += 1
+        if self.seg >= len(self.segments):
+            raise ValueError("expected restart marker")
+        self.buf = self.segments[self.seg]
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected restart marker")
 
 
-def _huff_decode(reader, table):
-    length = 0
-    code = 0
-    while length < 16:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _huff_decode(reader, lut):
+    sym_t, ln_t = lut
+    w = reader.peek16()
+    length = ln_t[w]
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    reader.consume(length)
+    return sym_t[w]
 
 
 def _extend(bits: int, size: int) -> int:
@@ -451,10 +545,9 @@ def decode_jpeg(data: bytes) -> dict:
                     arr = np.frombuffer(vals, dtype=">u2").astype(np.int32)
                 else:
                     arr = np.frombuffer(vals, dtype=np.uint8).astype(np.int32)
-                q = np.zeros((8, 8), dtype=np.int32)
-                for k, (r, c) in enumerate(ZIGZAG):
-                    q[r, c] = arr[k]
-                quant[tid] = q
+                q = np.zeros(64, dtype=np.int32)
+                q[ZIGZAG_FLAT] = arr[:64]
+                quant[tid] = q.reshape(8, 8)
                 i += 1 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline/extended seq.)
             if body[0] != 8:
@@ -480,7 +573,7 @@ def decode_jpeg(data: bytes) -> dict:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                tbl = _build_huffman(bits, vals)
+                tbl = _huffman_lut(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
         elif marker == 0xDD:  # DRI
@@ -519,6 +612,9 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, dri):
     }
     reader = _BitReader(data, pos)
     preds = {c["id"]: 0 for c in frame["comps"]}
+    # entropy pass: collect each block's zigzag coefficients (sparse
+    # (k, v) pairs) and position; dequant + IDCT run batched afterwards
+    blocks_by_comp = {c["id"]: [] for c in frame["comps"]}  # (y0, x0, ks, vs)
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -527,16 +623,18 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, dri):
                 preds = {k: 0 for k in preds}
             for comp, dct, act in scan:
                 cid = comp["id"]
+                dc_lut = huff_dc[dct]
+                ac_lut = huff_ac[act]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = _huff_decode(reader, huff_dc[dct])
+                        s = _huff_decode(reader, dc_lut)
                         diff = _extend(reader.read_bits(s), s) if s else 0
                         preds[cid] += diff
-                        zz[0] = preds[cid]
+                        ks = [0]
+                        vs = [preds[cid]]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, huff_ac[act])
+                            rs = _huff_decode(reader, ac_lut)
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -546,17 +644,35 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, dri):
                             size = rs & 0x0F
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.read_bits(size), size)
+                            ks.append(k)
+                            vs.append(_extend(reader.read_bits(size), size))
                             k += 1
-                        q = np.zeros((8, 8), dtype=np.int32)
-                        for kk, (r, c_) in enumerate(ZIGZAG):
-                            q[r, c_] = zz[kk]
-                        coef = q.astype(np.float64) * quant[comp["q"]]
-                        block = _DCT.T @ coef @ _DCT + 128.0
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                        blocks_by_comp[cid].append((y0, x0, ks, vs))
             n_mcu += 1
+    # batched dequant + IDCT per component: scatter the sparse zigzag
+    # pairs into (nb, 64), undo the zigzag with one fancy index, then
+    # run the same `_DCT.T @ coef @ _DCT` expression over the whole
+    # stack — matmul broadcasting performs the identical 8-long dot
+    # products per block, so the samples are bit-equal to the
+    # historical block-at-a-time form (property-pinned in
+    # tests/test_operators.py)
+    for comp in frame["comps"]:
+        cid = comp["id"]
+        blocks = blocks_by_comp[cid]
+        if not blocks:
+            continue
+        zz = np.zeros((len(blocks), 64), dtype=np.int32)
+        for bi, (_, _, ks, vs) in enumerate(blocks):
+            zz[bi, ks] = vs
+        raster = np.zeros((len(blocks), 64), dtype=np.int32)
+        raster[:, ZIGZAG_FLAT] = zz
+        coef = raster.reshape(-1, 8, 8).astype(np.float64) * quant[comp["q"]]
+        out = _DCT.T @ coef @ _DCT + 128.0
+        plane = planes[cid]
+        for bi, (y0, x0, _, _) in enumerate(blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = out[bi]
     comps = frame["comps"]
     if len(comps) == 1:
         px = np.clip(planes[comps[0]["id"]][:h, :w], 0, 255)

@@ -1403,6 +1403,66 @@ class TestJpegCodec:
             assert (d["width"], d["height"]) == (24, h)
             assert abs(d["mean_pixel"] - plane.mean()) <= 6.0
 
+    def test_batched_dct_pair_matches_per_block_reference(self):
+        # The r14 vectorization runs DCT/quant (encode) and dequant/IDCT
+        # (decode) over a whole stack of blocks with one broadcast
+        # matmul. Pin bit-equality against the historical
+        # block-at-a-time expressions: both orderings run the same
+        # 8-long dot products, so the floats must be IDENTICAL, not
+        # merely close — any drift here silently changes quantized
+        # streams and decoded samples.
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        rng = np.random.RandomState(7)
+        plane = rng.randint(0, 256, (24, 32)).astype(np.float64)
+        zz = jpeg._component_zigzag_blocks(plane, jpeg.QUANT_LUMA)
+        for br in range(3):
+            for bc in range(4):
+                block = plane[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8]
+                coef = jpeg._DCT @ (block - 128.0) @ jpeg._DCT.T
+                q = np.round(coef / jpeg.QUANT_LUMA).astype(np.int32)
+                ref = np.array([q[r, c] for r, c in jpeg.ZIGZAG], np.int32)
+                assert np.array_equal(zz[br, bc], ref), (br, bc)
+        # decode direction: stacked IDCT == per-block IDCT, bit for bit
+        coefs = rng.randint(-300, 300, (12, 8, 8)).astype(np.float64)
+        batched = jpeg._DCT.T @ coefs @ jpeg._DCT + 128.0
+        for i in range(12):
+            single = jpeg._DCT.T @ coefs[i] @ jpeg._DCT + 128.0
+            assert np.array_equal(batched[i], single), i
+
+    def test_encoded_stream_golden_digest(self):
+        # Freeze the exact byte stream for a deterministic image across
+        # every layout variant the encoder supports. The r14 entropy
+        # rewrite (nonzero-only RLE, fused category+amplitude writes)
+        # was verified bit-identical to the historical per-coefficient
+        # loop; this digest keeps any future "optimization" honest.
+        import hashlib
+
+        import numpy as np
+
+        from helium_etl_lite_spark.operators import jpeg
+
+        g = np.clip(
+            np.add.outer(np.linspace(0, 200, 21), np.linspace(0, 55, 19)), 0, 255
+        )
+        rgb = np.stack([g, g * 0.5, 255 - g], axis=-1).astype(np.uint8)
+        digests = {}
+        for tag, kwargs in (
+            ("444", {}),
+            ("420", {"subsample_420": True}),
+            ("420rst", {"subsample_420": True, "restart_interval": 2}),
+        ):
+            digests[tag] = hashlib.sha256(
+                jpeg.encode_jpeg_bytes(rgb, **kwargs)
+            ).hexdigest()[:16]
+        assert digests == {
+            "444": "8ea6e15a2bfb4689",
+            "420": "0320ef6bc974e20b",
+            "420rst": "e43a61e80597c2d3",
+        }, digests
+
 
 class TestCrossFormatPhash:
     def test_same_plane_hashes_identically_across_lossless_formats(self, spark, docs):
