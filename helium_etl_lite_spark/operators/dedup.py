@@ -1275,15 +1275,42 @@ def span_dedup_overlap(
             lambda p: (p <= s["q"]) & (s["q"] < p + F.lit(span_len)),
         ),
     )
+    return _project_kept_tokens(joined, kept, id_col)
+
+
+def _project_kept_tokens(joined: DataFrame, kept, id_col: str) -> DataFrame:
+    """Project (id, n_tokens_kept, text_dedup) from the kept-token
+    array expression, evaluating it exactly ONCE per row.
+
+    The naive `select(size(kept), array_join(transform(kept))) .where
+    (n_tokens_kept > 0)` shape lets PushDownPredicate inline the alias,
+    so the pushed filter below the Project re-evaluates the whole
+    O(tokens x dup_starts) lambda chain a second time per row (the
+    guide-§4.4 duplication, JVM-expression edition — Catalyst performs
+    no CSE across operators or lambda boundaries). explode_outer of a
+    singleton array is a Generate barrier: the token array
+    materializes once, and the filter on the generated attribute
+    cannot be pushed below the Generate that produces it. size() and
+    array_join() over the materialized array are then cheap.
+    explode_outer (not explode) so InferFiltersFromGenerate does not
+    synthesize a `size(array(kept)) > 0` guard re-evaluating the
+    lambda (the winnow_gram_table find); array(x) is always 1-element,
+    so rows are preserved exactly — a null token array (null text)
+    yields one row with __kept null, which the size() > 0 gate drops
+    exactly as `null > 0` did before."""
     return (
         joined.select(
             F.col(id_col),
-            F.size(kept).cast("long").alias("n_tokens_kept"),
-            F.array_join(
-                F.transform(kept, lambda s: s["tk"]), " "
-            ).alias("text_dedup"),
+            F.explode_outer(
+                F.array(F.transform(kept, lambda s: s["tk"]))
+            ).alias("__kept"),
         )
-        .where(F.col("n_tokens_kept") > 0)
+        .where(F.size("__kept") > 0)
+        .select(
+            F.col(id_col),
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+            F.array_join("__kept", " ").alias("text_dedup"),
+        )
     )
 
 
@@ -1951,16 +1978,7 @@ def _drop_covered_tokens(
             lambda p: (p <= s["q"]) & (s["q"] < p + F.lit(span_len)),
         ),
     )
-    return (
-        joined.select(
-            F.col(id_col),
-            F.size(kept).cast("long").alias("n_tokens_kept"),
-            F.array_join(F.transform(kept, lambda s: s["tk"]), " ").alias(
-                "text_dedup"
-            ),
-        )
-        .where(F.col("n_tokens_kept") > 0)
-    )
+    return _project_kept_tokens(joined, kept, id_col)
 
 
 def span_state_add(
