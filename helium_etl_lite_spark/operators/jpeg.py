@@ -379,24 +379,26 @@ _LUT_CACHE: dict = {}
 
 
 def _huffman_lut(bits, vals):
+    """16-bit-window LUT, PACKED: lut[w] = (code_length << 8) | symbol
+    (length 1..16, symbol 0..255 — disjoint bit ranges), one list
+    lookup per decoded symbol instead of two (r15). length 0 == entry
+    never assigned == invalid code, exactly as before."""
     key = (bytes(bits), bytes(vals))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = np.full(1 << 16, -1, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.uint8)
+    pk = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
-            sym[lo:hi] = vals[k]
-            ln[lo:hi] = length
+            pk[lo:hi] = (length << 8) | vals[k]
             k += 1
             code += 1
         code <<= 1
-    lut = (sym.tolist(), ln.tolist())  # plain lists: ints, no numpy scalar tax
+    lut = pk.tolist()  # plain list: ints, no numpy scalar tax
     _LUT_CACHE[key] = lut
     return lut
 
@@ -430,74 +432,40 @@ def _split_entropy_segments(data: bytes, pos: int):
     return segments
 
 
-class _BitReader:
-    """Bit reader over pre-unstuffed entropy segments. The accumulator
-    is masked to the unconsumed bits on every consume — without that
-    mask it grows by 8 bits per byte for the whole scan, making decode
-    O(n^2) bignum arithmetic on real-sized images (review find)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.segments = _split_entropy_segments(data, pos)
-        self.seg = 0
-        self.buf = self.segments[0]
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def peek16(self) -> int:
-        buf, n = self.buf, len(self.buf)
-        while self.nbits < 16 and self.pos < n:
-            self.acc = (self.acc << 8) | buf[self.pos]
-            self.pos += 1
-            self.nbits += 8
-        if self.nbits >= 16:
-            return (self.acc >> (self.nbits - 16)) & 0xFFFF
-        # near stream end: pad the window with virtual 1s (the encoder
-        # pads with 1s too); consume() still refuses to eat past the
-        # real bits, so truncation errors are preserved
-        pad = 16 - self.nbits
-        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
-
-    def consume(self, k: int):
-        if k > self.nbits:
-            raise ValueError("truncated JPEG entropy stream")
-        self.nbits -= k
-        self.acc &= (1 << self.nbits) - 1
-
-    def read_bits(self, k: int) -> int:
-        if k == 0:
-            return 0
-        buf, n = self.buf, len(self.buf)
-        while self.nbits < k:
-            if self.pos >= n:
-                raise ValueError("truncated JPEG entropy stream")
-            self.acc = (self.acc << 8) | buf[self.pos]
-            self.pos += 1
-            self.nbits += 8
-        self.nbits -= k
-        v = self.acc >> self.nbits
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def restart(self):
-        """Advance past an RSTn marker and reset bit alignment (E.2.4)."""
-        self.seg += 1
-        if self.seg >= len(self.segments):
-            raise ValueError("expected restart marker")
-        self.buf = self.segments[self.seg]
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-
-def _huff_decode(reader, lut):
-    sym_t, ln_t = lut
-    w = reader.peek16()
-    length = ln_t[w]
-    if length == 0:
-        raise ValueError("invalid Huffman code in JPEG stream")
-    reader.consume(length)
-    return sym_t[w]
+def _window16_list(seg: bytes) -> list:
+    """The 16-bit window at EVERY bit offset of `seg`, as one plain
+    list (r15, guide §4.2): win[i] = int of bits [i, i+16), padded past
+    the real stream with virtual 1-bits exactly like the historical
+    _BitReader.peek16 (the encoder pads with 1s too). Built with four
+    vectorized uint32 shifts — O(n) numpy — so the per-symbol decode
+    loop below degenerates to two list lookups and an integer add,
+    instead of maintaining a bit accumulator 8 bits at a time in
+    Python. len(seg) bytes -> 8*len(seg)+1 windows (the final, fully
+    virtual window keeps index arithmetic total; truncation is still
+    enforced against `nbits` by the callers, so error behavior on
+    short streams is unchanged)."""
+    n = len(seg)
+    if n < 192:
+        # tiny segment (short restart interval): one bignum shift walk
+        # beats numpy's fixed per-array overhead
+        acc = int.from_bytes(seg + b"\xff\xff", "big")
+        top = 8 * n  # bit index of the window start, from the MSB end
+        return [(acc >> (top - i)) & 0xFFFF for i in range(8 * n + 1)]
+    b = np.frombuffer(seg, dtype=np.uint8)
+    p = np.empty(n + 3, dtype=np.uint8)
+    p[:n] = b
+    p[n:] = 0xFF  # virtual 1-bits past stream end
+    w32 = (
+        (p[:n].astype(np.uint32) << 24)
+        | (p[1 : n + 1].astype(np.uint32) << 16)
+        | (p[2 : n + 2].astype(np.uint32) << 8)
+        | p[3 : n + 3].astype(np.uint32)
+    )
+    # window at bit offset 8j+r = bits r..r+15 of byte j onward
+    shifts = (16 - np.arange(8, dtype=np.uint32))[None, :]
+    win = ((w32[:, None] >> shifts) & 0xFFFF).reshape(-1).tolist()
+    win.append(0xFFFF)
+    return win
 
 
 def _extend(bits: int, size: int) -> int:
@@ -610,31 +578,76 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, dri):
     planes = {
         c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in frame["comps"]
     }
-    reader = _BitReader(data, pos)
+    segments = _split_entropy_segments(data, pos)
+    seg_idx = 0
+    win = _window16_list(segments[0])
+    nbits = 8 * len(segments[0])
+    bp = 0  # bit position in the current segment
     preds = {c["id"]: 0 for c in frame["comps"]}
     # entropy pass: collect each block's zigzag coefficients (sparse
-    # (k, v) pairs) and position; dequant + IDCT run batched afterwards
+    # (k, v) pairs) and position; dequant + IDCT run batched afterwards.
+    # r15 (guide §4.2): table-driven decode over the precomputed 16-bit
+    # window array — per symbol: one list lookup for (length, symbol),
+    # one add to the bit cursor, one shift for the value bits. Same LUTs
+    # (_huffman_lut), same EXTEND arithmetic (inlined), same error
+    # surface: length 0 -> invalid code; a code or value running past
+    # the segment's real bits -> truncated (the virtual 1-padding in
+    # the windows is never consumable, exactly like peek16/consume).
     blocks_by_comp = {c["id"]: [] for c in frame["comps"]}  # (y0, x0, ks, vs)
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
-                reader.restart()
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("expected restart marker")
+                win = _window16_list(segments[seg_idx])
+                nbits = 8 * len(segments[seg_idx])
+                bp = 0
                 preds = {k: 0 for k in preds}
             for comp, dct, act in scan:
                 cid = comp["id"]
-                dc_lut = huff_dc[dct]
-                ac_lut = huff_ac[act]
+                dc_pk = huff_dc[dct]
+                ac_pk = huff_ac[act]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        s = _huff_decode(reader, dc_lut)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        t = dc_pk[win[bp]]
+                        length = t >> 8
+                        if length == 0:
+                            raise ValueError("invalid Huffman code in JPEG stream")
+                        if bp + length > nbits:
+                            raise ValueError("truncated JPEG entropy stream")
+                        bp += length
+                        s = t & 0xFF
+                        if s:
+                            if s > 16:
+                                # baseline DC categories stop at 11; a
+                                # larger value only appears in corrupt
+                                # tables, where the historical reader
+                                # read s raw bits — not representable
+                                # in a 16-bit window, so fail loud
+                                raise ValueError("invalid Huffman code in JPEG stream")
+                            if bp + s > nbits:
+                                raise ValueError("truncated JPEG entropy stream")
+                            diff = win[bp] >> (16 - s)
+                            bp += s
+                            if diff < (1 << (s - 1)):  # F.2.2.1 EXTEND
+                                diff += 1 - (1 << s)
+                        else:
+                            diff = 0
                         preds[cid] += diff
                         ks = [0]
                         vs = [preds[cid]]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, ac_lut)
+                            t = ac_pk[win[bp]]
+                            length = t >> 8
+                            if length == 0:
+                                raise ValueError("invalid Huffman code in JPEG stream")
+                            if bp + length > nbits:
+                                raise ValueError("truncated JPEG entropy stream")
+                            bp += length
+                            rs = t & 0xFF
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -644,8 +657,17 @@ def _decode_scan(data, pos, frame, scan, quant, huff_dc, huff_ac, dri):
                             size = rs & 0x0F
                             if k > 63:
                                 raise ValueError("AC index overflow")
+                            if size:
+                                if bp + size > nbits:
+                                    raise ValueError("truncated JPEG entropy stream")
+                                v = win[bp] >> (16 - size)
+                                bp += size
+                                if v < (1 << (size - 1)):  # EXTEND
+                                    v += 1 - (1 << size)
+                            else:
+                                v = 0
                             ks.append(k)
-                            vs.append(_extend(reader.read_bits(size), size))
+                            vs.append(v)
                             k += 1
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
