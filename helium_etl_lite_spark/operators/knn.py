@@ -1205,7 +1205,11 @@ def kmeans_portable_quantized(
                     lambda st: st.getField("cv"),
                 ).alias("cq")
             )
-        ).localCheckpoint(eager=True)
+            # lazy (r15, guide §1.2): the next round's broadcast build
+            # (or the final assign) materializes the K-row table in its
+            # own job — the eager form blocked the driver once per
+            # round, each block a full corpus assign+agg
+        ).localCheckpoint(eager=False)
 
     if not compute_stats:
         return None, cents
@@ -1790,7 +1794,9 @@ def semantic_filter_new(
     a set union and probes read it as a set (and a marker-only state
     dir from a crash mid-first-append reads as empty, see below)."""
     rows = _sem_bucket_rows(batch, n_bands, band_planes, dim, id_col, vec_col)
-    rows = rows.localCheckpoint(eager=True)  # reused >=3 times below
+    # reused >=3 times below; lazy (r15): the first consumer (the
+    # touched-shards collect) materializes it in its own job
+    rows = rows.localCheckpoint(eager=False)
     # ---- in-batch keeper assignment (min-id representative) ----
     a = rows.select(
         F.col(id_col).alias("id_a"), F.col("e").alias("e_a"),
@@ -1844,7 +1850,8 @@ def semantic_filter_new(
         r["shard"] for r in probe.select(shard.alias("shard")).distinct().collect()
     ]
     state = state.where(F.col("shard").isin(touched))
-    bb = probe.select("band", "bucket").distinct().localCheckpoint(eager=True)
+    # lazy (r15): the unconditional guard count materializes it
+    bb = probe.select("band", "bucket").distinct().localCheckpoint(eager=False)
     if bb.count() <= max_broadcast_rows:
         state = state.join(F.broadcast(bb), ["band", "bucket"], "left_semi")
     dup_ids = (

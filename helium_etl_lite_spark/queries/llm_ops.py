@@ -765,7 +765,9 @@ def vec_kmeans(spark, sf_dir):
         refined = knn.lloyd_refine(emb, cents)
         cents = refined.select(
             F.col("centroid_id").alias("vec_id"), F.col("embedding")
-        ).localCheckpoint(eager=True)
+        # lazy (r15): the next round's broadcast build materializes the
+        # 8-row table — no blocking job per Lloyd round (guide §1.2)
+        ).localCheckpoint(eager=False)
     assigned = knn.assign_nearest_centroid(emb, cents)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -3537,7 +3539,9 @@ def vec_dedup_semantic_portable(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "q", "centroid_id")
-        .localCheckpoint(eager=True)
+        # lazy (r15): both self-join sides read the same blocks; the
+        # caller's single action materializes them once
+        .localCheckpoint(eager=False)
     )
     a = assign.select(
         "centroid_id", F.col("vec_id").alias("id_a"), F.col("q").alias("q_a")
@@ -3662,14 +3666,17 @@ def vec_pca_portable(spark, sf_dir):
     m = q.groupBy("idx").agg(
         F.floor(F.sum("val") / F.count(F.lit(1))).cast("double").alias("mv")
     )
-    # r14: materialize the centered table ONCE (eager localCheckpoint)
+    # r14: materialize the centered table ONCE (localCheckpoint)
     # — it feeds BOTH sides of the Gram self-join and the final
     # projection, so without it the N*d explode + mean join was
     # re-derived three times (and the mean agg's own q a fourth).
     # Bounded at N*d narrow rows; blocks free with the DataFrame.
+    # eager=False (r15): the terminal action's first stage to touch it
+    # computes the blocks once (BlockManager per-block locking dedupes
+    # concurrent stages) — the eager form was an extra blocking job.
     c = q.join(F.broadcast(m), "idx").select(
         "vec_id", "idx", (F.col("val") - F.col("mv")).alias("cv")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = c.select("vec_id", F.col("idx").alias("i"), F.col("cv").alias("ca"))
     b = c.select("vec_id", F.col("idx").alias("j"), F.col("cv").alias("cb"))
     cov = (
@@ -3835,10 +3842,18 @@ def _bpep_spark_train(documents):
             .agg(F.sum("n").alias("cnt"))
         )
         top = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        # r15 (r14 verdict item 3; guide §1.2): LAZY checkpoint. The
+        # eager form blocked the driver once per round (6 rounds = 6
+        # full driver round-trips on a 200-row table, most of the
+        # query's isolated wall on a high-job-latency host). Lazily
+        # marked, each round's 200-row table materializes exactly once
+        # INSIDE the next round's argmax/broadcast job — all 6 trainer
+        # rounds fold into the terminal action's cascade with zero
+        # blocking loop actions. Same per-round plan, same results.
         words = (
             words.crossJoin(F.broadcast(top))
             .select("w", "n", F.expr(_bpep_apply_sql("seq", "pair")).alias("seq"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         tops.append(top)
         words_rounds.append(words)
@@ -4099,7 +4114,10 @@ def text_inverted_index(spark, sf_dir):
     td = (
         tok.groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
+        # eager=False (r15): the terminal action materializes td once
+        # for both consumers (stats agg + postings join) — the eager
+        # form paid a separate blocking job for the same blocks
+        .localCheckpoint(eager=False)
     )
     stats = td.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
