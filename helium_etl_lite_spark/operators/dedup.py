@@ -687,6 +687,11 @@ def connected_components(
             .unionByName(proposals)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            # EAGER deliberately (r15 measured): folding this into the
+            # convergence count (eager=False) regressed 4.7 -> 21.5 s
+            # at sf0.1 — the count's join then plans against a
+            # stats-less LogicalRDD and the hinted shuffle_hash build
+            # re-executes the round's agg work per consumer branch.
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -806,6 +811,11 @@ def connected_components_star(
     for _ in range(max_iter):
         if converged:
             break
+        # EAGER deliberately (r15 measured): the lazy fold-into-count
+        # variant was par-to-worse here (6.7 -> 7.5 s min, median
+        # worse) — new_e branches into the next phase's two star
+        # passes, and concurrent stages over an unmaterialized
+        # checkpoint duplicate/block per-partition compute.
         new_e = small_star(large_star(e)).localCheckpoint(eager=True)
         cnt = new_e.count()
         if cnt == prev_cnt and new_e.exceptAll(e).isEmpty():
@@ -1078,7 +1088,9 @@ def minhash_filter_new(
     # verify join below then gets via AQE broadcast. A batch above the
     # guard falls back to the shuffled equi-join.
     bb = (
-        probe.select("band", "bucket").distinct().localCheckpoint(eager=True)
+        # lazy (r15): the guard count below is unconditional and
+        # materializes the checkpoint in its own job (guide §1.2)
+        probe.select("band", "bucket").distinct().localCheckpoint(eager=False)
     )
     if bb.count() <= max_broadcast_rows:
         state = state.join(F.broadcast(bb), ["band", "bucket"], "left_semi")
@@ -1512,10 +1524,12 @@ def containment_screened_pairs_portable(
     # materialized once for the same reason as the production twin:
     # the stats action below would otherwise recompute the corpus-wide
     # signature build that the returned plan reads twice more (r8
-    # ADVICE); localCheckpoint, not persist — see the production twin
+    # ADVICE); localCheckpoint, not persist — see the production twin.
+    # eager=False (r15): the unconditional stats .first() below
+    # materializes it in the same job (guide §1.2)
     band_rows = _portable_band_rows(
         docs, num_perm, bands, text_col, id_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = band_rows.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__bmin")
     )
@@ -2078,7 +2092,9 @@ def substring_anchor_dedup_incremental_df(
     DataFrame with column ``h`` or None (first ingest)."""
     ex = anchored_span_table(
         batch, span_len=span_len, k=k, w=w, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)  # probed twice (state hits + window)
+    ).localCheckpoint(eager=False)  # probed twice (state hits + window);
+    # lazy (r15): the state-probe count (or the caller's single action)
+    # materializes it — blocks are computed once either way (guide §1.2)
     w_first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("p").asc())
     batch_dups = (
         ex.withColumn("rn", F.row_number().over(w_first))

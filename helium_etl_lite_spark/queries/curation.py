@@ -1246,6 +1246,10 @@ def _pretraining_scored(spark, sf_dir, keep_text: bool = False):
     # expensive gate→dedup→decontaminate→score chain above runs a single
     # time instead of once per branch (same pattern as
     # connected_components' localCheckpoint; measured ~4x on this query).
+    # EAGER deliberately (r15 measured): eager=False regressed 3.8 ->
+    # 6.7 s — the caller's branches are CONCURRENT stages, and an
+    # unmaterialized checkpoint makes them duplicate/serialize the
+    # expensive chain per partition instead of reading stored blocks.
     return scored.localCheckpoint(eager=True)
 
 
@@ -1540,6 +1544,10 @@ def sample_quota_waterfill(spark, sf_dir):
     g = (
         docs.groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # EAGER deliberately (r15 measured): eager=False regressed
+        # 1.46 -> 1.95 s — the level-algebra scalars build several
+        # broadcasts concurrently and each pays the unmaterialized
+        # checkpoint race instead of reading stored blocks.
         .localCheckpoint(eager=True)
     )
     b = g.agg(
