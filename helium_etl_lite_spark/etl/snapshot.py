@@ -381,7 +381,17 @@ def read_changes(
     )
     if key_cols is None:
         return plain
-    return pair_updates(plain, key_cols)
+    # r15 (guide §5 cache-when-reused, §7.2): pair_updates references
+    # the feed from four branches and derives its update-key intersect
+    # from it again per branch — Catalyst performs no cross-branch CSE,
+    # so the churned-partition exceptAll diff (itself two reads per
+    # side) was re-planned per branch: the keyed feed's physical plan
+    # carried 48 parquet scans of the churned dirs (measured,
+    # plans/r15). The diff is O(churn)-bounded by
+    # construction; one LAZY localCheckpoint makes every branch read
+    # the same materialized blocks (computed once inside the caller's
+    # terminal action).
+    return pair_updates(plain.localCheckpoint(eager=False), key_cols)
 
 
 def pair_updates(feed: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -415,6 +425,9 @@ def pair_updates(feed: DataFrame, key_cols: list[str]) -> DataFrame:
         inserts.select(*key_cols)
         .intersect(deletes.select(*key_cols))
         .select([F.col(k).alias(f"__uk_{k}") for k in key_cols])
+        # lazy checkpoint (r15): referenced by all four semi/anti joins
+        # below — one intersect instead of four (O(churn) rows)
+        .localCheckpoint(eager=False)
     )
 
     def _keyed(side: DataFrame, how: str, tag: str) -> DataFrame:
@@ -444,6 +457,7 @@ def commit_batch_atomic(
     range_size: int = 1000,
     heights: DataFrame | None = None,
     orphan_grace_seconds: float = 60.0,
+    touched_ranges: set[int] | None = None,
 ) -> dict:
     """Land a batch into every output table AND advance the cursor as
     ONE atomic commit. Claim semantics match
@@ -453,6 +467,13 @@ def commit_batch_atomic(
     ``orphan_grace_seconds`` tunes the publish() orphan-reclaim window
     (see SnapshotStore.__init__ for the mtime-resolution caveat on
     network filesystems).
+
+    ``touched_ranges`` (r15, guide §1.2): when the caller already
+    knows the claimed block-range set — it MUST equal the distinct
+    ``floor(block / range_size)`` of ``heights`` — passing it skips
+    the collect job this function otherwise runs to derive it. A
+    caller batching several commits can compute every commit's range
+    set in one aggregation pass instead of one driver job per commit.
 
     Returns the published manifest."""
     store = SnapshotStore(root, orphan_grace_seconds=orphan_grace_seconds)
@@ -465,17 +486,18 @@ def commit_batch_atomic(
         claimed = heights.select(
             F.col(heights.columns[0]).cast("long").alias("__claimed_block")
         ).distinct()
-        touched_ranges = {
-            int(r["__r"])
-            for r in claimed.select(
-                F.floor(F.col("__claimed_block") / F.lit(range_size))
-                .cast("long")
-                .alias("__r")
-            )
-            .distinct()
-            .collect()
-        }
-    else:
+        if touched_ranges is None:
+            touched_ranges = {
+                int(r["__r"])
+                for r in claimed.select(
+                    F.floor(F.col("__claimed_block") / F.lit(range_size))
+                    .cast("long")
+                    .alias("__r")
+                )
+                .distinct()
+                .collect()
+            }
+    elif touched_ranges is None:
         touched_ranges = set(range(lo // range_size, hi // range_size + 1))
 
     new_tables: dict[str, dict] = {}

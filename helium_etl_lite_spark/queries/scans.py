@@ -415,25 +415,41 @@ def _cdc_fixture_commit1(spark, sf_dir, root):
     """Commit 1 of the shared CDC fixture (every sink_snapshot_changes*
     / stream_cdc_mirror* query proves its consumer against the SAME
     two-commit story): land every event as (block, value). Returns
-    (ev, hi) for commit 2."""
+    (ev, hi, ranges5) for commit 2.
+
+    r15 (guide §1.2): ONE aggregation job computes max(block) AND both
+    commits' claimed block-range sets (distinct floor(block/1000) over
+    all blocks for commit 1 / over the %5 re-claim for commit 2) —
+    formerly a max job plus one range-collect job inside each
+    commit_batch_atomic call: three driver jobs for the same scan's
+    worth of metadata. Claim semantics are unchanged (the sets equal
+    what commit_batch_atomic would derive from `heights` itself)."""
     from ..etl.snapshot import commit_batch_atomic
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").cast("long").alias("block"), F.col("value")
     )
-    hi = int(ev.agg(F.max("block")).first()[0])
+    rng = F.floor(F.col("block") / F.lit(1000)).cast("long")
+    st = ev.agg(
+        F.max("block").alias("hi"),
+        F.collect_set(rng).alias("r_all"),
+        F.collect_set(F.when(F.col("block") % 5 == 0, rng)).alias("r5"),
+    ).first()
+    hi = int(st["hi"])
     commit_batch_atomic(
         spark, root, {"rewards": ev}, lo=0, hi=hi, height=hi,
         first_block=0, heights=ev.select("block"),
+        touched_ranges={int(r) for r in st["r_all"]},
     )
-    return ev, hi
+    return ev, hi, {int(r) for r in st["r5"]}
 
 
-def _cdc_fixture_commit2(spark, ev, root, hi):
+def _cdc_fixture_commit2(spark, ev, root, hi, ranges5):
     """Commit 2: re-claim the block%5 rows but re-emit only the %10
     rows with value+1 — so the v1->v2 delta is exactly {updates of %10,
     deletes of %5-but-not-%10}. One definition; the five consumers and
-    their oracles all state this story."""
+    their oracles all state this story. ``ranges5`` = the %5 claim's
+    precomputed block-range set from commit 1's stats pass."""
     from ..etl.snapshot import commit_batch_atomic
 
     claimed = ev.where(F.col("block") % 5 == 0).select("block")
@@ -443,6 +459,7 @@ def _cdc_fixture_commit2(spark, ev, root, hi):
     commit_batch_atomic(
         spark, root, {"rewards": replaced}, lo=0, hi=hi,
         height=hi, first_block=0, heights=claimed,
+        touched_ranges=ranges5,
     )
 
 
@@ -481,8 +498,8 @@ def sink_snapshot_changes(spark, sf_dir):
     from ..etl.snapshot import read_changes
 
     root = scratch_dir("snapshot_cdc")
-    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
-    _cdc_fixture_commit2(spark, ev, root, hi)
+    ev, hi, r5 = _cdc_fixture_commit1(spark, sf_dir, root)
+    _cdc_fixture_commit2(spark, ev, root, hi, r5)
     return read_changes(spark, root, "rewards", v_from=1, v_to=2).select(
         "block", "value", "_change_type"
     )
@@ -511,8 +528,8 @@ def sink_snapshot_changes_apply(spark, sf_dir):
     from ..etl.snapshot import read_changes, read_snapshot
 
     root = scratch_dir("snapshot_cdc_apply")
-    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
-    _cdc_fixture_commit2(spark, ev, root, hi)
+    ev, hi, r5 = _cdc_fixture_commit1(spark, sf_dir, root)
+    _cdc_fixture_commit2(spark, ev, root, hi, r5)
     base = read_snapshot(spark, root, "rewards", version=1).select("block", "value")
     feed = read_changes(spark, root, "rewards", v_from=1, v_to=2)
     ins = feed.where(F.col("_change_type") == "insert").select("block", "value")
@@ -559,8 +576,8 @@ def sink_snapshot_changes_updates(spark, sf_dir):
     from ..etl.snapshot import read_changes
 
     root = scratch_dir("snapshot_cdc_updates")
-    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
-    _cdc_fixture_commit2(spark, ev, root, hi)
+    ev, hi, r5 = _cdc_fixture_commit1(spark, sf_dir, root)
+    _cdc_fixture_commit2(spark, ev, root, hi, r5)
     return read_changes(
         spark, root, "rewards", v_from=1, v_to=2, key_cols=["block"]
     ).select("block", "value", "_change_type")
@@ -594,10 +611,10 @@ def stream_cdc_mirror(spark, sf_dir):
     root = scratch_dir("stream_cdc_mirror_src")
     mdir = scratch_dir("stream_cdc_mirror_dst")
     ckpt = scratch_dir("stream_cdc_mirror_ckpt")
-    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
+    ev, hi, r5 = _cdc_fixture_commit1(spark, sf_dir, root)
     q1 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
     q1.awaitTermination(300)
-    _cdc_fixture_commit2(spark, ev, root, hi)
+    _cdc_fixture_commit2(spark, ev, root, hi, r5)
     q2 = mirror.start_mirror_stream(spark, root, "rewards", mdir, ckpt)
     q2.awaitTermination(300)
     return mirror.read_mirror(spark, mdir).select("block", "value")
@@ -630,12 +647,12 @@ def stream_cdc_mirror_keyed(spark, sf_dir):
     root = scratch_dir("stream_cdc_keyed_src")
     mdir = scratch_dir("stream_cdc_keyed_dst")
     ckpt = scratch_dir("stream_cdc_keyed_ckpt")
-    ev, hi = _cdc_fixture_commit1(spark, sf_dir, root)
+    ev, hi, r5 = _cdc_fixture_commit1(spark, sf_dir, root)
     q1 = mirror.start_keyed_mirror_stream(
         spark, root, "rewards", mdir, ckpt, key_cols=["block"]
     )
     q1.awaitTermination(300)
-    _cdc_fixture_commit2(spark, ev, root, hi)
+    _cdc_fixture_commit2(spark, ev, root, hi, r5)
     q2 = mirror.start_keyed_mirror_stream(
         spark, root, "rewards", mdir, ckpt, key_cols=["block"]
     )
