@@ -118,8 +118,14 @@ RERUN_FACTOR = 1.5
 # rolling record is presumed noise (min-of-5 on an idle host does not
 # drift 3x without interference; the headline set and its modules are
 # stable across rounds) and triggers the same bounded once-per-session
-# headline rerun. Update entries when an official round sets a faster
-# point.
+# headline rerun.
+#
+# UPDATE RULE (r14 verdict item 9): entries may only ever be lowered,
+# and only from an OFFICIAL driver point (the BENCH_rNN.json series) —
+# never from builder-side runs, which have no independent witness.
+# Checked against BENCH_r14 (r15): its per-query values (degraded
+# host) beat no entry, so the table is unchanged — still the min over
+# BENCH_r01..r14.
 HEADLINE_QUERY_RECORD_SEC = {
     "scan_predicate_pushdown": 0.231,
     "join_multiway_star": 1.086,
