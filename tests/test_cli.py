@@ -5,10 +5,15 @@ its own session lifecycle so it is exercised only for config errors."""
 
 from __future__ import annotations
 
+import pytest
+
+# r15 heavy lane: CLI integration (126 s) on the r15 sandbox — runs with
+# SPARK_GRAFT_TEST_LANE=full (or -m heavy); see tests/conftest.py.
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 
-import pytest
 
 from helium_etl_lite_spark import cli
 from helium_etl_lite_spark.etl import fixtures

@@ -4,10 +4,15 @@ backfill epoch walk; streaming twin equivalence."""
 
 from __future__ import annotations
 
+import pytest
+
+# r15 heavy lane: follower-pipeline integration (133 s) on the r15 sandbox — runs with
+# SPARK_GRAFT_TEST_LANE=full (or -m heavy); see tests/conftest.py.
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from helium_etl_lite_spark.etl import fixtures, transforms

@@ -5,9 +5,14 @@ example is a Spark job."""
 
 from __future__ import annotations
 
+import pytest
+
+# r15 heavy lane: property/invariant suite (242 s) on the r15 sandbox — runs with
+# SPARK_GRAFT_TEST_LANE=full (or -m heavy); see tests/conftest.py.
+pytestmark = pytest.mark.heavy
+
 from collections import Counter
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

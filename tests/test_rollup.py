@@ -4,10 +4,15 @@ batch sequence, converge under replay, and handle late data."""
 
 from __future__ import annotations
 
+import pytest
+
+# r15 heavy lane: rollup integration (334 s) on the r15 sandbox — runs with
+# SPARK_GRAFT_TEST_LANE=full (or -m heavy); see tests/conftest.py.
+pytestmark = pytest.mark.heavy
+
 import datetime as dt
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from helium_etl_lite_spark.operators import rollup

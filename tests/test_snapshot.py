@@ -7,9 +7,14 @@ and follower/serving integration."""
 
 from __future__ import annotations
 
+import pytest
+
+# r15 heavy lane: snapshot-store integration (234 s) on the r15 sandbox — runs with
+# SPARK_GRAFT_TEST_LANE=full (or -m heavy); see tests/conftest.py.
+pytestmark = pytest.mark.heavy
+
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from helium_etl_lite_spark.etl import fixtures

@@ -2,10 +2,15 @@
 
 from __future__ import annotations
 
+import pytest
+
+# r15 heavy lane: structured-streaming drains (465 s) on the r15 sandbox — runs with
+# SPARK_GRAFT_TEST_LANE=full (or -m heavy); see tests/conftest.py.
+pytestmark = pytest.mark.heavy
+
 import json
 import os
 
-import pytest
 
 from pyspark.sql import functions as F
 
