@@ -308,21 +308,14 @@ def decode_gray_pixels(data: bytes):
 
 
 def _fan_out_small(docs: DataFrame) -> DataFrame:
-    """Fan a small scan out to the cluster's parallelism before a
-    CPU-heavy encode/decode kernel chain (r11 scale-lane find: the
-    sf0.1 documents file is one parquet split, so every downstream
-    Arrow kernel ran on ONE core — 17.6 s -> 5.3 s for the MJPEG dhash
-    leg once spread). CONDITIONAL by design: at production scale the
-    scan already yields at least as many splits as cores, the branch is
-    never taken, and no payload bytes are ever shuffled — the round-
-    robin exchange exists only in the tiny-input regime where it is
-    free. Row-local kernels + keyed downstream aggs make the result
-    partitioning-invariant."""
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+    """Fan a small scan out before a CPU-heavy encode/decode kernel
+    chain (r11 scale-lane find: the sf0.1 documents file is one parquet
+    split, so every downstream Arrow kernel ran on ONE core — 17.6 s ->
+    5.3 s for the MJPEG dhash leg once spread). r15: shared with the
+    text/vector paths — see operators/scale.py fan_out_small."""
+    from .scale import fan_out_small
+
+    return fan_out_small(docs)
 
 
 def to_binary_assets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

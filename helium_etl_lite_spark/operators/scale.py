@@ -32,6 +32,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def fan_out_small(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to the cluster's parallelism before a
+    CPU-heavy row-local chain (tokenize/md5/regex/codec kernels).
+
+    r11 found this for the multimodal Arrow kernels; r15 found the
+    same single-split reality under the TEXT and VECTOR paths: every
+    driver parquet file is ONE file with ONE row group, so a scan
+    plans exactly one task and the whole row-local chain above the
+    first exchange serializes on one core (measured: winnow's entire
+    gram+md5 build, minhash's tokenize+signature build, knn's scoring
+    scan). CONDITIONAL by design: at production scale the scan already
+    yields at least as many splits as cores, the branch is never
+    taken, and no payload bytes are ever shuffled — the round-robin
+    exchange exists only in the tiny-input regime where it is ~free
+    (count_key_shuffles exempts RoundRobinPartitioning for exactly
+    this reason). Downstream results must be partitioning-invariant
+    (row-local maps + keyed aggs/windows), which every call site's
+    oracle re-verifies."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def distributed_ntile(
     df: DataFrame,
     value_col: str,

@@ -55,11 +55,26 @@ SHIFT_KEYS = {
 
 MARKER = "_SCALED_MARKER.json"
 
+# r15 measurement-bug fix (guide §6, disclosed in OPTIMIZATION_r15.md):
+# the generator previously inherited the driver files' layout — ONE
+# output file with ONE row group per table (the crossJoin stage has a
+# single scan split), so every x10 scan planned exactly ONE task and
+# the lane's "scaling" numbers serialized all row-local work on one
+# core. Real 10x data arrives as many splits; the scaled fact tables
+# are now written as LAYOUT_FILES files so scans parallelize. Layout
+# version rides the marker, so existing v1 caches rebuild.
+LAYOUT_FILES = 32
+LAYOUT_VERSION = 2
+
 
 def ensure_scaled(spark, src: str, out: str, replicas: int) -> str:
     """Materialize `src` replicated `replicas` times under `out`;
     no-op when a marker shows the same (src, replicas) already built."""
-    want = {"src": os.path.abspath(src), "replicas": replicas}
+    want = {
+        "src": os.path.abspath(src),
+        "replicas": replicas,
+        "layout": LAYOUT_VERSION,
+    }
     marker = os.path.join(out, MARKER)
     if os.path.exists(marker):
         try:
@@ -81,7 +96,7 @@ def ensure_scaled(spark, src: str, out: str, replicas: int) -> str:
                 scaled = scaled.withColumn(
                     k, (F.col(k) + F.col("__rep") * F.lit(STRIDE)).cast("long")
                 )
-            scaled = scaled.drop("__rep")
+            scaled = scaled.drop("__rep").repartition(LAYOUT_FILES)
         else:
             scaled = df
         scaled.write.mode("overwrite").parquet(
