@@ -715,7 +715,21 @@ def phash_band_neardup(
     Input: (id_col, phash) with phash = 16 lowercase hex chars
     (dhash_assets output). Output: (id_col, keeper_doc_id, hamming) —
     keeper == self with hamming 0 when no near-neighbor verifies.
+
+    r15 (guide §5 cache-when-reused): `hashed` is consumed by THREE
+    structural branches (the band explode feeding bucket_min and the
+    candidate join, plus the keeper-hash verify side). Every caller
+    derives it from Python decode/hash kernels (MapInPandas), so an
+    unmaterialized input re-ran the whole decode chain once per branch
+    — the x10 video near-dup plan carried the 2-kernel MJPEG chain 3x
+    (6 MapInPandas nodes), ~570 summed python-CPU-seconds for ~190 of
+    real work. One EAGER localCheckpoint of the tiny (id, phash)
+    projection decodes once; eager, not lazy, per the r15 measured
+    rule — these consumers execute as CONCURRENT stages of the
+    terminal action, exactly the fan-out case where the lazy mark
+    regressed (OPTIMIZATION_r15.md change 3).
     """
+    hashed = hashed.select(id_col, "phash").localCheckpoint()
     bands = hashed.select(
         id_col,
         "phash",
@@ -1531,7 +1545,15 @@ def pair_dedup(
     window over clusters whose row count is the cluster's DISTINCT
     caption count, not its pair count.
     """
-    hashed = dhash_assets(pairs, id_col=id_col)
+    # r15 (guide §5, same fan-out as phash_band_neardup): `hashed` is
+    # the Python decode+dhash chain and feeds BOTH the representative
+    # agg and the members join — unmaterialized, the chain ran once
+    # per branch. Eager checkpoint of the (id, phash) projection
+    # decodes once (concurrent consumers, so eager per the change-3
+    # rule).
+    hashed = dhash_assets(pairs, id_col=id_col).select(
+        id_col, "phash"
+    ).localCheckpoint()
     reps = hashed.groupBy("phash").agg(F.min(id_col).alias("__rep_id"))
     assign = phash_band_neardup(
         reps.select(F.col("__rep_id").alias(id_col), "phash"), k=k,
